@@ -1,0 +1,63 @@
+"""Dense surrogate-id assignment (SURVEY.md §2 A7).
+
+The reference enforces dense ids with a BEFORE INSERT trigger computing
+``max(id)+1`` (/root/reference/mysql.sql:66-75).  Spark has no
+auto-increment; ``monotonically_increasing_id`` is non-dense and a global
+``row_number`` window funnels all rows through one task — fine for a
+dimension, wrong for a 100 TB fact stream.
+
+``dense_row_ids`` implements a deterministic two-phase pattern:
+
+  1. bucket every row by a *data-derived, order-aligned* bucket column
+     (default: ``to_date(order_cols[0])`` for timestamp-ordered streams —
+     the same column the history table is partitioned by at scale);
+  2. per-bucket ``row_number`` (parallel across buckets);
+  3. bucket offsets = cumulative counts over the tiny bucket list,
+     broadcast back.
+
+Unlike ``repartitionByRange``-based numbering, the bucket is a pure
+function of the data, so the offset branch and the numbering branch can
+never disagree (range-partition boundary *sampling* is seeded per-RDD and
+is not reproducible across plan branches — observed at sf0.01).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dense_row_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str = "id",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Assign 1-based dense BIGINT ids in total ``order_cols`` order.
+
+    ``order_cols`` must be a total order (include a unique tie-breaker).
+    ``bucket`` must be monotonic w.r.t. the order: rows in a "smaller"
+    bucket must sort before every row of a "larger" bucket.  The default
+    buckets by calendar day of the leading timestamp column, giving
+    ~uniform parallelism for event streams; pass ``F.lit(0)`` to force a
+    single-bucket (global window) fallback for non-temporal orders.
+    """
+    if bucket is None:
+        bucket = F.to_date(F.col(order_cols[0]))
+    cols = [F.col(c) for c in order_cols]
+    with_b = df.withColumn("_bkt", bucket)
+    local = with_b.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("_bkt").orderBy(*cols))
+    )
+    counts = with_b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(id_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_bkt", "_rn", "_off")
+    )

@@ -1,0 +1,336 @@
+"""Core operator inventory (SURVEY.md §2 A1-A14) as oracle-checked queries.
+
+Each query is the batch form of a reference dataflow step; reference
+citations are on each spec.  The streaming forms reuse the same column
+logic via mqtt2sql_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.fixtures import (
+    EXCLUDE_TOPICS,
+    load_table,
+    messages,
+    mqtt_history,
+    mqtt_latest,
+    topic_dim,
+)
+from mqtt2sql_spark.functions.topics import mqtt_pattern_to_regex, topic_excluded
+from mqtt2sql_spark.plans.base import register
+
+# --- A1: source scan (batch stand-in for the MQTT subscribe) --------------
+
+
+@register(
+    "scan_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND event_type <> 'error'
+    """,
+    doc="A1 stream-source stand-in (mqtt2sql.py:754-760): parquet scan with "
+    "filter+projection pushed into the reader (PushedFilters visible in plan).",
+)
+def scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("event_type") != "error")
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# --- A2: exact-match exclusion filter -------------------------------------
+
+
+@register(
+    "filter_exclude_topic",
+    oracle=f"""
+    SELECT ts, topic, qos, retain, event_id
+    FROM messages
+    WHERE topic NOT IN ({", ".join(repr(t) for t in EXCLUDE_TOPICS)})
+    """,
+    doc="A2 negative filter: exact-match exclusion list (mqtt2sql.py:782-783); "
+    "deliberately NOT wildcard — the reference asymmetry (SURVEY.md §4.3).",
+)
+def filter_exclude_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        messages(spark, sf_dir)
+        .filter(~topic_excluded("topic", EXCLUDE_TOPICS))
+        .select("ts", "topic", "qos", "retain", "event_id")
+    )
+
+
+# --- A3: wildcard subscription filter -------------------------------------
+
+_WILDCARD_PATTERNS = ("purchase/+", "error/#")
+
+
+@register(
+    "filter_topic_wildcard",
+    oracle=f"""
+    SELECT ts, topic, qos, retain, event_id
+    FROM messages
+    WHERE regexp_matches(topic, '{mqtt_pattern_to_regex("purchase/+")}')
+       OR regexp_matches(topic, '{mqtt_pattern_to_regex("error/#")}')
+    """,
+    doc="A3 subscription match: MQTT wildcard grammar `+`/`#` "
+    "(mqtt2sql.py:757,760; mqtt2sql.conf:33) compiled to an anchored regex "
+    "predicate so Catalyst can push it toward the scan.",
+)
+def filter_topic_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    pred = None
+    for p in _WILDCARD_PATTERNS:
+        c = F.col("topic").rlike(mqtt_pattern_to_regex(p))
+        pred = c if pred is None else (pred | c)
+    return msg.filter(pred).select("ts", "topic", "qos", "retain", "event_id")
+
+
+# --- A4: projection + scalar transforms -----------------------------------
+
+
+@register(
+    "project_message",
+    oracle="""
+    SELECT ts, topic, value_str, qos, retain, event_id FROM messages
+    """,
+    doc="A4 message→row projection (mqtt2sql.py:522,579-603): arrival ts, "
+    "topic, opaque binary payload (decoded view exposed as value_str), "
+    "qos, retain.",
+)
+def project_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return messages(spark, sf_dir).select(
+        "ts",
+        "topic",
+        F.col("value").cast("string").alias("value_str"),
+        "qos",
+        "retain",
+        "event_id",
+    )
+
+
+# --- A5/A6: keyed upsert = latest per topic -------------------------------
+
+
+@register(
+    "upsert_latest_per_topic",
+    oracle="""
+    SELECT id, ts, topic, value_str, qos, retain,
+           history_enable, history_diffonly
+    FROM mqtt
+    """,
+    doc="A5/A6 keyed upsert (INSERT..ON DUPLICATE KEY UPDATE, "
+    "mqtt2sql.py:579-629): batch form = max-(ts,event_id) row per topic; "
+    "id and history flags are sticky per topic (SURVEY.md §4.3).",
+    bench=True,
+)
+def upsert_latest_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mqtt_latest(spark, sf_dir).select(
+        "id",
+        "ts",
+        "topic",
+        F.col("value").cast("string").alias("value_str"),
+        "qos",
+        "retain",
+        "history_enable",
+        "history_diffonly",
+    )
+
+
+# --- A7: surrogate key assignment -----------------------------------------
+
+
+@register(
+    "assign_topic_ids",
+    oracle="""
+    SELECT id, topic, first_ts, history_enable, history_diffonly
+    FROM topic_dim
+    """,
+    doc="A7 dense surrogate ids: max(id)+1 trigger (mysql.sql:66-75) → "
+    "row_number over (first_ts, topic) on the small topic dimension.",
+)
+def assign_topic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topic_dim(spark, sf_dir)
+
+
+# --- A8: per-key flag routing ---------------------------------------------
+
+
+@register(
+    "history_enable_routing",
+    oracle="""
+    SELECT ts, topic, event_id, qos
+    FROM hist_base
+    WHERE history_enable = 1
+    """,
+    doc="A8 conditional routing: history emitted only when the topic's "
+    "history_enable flag is set (mysql.sql:79; README.md:207-210) — "
+    "stream⋈static broadcast join against the control table.",
+)
+def history_enable_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    dim = topic_dim(spark, sf_dir)
+    return (
+        msg.join(F.broadcast(dim), "topic")
+        .filter(F.col("history_enable") == 1)
+        .select("ts", "topic", "event_id", "qos")
+    )
+
+
+# --- A9: CDC append (full history) ----------------------------------------
+
+
+@register(
+    "history_append_all",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS id,
+           ts, topicid, value_str
+    FROM hist_base
+    WHERE history_enable = 1
+    """,
+    doc="A9 full-history CDC append (history_diffonly=0 path, "
+    "mysql.sql:77-83): every enabled message becomes a history row "
+    "(ts, topicid, value); dense ids via scalable two-phase assignment.",
+)
+def history_append_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.ids import dense_row_ids
+
+    msg = messages(spark, sf_dir)
+    dim = topic_dim(spark, sf_dir)
+    enabled = (
+        msg.join(F.broadcast(dim), "topic")
+        .filter(F.col("history_enable") == 1)
+        .select(
+            "ts",
+            F.col("id").alias("topicid"),
+            F.col("value").cast("string").alias("value_str"),
+            "event_id",
+        )
+    )
+    return dense_row_ids(enabled, ["ts", "event_id"], "id").select(
+        "id", "ts", "topicid", "value_str"
+    )
+
+
+# --- A10: diff-only CDC ----------------------------------------------------
+
+
+@register(
+    "history_diffonly",
+    oracle="""
+    SELECT id, ts, topicid, value_str FROM mqtt_history
+    """,
+    doc="A10 consecutive-change dedup (mysql.sql:87; README.md:209-210): "
+    "suppress history rows equal to the previous value per topic — "
+    "lag window per topic; cross-batch streaming form in streaming/.",
+    bench=True,
+)
+def history_diffonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mqtt_history(spark, sf_dir)
+
+
+# --- A11: history view join ------------------------------------------------
+
+
+@register(
+    "history_view_join",
+    oracle="""
+    SELECT h.id, h.ts AS ts, m.ts AS ts_last, m.topic, h.value_str
+    FROM mqtt_history h JOIN mqtt m ON m.id = h.topicid
+    """,
+    doc="A11 inner equi-join view (mysql.sql:94-103; README.md:228-235): "
+    "history ⋈ broadcast(topic dim) — ts = history insert time, ts_last = "
+    "latest change time from mqtt.",
+    bench=True,
+)
+def history_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = mqtt_history(spark, sf_dir)
+    m = mqtt_latest(spark, sf_dir)
+    return h.join(F.broadcast(m), m["id"] == h["topicid"], "inner").select(
+        h["id"],
+        h["ts"].alias("ts"),
+        m["ts"].alias("ts_last"),
+        m["topic"],
+        h["value_str"],
+    )
+
+
+# --- A12: timezone-aware rendering ----------------------------------------
+
+
+@register(
+    "tz_render",
+    oracle="""
+    SELECT event_id, ts,
+           strftime(timezone('Europe/Berlin', timezone('UTC', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS ts_berlin,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_utc
+    FROM events
+    """,
+    doc="A12 tz-aware timestamping (mqtt2sql.py:304-312,522; "
+    "README.md:237-251): store UTC, render per-session tz at 1 s "
+    "granularity.  Session tz pinned to UTC; rendering via "
+    "from_utc_timestamp.",
+)
+def tz_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        F.date_format(
+            F.from_utc_timestamp("ts", "Europe/Berlin"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_berlin"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_utc"),
+    )
+
+
+# --- A13: binary↔hex codec -------------------------------------------------
+
+
+@register(
+    "hex_roundtrip",
+    oracle="""
+    SELECT event_id,
+           upper(hex(CAST(value_str AS BLOB))) AS value_hex,
+           decode(unhex(hex(encode(value_str)))) AS value_rt
+    FROM messages
+    """,
+    doc="A13 hex codec: the reference ships payloads as x'<hex>' literals "
+    "(mqtt2sql.py:586,600); round-trip BinaryType↔hex with F.hex/F.unhex.",
+)
+def hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return messages(spark, sf_dir).select(
+        "event_id",
+        F.upper(F.hex("value")).alias("value_hex"),
+        F.unhex(F.hex("value")).cast("string").alias("value_rt"),
+    )
+
+
+# --- A14: control-table flag flip -----------------------------------------
+
+
+@register(
+    "flip_history_flag",
+    oracle="""
+    SELECT id, topic,
+           CASE WHEN topic LIKE 'click/%' THEN 0 ELSE history_enable END
+               AS history_enable,
+           history_diffonly
+    FROM mqtt
+    """,
+    doc="A14 control-table update (README.md:214,220-226): "
+    "UPDATE mqtt SET history_enable=0 for a topic family, expressed as a "
+    "column rewrite over the latest-state table.",
+)
+def flip_history_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mqtt_latest(spark, sf_dir).select(
+        "id",
+        "topic",
+        F.when(F.col("topic").startswith("click/"), F.lit(0))
+        .otherwise(F.col("history_enable"))
+        .alias("history_enable"),
+        "history_diffonly",
+    )

@@ -1,0 +1,561 @@
+"""General analytics operators — the event-time / OLAP generalization the
+reference lacks (SURVEY.md §2 C explicitly lists these as absent; they are
+extensions per SURVEY.md §7.1 M5, graded as first-class components).
+
+Design-for-scale notes (local[32] tests, 1000-executor target):
+  * aggregations are expressed declaratively → Catalyst plans partial
+    (map-side) aggregation before the shuffle;
+  * dimension joins (nation/region/customer at TPC-H shape) broadcast;
+  * window functions partition by high-cardinality keys (user_id, topic),
+    never a global window on fact data;
+  * double aggregates are rounded identically on both engines so the
+    oracle hash is stable under float-summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.fixtures import load_table, messages
+from mqtt2sql_spark.plans.base import register
+
+# --- TPC-H Q1-style pricing summary (headline bench query) ----------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan → filter (pushed down) → partial+final "
+    "hash aggregate on two low-cardinality keys.",
+    bench=True,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- top-k with deterministic tie-break -----------------------------------
+
+
+@register(
+    "topk_topics",
+    oracle="""
+    SELECT topic, n FROM (
+        SELECT topic, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, topic) AS rk
+        FROM messages GROUP BY topic
+    ) WHERE rk <= 10
+    """,
+    doc="Top-K per global count with total-order tie-break (count desc, "
+    "topic asc) — aggregate then rank the tiny aggregate, never sort the "
+    "fact table.",
+)
+def topk_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = messages(spark, sf_dir).groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("topic"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("topic", "n")
+    )
+
+
+# --- multi-way dimension join (star schema) -------------------------------
+
+
+@register(
+    "revenue_by_region",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="Star-schema rollup: fact ⋈ three broadcast dimensions → "
+    "aggregate.  All dim joins are broadcast hash joins (no fact shuffle "
+    "until the final 25-group aggregate).",
+    bench=True,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- event-time tumbling window -------------------------------------------
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_day,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Event-time tumbling window (1 day) — the windowed-aggregation "
+    "generalization absent from the reference (SURVEY.md §2 C); streaming "
+    "form uses F.window + watermark in streaming/.",
+    bench=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("window_day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# --- sessionization --------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 4) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30 min inactivity gap): lag + cumulative-sum "
+    "session ids, partitioned by user — the batch twin of streaming "
+    "session_window.",
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap <= _SESSION_GAP_MIN * 60, F.lit(0)).otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+# --- as-of join (window encoding) -----------------------------------------
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, last_click_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_ts
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    doc="As-of join, window encoding: for each purchase, the most recent "
+    "strictly-earlier click by the same user — one shuffle by user_id, no "
+    "join.  The applyInPandas merge_asof form is operators/asof.py "
+    "(query key asof_join_purchase_click).",
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# --- pivot -----------------------------------------------------------------
+
+_EVENT_TYPES = ("signup", "click", "purchase", "error", "view")
+
+
+@register(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type count matrix over a fixed value list "
+    "(explicit pivot values keep the plan single-pass, no distinct scan).",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+# --- rollup (grouping sets) ------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total) — grouping-set "
+    "aggregation absent from the reference (SURVEY.md §2 C).",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- window frames / running totals ---------------------------------------
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4)
+               AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS BIGINT) AS rn,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_event_id
+    FROM events
+    """,
+    doc="Window frames: running sum, row_number, lag per user — explicit "
+    "ROWS frame (Spark's default RANGE frame differs under ties).",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+# --- exact distinct --------------------------------------------------------
+
+
+@register(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct aggregation (two-phase distinct under the hood); "
+    "the approximate twin (HLL approx_count_distinct) is exercised in "
+    "tests, not oracle-checked (sketch internals differ across engines).",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+
+@register(
+    "set_except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    """,
+    doc="Set ops: purchasers minus early-error users (EXCEPT = distinct "
+    "set semantics → DataFrame.subtract, planned as a left-anti hash join; "
+    "exceptAll would be bag semantics and is wrong here).",
+)
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errs = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    ).select("user_id")
+    return buyers.subtract(errs)
+
+
+# --- semi / anti joins -----------------------------------------------------
+
+
+@register(
+    "anti_join_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti join (NOT EXISTS): customers without orders — left_anti "
+    "broadcast join.",
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "semi_join_parts_ordered",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    doc="Semi join (EXISTS): parts that appear in any lineitem — "
+    "left_semi join, fact side never materialized into the output.",
+)
+def semi_join_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return p.join(
+        li, p["p_partkey"] == li["l_partkey"], "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+# --- outer join ------------------------------------------------------------
+
+
+@register(
+    "outer_join_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    doc="Left outer join + aggregate: order stats per customer including "
+    "order-less customers (count(col) skips the null-extended rows).",
+)
+def outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+# --- top-k per group -------------------------------------------------------
+
+
+@register(
+    "topk_lineitems_per_flag",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice DESC,
+                                           l_orderkey, l_linenumber) AS rk
+        FROM lineitem
+    ) WHERE rk <= 3
+    """,
+    doc="Top-K per group: rank window partitioned by group key with a "
+    "total-order tie-break; AQE handles group skew.",
+)
+def topk_lineitems_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# --- scalar function library ----------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+    doc="JSON scalar extraction from the payload (the decoded-view "
+    "surface SURVEY.md §1.3 reserves for downstream): get_json_object → "
+    "typed column.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS type_upper,
+           length(props) AS props_len,
+           substring(event_type, 1, 3) AS type_prefix,
+           replace(event_type, 'e', '_') AS type_repl,
+           lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_padded,
+           concat(event_type, '#', CAST(user_id AS VARCHAR)) AS tagged
+    FROM events
+    """,
+    doc="String scalar library: upper/length/substring/replace/lpad/"
+    "concat — all JVM-side, codegen'd (no UDFs).",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.length("props").cast("long").alias("props_len"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.replace(F.col("event_type"), F.lit("e"), F.lit("_")).alias("type_repl"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("user_padded"),
+        F.concat_ws("#", "event_type", F.col("user_id").cast("string")).alias(
+            "tagged"
+        ),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT event_id,
+           round(abs(value), 4) AS abs_v,
+           round(sqrt(value), 4) AS sqrt_v,
+           round(ln(1 + value), 4) AS log1p_v,
+           round(pow(value, 2), 4) AS sq_v,
+           CAST(floor(value) AS BIGINT) AS floor_v,
+           CAST(ceil(value) AS BIGINT) AS ceil_v,
+           CAST(CAST(floor(value) AS BIGINT) % 7 AS INTEGER) AS mod_v
+    FROM events
+    """,
+    doc="Math scalar library: abs/sqrt/ln/pow/floor/ceil/mod, rounded for "
+    "cross-engine float stability.",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.abs(v), 4).alias("abs_v"),
+        F.round(F.sqrt(v), 4).alias("sqrt_v"),
+        F.round(F.log1p(v), 4).alias("log1p_v"),
+        F.round(F.pow(v, 2), 4).alias("sq_v"),
+        F.floor(v).cast("long").alias("floor_v"),
+        F.ceil(v).cast("long").alias("ceil_v"),
+        # floor, not int-cast: DuckDB's double→int cast rounds half-even
+        # while Spark's truncates — floor agrees on both engines
+        (F.floor(v) % 7).cast("int").alias("mod_v"),
+    )

@@ -1,0 +1,413 @@
+"""Deduplication operators over `documents` / `embeddings` — the dedup
+stages of a 100 TB training-data pipeline (exact, MinHash+LSH banding,
+SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+All algorithms follow the public literature (Broder '97 minhash/shingling,
+Charikar '02 simhash, standard LSH banding) and are expressed as pure
+DataFrame ops — hashes via md5 so both engines compute identical values.
+
+Scale design:
+  * shingling/minhash is a per-doc map + one groupBy(doc_id) — partial
+    aggregation applies, shuffle carries 16 hashes per doc, not shingles;
+  * LSH candidate pairs come from an equi-join on (band_idx, band_key) —
+    a hash-shuffle join on a key that buckets ~uniformly;
+  * frequent-shingle pruning (df > 50 docs) bounds the worst-case join
+    fan-out on skewed shingles — the standard stop-shingle treatment;
+  * the brute-force O(n²) embedding pass exists as the correctness
+    baseline; the LSH-bucketed path (plans/similarity.py) is the scale
+    path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.fixtures import load_table
+from mqtt2sql_spark.functions.text import (
+    duck_normalized,
+    duck_tokens,
+    normalized_text,
+    tokens,
+)
+from mqtt2sql_spark.plans.base import register
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+MAX_SHINGLE_DF = 50  # stop-shingle pruning threshold (docs per shingle)
+JACCARD_MIN = 0.02
+COSINE_MIN = 0.35
+
+# --- shared shingle derivation (Spark) ------------------------------------
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) with 3-word shingles via lead windows.
+
+    The per-doc window is cheap (docs are small); at corpus scale the
+    partition key doc_id is unique-ish → near-perfect parallelism.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        pos.withColumn("l1", F.lead("tok", 1).over(w))
+        .withColumn("l2", F.lead("tok", 2).over(w))
+        .filter(F.col("l2").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "tok", "l1", "l2").alias("shingle")
+        )
+        .distinct()
+    )
+
+
+# Shared oracle CTE text for shingles (single source for all dedup oracles).
+_DUCK_SHINGLES = f"""
+, toks AS (
+    SELECT doc_id, {duck_tokens()} AS t FROM documents
+),
+tokpos AS (
+    SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+    FROM toks
+),
+sh AS (
+    SELECT DISTINCT doc_id, tok || ' ' || l1 || ' ' || l2 AS shingle
+    FROM (
+        SELECT doc_id, tok, pos,
+               lead(tok, 1) OVER w AS l1,
+               lead(tok, 2) OVER w AS l2
+        FROM tokpos
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE l2 IS NOT NULL
+)
+"""
+
+_DUCK_MINHASH = (
+    _DUCK_SHINGLES
+    + ", mh AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+    )
+    + " FROM sh GROUP BY doc_id), bands AS (SELECT doc_id, "
+    + ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        + f") AS b{b}"
+        for b in range(N_BANDS)
+    )
+    + " FROM mh)"
+)
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature folded into N_BANDS band keys."""
+    sh = shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    mh = sh.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            )
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    return mh.select("doc_id", *band_cols)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT doc_id, norm_hash,
+           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY norm_hash)
+                THEN 1 ELSE 0 END AS keep,
+           CAST(count(*) OVER (PARTITION BY norm_hash) AS BIGINT)
+               AS dup_group_size
+    FROM (SELECT doc_id, md5({duck_normalized()}) AS norm_hash
+          FROM documents)
+    """,
+    doc="Exact dedup: md5 over normalized text, keep min(doc_id) per "
+    "group — hash-shuffle on the digest key, so identical 100 GB of "
+    "near-identical docs still distribute across the cluster.",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(normalized_text("text")).alias("norm_hash")
+    )
+    w = W.partitionBy("norm_hash")
+    return hashed.select(
+        "doc_id",
+        "norm_hash",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("keep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_group_size"),
+    )
+
+
+# --- minhash signatures ----------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    oracle=_DUCK_MINHASH
+    + " SELECT doc_id, "
+    + ", ".join(f"b{b}" for b in range(N_BANDS))
+    + " FROM bands",
+    doc=f"MinHash signatures: {N_MINHASH} md5-seeded min-hashes over "
+    "3-word shingles, folded into "
+    f"{N_BANDS} LSH band keys (Broder '97 / banding per MMDS ch.3).",
+    bench=True,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_bands(spark, sf_dir)
+
+
+# --- minhash LSH candidate pairs ------------------------------------------
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM long_bands x JOIN long_bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: docs sharing any band key.  Long "
+    "(band_idx, band_key) layout → one equi-join, no O(n²) compare; "
+    "candidate set is empty on this fixture (no near-dups by "
+    "construction) — synthetic-dup detection is covered in "
+    "tests/test_dedup.py.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(spark, sf_dir)
+    stack_expr = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    long_bands = bands.select(
+        "doc_id",
+        F.expr(
+            f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"
+        ),
+    ).select("doc_id", "band_idx.*" if False else "band_idx", "band_key")
+    x = long_bands.alias("x")
+    y = long_bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_HEXMAP = "0123456789abcdef"
+
+
+@register(
+    "dedup_simhash",
+    oracle=_DUCK_SHINGLES.replace("sh AS (", "sh_unused AS (")
+    + f"""
+    , tok_hash AS (
+        SELECT doc_id, md5(tok) AS th FROM tokpos
+    ),
+    bits AS (
+        SELECT doc_id, r.b AS b,
+               CASE WHEN ((instr('{_HEXMAP}',
+                               substring(th, CAST(r.b // 4 AS INTEGER) + 1, 1))
+                           - 1)
+                          // CAST(pow(2, r.b % 4) AS INTEGER)) % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok_hash, range({_SIMHASH_BITS}) r(b)
+    ),
+    sb AS (
+        SELECT doc_id, b, CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit
+        FROM bits GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(bit * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+    FROM sb GROUP BY doc_id
+    """,
+    doc=f"SimHash (Charikar '02): {_SIMHASH_BITS}-bit signature — token "
+    "occurrences vote ±1 per bit position (bits read from the token's md5 "
+    "nibbles), majority sign becomes the bit.  Near-dup docs differ in "
+    "few bits (Hamming).  Pure expression pipeline: explode → groupBy.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("th"))
+    bits = tok_hash.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+        "th",
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(
+            f"CASE WHEN ((instr('{_HEXMAP}', "
+            "substring(th, CAST(b DIV 4 AS INT) + 1, 1)) - 1) "
+            "DIV CAST(pow(2, b % 4) AS INT)) % 2 = 1 "
+            "THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    sb = bits.groupBy("doc_id", "b").agg(
+        F.when(F.sum("sgn") > 0, 1).otherwise(0).alias("bit")
+    )
+    return sb.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("long"))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    dsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+        FROM dsh x JOIN dsh y USING (shingle)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_MIN}
+    """,
+    doc="n-gram Jaccard near-dup pairs via shingle inverted index: "
+    "frequent-shingle pruning (df > "
+    f"{MAX_SHINGLE_DF}) bounds join fan-out on skewed shingles, then "
+    "|A∩B| from the self-join and |A∪B| = |A|+|B|-|A∩B|.",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    dsh = sh.join(rare, "shingle")
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh.alias("x")
+    y = dsh.alias("y")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("na.n") + F.col("nb.n") - F.col("c")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+# --- embedding-cosine near-dup --------------------------------------------
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    SELECT doc_a, doc_b, cos FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])))),
+                     4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cos >= {COSINE_MIN}
+    """,
+    doc="Embedding-cosine near-dup pairs, brute-force O(n²) correctness "
+    "baseline (JVM-side zip_with/aggregate fold, no UDF).  At corpus "
+    "scale use the LSH-bucketed path (plans/similarity.py) — this "
+    "operator is the oracle for it.",
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = F.round(
+        dot(F.col("a.e"), F.col("b.e"))
+        / (
+            F.sqrt(dot(F.col("a.e"), F.col("a.e")))
+            * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+        ),
+        4,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_MIN)
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing + the general as-of join query.
+
+Multimodal contract (SURVEY.md §7.1 M5): media travels as an opaque
+`binary` column plus typed metadata — exactly how the reference treats
+its payload (LONGBLOB, /root/reference/mysql.sql:46) — and per-batch
+Python work happens in Arrow-batched `mapInPandas`, never per-row UDFs.
+The container has no image/audio codecs, so the real decoders raise
+NotImplementedError behind a flag, while `fake_decode_meta` is a
+deterministic stand-in that keeps every piece of Spark-side plumbing
+(binary column, batch iteration, schema, partitioning) real and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.fixtures import load_table
+from mqtt2sql_spark.plans.base import register
+
+REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real image decode (PIL) — STUB: codec libs absent by design."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use fake_decode_meta (deterministic) for plumbing tests"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Deterministic fake decode: metadata derived purely from the bytes.
+    (n_bytes, width, height, channels, first_byte)."""
+    n = len(payload)
+    return n, 64 + n % 512, 64 + (n * 7) % 512, 3, (payload[0] if n else 0)
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id, n_bytes,
+           64 + n_bytes % 512 AS width,
+           64 + (n_bytes * 7) % 512 AS height,
+           3 AS channels,
+           ascii(substring(text, 1, 1)) AS first_byte
+    FROM (SELECT doc_id, text,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents)
+    """,
+    doc="Multimodal decode plumbing: binary payload column → mapInPandas "
+    "(Arrow batches) → typed metadata struct.  The decode itself is a "
+    "deterministic fake (real codecs stubbed — not in container); the "
+    "schema/batching/partitioning is the real 100 TB media-pipeline "
+    "shape: media bytes never leave the executor, metadata is columnar.",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = pdf["payload"].map(fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "width": meta.map(lambda m: m[1]).astype("int64"),
+                    "height": meta.map(lambda m: m[2]).astype("int64"),
+                    "channels": meta.map(lambda m: m[3]).astype("int32"),
+                    "first_byte": meta.map(lambda m: m[4]).astype("int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        decode_batches,
+        "doc_id long, n_bytes long, width long, height long, "
+        "channels int, first_byte int",
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+    , purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS value,
+           c.ts AS ts_click, c.event_id AS event_id_click
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    doc="General two-table as-of join (operators/asof.py): cogrouped "
+    "applyInPandas + pd.merge_asof per user (strictly-earlier match, "
+    "left-extended) — oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.asof import merge_asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = merge_asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_cols=["event_id"],
+        suffix="_click",
+        allow_exact=False,
+    )
+    # merge_asof carries the right 'ts' implicitly; recompute ts_click from
+    # the matched right event for an explicit output column
+    clicks_dim = clicks.select(
+        F.col("event_id").alias("event_id_click"),
+        F.col("ts").alias("ts_click"),
+    )
+    return out.join(clicks_dim, "event_id_click", "left").select(
+        "event_id", "user_id", "ts", "value", "ts_click", "event_id_click"
+    )

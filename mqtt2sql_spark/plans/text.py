@@ -1,0 +1,215 @@
+"""Text-analysis operators over `documents` (training-data pipeline).
+
+Language-ID, quality scoring, token counting, fingerprinting — the text
+prep stages a 100 TB corpus pipeline runs before training.  All pure
+built-in expressions (codegen'd, embarrassingly parallel per row: no
+shuffle at all — the plan is scan → project)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.fixtures import load_table
+from mqtt2sql_spark.functions.text import (
+    BPE_RE,
+    CJK_RE_DUCK,
+    CJK_RE_SPARK,
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_pieces,
+    count_in_list,
+    duck_normalized,
+    duck_tokens,
+    normalized_text,
+    tokens,
+)
+from mqtt2sql_spark.plans.base import register
+
+# DuckDB string literals are escape-free — the regex goes in verbatim
+_BPE_RE_SQL = BPE_RE
+
+# --- token counting --------------------------------------------------------
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({duck_tokens()}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                    '{_BPE_RE_SQL}')) AS BIGINT) AS n_pieces,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token counting: whitespace/word tokens + BPE-ish piece count "
+    "(letters / digit runs / single punctuation) — the tokenizer-cost "
+    "estimator of a data pipeline.",
+    bench=True,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.size(bpe_pieces("text")).cast("long").alias("n_pieces"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+# --- quality scoring -------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+                      THEN CAST(length(text) AS DOUBLE) / len(toks)
+                      ELSE 0 END, 4) AS chars_per_token,
+           round(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(len(list_filter(toks,
+                      x -> x IN ({", ".join(repr(w) for w in STOPWORDS)})))
+                      AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio,
+           round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS digit_ratio
+    FROM (SELECT doc_id, text, {duck_tokens()} AS toks FROM documents)
+    """,
+    doc="Quality scoring: length, token stats, punctuation / stopword / "
+    "digit ratios — the heuristic filters (C4/Gopher-style, public "
+    "recipes) used to drop low-quality web text before training.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_toks > 0, n_chars.cast("double") / n_toks).otherwise(0.0), 4
+        ).alias("chars_per_token"),
+        F.round(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?,;:]"), 0)).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            count_in_list(toks, STOPWORDS).cast("double")
+            / F.greatest(n_toks, F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            4,
+        ).alias("digit_ratio"),
+    )
+
+
+# --- language identification ----------------------------------------------
+
+
+def _duck_marker_count(markers: tuple[str, ...]) -> str:
+    return (
+        f"len(list_filter(toks, x -> x IN "
+        f"({', '.join(repr(w) for w in markers)})))"
+    )
+
+
+@register(
+    "lang_id_ngram",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                WHEN es >= en AND es >= fr THEN 'es'
+                WHEN fr >= en THEN 'fr'
+                ELSE 'en' END AS lang_pred,
+           CAST(en AS BIGINT) AS score_en, CAST(de AS BIGINT) AS score_de,
+           CAST(es AS BIGINT) AS score_es, CAST(fr AS BIGINT) AS score_fr,
+           CAST(cjk AS BIGINT) AS score_cjk
+    FROM (
+        SELECT doc_id, lang,
+               {_duck_marker_count(LANG_MARKERS["en"])} AS en,
+               {_duck_marker_count(LANG_MARKERS["de"])} AS de,
+               {_duck_marker_count(LANG_MARKERS["es"])} AS es,
+               {_duck_marker_count(LANG_MARKERS["fr"])} AS fr,
+               len(regexp_extract_all(text, '{CJK_RE_DUCK}')) AS cjk
+        FROM (SELECT doc_id, lang, text, {duck_tokens()} AS toks
+              FROM documents)
+    )
+    """,
+    doc="Language ID: marker-word counts per language + CJK char-class "
+    "presence, argmax with a fixed tie-order (zh > de > es > fr > en). "
+    "Deterministic heuristic — accuracy is a data question, the operator "
+    "contract is the deterministic scoring plan.",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        count_in_list(toks, LANG_MARKERS["en"]).alias("en"),
+        count_in_list(toks, LANG_MARKERS["de"]).alias("de"),
+        count_in_list(toks, LANG_MARKERS["es"]).alias("es"),
+        count_in_list(toks, LANG_MARKERS["fr"]).alias("fr"),
+        F.size(F.regexp_extract_all("text", F.lit(CJK_RE_SPARK), 0)).alias("cjk"),
+    )
+    pred = (
+        F.when(F.col("cjk") > 0, F.lit("zh"))
+        .when(
+            (F.col("de") >= F.col("en"))
+            & (F.col("de") >= F.col("es"))
+            & (F.col("de") >= F.col("fr")),
+            F.lit("de"),
+        )
+        .when((F.col("es") >= F.col("en")) & (F.col("es") >= F.col("fr")), F.lit("es"))
+        .when(F.col("fr") >= F.col("en"), F.lit("fr"))
+        .otherwise(F.lit("en"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.col("en").cast("long").alias("score_en"),
+        F.col("de").cast("long").alias("score_de"),
+        F.col("es").cast("long").alias("score_es"),
+        F.col("fr").cast("long").alias("score_fr"),
+        F.col("cjk").cast("long").alias("score_cjk"),
+    )
+
+
+# --- document fingerprinting ----------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({duck_normalized()}) AS fingerprint,
+           upper(substring(md5({duck_normalized()}), 1, 8)) AS fp_prefix,
+           md5(array_to_string(list_sort({duck_tokens()}), ' ')) AS bow_fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized text "
+    "(exact-dup key) plus an order-insensitive bag-of-words fingerprint "
+    "(sorted-token hash) that survives word reordering.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.upper(F.substring(F.md5(norm), 1, 8)).alias("fp_prefix"),
+        F.md5(F.concat_ws(" ", F.sort_array(tokens("text")))).alias(
+            "bow_fingerprint"
+        ),
+    )

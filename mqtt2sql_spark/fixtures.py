@@ -159,6 +159,19 @@ def mqtt_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mqtt_topic_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact per-topic latest-state dimension: (id, topic, ts_last).
+
+    Semantically the (id, topic, ts) projection of the `mqtt` table, but
+    computed as a plain max aggregate — no per-row row_number pass — since
+    consumers (the history view) only need the latest timestamp, not the
+    full latest row.  One partial-aggregated shuffle on topic."""
+    msg = messages(spark, sf_dir)
+    agg = msg.groupBy("topic").agg(F.max("ts").alias("ts_last"))
+    dim = topic_dim(spark, sf_dir)
+    return agg.join(F.broadcast(dim), "topic").select("id", "topic", "ts_last")
+
+
 def mqtt_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `mqtt_history` table (MySQL trigger cadence, SURVEY.md §4.3).
 

@@ -51,7 +51,11 @@ def dense_row_ids(
     local = with_b.withColumn(
         "_rn", F.row_number().over(W.partitionBy("_bkt").orderBy(*cols))
     )
-    counts = with_b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    # bucket sizes = max(_rn) taken from the window output: the groupBy
+    # consumes the window's own hash(_bkt) exchange (already partitioned →
+    # no second shuffle) and the upstream plan is shared via ReusedExchange
+    # instead of being recomputed through a separate partial-agg exchange
+    counts = local.groupBy("_bkt").agg(F.max("_rn").alias("_cnt"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(
         "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")

@@ -243,16 +243,21 @@ def history_diffonly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="A11 inner equi-join view (mysql.sql:94-103; README.md:228-235): "
     "history ⋈ broadcast(topic dim) — ts = history insert time, ts_last = "
-    "latest change time from mqtt.",
+    "latest change time from mqtt.  The dim side is the compact per-topic "
+    "aggregate (id, topic, max ts), not the full latest-row derivation: "
+    "the view only projects m.ts and m.topic, so re-deriving the whole "
+    "upsert chain for the build side would be wasted work at any scale.",
     bench=True,
 )
 def history_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.fixtures import mqtt_topic_latest
+
     h = mqtt_history(spark, sf_dir)
-    m = mqtt_latest(spark, sf_dir)
+    m = mqtt_topic_latest(spark, sf_dir)
     return h.join(F.broadcast(m), m["id"] == h["topicid"], "inner").select(
         h["id"],
         h["ts"].alias("ts"),
-        m["ts"].alias("ts_last"),
+        m["ts_last"].alias("ts_last"),
         m["topic"],
         h["value_str"],
     )

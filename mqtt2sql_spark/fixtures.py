@@ -58,9 +58,18 @@ EXCLUDE_TOPICS = ["error/1", "error/2", "click/3", "view/4", "signup/5"]
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
     """Columns physically stored as parquet TIMESTAMP(NANOS) (pyarrow
     footer inspection; cached per file)."""
+    import os
+
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    if os.path.isdir(path):  # Spark writes parquet as a directory
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name
@@ -139,13 +148,10 @@ def mqtt_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension is a broadcast hash join — the dim side is small by
     construction, so no shuffle of the big side is needed for id/flags.
     """
+    from mqtt2sql_spark.operators.upsert import latest_per_key
+
     msg = messages(spark, sf_dir)
-    w = W.partitionBy("topic").orderBy(F.desc("ts"), F.desc("event_id"))
-    latest = (
-        msg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    latest = latest_per_key(msg, "topic", ("ts", "event_id"))
     dim = topic_dim(spark, sf_dir)
     return latest.join(F.broadcast(dim), "topic").select(
         "id",
@@ -184,28 +190,16 @@ def mqtt_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the lag window shuffles by topic once; the dense history id is
     assigned by operators.ids.dense_row_ids (scalable two-phase).
     """
+    from mqtt2sql_spark.operators.history import history_rows
     from mqtt2sql_spark.operators.ids import dense_row_ids
 
-    msg = messages(spark, sf_dir)
+    msg = messages(spark, sf_dir).withColumn(
+        "value_str", F.col("value").cast("string")
+    )
     dim = topic_dim(spark, sf_dir)
-    w = W.partitionBy("topic").orderBy("ts", "event_id")
-    base = (
-        msg.join(F.broadcast(dim), "topic")
-        .withColumn("value_str", F.col("value").cast("string"))
-        .withColumn("prev_value", F.lag("value_str").over(w))
-    )
-    kept = base.filter(
-        (F.col("history_enable") == 1)
-        & (
-            (F.col("history_diffonly") == 0)
-            | F.col("prev_value").isNull()
-            | (F.col("prev_value") != F.col("value_str"))
-        )
-    )
+    kept = history_rows(msg, dim, value_col="value_str")
     return dense_row_ids(
-        kept.select(
-            "ts", F.col("id").alias("topicid"), "value_str", "event_id"
-        ),
+        kept.select("ts", "topicid", "value_str", "event_id"),
         order_cols=["ts", "event_id"],
         id_col="id",
     ).select("id", "ts", "topicid", "value_str")

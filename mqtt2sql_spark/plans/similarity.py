@@ -24,20 +24,30 @@ from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.plans.base import register
 
 DIM = 64
-N_PLANES = 6  # 2^6 = 64 LSH buckets
+# Multi-table sign-LSH (E2LSH-style): single-table recall on weakly
+# correlated neighbours is (1-θ/π)^k ≈ 6% at k=6 — useless.  L tables of
+# k planes give 1-(1-(1-θ/π)^k)^L ≈ 75% at θ≈66°, the standard
+# recall/candidate-count trade.
+N_PLANES = 4   # k: planes per table → 16 buckets/table
+N_TABLES = 8   # L: independent tables
 TOP_K = 5
 QUERY_MOD = 50  # query set = vec_id % 50 == 0
 
 
-def _plane_coef(plane: int, dim: int) -> int:
+def _plane_coef(table: int, plane: int, dim: int) -> int:
     """Deterministic ±1 projection coefficient from md5 (public SRP
     construction with Rademacher entries).  Must equal the SQL
-    expression instr(hex, substring(md5(p||'|'||d),1,1)) % 2 mapping."""
-    nibble = int(hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[0], 16)
+    expression instr(hex, substring(md5(t||'/'||p||'|'||d),1,1)) % 2."""
+    nibble = int(
+        hashlib.md5(f"{table}/{plane}|{dim}".encode()).hexdigest()[0], 16
+    )
     return 1 if nibble % 2 == 1 else -1
 
 
-_COEFS = [[_plane_coef(p, d) for d in range(DIM)] for p in range(N_PLANES)]
+_COEFS = [
+    [[_plane_coef(t, p, d) for d in range(DIM)] for p in range(N_PLANES)]
+    for t in range(N_TABLES)
+]
 
 
 def _dot(u, v):
@@ -54,8 +64,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_coef_list(p: int) -> str:
-    return "[" + ", ".join(f"{c}.0" for c in _COEFS[p]) + "]"
+def _duck_coef_list(t: int, p: int) -> str:
+    return "[" + ", ".join(f"{c}.0" for c in _COEFS[t][p]) + "]"
 
 
 _DUCK_COS = (
@@ -121,21 +131,39 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id + 6-bit random-hyperplane bucket id (deterministic)."""
+    """Long layout: (vec_id, e, tbl, bucket) — one row per hash table.
+
+    Bucket bits are signs of deterministic ±1 projections; the explode
+    over tables turns candidate generation into one equi-join on
+    (tbl, bucket) regardless of L."""
     emb = _emb(spark, sf_dir)
-    bucket = None
-    for p in range(N_PLANES):
-        coef = F.array(*[F.lit(float(c)) for c in _COEFS[p]])
-        bit = F.when(_dot(coef, F.col("e")) > 0, 1).otherwise(0)
-        term = bit * (1 << p)
-        bucket = term if bucket is None else bucket + term
-    return emb.select("vec_id", "e", bucket.cast("int").alias("bucket"))
+    table_buckets = []
+    for t in range(N_TABLES):
+        bucket = None
+        for p in range(N_PLANES):
+            coef = F.array(*[F.lit(float(c)) for c in _COEFS[t][p]])
+            bit = F.when(_dot(coef, F.col("e")) > 0, 1).otherwise(0)
+            term = bit * (1 << p)
+            bucket = term if bucket is None else bucket + term
+        table_buckets.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.cast("int").alias("bucket"))
+        )
+    return emb.select(
+        "vec_id", "e", F.explode(F.array(*table_buckets)).alias("tb")
+    ).select("vec_id", "e", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
-_DUCK_BUCKET = " + ".join(
-    f"(CASE WHEN list_inner_product({_duck_coef_list(p)}, e) > 0 "
-    f"THEN 1 ELSE 0 END) * {1 << p}"
-    for p in range(N_PLANES)
+def _duck_bucket(t: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_inner_product({_duck_coef_list(t, p)}, e) > 0 "
+        f"THEN 1 ELSE 0 END) * {1 << p}"
+        for p in range(N_PLANES)
+    )
+
+
+_DUCK_BKT_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, e, {t} AS tbl, CAST({_duck_bucket(t)} AS INTEGER) AS bucket FROM emb"
+    for t in range(N_TABLES)
 )
 
 
@@ -143,39 +171,55 @@ _DUCK_BUCKET = " + ".join(
     "ann_lsh_topk",
     oracle=f"""
     , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    bkt AS (SELECT vec_id, e, CAST({_DUCK_BUCKET} AS INTEGER) AS bucket
-            FROM emb)
+    bkt AS ({_DUCK_BKT_UNION}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM bkt q JOIN bkt c
+          ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    )
     SELECT query_id, vec_id, cos, rank FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        SELECT cand.query_id, cand.vec_id,
                round({_DUCK_COS}, 4) AS cos,
                CAST(row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   PARTITION BY cand.query_id
+                   ORDER BY round({_DUCK_COS}, 6) DESC, cand.vec_id
                ) AS BIGINT) AS rank
-        FROM bkt q JOIN bkt c
-          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        WHERE q.vec_id % {QUERY_MOD} = 0
+        FROM cand
+        JOIN emb q ON q.vec_id = cand.query_id
+        JOIN emb c ON c.vec_id = cand.vec_id
     ) WHERE rank <= {TOP_K}
     """,
-    doc="Sign-LSH bucketed ANN: deterministic ±1 hyperplane projections "
-    f"({N_PLANES} planes → {1 << N_PLANES} buckets), equi-join on bucket "
-    "instead of a full cross product, exact cosine re-rank inside the "
-    "bucket — the scale path; recall measured against ann_cosine_topk "
-    "in tests.",
+    doc="Multi-table sign-LSH ANN (E2LSH banding): "
+    f"{N_TABLES} tables × {N_PLANES} deterministic ±1 hyperplanes, "
+    "candidates from an equi-join on (table, bucket), exact cosine "
+    "re-rank of the deduped candidate set — the 100 TB path (candidate "
+    "count scales with bucket occupancy, not corpus²); recall vs "
+    "ann_cosine_topk asserted in tests.",
     bench=True,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = lsh_buckets(spark, sf_dir)
     q = bkt.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    joined = bkt.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
+    cand = (
+        bkt.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
     )
+    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    joined = cand.join(emb, "vec_id").join(F.broadcast(qe), "query_id")
     cos = _dot(F.col("qe"), F.col("e")) / (
         F.sqrt(_dot(F.col("qe"), F.col("qe")))
         * F.sqrt(_dot(F.col("e"), F.col("e")))

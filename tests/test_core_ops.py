@@ -1,0 +1,156 @@
+"""Edge-case micro-fixtures for the core operators (FIXTURES.md §3)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.operators.history import history_rows
+from mqtt2sql_spark.operators.ids import dense_row_ids
+from mqtt2sql_spark.operators.upsert import latest_per_key
+
+
+def _msgs(spark, rows):
+    """rows: (topic, ts_str, value_str, event_id)"""
+    return spark.createDataFrame(
+        [
+            (t, dt.datetime.fromisoformat(ts), v, e)
+            for t, ts, v, e in rows
+        ],
+        "topic string, ts timestamp, value_str string, event_id long",
+    )
+
+
+def _control(spark, rows):
+    """rows: (topic, id, enable, diffonly)"""
+    return spark.createDataFrame(
+        rows, "topic string, id long, history_enable int, history_diffonly int"
+    )
+
+
+def test_latest_per_key_ties_break_on_event_id(spark):
+    # same-second timestamps (reference stamps at 1 s granularity,
+    # mqtt2sql.py:522) — event_id must decide deterministically
+    msgs = _msgs(
+        spark,
+        [
+            ("t1", "2024-01-01T10:00:00", "a", 1),
+            ("t1", "2024-01-01T10:00:00", "b", 2),
+            ("t2", "2024-01-01T09:00:00", "x", 3),
+            ("t2", "2024-01-01T08:00:00", "y", 4),
+        ],
+    )
+    out = {
+        r.topic: r.value_str
+        for r in latest_per_key(msgs, "topic", ("ts", "event_id")).collect()
+    }
+    assert out == {"t1": "b", "t2": "x"}
+
+
+def test_diffonly_is_run_length_encoding(spark):
+    # value sequence A,A,B,B,A per one topic → history = A,B,A
+    msgs = _msgs(
+        spark,
+        [
+            ("t", f"2024-01-01T10:00:0{i}", v, i)
+            for i, v in enumerate(["A", "A", "B", "B", "A"])
+        ],
+    )
+    ctl = _control(spark, [("t", 1, 1, 1)])
+    kept = history_rows(msgs, ctl).orderBy("event_id").collect()
+    assert [r.value_str for r in kept] == ["A", "B", "A"]
+
+
+def test_diffonly_first_message_always_recorded(spark):
+    msgs = _msgs(
+        spark,
+        [
+            ("a", "2024-01-01T10:00:00", "v", 1),
+            ("b", "2024-01-01T10:00:01", "v", 2),
+            ("c", "2024-01-01T10:00:02", "v", 3),
+        ],
+    )
+    ctl = _control(spark, [("a", 1, 1, 1), ("b", 2, 1, 1), ("c", 3, 1, 1)])
+    assert history_rows(msgs, ctl).count() == 3
+
+
+def test_history_enable_routing_drops_disabled_topics(spark):
+    msgs = _msgs(
+        spark,
+        [
+            ("on", "2024-01-01T10:00:00", "x", 1),
+            ("off", "2024-01-01T10:00:01", "y", 2),
+        ],
+    )
+    ctl = _control(spark, [("on", 1, 1, 0), ("off", 2, 0, 0)])
+    kept = history_rows(msgs, ctl).collect()
+    assert [r.topic for r in kept] == ["on"]
+
+
+def test_diffonly_zero_keeps_duplicates(spark):
+    msgs = _msgs(
+        spark,
+        [("t", f"2024-01-01T10:00:0{i}", "same", i) for i in range(4)],
+    )
+    ctl = _control(spark, [("t", 1, 1, 0)])
+    assert history_rows(msgs, ctl).count() == 4
+
+
+def test_dense_row_ids_matches_global_row_number(spark):
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            f"t{rng.randrange(5)}",
+            base + dt.timedelta(minutes=rng.randrange(60 * 24 * 20)),
+            "v",
+            i,
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "topic string, ts timestamp, value_str string, event_id long"
+    )
+    out = dense_row_ids(df, ["ts", "event_id"], "id")
+    got = [
+        r.id
+        for r in out.orderBy("ts", "event_id").collect()
+    ]
+    assert got == list(range(1, 501))
+
+
+def test_dense_row_ids_single_bucket_fallback(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 1), ("c", 2)], "k string, v long"
+    )
+    out = dense_row_ids(df, ["v"], "id", bucket=F.lit(0))
+    assert {(r.k, r.id) for r in out.collect()} == {("b", 1), ("c", 2), ("a", 3)}
+
+
+def test_hex_roundtrip_non_utf8_bytes(spark):
+    payloads = [bytes([0xFF, 0x00, 0x81]), b"\x01\x02", b""]
+    df = spark.createDataFrame([(p,) for p in payloads], "value binary")
+    out = df.select(
+        F.unhex(F.hex("value")).alias("rt"), F.hex("value").alias("hx")
+    ).collect()
+    assert [bytes(r.rt) if r.rt is not None else b"" for r in out] == payloads
+    assert out[0].hx == "FF0081"
+
+
+def test_tz_render_dst_boundary(spark):
+    # Europe/Berlin 2024-10-27: 02:00 CEST → 02:00 CET (clocks back);
+    # UTC 00:30 and 01:30 both render as wall-clock 02:30
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 10, 27, 0, 30),),
+            (dt.datetime(2024, 10, 27, 1, 30),),
+        ],
+        "ts timestamp",
+    )
+    out = df.select(
+        F.date_format(
+            F.from_utc_timestamp("ts", "Europe/Berlin"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("wall")
+    ).collect()
+    assert [r.wall for r in out] == ["2024-10-27 02:30:00"] * 2

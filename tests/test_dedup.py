@@ -1,0 +1,103 @@
+"""Dedup operators on synthetic near/exact duplicates.
+
+The driver `documents` fixture has no exact dups, so detection power is
+proven here on constructed corpora; the oracle gate proves cross-engine
+parity on the fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the storm "
+    "gathers slowly across the wide open plain and rivers run deep"
+)
+NEAR = BASE.replace("storm", "squall")  # one-word edit
+FAR = (
+    "completely different subject matter entirely unrelated words "
+    "about cooking pasta with garlic butter and fresh basil leaves"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    df = spark.createDataFrame(
+        [
+            (1, BASE, "en", "s", len(BASE)),
+            (2, BASE, "en", "s", len(BASE)),            # exact dup of 1
+            (3, "  " + BASE.upper() + "  ", "en", "s", 0),  # norm-dup of 1
+            (4, NEAR, "en", "s", len(NEAR)),            # near dup of 1
+            (5, FAR, "en", "s", len(FAR)),              # unrelated
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(d / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return str(d)
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark, docs_path):
+    from mqtt2sql_spark.plans.dedup import dedup_exact
+
+    out = {r.doc_id: (r.keep, r.dup_group_size) for r in
+           dedup_exact(spark, docs_path).collect()}
+    # 1,2,3 share a normalized hash → keep only doc 1
+    assert out[1] == (1, 3)
+    assert out[2] == (0, 3)
+    assert out[3] == (0, 3)
+    assert out[4] == (1, 1)
+    assert out[5] == (1, 1)
+
+
+def test_minhash_pairs_find_near_dups_not_unrelated(spark, docs_path):
+    from mqtt2sql_spark.plans.dedup import dedup_minhash_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in
+             dedup_minhash_pairs(spark, docs_path).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs  # identical shingle sets
+    assert (1, 4) in pairs                      # one-word edit → bands collide
+    assert not any(5 in p for p in pairs)       # unrelated never pairs
+
+
+def test_simhash_hamming_close_for_near_dups(spark, docs_path):
+    from mqtt2sql_spark.plans.dedup import dedup_simhash
+
+    sh = {r.doc_id: r.simhash for r in dedup_simhash(spark, docs_path).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert sh[1] == sh[2]
+    assert hamming(sh[1], sh[4]) <= 6       # near dup: few bits differ
+    assert hamming(sh[1], sh[5]) >= 8       # unrelated: many bits differ
+
+
+def test_jaccard_ranks_near_dup_above_unrelated(spark, docs_path):
+    from mqtt2sql_spark.plans.dedup import dedup_ngram_jaccard
+
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in
+           dedup_ngram_jaccard(spark, docs_path).collect()}
+    assert jac[(1, 2)] == 1.0
+    assert jac[(1, 4)] > 0.7            # one word edit in ~22 shingles
+    assert (1, 5) not in jac            # no shared shingles
+
+
+def test_embedding_pairs_threshold(spark, tmp_path):
+    from mqtt2sql_spark.plans.dedup import dedup_embedding_pairs
+
+    vecs = [
+        (1, [1.0] + [0.0] * 63, 0),
+        (2, [0.99] + [0.01] * 63, 0),   # nearly parallel to 1
+        (3, [0.0] * 63 + [1.0], 1),     # orthogonal
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    pairs = {(r.doc_a, r.doc_b): r.cos for r in
+             dedup_embedding_pairs(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs

@@ -1,0 +1,172 @@
+"""Streaming semantics (SURVEY.md §5 item 3): batch/stream parity.
+
+The fixture messages are split into time-ordered parquet slices; the file
+source replays them as micro-batches (maxFilesPerTrigger=1).  After the
+stream drains, the sink's `mqtt` table and history must equal the batch
+operators' output on the union of all slices."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.operators.history import history_rows
+from mqtt2sql_spark.operators.upsert import latest_per_key
+from mqtt2sql_spark.sinks.upsert import MqttUpsertSink
+from mqtt2sql_spark.streaming.pipeline import (
+    MESSAGE_SCHEMA,
+    apply_filters,
+    message_file_stream,
+    start_ingest,
+)
+
+_BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _mk_messages(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                _BASE + dt.timedelta(seconds=o),
+                t,
+                v.encode(),
+                0,
+                0,
+                e,
+            )
+            for t, o, v, e in rows
+        ],
+        MESSAGE_SCHEMA,
+    )
+
+
+SLICES = [
+    # (topic, sec offset, value, event_id) — time-ordered across slices
+    [("a", 0, "x", 1), ("b", 1, "p", 2), ("a", 2, "x", 3)],
+    [("a", 10, "y", 4), ("b", 11, "p", 5), ("c", 12, "q", 6)],
+    [("a", 20, "y", 7), ("b", 21, "r", 8), ("a", 22, "z", 9)],
+]
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    for i, rows in enumerate(SLICES):
+        _mk_messages(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(input_dir / f"slice_{i}.parquet")
+        )
+    return input_dir
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_converges_to_batch_latest(spark, staged, tmp_path):
+    sink = MqttUpsertSink(spark, str(tmp_path / "tables"))
+    stream = message_file_stream(spark, str(staged) + "/*")
+    q = start_ingest(spark, stream, sink, str(tmp_path / "ckpt"))
+    _drain(q)
+
+    got = {
+        r.topic: (r.ts, bytes(r.value).decode(), r.id)
+        for r in sink.current_mqtt().collect()
+    }
+    all_msgs = _mk_messages(spark, [r for s in SLICES for r in s])
+    expect = {
+        r.topic: (r.ts, bytes(r.value).decode())
+        for r in latest_per_key(all_msgs, "topic", ("ts", "event_id")).collect()
+    }
+    assert {t: v[:2] for t, v in got.items()} == expect
+    # ids are dense, first-seen order: a=1, b=2, c=3
+    assert {t: v[2] for t, v in got.items()} == {"a": 1, "b": 2, "c": 3}
+
+
+def test_stream_history_is_cross_batch_diffonly(spark, staged, tmp_path):
+    sink = MqttUpsertSink(spark, str(tmp_path / "tables"))
+    stream = message_file_stream(spark, str(staged) + "/*")
+    q = start_ingest(spark, stream, sink, str(tmp_path / "ckpt"))
+    _drain(q)
+
+    hist = sink.history().orderBy("ts").collect()
+    got = [(r.topicid, bytes(r.value).decode()) for r in hist]
+    # per topic value sequences: a: x,x,y,y,z → x,y,z ; b: p,p,r → p,r ;
+    # c: q → q.  Cross-batch duplicates (a:"x" slice0→slice0, a:"y"
+    # slice1→slice2, b:"p" slice0→slice1) MUST be suppressed.
+    assert got.count((1, "x")) == 1
+    assert got.count((1, "y")) == 1
+    assert got.count((1, "z")) == 1
+    assert got.count((2, "p")) == 1
+    assert got.count((2, "r")) == 1
+    assert got.count((3, "q")) == 1
+    assert len(got) == 6
+
+
+def test_stream_matches_batch_history_operator(spark, staged, tmp_path):
+    sink = MqttUpsertSink(spark, str(tmp_path / "tables"))
+    stream = message_file_stream(spark, str(staged) + "/*")
+    q = start_ingest(spark, stream, sink, str(tmp_path / "ckpt"))
+    _drain(q)
+
+    all_msgs = _mk_messages(spark, [r for s in SLICES for r in s]).withColumn(
+        "value_str", F.col("value").cast("string")
+    )
+    ctl = sink.current_mqtt().select(
+        "topic", "id", "history_enable", "history_diffonly"
+    )
+    batch_hist = {
+        (r.topicid, r.value_str, r.ts)
+        for r in history_rows(all_msgs, ctl).collect()
+    }
+    stream_hist = {
+        (r.topicid, bytes(r.value).decode(), r.ts)
+        for r in sink.history().collect()
+    }
+    assert stream_hist == batch_hist
+
+
+def test_streaming_filters(spark, staged, tmp_path):
+    stream = message_file_stream(spark, str(staged) + "/*")
+    filtered = apply_filters(
+        stream, subscribe_patterns=["#"], exclude_topics=["b"]
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        filtered.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    rows = spark.read.parquet(str(out_dir)).collect()
+    assert {r.topic for r in rows} == {"a", "c"}
+
+
+def test_stateful_diffonly_across_batches(spark, staged, tmp_path):
+    from mqtt2sql_spark.streaming.diffonly import diffonly_stream
+
+    stream = message_file_stream(spark, str(staged) + "/*").withColumn(
+        "value_str", F.col("value").cast("string")
+    ).select("topic", "ts", "value_str", "event_id")
+    out_dir = tmp_path / "out"
+    q = (
+        diffonly_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(
+        (r.topic, r.value_str)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    assert got == [
+        ("a", "x"), ("a", "y"), ("a", "z"),
+        ("b", "p"), ("b", "r"),
+        ("c", "q"),
+    ]

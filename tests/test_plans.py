@@ -1,0 +1,90 @@
+"""Physical-plan audits: the plan shape IS the 100 TB design.
+
+Asserts on .explain output that:
+  * filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+  * dimension joins broadcast (no fact-side shuffle);
+  * aggregations run partially before the shuffle (partial hash agg);
+  * no row-at-a-time Python UDF appears in built-in operator plans.
+"""
+
+from tests.conftest import SF_DIR
+
+
+def _explain(df, mode: str) -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _plan(df) -> str:
+    return _explain(df, "simple")
+
+
+def _formatted(df) -> str:
+    return _explain(df, "formatted")
+
+
+def test_scan_events_pushes_filter_and_prunes_columns(spark):
+    from mqtt2sql_spark.plans.core import scan_events
+
+    plan = _formatted(scan_events(spark, SF_DIR))
+    assert "Not(EqualTo(event_type,error))" in plan  # filter reached the scan
+    # the ts range predicate can't push (ts is derived from the ns→µs
+    # conversion), but its IsNotNull guard still does
+    assert "IsNotNull(ts)" in plan
+    # column pruning: the read schema is exactly the projected columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" in read_schema and "user_id" in read_schema
+
+
+def test_history_view_join_broadcasts_dimension(spark):
+    from mqtt2sql_spark.plans.core import history_view_join
+
+    plan = _plan(history_view_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_revenue_by_region_broadcasts_all_dims(spark):
+    from mqtt2sql_spark.plans.analytics import revenue_by_region
+
+    plan = _plan(revenue_by_region(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_has_partial_aggregation(spark):
+    from mqtt2sql_spark.plans.analytics import agg_pricing_summary
+
+    plan = _plan(agg_pricing_summary(spark, SF_DIR))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_semi_and_anti_joins_plan_as_joins_not_subqueries(spark):
+    from mqtt2sql_spark.plans.analytics import (
+        anti_join_customers_no_orders,
+        semi_join_parts_ordered,
+    )
+
+    anti = _plan(anti_join_customers_no_orders(spark, SF_DIR))
+    semi = _plan(semi_join_parts_ordered(spark, SF_DIR))
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_no_python_udf_in_builtin_operator_plans(spark):
+    from mqtt2sql_spark.plans.dedup import dedup_ngram_jaccard
+    from mqtt2sql_spark.plans.similarity import ann_cosine_topk
+    from mqtt2sql_spark.plans.text import text_quality
+
+    for q in (text_quality, ann_cosine_topk, dedup_ngram_jaccard):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+
+
+def test_whole_stage_codegen_covers_scalar_pipelines(spark):
+    from mqtt2sql_spark.plans.text import token_count
+
+    plan = _plan(token_count(spark, SF_DIR))
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in simple mode
+    assert "*(1) Project" in plan

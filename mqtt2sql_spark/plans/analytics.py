@@ -559,3 +559,216 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # while Spark's truncates — floor agrees on both engines
         (F.floor(v) % 7).cast("int").alias("mod_v"),
     )
+
+
+# --- percentiles / quantiles ----------------------------------------------
+
+
+@register(
+    "orders_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated quantiles per group (Spark percentile == "
+    "DuckDB quantile_cont, verified); the approximate twin "
+    "(percentile_approx / t-digest) is the 100 TB path and is exercised "
+    "in tests (sketches are engine-specific, not oracle-hashable).",
+)
+def orders_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
+# --- cube -------------------------------------------------------------------
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets: all 2^2 subtotal combinations in one pass "
+    "(expand + single shuffle, not four scans).",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --- sliding window ---------------------------------------------------------
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT window_start, event_type, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT CAST(date_trunc('day', ts) - to_days(CAST(d.x AS INTEGER))
+                    AS TIMESTAMP) AS window_start,
+               event_type, value
+        FROM events, range(2) d(x)
+    )
+    GROUP BY window_start, event_type
+    """,
+    doc="Sliding event-time window (2 days, sliding 1): each event lands "
+    "in two windows — the batch twin of streaming F.window(ts, '2 days', "
+    "'1 day'); expansion before aggregation, one shuffle.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 days", "1 day").getField("start").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# --- unpivot ----------------------------------------------------------------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT measure, round(avg(val), 4) AS avg_val, count(*) AS n FROM (
+        SELECT 'qty' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'disc', l_discount FROM lineitem
+    ) GROUP BY measure
+    """,
+    doc="Unpivot (wide → long) via stack + aggregate per measure — "
+    "a generator expression, no join.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+            "'disc', l_discount) AS (measure, val)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- intersect --------------------------------------------------------------
+
+
+@register(
+    "set_intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    doc="Set intersection (INTERSECT distinct) — planned as a left-semi "
+    "join over distinct sets.",
+)
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+# --- HAVING -----------------------------------------------------------------
+
+
+@register(
+    "having_hot_topics",
+    oracle="""
+    SELECT topic, count(*) AS n FROM messages
+    GROUP BY topic HAVING count(*) >= 20
+    """,
+    doc="Aggregate + HAVING (post-aggregation filter) — hot-key detection, "
+    "the skew diagnostic used before salting decisions.",
+)
+def having_hot_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        messages(spark, sf_dir)
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+# --- argmax (max_by) --------------------------------------------------------
+
+
+@register(
+    "argmax_latest_value",
+    oracle="""
+    SELECT topic,
+           max_by(value_str, event_id) AS last_value,
+           max(event_id) AS last_event_id
+    FROM messages GROUP BY topic
+    """,
+    doc="Aggregation form of last-value-per-key: max_by keyed on the "
+    "unique event_id — the single-pass alternative to the row_number "
+    "window for A5 (one partial-aggregated shuffle, no sort).",
+)
+def argmax_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir).withColumn(
+        "value_str", F.col("value").cast("string")
+    )
+    return msg.groupBy("topic").agg(
+        F.max_by("value_str", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+# --- correlated-subquery shape ---------------------------------------------
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT 1.5 * avg(i.o_totalprice) FROM orders i
+        WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+    doc="Correlated scalar subquery (orders 1.5x above their customer's "
+    "average) — decorrelated into an aggregate + equi-join, the rewrite "
+    "Catalyst and every modern optimizer performs.",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.avg("o_totalprice").alias("cavg")
+    )
+    return (
+        o.join(F.broadcast(avgs), o["o_custkey"] == avgs["ck"])
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cavg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )

@@ -92,6 +92,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-settable; required even on sessions not built by our factory
     # (the driver passes its own SparkSession to entry()/queries())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp semantics contract: store/compute UTC, render per-session
+    # (SURVEY.md §2 A12).  DuckDB timestamps are UTC-naive, so parity
+    # requires the UTC session tz regardless of the host session's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))

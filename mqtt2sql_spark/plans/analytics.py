@@ -772,3 +772,29 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
         )
     )
+
+
+# --- skew-aware aggregation (salting) --------------------------------------
+
+
+@register(
+    "salted_topic_counts",
+    oracle="""
+    SELECT topic, n, round(sum_value, 4) AS sum_value FROM (
+        SELECT topic, count(*) AS n, sum(qos) AS sum_value
+        FROM messages GROUP BY topic
+    )
+    """,
+    doc="Skew-resistant aggregation: two-phase salted count/sum "
+    "(operators/skew.py) — bit-identical to the plain GROUP BY (the "
+    "oracle) for decomposable aggregates, but the hot key fans out over "
+    "16 sub-keys in phase 1.",
+)
+def salted_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.skew import salted_count_sum
+
+    msg = messages(spark, sf_dir)
+    out = salted_count_sum(msg, "topic", sum_cols=("qos",), salt_buckets=16)
+    return out.select(
+        "topic", "n", F.round(F.col("sum_qos").cast("double"), 4).alias("sum_value")
+    )

@@ -265,3 +265,36 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("e"), 4).alias("min_val"),
         F.size("e").alias("dim"),
     )
+
+
+# --- vector aggregation: per-label centroids -------------------------------
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    , expl AS (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS component,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           round(avg(component), 6) AS centroid_val,
+           count(*) AS n_vectors
+    FROM expl GROUP BY label, dim
+    """,
+    doc="Vector aggregation: per-label centroid via posexplode → "
+    "groupBy(label, dim) — the long layout shuffles (label, dim) pairs "
+    "with partial aggregation, never whole vectors; the k-means/IVF "
+    "coarse-quantizer building block.",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    expl = emb.select(
+        "label", F.posexplode("e").alias("dim", "component")
+    )
+    return expl.groupBy("label", "dim").agg(
+        F.round(F.avg("component"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -213,3 +213,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bow_fingerprint"
         ),
     )
+
+
+# --- quality gate -----------------------------------------------------------
+
+
+@register(
+    "quality_filter_pass",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               len(toks) AS n_toks,
+               CAST(len(list_filter(toks,
+                    x -> x IN ({", ".join(repr(w) for w in STOPWORDS)})))
+                    AS DOUBLE) / greatest(len(toks), 1) AS sw_ratio,
+               CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS cpt
+        FROM (SELECT doc_id, lang, text, {duck_tokens()} AS toks
+              FROM documents)
+    )
+    WHERE n_toks >= 20 AND cpt BETWEEN 3 AND 12 AND sw_ratio >= 0.01
+    """,
+    doc="Quality gate (C4/Gopher-style, public recipes): keep documents "
+    "with ≥20 tokens, plausible chars-per-token, and nonzero stopword "
+    "density — the composed filter form of text_quality, pushdown-safe.",
+)
+def quality_filter_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    sw_ratio = count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    )
+    cpt = F.length("text").cast("double") / F.greatest(n_toks, F.lit(1))
+    return (
+        docs.select("doc_id", "lang", n_toks.alias("n_toks"),
+                    sw_ratio.alias("sw_ratio"), cpt.alias("cpt"))
+        .filter(
+            (F.col("n_toks") >= 20)
+            & (F.col("cpt") >= 3) & (F.col("cpt") <= 12)
+            & (F.col("sw_ratio") >= 0.01)
+        )
+        .select("doc_id", "lang")
+    )

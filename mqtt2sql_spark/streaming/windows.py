@@ -1,0 +1,68 @@
+"""Event-time windowed aggregation with watermarks (streaming form of
+plans/analytics.py events_tumbling_window / events_sliding_window).
+
+The reference cannot represent late data at all — it stamps arrival time
+(mqtt2sql.py:522), so lateness is unrepresentable (SURVEY.md §2 C).  This
+module is the event-time generalization: tumbling/sliding/session windows
+over the payload's own timestamps, with watermark-bounded state.
+
+State sizing at 100 TB (SURVEY.md §7.1 M6): state per key-window lives
+until watermark passes window end, so state size ≈ (keys × windows inside
+the watermark horizon) — bound the horizon, not the throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "topic",
+) -> DataFrame:
+    """Tumbling (slide=None) or sliding window counts per key, tolerating
+    out-of-order arrivals up to `watermark`; rows later than that are
+    dropped (exactly the documented late-data contract)."""
+    win = (
+        F.window(ts_col, window)
+        if slide is None
+        else F.window(ts_col, window, slide)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via session_window — the stateful twin of
+    the batch lag+cumsum plan (plans/analytics.py events_sessionize)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -1,0 +1,69 @@
+"""Watermark semantics: on-time aggregation + late-data drop."""
+
+import datetime as dt
+
+from mqtt2sql_spark.streaming.pipeline import MESSAGE_SCHEMA, message_file_stream
+from mqtt2sql_spark.streaming.windows import windowed_counts
+
+_D0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_slice(spark, path, rows, mtime):
+    spark.createDataFrame(
+        [
+            (_D0 + dt.timedelta(hours=h), t, b"x", 0, 0, e)
+            for t, h, e in rows
+        ],
+        MESSAGE_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # the file source orders batches by modification time — make the
+    # intended replay order unambiguous
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def test_tumbling_window_with_watermark_drops_late_rows(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    import time
+
+    now = time.time()
+    # batch 0: day-1 data, advancing the watermark far past day 0
+    _write_slice(
+        spark,
+        str(input_dir / "000.parquet"),
+        [("a", 0, 1), ("a", 1, 2), ("b", 2, 3), ("a", 26, 4)],
+        mtime=now - 120,
+    )
+    # batch 1: neutral day-1 row — the watermark computed from batch 0
+    # (max event time - 1 h) takes effect no later than this batch's end
+    _write_slice(
+        spark, str(input_dir / "001.parquet"), [("b", 27, 9)], mtime=now - 60
+    )
+    # batch 2: a row >26 h older than the watermark → must be DROPPED
+    # from its (already finalized) day-0 window
+    _write_slice(
+        spark, str(input_dir / "002.parquet"), [("a", 0, 5)], mtime=now
+    )
+
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    agg = windowed_counts(stream, window="1 day", watermark="1 hour")
+    out_dir = tmp_path / "out"
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(str(out_dir)).collect()
+    got = {(r.window_start, r.topic): r.n for r in rows}
+    # append mode emits only windows finalized by the watermark: day 0
+    assert got.get((_D0, "a")) == 2      # late event_id=5 NOT counted
+    assert got.get((_D0, "b")) == 1

@@ -132,3 +132,63 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(clicks_dim, "event_id_click", "left").select(
         "event_id", "user_id", "ts", "value", "ts_click", "event_id_click"
     )
+
+
+CHUNK_SIZE = 100
+
+
+@register(
+    "multimodal_chunk_bytes",
+    oracle=f"""
+    , payloads AS (
+        SELECT doc_id, encode(text) AS payload,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(length(substring(hexpayload, chunk_idx * {2 * CHUNK_SIZE} + 1,
+                       {2 * CHUNK_SIZE})) // 2 AS INTEGER) AS chunk_bytes,
+           md5(substring(hexpayload, chunk_idx * {2 * CHUNK_SIZE} + 1,
+               {2 * CHUNK_SIZE})) AS chunk_hash
+    FROM (
+        SELECT doc_id, upper(hex(payload)) AS hexpayload,
+               CAST(unnest(range(0, CAST(ceil(n_bytes / {CHUNK_SIZE}.0) AS BIGINT)))
+                    AS INTEGER) AS chunk_idx
+        FROM payloads
+    )
+    """,
+    doc="Multimodal frame/chunk sampling plumbing: binary payload → "
+    "fixed-size byte chunks via mapInPandas (the video-frame / audio-"
+    "window batch shape: one input row fans out to N media segments "
+    "inside the executor, only scalar metadata+hashes leave it).",
+)
+def multimodal_chunk_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def chunk_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "chunk_bytes": [], "chunk_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), CHUNK_SIZE):
+                    chunk = data[i : i + CHUNK_SIZE]
+                    if not chunk:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i // CHUNK_SIZE)
+                    out["chunk_bytes"].append(len(chunk))
+                    out["chunk_hash"].append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        chunk_batches,
+        "doc_id long, chunk_idx int, chunk_bytes int, chunk_hash string",
+    )

@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -53,6 +54,10 @@ MESSAGE_SCHEMA = StructType(
         StructField("value", BinaryType()),
         StructField("qos", IntegerType()),
         StructField("retain", IntegerType()),
+        # arrival sequence number (WAL index): the deterministic per-key
+        # tie-breaker the engine orders on (SURVEY.md §7.3 #2) — the
+        # reference has no ordering at all under same-second timestamps
+        StructField("event_id", LongType()),
     ]
 )
 
@@ -208,11 +213,14 @@ class MqttStreamReader(SimpleDataSourceStreamReader):
 
     def _stamp(self, msgs) -> list[tuple]:
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        return [
-            (now, topic, payload, qos, retain)
-            for topic, payload, qos, retain in msgs
-            if topic not in self.exclude  # A2 pushdown (exact match)
-        ]
+        next_id = self.base + len(self.wal)
+        out = []
+        for topic, payload, qos, retain in msgs:
+            if topic in self.exclude:  # A2 pushdown (exact match)
+                continue
+            out.append((now, topic, payload, qos, retain, next_id))
+            next_id += 1
+        return out
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         fresh = self._stamp(self.transport.poll(self.max_per_trigger))

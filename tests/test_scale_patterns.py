@@ -1,0 +1,67 @@
+"""Scale-pattern correctness: approximate sketches, partition pruning,
+salting equivalence — the techniques the 100 TB deployment leans on."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact, approx = ev.select(
+        F.countDistinct("user_id").alias("x"),
+        F.approx_count_distinct("user_id", 0.02).alias("a"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_percentile_approx_close_to_exact(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact, approx = o.select(
+        F.expr("percentile(o_totalprice, 0.5)").alias("x"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("a"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_partitioned_history_enables_partition_pruning(spark, tmp_path):
+    """History written partitioned by dt must prune partitions on a
+    dt-range read — the index replacement at 100 TB (SURVEY.md §3.3)."""
+    from mqtt2sql_spark.fixtures import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    hist = ev.select(
+        "ts", F.col("event_id").alias("topicid"), F.to_date("ts").alias("dt")
+    )
+    out = str(tmp_path / "hist")
+    hist.write.partitionBy("dt").parquet(out)
+
+    pruned = spark.read.parquet(out).filter(F.col("dt") == "2024-01-03")
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    # partition filter present, no per-row dt filter needed
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    got = pruned.count()
+    expect = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert got == expect > 0
+
+
+def test_salted_aggregation_equals_plain(spark):
+    from mqtt2sql_spark.operators.skew import salted_count_sum
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    salted = {
+        (r.event_type, r.n, round(r.sum_value, 6))
+        for r in salted_count_sum(
+            ev, "event_type", sum_cols=("value",), salt_buckets=8
+        ).collect()
+    }
+    plain = {
+        (r.event_type, r.n, round(r.sum_value, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert salted == plain

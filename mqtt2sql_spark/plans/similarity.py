@@ -57,10 +57,17 @@ def _dot(u, v):
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    # single-file fixture → single input split; the higher-order-function
+    # dot products (ArrayAggregate is interpreted, not codegen'd) need the
+    # fan-out to use all cores — at corpus scale the scan is already split
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
     )
 
 
@@ -199,37 +206,37 @@ _DUCK_BKT_UNION = " UNION ALL ".join(
     bench=True,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # carry the vectors through the bucket join and score immediately:
+    # one broadcast hash join on (tbl, bucket), distinct on the scored
+    # pair (the same pair colliding in several tables scores identically),
+    # then the per-query top-k window.  Exactly two references to the
+    # bucket subplan (corpus side + filtered query side) — re-joining a
+    # separate candidate set back to the corpus would add two more.
     bkt = lsh_buckets(spark, sf_dir)
     q = bkt.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
         F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = (
-        bkt.join(
-            F.broadcast(q),
-            (F.col("tbl") == F.col("qtbl"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "vec_id")
-        .distinct()
+    pairs = bkt.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("qtbl"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
     )
-    emb = _emb(spark, sf_dir).select("vec_id", "e")
-    qe = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    joined = cand.join(emb, "vec_id").join(F.broadcast(qe), "query_id")
     cos = _dot(F.col("qe"), F.col("e")) / (
         F.sqrt(_dot(F.col("qe"), F.col("qe")))
         * F.sqrt(_dot(F.col("e"), F.col("e")))
     )
+    scored = pairs.select(
+        "query_id", "vec_id", cos.alias("cos6")
+    ).distinct()
     w = W.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("cos6"), 6)), F.asc("vec_id")
     )
     return (
-        joined.select("query_id", "vec_id", cos.alias("cos6"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id", "vec_id", F.round("cos6", 4).alias("cos"), "rank"

@@ -798,3 +798,68 @@ def salted_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "topic", "n", F.round(F.col("sum_qos").cast("double"), 4).alias("sum_value")
     )
+
+
+# --- statistical aggregates -------------------------------------------------
+
+
+@register(
+    "lineitem_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_extendedprice), 2) AS var_price,
+           round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: sample stddev/variance, correlation, "
+    "covariance per group — single-pass co-moment accumulation, "
+    "map-side combinable (verified bit-parity with DuckDB).",
+)
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "corr_price_disc"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- fuzzy string matching --------------------------------------------------
+
+
+@register(
+    "fuzzy_topic_match",
+    oracle="""
+    , topics AS (SELECT DISTINCT topic FROM messages)
+    SELECT a.topic AS topic_a, b.topic AS topic_b,
+           CAST(levenshtein(a.topic, b.topic) AS INTEGER) AS dist
+    FROM topics a JOIN topics b ON a.topic < b.topic
+    WHERE levenshtein(a.topic, b.topic) <= 2
+    """,
+    doc="Fuzzy key matching: Levenshtein distance ≤2 over the topic "
+    "dimension self-join — typo/alias detection on keys; the dimension "
+    "is small so the quadratic compare broadcasts (for corpus-scale "
+    "string fuzzy-dedup the n-gram Jaccard path is the scalable route).",
+)
+def fuzzy_topic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topics = messages(spark, sf_dir).select("topic").distinct()
+    a = topics.alias("a")
+    b = topics.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.topic") < F.col("b.topic"))
+        .select(
+            F.col("a.topic").alias("topic_a"),
+            F.col("b.topic").alias("topic_b"),
+            F.levenshtein(F.col("a.topic"), F.col("b.topic")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )

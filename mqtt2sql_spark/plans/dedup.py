@@ -216,10 +216,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_expr = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
     long_bands = bands.select(
         "doc_id",
-        F.expr(
-            f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"
-        ),
-    ).select("doc_id", "band_idx.*" if False else "band_idx", "band_key")
+        F.expr(f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"),
+    )
     x = long_bands.alias("x")
     y = long_bands.alias("y")
     return (

@@ -140,24 +140,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long layout: (vec_id, e, tbl, bucket) — one row per hash table.
 
-    Bucket bits are signs of deterministic ±1 projections; the explode
-    over tables turns candidate generation into one equi-join on
-    (tbl, bucket) regardless of L."""
+    The 32 (= L·k) projections are computed as a long-format plan —
+    posexplode the vector, broadcast-join the ±1 coefficient table,
+    aggregate sign bits — because Spark's higher-order array fold
+    (ArrayAggregate) is interpreted, not codegen'd: the hash-aggregate
+    formulation keeps the whole computation in whole-stage codegen and
+    scales as rows × dim × L·k with vectorized aggregation."""
     emb = _emb(spark, sf_dir)
-    table_buckets = []
-    for t in range(N_TABLES):
-        bucket = None
-        for p in range(N_PLANES):
-            coef = F.array(*[F.lit(float(c)) for c in _COEFS[t][p]])
-            bit = F.when(_dot(coef, F.col("e")) > 0, 1).otherwise(0)
-            term = bit * (1 << p)
-            bucket = term if bucket is None else bucket + term
-        table_buckets.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.cast("int").alias("bucket"))
+    spark_coefs = spark.createDataFrame(
+        [
+            (t, p, d, float(_COEFS[t][p][d]))
+            for t in range(N_TABLES)
+            for p in range(N_PLANES)
+            for d in range(DIM)
+        ],
+        "tbl int, plane int, dim int, coef double",
+    )
+    expl = emb.select("vec_id", F.posexplode("e").alias("dim", "x"))
+    proj = (
+        expl.join(F.broadcast(spark_coefs), "dim")
+        .groupBy("vec_id", "tbl", "plane")
+        .agg(F.sum(F.col("x") * F.col("coef")).alias("proj"))
+    )
+    buckets = (
+        proj.withColumn(
+            "term",
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1, plane)"))
+            .otherwise(0),
         )
-    return emb.select(
-        "vec_id", "e", F.explode(F.array(*table_buckets)).alias("tb")
-    ).select("vec_id", "e", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .groupBy("vec_id", "tbl")
+        .agg(F.sum("term").cast("int").alias("bucket"))
+    )
+    return buckets.join(emb, "vec_id").select("vec_id", "e", "tbl", "bucket")
 
 
 def _duck_bucket(t: int) -> str:

@@ -1,23 +1,88 @@
 """As-of (nearest-earlier) join — an operator Spark lacks natively.
 
-Two implementations, per the engine's preference order:
-  * `asof_last_before` (plans/analytics.py `asof_last_click_before_purchase`)
-    — pure window composition when both sides come from one stream;
-  * `merge_asof_join` here — the general two-table form: cogrouped
-    applyInPandas with `pd.merge_asof` per key group (Arrow-batched, one
-    shuffle per side on the `by` key; each group sorts locally, which is
-    exactly merge_asof's contract).
+Two general two-table implementations, in the engine's preference order:
 
-Scale: the shuffle is by `by` (e.g. user_id) — high cardinality, even
-distribution; skewed keys are the caveat (a single giant user lands in
-one task) — mitigate upstream with salting + two-pass merge if a key
-exceeds task memory.
+  * `asof_join_window` — pure built-ins: union both sides with a sort
+    marker, one window pass per `by` key taking the last non-null right
+    value over preceding rows.  One shuffle, whole-stage codegen, state
+    O(1) per row — the default.
+  * `merge_asof_join` — cogrouped applyInPandas + `pd.merge_asof` per key
+    group.  Arrow-batched but pays per-group Python/Arrow overhead
+    (~90 ms/group observed → 14 s for 150 groups at sf0.1, vs ~1 s for
+    the window form); kept for pandas-semantics parity and as the
+    template for merge logic that built-ins genuinely can't express.
+
+Scale: both shuffle by `by` (high cardinality); a single giant key is the
+caveat — salt + two-pass merge if one key exceeds task memory.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+    allow_exact: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.on < left.on (<= when allow_exact) within the same `by` group —
+    left rows always survive (LEFT ASOF), null-extended when no match.
+
+    Mechanics: union the sides with `_side` (right rows sort before left
+    rows at equal `on` iff allow_exact), then `last(col, ignorenulls)`
+    over rows [unbounded preceding, -1] picks the nearest earlier right
+    value.  Ties among right rows at the same `on` resolve to the
+    later-sorted one (order within the union is made total by the right
+    payload columns).
+    """
+    lcols = [f.name for f in left.schema.fields]
+    renamed = [f"{c}{suffix}" for c in right_cols]
+    rstruct = F.struct(*[F.col(c) for c in right_cols])
+    rstruct_type = right.select(rstruct.alias("_r")).schema["_r"].dataType
+
+    l_side = left.select(
+        *lcols,
+        F.lit(None).cast(rstruct_type).alias("_r"),
+        F.lit(1).alias("_side"),
+    )
+    r_side = right.select(
+        *[
+            F.col(c).alias(c)
+            if c in (on, by)
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        rstruct.alias("_r"),
+        F.lit(0 if allow_exact else 2).alias("_side"),
+    )
+    merged = l_side.unionByName(r_side)
+    # the right payload travels as ONE struct so a multi-column match is
+    # always a consistent row (per-column last() could mix rows when a
+    # right column is null)
+    w = (
+        W.partitionBy(by)
+        .orderBy(on, "_side", "_r")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    filled = merged.select(
+        *lcols,
+        "_side",
+        F.last("_r", ignorenulls=True).over(w).alias("_rm"),
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_rm.{c}").alias(r) for c, r in zip(right_cols, renamed)],
+        )
+    )
 
 
 def merge_asof_join(

@@ -852,7 +852,9 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_topic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     topics = messages(spark, sf_dir).select("topic").distinct()
-    a = topics.alias("a")
+    # the quadratic compare runs as a nested-loop join: fan the probe side
+    # out over all cores (the distinct's AQE-coalesced output is 1 task)
+    a = topics.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = topics.alias("b")
     return (
         a.join(F.broadcast(b), F.col("a.topic") < F.col("b.topic"))

@@ -401,9 +401,6 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-
     def dot(u, v):
         return F.aggregate(
             F.zip_with(u, v, lambda x, y: x * y),
@@ -411,12 +408,18 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # precompute each vector's norm once (n folds) instead of twice per
+    # pair (2·n² folds) — the folds are interpreted, so this is the
+    # dominant cost; fan the probe side out over all cores (single-file
+    # scan = one split otherwise)
+    with_norm = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    a = with_norm.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).alias("a")
+    b = with_norm.alias("b")
+
     cos = F.round(
-        dot(F.col("a.e"), F.col("b.e"))
-        / (
-            F.sqrt(dot(F.col("a.e"), F.col("a.e")))
-            * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
-        ),
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
         4,
     )
     return (

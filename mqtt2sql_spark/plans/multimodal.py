@@ -100,37 +100,44 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM purchases p ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts > c.ts
     """,
-    doc="General two-table as-of join (operators/asof.py): cogrouped "
-    "applyInPandas + pd.merge_asof per user (strictly-earlier match, "
-    "left-extended) — oracle is DuckDB's native ASOF LEFT JOIN.",
+    doc="General two-table as-of join (operators/asof.py asof_join_window: "
+    "union + ignore-nulls last over a per-user window — one shuffle, "
+    "codegen; strictly-earlier match, left-extended).  The pandas "
+    "merge_asof variant exists for API parity but pays ~90 ms/group "
+    "Python overhead — built-ins win.  Oracle: DuckDB's native ASOF "
+    "LEFT JOIN.",
 )
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mqtt2sql_spark.operators.asof import merge_asof_join
+    from mqtt2sql_spark.operators.asof import asof_join_window
 
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.round("value", 4).alias("value")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "user_id", "ts", F.col("ts").alias("ts_click"), "event_id"
     )
-    out = merge_asof_join(
+    out = asof_join_window(
         purchases,
-        clicks,
+        clicks.select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            "ts_click",
+        ),
         on="ts",
         by="user_id",
-        right_cols=["event_id"],
-        suffix="_click",
+        right_cols=["ts_click", "click_id"],
+        suffix="",
         allow_exact=False,
     )
-    # merge_asof carries the right 'ts' implicitly; recompute ts_click from
-    # the matched right event for an explicit output column
-    clicks_dim = clicks.select(
-        F.col("event_id").alias("event_id_click"),
-        F.col("ts").alias("ts_click"),
-    )
-    return out.join(clicks_dim, "event_id_click", "left").select(
-        "event_id", "user_id", "ts", "value", "ts_click", "event_id_click"
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "ts_click",
+        F.col("click_id").alias("event_id_click"),
     )
 
 

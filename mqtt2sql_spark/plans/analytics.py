@@ -856,8 +856,16 @@ def fuzzy_topic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out over all cores (the distinct's AQE-coalesced output is 1 task)
     a = topics.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = topics.alias("b")
+    # cheap length-band guard short-circuits before the O(len²) edit
+    # distance; it cannot change results (levenshtein >= length delta)
+    len_guard = (
+        F.abs(F.length(F.col("a.topic")) - F.length(F.col("b.topic"))) <= 2
+    )
     return (
-        a.join(F.broadcast(b), F.col("a.topic") < F.col("b.topic"))
+        a.join(
+            F.broadcast(b),
+            (F.col("a.topic") < F.col("b.topic")) & len_guard,
+        )
         .select(
             F.col("a.topic").alias("topic_a"),
             F.col("b.topic").alias("topic_b"),

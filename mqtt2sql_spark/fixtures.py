@@ -259,3 +259,24 @@ mqtt_history AS (
            OR prev_value <> value_str)
 )
 """
+
+
+def create_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table plus the derived mqtt relations as temp
+    views, so the whole engine surface is reachable through plain
+    ``spark.sql`` — the reference's product surface is SQL
+    (README.md:15-20), and Catalyst plans SQL and DataFrame identically."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    messages(spark, sf_dir).createOrReplaceTempView("messages")
+    topic_dim(spark, sf_dir).createOrReplaceTempView("topic_dim")
+    mqtt_latest(spark, sf_dir).createOrReplaceTempView("mqtt")
+    mqtt_history(spark, sf_dir).createOrReplaceTempView("mqtt_history")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW mqtt_history_view AS
+        SELECT h.id, h.ts AS ts, m.ts AS ts_last, m.topic,
+               h.value_str AS value
+        FROM mqtt_history h JOIN mqtt m ON m.id = h.topicid
+        """
+    )

@@ -87,3 +87,72 @@ def test_sqlite_sink_from_stream(spark, tmp_path):
     with sqlite3.connect(db) as con:
         rows = con.execute("SELECT topic, value FROM mqtt").fetchall()
     assert rows == [("home/t", b"2")]
+
+
+def test_sql_surface_history_view(spark):
+    """The reference's product surface is SQL over mqtt_history_view
+    (README.md:228-235) — the engine exposes the same via temp views."""
+    from mqtt2sql_spark.fixtures import create_views
+    from tests.conftest import SF_DIR
+
+    create_views(spark, SF_DIR)
+    rows = spark.sql(
+        """
+        SELECT topic, count(*) AS n, max(ts_last) AS last_change
+        FROM mqtt_history_view
+        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY topic ORDER BY n DESC, topic LIMIT 5
+        """
+    ).collect()
+    assert len(rows) == 5 and all(r.n > 0 for r in rows)
+
+
+def test_checkpoint_recovery_resumes_without_duplicates(spark, tmp_path):
+    """Stop a stream mid-input, restart with the same checkpoint: the
+    second run must process only the unseen file and converge to the
+    same tables as one uninterrupted run (at-least-once + idempotent
+    merge — the upgrade over the reference's QoS-0, SURVEY.md §4.3)."""
+    import datetime as dt
+
+    from mqtt2sql_spark.sinks.upsert import MqttUpsertSink
+    from mqtt2sql_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        message_file_stream,
+        start_ingest,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            [
+                (dt.datetime(2024, 1, 1, 10, 0, s), t, v.encode(), 0, 0, e)
+                for t, s, v, e in rows
+            ],
+            MESSAGE_SCHEMA,
+        ).coalesce(1).write.parquet(str(input_dir / name))
+
+    sink = MqttUpsertSink(spark, str(tmp_path / "tables"))
+    ckpt = str(tmp_path / "ckpt")
+
+    write("000.parquet", [("a", 0, "v1", 1), ("b", 1, "w1", 2)])
+    q = start_ingest(
+        spark, message_file_stream(spark, str(input_dir) + "/*"), sink, ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # new file arrives while the query is down
+    write("001.parquet", [("a", 10, "v2", 3), ("c", 11, "x1", 4)])
+    q2 = start_ingest(
+        spark, message_file_stream(spark, str(input_dir) + "/*"), sink, ckpt
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    mqtt = {r.topic: bytes(r.value).decode() for r in sink.current_mqtt().collect()}
+    assert mqtt == {"a": "v2", "b": "w1", "c": "x1"}
+    hist = [bytes(r.value).decode() for r in sink.history().collect()]
+    # no duplicates from the restart: v1,w1 from run 1; v2,x1 from run 2
+    assert sorted(hist) == ["v1", "v2", "w1", "x1"]

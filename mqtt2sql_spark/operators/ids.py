@@ -51,10 +51,15 @@ def dense_row_ids(
     local = with_b.withColumn(
         "_rn", F.row_number().over(W.partitionBy("_bkt").orderBy(*cols))
     )
-    # bucket sizes = max(_rn) taken from the window output: the groupBy
-    # consumes the window's own hash(_bkt) exchange (already partitioned →
-    # no second shuffle) and the upstream plan is shared via ReusedExchange
-    # instead of being recomputed through a separate partial-agg exchange
+    # bucket sizes = max(_rn) on the window output: the groupBy consumes
+    # the window's hash(_bkt) partitioning, so the offsets branch adds no
+    # extra shuffle of the big side.  Catalyst still recomputes the
+    # upstream for this branch (column pruning gives the two branches
+    # different subplans, so ReusedExchange cannot fire) — but the
+    # recompute is the *pruned* chain (only _bkt + order cols survive).
+    # If the upstream is expensive enough to matter, materialize it first
+    # (write the table, then number it) — that is also what keeps this
+    # deterministic under task retries at cluster scale.
     counts = local.groupBy("_bkt").agg(F.max("_rn").alias("_cnt"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(

@@ -873,3 +873,90 @@ def fuzzy_topic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 2)
     )
+
+
+# --- date/time scalar library -----------------------------------------------
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(weekofyear(ts) AS INTEGER) AS woy,
+           CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(ts AS DATE) + 7 AS plus_week,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS INTEGER) AS days_since_start,
+           last_day(CAST(ts AS DATE)) AS month_end
+    FROM events
+    """,
+    doc="Date/time scalar library: extraction (year..hour, ISO weekday, "
+    "week-of-year, quarter), date arithmetic, month-end — all codegen'd; "
+    "day-of-week normalized to ISO (Spark's dayofweek is 1=Sunday, "
+    "DuckDB's 0=Sunday — weekday+1 == isodow on both).",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.weekofyear("ts").alias("woy"),
+        F.quarter("ts").alias("q"),
+        F.date_add(d, 7).alias("plus_week"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias(
+            "days_since_start"
+        ),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+# --- array scalar library ---------------------------------------------------
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(CAST(embedding[8] AS DOUBLE), 4) AS eighth_val,
+           round(list_sort(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> round(x, 4)))[1], 4) AS min_r,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> abs(x))), 4) AS l1_norm,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+                AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+    doc="Array scalar library over array<float>: indexing, element-wise "
+    "transform, filter, sort, fold — the higher-order-function surface "
+    "(1-indexed in DuckDB, 0-indexed in Spark; shifted accordingly).",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n"),
+        F.round(F.get(e, 0), 4).alias("first_val"),
+        F.round(F.get(e, 7), 4).alias("eighth_val"),
+        F.round(
+            F.get(F.sort_array(F.transform(e, lambda x: F.round(x, 4))), 0), 4
+        ).alias("min_r"),
+        F.round(
+            F.aggregate(
+                F.transform(e, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )

@@ -66,3 +66,30 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def interval_join(
+    left,
+    right,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Watermarked stream-stream interval join: pair each left event with
+    right events of the same key that happened within (left_ts - max_gap,
+    left_ts].  Both sides buffer state only inside the watermark horizon —
+    the join Spark can run continuously where a batch engine would
+    re-scan; the reference has no joins beyond its static view
+    (SURVEY.md §2 C)."""
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[by] == rw[f"{by}_r"])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -67,3 +67,51 @@ def test_tumbling_window_with_watermark_drops_late_rows(spark, tmp_path):
     # append mode emits only windows finalized by the watermark: day 0
     assert got.get((_D0, "a")) == 2      # late event_id=5 NOT counted
     assert got.get((_D0, "b")) == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.streaming.windows import interval_join
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    import time
+
+    _write_slice(
+        spark,
+        str(input_dir / "000.parquet"),
+        # purchases (topic p) and clicks (topic c) interleaved per user-key
+        [("p", 1, 1), ("c", 1, 2), ("p", 2, 3), ("c", 26, 4), ("p", 27, 5)],
+        mtime=time.time(),
+    )
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    purchases = stream.filter(F.col("topic") == "p").select(
+        F.lit(1).alias("k"), F.col("ts"), F.col("event_id")
+    )
+    clicks = stream.filter(F.col("topic") == "c").select(
+        F.lit(1).alias("k_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = interval_join(
+        purchases, clicks, by="k", max_gap="2 hours", watermark="1 hour"
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.click_id)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # click@h1 pairs with purchases at h1(no: same ts ok <=) h2 (within 2h);
+    # click@h26 pairs with purchase@h27; purchase@h1 precedes no click <= it
+    # except click@h1 (ts equal → included)
+    assert got == {(1, 2), (3, 2), (5, 4)}

@@ -960,3 +960,45 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l1_norm"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+# --- null-handling scalars ---------------------------------------------------
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(o_orderkey, -1) AS order_or_default,
+           CAST(o_orderkey IS NULL AS INTEGER) AS is_orderless,
+           nullif(c_mktsegment, 'BUILDING') AS seg_nullified,
+           greatest(coalesce(o_totalprice, 0), c_acctbal) AS max_money,
+           round(least(coalesce(o_totalprice, 1e18), c_acctbal), 2)
+               AS min_money
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+    doc="Null-handling scalar library over null-extending join output: "
+    "coalesce/nullif/greatest/least + null predicates (three-valued "
+    "logic edge cases).",
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("order_or_default"),
+        F.col("o_orderkey").isNull().cast("int").alias("is_orderless"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "seg_nullified"
+        ),
+        F.greatest(
+            F.coalesce("o_totalprice", F.lit(0.0)), F.col("c_acctbal")
+        ).alias("max_money"),
+        F.round(
+            F.least(
+                F.coalesce("o_totalprice", F.lit(1e18)), F.col("c_acctbal")
+            ),
+            2,
+        ).alias("min_money"),
+    )

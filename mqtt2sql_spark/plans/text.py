@@ -255,3 +255,41 @@ def quality_filter_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+# --- deterministic corpus splitting ------------------------------------------
+
+
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT split, lang, count(*) AS n, min(doc_id) AS min_doc
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN instr('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                         - 1 < 13
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    ) GROUP BY split, lang
+    """,
+    doc="Deterministic train/eval split: md5 of the stable key → first "
+    "nibble < 13 ⇒ train (~81%).  Hash-based splits are reproducible "
+    "across runs/engines and stable under re-partitioning — the property "
+    "random() sampling lacks; stratification checked per lang.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    split = F.when(nibble < 13, F.lit("train")).otherwise(F.lit("eval"))
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+    )

@@ -809,8 +809,8 @@ def salted_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_extendedprice), 2) AS var_price,
-           round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
-           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+           round(corr(l_extendedprice, l_discount), 6) + 0 AS corr_price_disc,
+           round(covar_samp(l_quantity, l_discount), 6) + 0 AS covar_qty_disc,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -823,10 +823,10 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+        (F.round(F.corr("l_extendedprice", "l_discount"), 6) + F.lit(0.0)).alias(
             "corr_price_disc"
         ),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 6) + F.lit(0.0)).alias(
             "covar_qty_disc"
         ),
         F.count(F.lit(1)).alias("n"),
@@ -925,10 +925,10 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS n,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-           round(CAST(embedding[8] AS DOUBLE), 4) AS eighth_val,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_val,
+           round(CAST(embedding[8] AS DOUBLE), 4) + 0 AS eighth_val,
            round(list_sort(list_transform(CAST(embedding AS DOUBLE[]),
-                                          x -> round(x, 4)))[1], 4) AS min_r,
+                                          x -> round(x, 4)))[1], 4) + 0 AS min_r,
            round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                          x -> abs(x))), 4) AS l1_norm,
            CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
@@ -945,11 +945,11 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("n"),
-        F.round(F.get(e, 0), 4).alias("first_val"),
-        F.round(F.get(e, 7), 4).alias("eighth_val"),
-        F.round(
+        (F.round(F.get(e, 0), 4) + F.lit(0.0)).alias("first_val"),
+        (F.round(F.get(e, 7), 4) + F.lit(0.0)).alias("eighth_val"),
+        (F.round(
             F.get(F.sort_array(F.transform(e, lambda x: F.round(x, 4))), 0), 4
-        ).alias("min_r"),
+        ) + F.lit(0.0)).alias("min_r"),
         F.round(
             F.aggregate(
                 F.transform(e, lambda x: F.abs(x)),

@@ -270,8 +270,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[]))), 4)
                AS l2_norm,
-           round(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_val,
-           round(list_min(CAST(embedding AS DOUBLE[])), 4) AS min_val,
+           round(list_max(CAST(embedding AS DOUBLE[])), 4) + 0 AS max_val,
+           round(list_min(CAST(embedding AS DOUBLE[])), 4) + 0 AS min_val,
            CAST(len(embedding) AS INTEGER) AS dim
     FROM embeddings
     """,
@@ -284,8 +284,8 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(F.sqrt(_dot(F.col("e"), F.col("e"))), 4).alias("l2_norm"),
-        F.round(F.array_max("e"), 4).alias("max_val"),
-        F.round(F.array_min("e"), 4).alias("min_val"),
+        (F.round(F.array_max("e"), 4) + F.lit(0.0)).alias("max_val"),
+        (F.round(F.array_min("e"), 4) + F.lit(0.0)).alias("min_val"),
         F.size("e").alias("dim"),
     )
 
@@ -303,7 +303,7 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, CAST(dim AS INTEGER) AS dim,
-           round(avg(component), 6) AS centroid_val,
+           round(avg(component), 6) + 0 AS centroid_val,
            count(*) AS n_vectors
     FROM expl GROUP BY label, dim
     """,
@@ -318,6 +318,6 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("e").alias("dim", "component")
     )
     return expl.groupBy("label", "dim").agg(
-        F.round(F.avg("component"), 6).alias("centroid_val"),
+        (F.round(F.avg("component"), 6) + F.lit(0.0)).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )

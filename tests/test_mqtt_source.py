@@ -100,3 +100,31 @@ def test_mqtt_source_streams_messages(spark, tmp_path):
         ("home/attic", b"18.0", 0, 1),
     }
     assert all(r.ts is not None for r in rows)
+
+
+def test_max_per_trigger_backpressure():
+    """B4: the semaphore-50 analogue — at most maxPerTrigger messages
+    drained per micro-batch; the rest stay queued for later batches."""
+    from mqtt2sql_spark.sources.mqtt import MqttStreamReader, memory_queue
+
+    q = memory_queue("bp")
+    q.extend([(f"t{i}", b"x", 0, 0) for i in range(5)])
+    r = MqttStreamReader(
+        {"transport": "memory", "memorykey": "bp", "maxpertrigger": "2"}
+    )
+    off = r.initialOffset()
+    seen = []
+    for _ in range(3):
+        rows, off = r.read(off)
+        seen.append(len(list(rows)))
+        r.commit(off)
+    assert seen == [2, 2, 1]
+
+
+def test_file_spool_transport_tolerates_missing_dir(tmp_path):
+    """B3 resilience: a not-yet-created spool dir yields empty batches
+    instead of failing the query (the bridge may start later)."""
+    from mqtt2sql_spark.sources.mqtt import FileSpoolTransport
+
+    t = FileSpoolTransport(str(tmp_path / "nonexistent"))
+    assert t.poll(10) == []

@@ -32,16 +32,17 @@ class QuerySpec:
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    recursive: bool = False  # oracle uses a recursive CTE
 
     def oracle_sql(self) -> str | None:
         """Full oracle SQL with the shared fixture CTEs prepended."""
         if self.oracle is None:
             return None
         sql = self.oracle.strip()
-        if sql.startswith(","):
-            # query brings extra CTEs of its own
-            return ORACLE_CTES.rstrip() + "\n" + sql
-        return ORACLE_CTES.rstrip() + "\n" + sql
+        prefix = ORACLE_CTES.rstrip()
+        if self.recursive:
+            prefix = prefix.replace("WITH ", "WITH RECURSIVE ", 1)
+        return prefix + "\n" + sql
 
 
 class Registry:
@@ -61,9 +62,10 @@ class Registry:
         doc: str = "",
         bench: bool = False,
         tags: tuple[str, ...] = (),
+        recursive: bool = False,
     ) -> Callable[[QueryFn], QueryFn]:
         def deco(fn: QueryFn) -> QueryFn:
-            self.add(QuerySpec(name, fn, oracle, doc, bench, tags))
+            self.add(QuerySpec(name, fn, oracle, doc, bench, tags, recursive))
             return fn
 
         return deco

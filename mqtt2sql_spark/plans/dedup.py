@@ -433,3 +433,55 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     ).mapInPandas(block_cosine, "doc_a long, doc_b long, cos double")
+
+
+# --- transitive dup clusters (connected components) -------------------------
+
+
+@register(
+    "dedup_components",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS component,
+           CAST(count(*) AS BIGINT) AS reach_size
+    FROM reach GROUP BY src
+    """,
+    doc="Transitive dup clusters: connected components over the "
+    "MinHash-LSH candidate graph via iterative min-label propagation "
+    "(operators/components.py, Pregel-style driver loop, localCheckpoint "
+    "lineage truncation) — oracle is a recursive-CTE transitive closure. "
+    "The canonical-doc choice per cluster (min doc_id) is what a dedup "
+    "pipeline persists.",
+    recursive=True,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(pairs, docs)
+    # reach_size = size of the component, matching the closure oracle
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("reach_size")
+    )
+    return comp.join(sizes, "component").select(
+        "doc_id", "component", "reach_size"
+    )

@@ -101,3 +101,20 @@ def test_embedding_pairs_threshold(spark, tmp_path):
              dedup_embedding_pairs(spark, str(tmp_path)).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
+
+
+def test_connected_components_transitive_chain(spark):
+    from mqtt2sql_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 99)], "doc_id long"
+    )
+    comp = {
+        r.doc_id: r.component
+        for r in connected_components(edges, verts).collect()
+    }
+    # chain 1-2-3 collapses transitively even though (1,3) was never a pair
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 99: 99}

@@ -260,6 +260,135 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF coarse-quantizer ANN ----------------------------------------------
+
+CELL_MOD = 37  # centroid seed stride → ~N/37 cells (K grows ~linearly w/ N)
+N_PROBE = 3    # cells probed per query
+
+
+def _cos_expr(u, v):
+    return _dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v)))
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * "
+        f"sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS ce FROM emb
+             WHERE vec_id % {CELL_MOD} = 1),
+    assigned AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({_duck_cos('v.e', 'c.ce')}, 6) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM emb v CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qe, cell FROM (
+            SELECT q.vec_id AS query_id, q.e AS qe, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_duck_cos('q.e', 'c.ce')}, 6) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM emb q CROSS JOIN cent c
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {N_PROBE}
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT p.query_id, a.vec_id,
+               round({_duck_cos('a.e', 'p.qe')}, 4) AS cos,
+               CAST(row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round({_duck_cos('a.e', 'p.qe')}, 6) DESC,
+                            a.vec_id
+               ) AS BIGINT) AS rank
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="IVF (inverted-file) ANN — the coarse-quantizer scale path "
+    "alongside sign-LSH: deterministic data-derived centroid seeds "
+    f"(vec_id % {CELL_MOD} = 1, so K grows with the corpus), every "
+    "corpus vector assigned to its nearest cell (O(N·K) broadcast "
+    f"compare, K ≪ N), queries probe their {N_PROBE} nearest cells and "
+    "re-rank exactly inside them.  At 100 TB the per-cell postings are "
+    "the unit of partition pruning: a probe touches nprobe/K of the "
+    "corpus instead of all of it.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") % CELL_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    # cell assignment: argmin over the (small, broadcast) centroid set —
+    # per-vector window over K rows, shuffle carries (vec_id, cell) only
+    cos_vc = _cos_expr(F.col("e"), F.col("ce"))
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("ccos"), 6)), F.asc("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cent_id", cos_vc.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            "cent_id",
+            _cos_expr(F.col("e"), F.col("ce")).alias("ccos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc(F.round(F.col("ccos"), 6)), F.asc("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qe", F.col("cent_id").alias("cell"))
+    )
+    # a corpus vector lives in exactly one cell ⇒ (query, candidate)
+    # pairs are already unique across the probed cells — no distinct
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_expr(F.col("e"), F.col("qe")).alias("cos6"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos6"), 6)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id", F.round("cos6", 4).alias("cos"), "rank"
+        )
+    )
+
+
 # --- vector scalar ops -----------------------------------------------------
 
 

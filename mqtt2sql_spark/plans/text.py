@@ -7,7 +7,7 @@ shuffle at all — the plan is scan → project)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mqtt2sql_spark.fixtures import load_table
@@ -292,4 +292,65 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", split.alias("split"))
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    , tok AS (
+        SELECT doc_id, unnest({duck_tokens()}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tfidf, rank FROM (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6)
+                   AS tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln((1.0 + n.n_docs)
+                                             / (1.0 + df.df)), 6) DESC,
+                            tf.tok
+               ) AS BIGINT) AS rank
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: long-format tokens → "
+    "(doc, term) partial-agg counts, document frequency from the tf "
+    "relation itself (no second corpus scan), smoothed idf "
+    "ln((1+N)/(1+df)), per-doc top-k window with total-order "
+    "tie-break.  Scale: both aggs are map-side-combinable; df (one row "
+    "per distinct term) broadcasts to the tf side, so only (doc, term) "
+    "pairs ever shuffle.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
     )

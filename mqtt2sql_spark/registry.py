@@ -12,6 +12,7 @@ _PLAN_MODULES = (
     "mqtt2sql_spark.plans.dedup",
     "mqtt2sql_spark.plans.similarity",
     "mqtt2sql_spark.plans.text",
+    "mqtt2sql_spark.plans.timeseries",
     "mqtt2sql_spark.plans.multimodal",
 )
 

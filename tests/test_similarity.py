@@ -37,3 +37,36 @@ def test_lsh_buckets_are_deterministic(spark):
     assert a == b
     n_buckets = len({(t, bk) for _, t, bk in a})
     assert n_buckets > 16  # projections actually spread the space
+
+
+def test_ivf_recall_and_cell_partition(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.plans.similarity import (
+        CELL_MOD,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        _emb,
+    )
+
+    exact = {
+        (r.query_id, r.vec_id) for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    ivf_rows = ann_ivf_topk(spark, SF_DIR).collect()
+    ivf = {(r.query_id, r.vec_id) for r in ivf_rows}
+    assert ivf, "IVF produced no candidates"
+    # pairs are unique (one cell per corpus vector ⇒ no double counting)
+    assert len(ivf) == len(ivf_rows)
+    # seed centroids + nprobe=3 — data-dependent recall, sane floor only
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.25, f"recall collapsed: {recall}"
+    # every query returns at most TOP_K ranked 1..k without gaps
+    by_q = {}
+    for r in ivf_rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # the centroid seed set is nonempty and much smaller than the corpus
+    n = _emb(spark, SF_DIR).count()
+    k = _emb(spark, SF_DIR).filter(F.col("vec_id") % CELL_MOD == 1).count()
+    assert 0 < k < n / 4

@@ -1,0 +1,166 @@
+"""Approximate / sketch aggregates, built cross-engine-deterministic.
+
+Spark's own `approx_count_distinct` (HyperLogLog++) and DuckDB's
+`approx_count_distinct` use different hash functions and bias tables, so
+their estimates can never hash-match.  Instead the sketch itself is
+implemented from first principles (Flajolet et al. 2007) on top of md5 —
+the one hash both engines share — so the *estimate is bit-identical* in
+Spark and DuckDB and the oracle gate checks it like any exact query:
+
+  * register index  = first two md5 nibbles mod 64          (m = 64)
+  * rho             = leading-zero count of the next 60 hash bits + 1,
+                      computed exactly as 61 - len(bin(w)) — integer
+                      string-length math, no floating log2
+  * register value  = max(rho) per (group, register)        — the only
+                      aggregation; commutative, idempotent, and
+                      mergeable, which is what makes HLL the right
+                      100 TB distinct-count: partial aggregation
+                      combines map-side, shuffle carries ≤ m rows per
+                      group, and re-aggregation over partitions/days is
+                      a max() again
+  * estimate        = alpha_64·m²/Z as raw HLL, with the 2^-rho sum kept
+                      in exact integer arithmetic (Σ 2^(61-rho) over
+                      registers, absent registers contributing 2^61)
+                      until a single final double division — both
+                      engines perform the same one rounding
+
+The small-range correction (linear counting m·ln(m/V) when the raw
+estimate ≤ 2.5m and V registers are empty) is applied through a
+precomputed 63-entry lookup table embedded as the same literal in both
+engines: cross-engine ln() differs by 1 ulp for several V (measured), so
+the table — not libm — is the definition.  Estimates are asserted to
+±25% against the exact count in tests (σ ≈ 1.04/√64 ≈ 13%).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.fixtures import load_table
+from mqtt2sql_spark.plans.base import register
+
+M = 64          # registers
+W_BITS = 60     # hash bits fed to the rho counter
+_POW61 = 1 << (W_BITS + 1)  # 2^61: the "empty register" integer term
+# alpha_64 · m² · 2^61 as the correctly-rounded nearest double, computed
+# exactly (Fraction) and embedded as the same literal in both engines —
+# folding 0.709·4096·2^61 at runtime would round differently in DuckDB
+# (decimal literals) than in Spark (double literals)
+_NUMER = float(Fraction(709, 1000) * M * M * _POW61)
+
+_HEX = "0123456789abcdef"
+
+# linear-counting lookup: V empty registers (1..m-1) → round(m·ln(m/V), 2)
+_LC = [round(M * math.log(M / v), 2) for v in range(1, M)]
+_LC_SQL = "[" + ", ".join(repr(x) for x in _LC) + "]"
+_RAW_MAX = 2.5 * M  # small-range threshold (raw estimate ≤ 2.5m)
+
+
+def _nib_sql(i: int) -> str:
+    return f"(instr('{_HEX}', substr(hh, {i}, 1)) - 1)"
+
+
+def _w_sql() -> str:
+    return " + ".join(
+        f"CAST({_nib_sql(3 + i)} AS BIGINT) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+def _nib_col(i: int) -> Column:
+    return F.instr(F.lit(_HEX), F.substring("hh", i, 1)) - 1
+
+
+def _w_col() -> Column:
+    out = F.lit(0).cast("long")
+    for i in range(15):
+        out = out + _nib_col(3 + i).cast("long") * F.lit(16 ** (14 - i))
+    return out
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    , h AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh FROM events
+    ),
+    nib AS (
+        SELECT event_type,
+               (16 * {_nib_sql(1)} + {_nib_sql(2)}) % {M} AS bucket,
+               {_w_sql()} AS w
+        FROM h
+    ),
+    reg AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN {W_BITS + 1}
+                        ELSE {W_BITS + 1} - length(bin(w)) END) AS rho
+        FROM nib GROUP BY event_type, bucket
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS registers_hit,
+               sum(CAST((1::BIGINT << ({W_BITS + 1} - rho)) AS HUGEINT))
+                   + CAST({M} - count(*) AS HUGEINT) * {_POW61} AS total
+        FROM reg GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT t.event_type, registers_hit,
+           CASE WHEN {_NUMER!r} / CAST(total AS DOUBLE) <= {_RAW_MAX!r}
+                     AND registers_hit < {M}
+                THEN ({_LC_SQL})[{M} - registers_hit]
+                ELSE round({_NUMER!r} / CAST(total AS DOUBLE), 2)
+           END AS est_hll,
+           n_exact
+    FROM tot t JOIN ex USING (event_type)
+    """,
+    doc="Deterministic HyperLogLog distinct-count (Flajolet '07) per "
+    "event_type over md5, with the register sum in exact integer "
+    "arithmetic so Spark and DuckDB produce the bit-identical estimate "
+    "— the mergeable-sketch pattern for 100 TB distinct counts (exact "
+    "count(DISTINCT) joined alongside for error measurement).",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hh")
+    )
+    nib = h.select(
+        "event_type",
+        ((_nib_col(1) * 16 + _nib_col(2)) % M).alias("bucket"),
+        _w_col().alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin("w"))
+    )
+    reg = nib.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
+    # F.shiftleft only takes a literal shift — the SQL form shifts by a column
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {W_BITS + 1} - rho)")
+    tot = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_hit"),
+        (
+            F.sum(term.cast("decimal(38,0)"))
+            + (F.lit(M) - F.count(F.lit(1)))
+            * F.lit(_POW61).cast("decimal(38,0)")
+        ).alias("total"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = F.lit(_NUMER) / F.col("total").cast("double")
+    vacancy = (F.lit(M) - F.col("registers_hit")).cast("int")
+    est = F.when(
+        (raw <= F.lit(_RAW_MAX)) & (F.col("registers_hit") < M),
+        F.element_at(F.array(*[F.lit(x) for x in _LC]), vacancy),
+    ).otherwise(F.round(raw, 2))
+    return tot.join(ex, "event_type").select(
+        "event_type",
+        "registers_hit",
+        est.alias("est_hll"),
+        "n_exact",
+    )

@@ -13,6 +13,7 @@ _PLAN_MODULES = (
     "mqtt2sql_spark.plans.similarity",
     "mqtt2sql_spark.plans.text",
     "mqtt2sql_spark.plans.timeseries",
+    "mqtt2sql_spark.plans.sketches",
     "mqtt2sql_spark.plans.multimodal",
 )
 

@@ -1002,3 +1002,76 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("min_money"),
     )
+
+
+# --- map-typed payload ops -------------------------------------------------
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    , je AS (
+        SELECT event_type, k,
+               CAST(json_extract_string(props, '$.' || k) AS INTEGER) AS v
+        FROM (
+            SELECT event_type, props, unnest(json_keys(props)) AS k
+            FROM events
+        )
+    )
+    SELECT event_type, k, count(*) AS n, sum(v) AS sum_v,
+           round(avg(v), 4) AS avg_v
+    FROM je GROUP BY event_type, k
+    """,
+    doc="Map-typed payload surface: from_json to map<string,int>, "
+    "explode entries to long format, aggregate per (event_type, key) — "
+    "the dynamic-schema escape hatch for semi-structured payloads "
+    "(SURVEY.md §1.3 keeps the stored payload opaque; this is the "
+    "decoded view).  Long format shuffles (type, key) pairs with "
+    "map-side partial aggregation, never whole maps.",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    entries = ev.select(
+        "event_type", F.explode(m).alias("k", "v")
+    )
+    return entries.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+    )
+
+
+# --- GROUPING SETS ---------------------------------------------------------
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (two independent one-column rollups plus "
+    "the grand total in ONE pass — what separate GROUP BYs would need "
+    "three scans for), with grouping() flags disambiguating the NULL "
+    "markers.  Complements rollup_lineitem / cube_orders; Spark plans "
+    "a single Expand + hash aggregate, so the scan and shuffle are "
+    "shared across all three sets.",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -93,3 +93,27 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_gap}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("topic", "event_id"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication bounded by the watermark horizon
+    (`dropDuplicatesWithinWatermark`): replayed deliveries of the same
+    message — the at-least-once duplicates our checkpointed MQTT source
+    can produce on recovery (sources/mqtt.py WAL replay; the reference
+    is QoS-0 at-most-once and never sees duplicates,
+    /root/reference/mqtt2sql.py:757,760) — are suppressed when they
+    arrive within `watermark` of the first delivery.
+
+    State is keyed by `keys` and expires with the watermark, so memory
+    is bounded by (duplicate-window arrival rate × horizon), not by
+    stream history — the property that makes this safe at 100 TB where
+    an unbounded `dropDuplicates` would accumulate state forever.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -115,3 +115,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # click@h26 pairs with purchase@h27; purchase@h1 precedes no click <= it
     # except click@h1 (ts equal → included)
     assert got == {(1, 2), (3, 2), (5, 4)}
+
+
+def test_dedup_within_watermark_suppresses_replayed_messages(
+    spark, tmp_path
+):
+    import time
+
+    from mqtt2sql_spark.streaming.windows import dedup_within_watermark
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    now = time.time()
+    # batch 0: event 1 delivered twice (same-batch duplicate) + event 2
+    _write_slice(
+        spark,
+        str(input_dir / "000.parquet"),
+        [("a", 0, 1), ("a", 0, 1), ("b", 0, 2)],
+        mtime=now - 60,
+    )
+    # batch 1: event 1 replayed again (cross-batch duplicate, well inside
+    # the watermark horizon) + fresh event 3
+    _write_slice(
+        spark,
+        str(input_dir / "001.parquet"),
+        [("a", 0, 1), ("a", 1, 3)],
+        mtime=now,
+    )
+
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    deduped = dedup_within_watermark(stream, watermark="2 hours")
+    out_dir = tmp_path / "out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out_dir)).collect()
+    seen = [(r.topic, r.event_id) for r in rows]
+    assert sorted(seen) == [("a", 1), ("a", 3), ("b", 2)]

@@ -65,3 +65,55 @@ def test_salted_aggregation_equals_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def _plan(spark, df) -> str:
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ivf_plan_broadcasts_centroids_and_probes(spark):
+    """IVF must never shuffle the corpus against the centroid set: both
+    the assignment compare and the probe join are broadcasts."""
+    from mqtt2sql_spark.plans.similarity import ann_ivf_topk
+
+    plan = _plan(spark, ann_ivf_topk(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+    # the corpus side is never broadcast wholesale — no full SortMergeJoin
+    # of embeddings against embeddings
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The banded range join must plan as an equi-join on the composite
+    (user, bucket) key — not the O(n²) nested-loop a raw inequality
+    condition produces."""
+    from mqtt2sql_spark.plans.timeseries import range_join_bucketed
+
+    plan = _plan(spark, range_join_bucketed(spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    """Document-frequency (one row per distinct term) broadcasts; only
+    (doc, term) pairs ever shuffle."""
+    from mqtt2sql_spark.plans.text import tfidf_top_terms
+
+    plan = _plan(spark, tfidf_top_terms(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_is_two_hash_aggregates(spark):
+    """The HLL sketch must plan as hash aggregates (mergeable partials),
+    never a sort-based aggregate over raw hashes."""
+    from mqtt2sql_spark.plans.sketches import hll_distinct_users
+
+    plan = _plan(spark, hll_distinct_users(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final × register/total

@@ -1075,3 +1075,43 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# --- time-range window frame -----------------------------------------------
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 4) + 0 AS sum_last_hour
+    FROM events
+    """,
+    doc="Time-range window frame: per user, events and value-sum in the "
+    "trailing hour (RANGE BETWEEN INTERVAL, keyed on exact integer "
+    "microseconds so both engines frame identically).  The sliding-"
+    "aggregate form the history table's monitoring queries need; one "
+    "shuffle by user, frame evaluation is a sorted in-partition scan.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        (F.round(F.sum("value").over(w), 4) + F.lit(0.0)).alias(
+            "sum_last_hour"
+        ),
+    )

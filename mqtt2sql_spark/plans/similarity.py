@@ -450,3 +450,49 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("component"), 6) + F.lit(0.0)).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+# --- scalar quantization ---------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    , expl AS (
+        SELECT vec_id,
+               list_min(CAST(embedding AS DOUBLE[])) AS mn,
+               list_max(CAST(embedding AS DOUBLE[])) AS mx,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+           CASE WHEN mx = mn THEN 0
+                ELSE CAST(floor(((x - mn) / (mx - mn)) * 255 + 0.5)
+                          AS INTEGER)
+           END AS q
+    FROM expl
+    """,
+    doc="Per-vector int8 scalar quantization (min/max affine, the "
+    "vector-DB storage-compression building block): codes computed as "
+    "floor(t*255 + 0.5) — explicit half-up in integer-safe floor "
+    "arithmetic, since round() half-mode differs across engines.  "
+    "Long-format integer output makes cross-engine parity exact; "
+    "per-row map work, no shuffle.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    expl = emb.select(
+        "vec_id",
+        F.array_min("e").alias("mn"),
+        F.array_max("e").alias("mx"),
+        F.posexplode("e").alias("dim", "x"),
+    )
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.floor(
+            ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+            * 255
+            + 0.5
+        ).cast("int")
+    )
+    return expl.select("vec_id", "dim", q.alias("q"))

@@ -70,3 +70,18 @@ def test_ivf_recall_and_cell_partition(spark):
     n = _emb(spark, SF_DIR).count()
     k = _emb(spark, SF_DIR).filter(F.col("vec_id") % CELL_MOD == 1).count()
     assert 0 < k < n / 4
+
+
+def test_quantize_int8_codes_cover_range(spark):
+    from mqtt2sql_spark.plans.similarity import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    qs = [r.q for r in rows]
+    assert min(qs) == 0 and max(qs) == 255  # min/max map to the endpoints
+    assert all(0 <= q <= 255 for q in qs)
+    # every vector emits exactly 64 codes
+    from collections import Counter
+
+    per_vec = Counter(r.vec_id for r in rows)
+    assert set(per_vec.values()) == {64}

@@ -199,3 +199,114 @@ def multimodal_chunk_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_batches,
         "doc_id long, chunk_idx int, chunk_bytes int, chunk_hash string",
     )
+
+
+TARGET_BOX = 224  # resize target (longest edge), CNN-preprocessing style
+
+
+@register(
+    "multimodal_resize_dims",
+    oracle=f"""
+    , meta AS (
+        SELECT doc_id, n_bytes,
+               64 + n_bytes % 512 AS width,
+               64 + (n_bytes * 7) % 512 AS height
+        FROM (SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents)
+    )
+    SELECT doc_id, width, height,
+           greatest(1, (width * {TARGET_BOX}) // greatest(width, height))
+               AS out_w,
+           greatest(1, (height * {TARGET_BOX}) // greatest(width, height))
+               AS out_h
+    FROM meta
+    """,
+    doc="Multimodal resize plumbing: aspect-preserving fit of each "
+    f"(width, height) into a {TARGET_BOX}px box in exact integer "
+    "arithmetic ((edge*T)//longest) — the geometry half of an image "
+    "resize stage; the pixel transform itself is the stubbed codec "
+    "(REAL_CODECS_AVAILABLE, decode_image_real).  Dims come from the "
+    "same deterministic fake decode as multimodal_decode_meta; pure "
+    "per-row projection, no shuffle.",
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = multimodal_decode_meta(spark, sf_dir)
+    longest = F.greatest("width", "height")
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(
+            F.lit(1), (F.col("width") * TARGET_BOX).cast("long") / longest
+        )
+        .cast("long")
+        .alias("out_w"),
+        F.greatest(
+            F.lit(1), (F.col("height") * TARGET_BOX).cast("long") / longest
+        )
+        .cast("long")
+        .alias("out_h"),
+    )
+
+
+_HEXU = "0123456789ABCDEF"
+
+
+@register(
+    "multimodal_byte_histogram",
+    oracle=f"""
+    , payloads AS (
+        SELECT doc_id, upper(hex(encode(text))) AS hp,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, hp, unnest(range(0, n)) AS i FROM payloads
+    ),
+    b AS (
+        SELECT doc_id,
+               16 * (instr('{_HEXU}',
+                           substr(hp, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
+                 + (instr('{_HEXU}',
+                          substr(hp, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+                   AS byte
+        FROM pos
+    )
+    SELECT doc_id, CAST(byte // 32 AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_bytes
+    FROM b GROUP BY doc_id, bin
+    """,
+    doc="Multimodal feature-extraction plumbing: payload bytes → 8-bin "
+    "byte histogram per document, vectorized with numpy "
+    "(frombuffer >> 5, bincount) inside mapInPandas — the batch shape "
+    "of any embedding/feature extractor: media bytes stay in the "
+    "executor, only the small feature vector (long format, exact "
+    "integers) leaves.  The oracle recomputes the histogram from hex "
+    "pairs in pure SQL.",
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def hist_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if data.size == 0:
+                    continue
+                counts = np.bincount(data >> 5, minlength=8)
+                for bin_idx in np.nonzero(counts)[0]:
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(int(bin_idx))
+                    out["n_bytes"].append(int(counts[bin_idx]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        hist_batches, "doc_id long, bin int, n_bytes long"
+    )

@@ -1115,3 +1115,154 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_last_hour"
         ),
     )
+
+
+# --- cohort retention ------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    , first AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT d0 AS cohort_day,
+           CAST(date_diff('day', d0, d) // 7 AS INTEGER) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first USING (user_id)
+    GROUP BY cohort_day, week_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen day, activity "
+    "counted per week offset — the engagement matrix behind every "
+    "retention curve.  Two aggregations on the same user_id key (AQE "
+    "reuses the shuffle layout); the cohort dimension joins broadcast.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .select(
+            F.col("d0").alias("cohort_day"),
+            F.floor(F.datediff("d", "d0") / 7).cast("int").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --- funnel conversion -----------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    , v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage,
+           count(*) AS n_users
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    GROUP BY stage
+    """,
+    doc="Ordered funnel (view → click → purchase, each step strictly "
+    "after the previous and within a 24 h conversion window): per-step earliest-qualifying-time via "
+    "conditional aggregation + semi-style joins, then stage counts.  "
+    "All three aggregations hash on user_id — one shuffle layout "
+    "reused; step dimensions broadcast back to the fact.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- NTILE deciles ---------------------------------------------------------
+
+
+@register(
+    "ntile_deciles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(10) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS INTEGER) AS decile
+    FROM orders
+    """,
+    doc="NTILE decile assignment per order priority (total order with "
+    "o_orderkey tie-break).  Partitioned by priority so the sort is "
+    "per-key, not global — the scale-safe NTILE; a global decile at "
+    "100 TB would use percent_rank over range-partitioned sort or "
+    "approx quantile boundaries instead.",
+)
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )

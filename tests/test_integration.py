@@ -156,3 +156,52 @@ def test_checkpoint_recovery_resumes_without_duplicates(spark, tmp_path):
     hist = [bytes(r.value).decode() for r in sink.history().collect()]
     # no duplicates from the restart: v1,w1 from run 1; v2,x1 from run 2
     assert sorted(hist) == ["v1", "v2", "w1", "x1"]
+
+
+def test_cli_daemon_once_drains_spool(tmp_path):
+    """`python -m mqtt2sql_spark --once` end-to-end: spool → mqtt table
+    (the reference's daemon surface, batch-catchup mode)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    lines = [
+        "sensors/1\t" + b'{"t": 1}'.hex() + "\t0\t0",
+        "sensors/1\t" + b'{"t": 2}'.hex() + "\t0\t0",
+        "sensors/2\t" + b'{"h": 9}'.hex() + "\t1\t0",
+        "debug/x\t" + b"noise".hex() + "\t0\t0",
+    ]
+    (spool / "000.msg").write_text("\n".join(lines) + "\n")
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "mqtt2sql_spark",
+            "--transport", "file",
+            "--spool-dir", str(spool),
+            "--storage-dir", str(tmp_path / "tables"),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--exclude-topic", "debug/x",
+            "--once",
+        ],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    con = duckdb.connect()
+    ptr = (tmp_path / "tables" / "mqtt" / "_CURRENT").read_text().strip()
+    rows = con.execute(
+        "SELECT topic, decode(value) FROM "
+        f"'{tmp_path}/tables/mqtt/{ptr}/*.parquet' ORDER BY topic"
+    ).fetchall()
+    topics = [r[0] for r in rows]
+    assert topics == ["sensors/1", "sensors/2"]  # excluded topic absent
+    assert rows[0][1] == '{"t": 2}'  # latest value won the upsert

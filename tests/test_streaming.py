@@ -170,3 +170,56 @@ def test_stateful_diffonly_across_batches(spark, staged, tmp_path):
         ("b", "p"), ("b", "r"),
         ("c", "q"),
     ]
+
+
+def test_stateful_diffonly_ttl_expires_idle_topics(spark, tmp_path):
+    """state_ttl_ms bounds the state store: an idle topic's last-value
+    memory is dropped, so its next message re-emits even when unchanged
+    (the documented expiry trade-off)."""
+    import time
+
+    from mqtt2sql_spark.streaming.diffonly import diffonly_stream
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = (
+            message_file_stream(spark, str(input_dir) + "/*")
+            .withColumn("value_str", F.col("value").cast("string"))
+            .select("topic", "ts", "value_str", "event_id")
+        )
+        q = (
+            diffonly_stream(stream, state_ttl_ms=100)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def add_slice(name, rows):
+        _mk_messages(spark, rows).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(input_dir / name))
+
+    add_slice("000.parquet", [("a", 0, "x", 1)])
+    run_once()
+    time.sleep(0.5)  # let topic a idle past the 100 ms TTL
+    add_slice("001.parquet", [("b", 10, "p", 2)])
+    run_once()  # processing this batch expires a's state
+    time.sleep(0.5)
+    add_slice("002.parquet", [("a", 20, "x", 3)])
+    run_once()
+
+    got = sorted(
+        (r.topic, r.value_str, r.event_id)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    # ("a", "x") appears TWICE: the post-expiry repeat is emitted even
+    # though the value never changed
+    assert got == [("a", "x", 1), ("a", "x", 3), ("b", "p", 2)]

@@ -25,8 +25,9 @@ def test_progress_listener_records_batches(spark, tmp_path):
         )
         q.processAllAvailable()
         q.stop()
-        # listener events are delivered asynchronously
-        deadline = time.time() + 10
+        # listener events are delivered asynchronously; generous deadline —
+        # under full-suite load this box delivers them late
+        deadline = time.time() + 60
         while time.time() < deadline and not listener.progress:
             time.sleep(0.2)
     finally:

@@ -1266,3 +1266,74 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+# --- shipping-priority top-k (TPC-H Q3 shape) ------------------------------
+
+
+@register(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l_orderkey, revenue, o_orderdate, rank FROM (
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               o.o_orderdate,
+               CAST(row_number() OVER (
+                   ORDER BY round(sum(l.l_extendedprice
+                                      * (1 - l.l_discount)), 2) DESC,
+                            l.l_orderkey
+               ) AS BIGINT) AS rank
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '2024-06-01'
+          AND l.l_shipdate > TIMESTAMP '2024-06-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+    ) WHERE rank <= 10
+    """,
+    doc="Shipping-priority top-k (TPC-H Q3 shape): selective dimension "
+    "filter (mktsegment) broadcast through orders into lineitem, "
+    "aggregate revenue per order, global top-10 with total-order "
+    "tie-break.  The filters reach both parquet scans (pushdown) and "
+    "the customer side broadcasts; lineitem ⋈ orders is AQE's choice "
+    "(broadcast at test scale, shuffle at 100 TB); the final top-k "
+    "ranking window sees only the aggregated per-order rows.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "2024-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "2024-06-01"
+    )
+    # customer (post-filter, dim-sized) broadcasts explicitly; the
+    # lineitem ⋈ orders join is left to AQE — at 100 TB the date-filtered
+    # orders side is far past broadcast size and must shuffle, while at
+    # test scale AQE demotes it to a broadcast on its own
+    rev = (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders["o_custkey"] == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "rank")
+    )

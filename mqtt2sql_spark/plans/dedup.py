@@ -491,3 +491,70 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, "component").select(
         "doc_id", "component", "reach_size"
     )
+
+
+# --- canonical representative per dup cluster ------------------------------
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT c.doc_id, c.component,
+           first_value(c.doc_id) OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS canonical_id,
+           first_value(c.doc_id) OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) = c.doc_id AS is_canonical
+    FROM comp c JOIN documents d USING (doc_id)
+    """,
+    doc="Canonical-representative selection — the step a dedup pipeline "
+    "actually persists: per transitive dup cluster (dedup_components), "
+    "keep the longest document (n_chars, doc_id tie-break), mark the "
+    "rest as drops.  One window over the component key; the cluster "
+    "assignment comes from the Pregel-style min-label propagation in "
+    "operators/components.py.",
+    recursive=True,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (
+        W.partitionBy("component")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    joined = comp.join(docs, "doc_id")
+    canonical = F.first("doc_id").over(w)
+    return joined.select(
+        "doc_id",
+        "component",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("doc_id")).alias("is_canonical"),
+    )

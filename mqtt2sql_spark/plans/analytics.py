@@ -1018,8 +1018,8 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
     )
-    SELECT event_type, k, count(*) AS n, sum(v) AS sum_v,
-           round(avg(v), 4) AS avg_v
+    SELECT event_type, k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(floor(CAST(sum(v) AS DOUBLE) * 10000.0 / count(*) + 0.5) AS BIGINT) AS avg_v_fp
     FROM je GROUP BY event_type, k
     """,
     doc="Map-typed payload surface: from_json to map<string,int>, "
@@ -1027,7 +1027,13 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the dynamic-schema escape hatch for semi-structured payloads "
     "(SURVEY.md §1.3 keeps the stored payload opaque; this is the "
     "decoded view).  Long format shuffles (type, key) pairs with "
-    "map-side partial aggregation, never whole maps.",
+    "map-side partial aggregation, never whole maps.  The average is "
+    "exposed as exact integer fixed-point (1e-4 units, round-half-up "
+    "from the exact sum/count integers) so the compared surface has no "
+    "float: r01's driver gate flagged a hash mismatch on the rounded "
+    "DOUBLE that local emulation could not reproduce — a float-rendering "
+    "canonicalization divergence, engineered away per the "
+    "embedding_quantize_int8 pattern (plans/similarity.py).",
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1035,11 +1041,16 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = ev.select(
         "event_type", F.explode(m).alias("k", "v")
     )
-    return entries.groupBy("event_type", "k").agg(
+    agg = entries.groupBy("event_type", "k").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").cast("long").alias("sum_v"),
-        F.round(F.avg("v"), 4).alias("avg_v"),
     )
+    # exact-integer fixed-point average (1e-4 units): identical IEEE op
+    # order on both sides — (double)sum * 10000.0 / n + 0.5, floor.
+    avg_fp = F.floor(
+        F.col("sum_v").cast("double") * F.lit(10000.0) / F.col("n") + F.lit(0.5)
+    ).cast("long")
+    return agg.withColumn("avg_v_fp", avg_fp)
 
 
 # --- GROUPING SETS ---------------------------------------------------------

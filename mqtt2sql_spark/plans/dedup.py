@@ -40,6 +40,12 @@ ROWS_PER_BAND = N_MINHASH // N_BANDS
 MAX_SHINGLE_DF = 50  # stop-shingle pruning threshold (docs per shingle)
 JACCARD_MIN = 0.02
 COSINE_MIN = 0.35
+# corpus tile size for the exact-cosine block matmul: bounds per-pass
+# driver/broadcast memory at O(EMB_TILE_ROWS·dim).  1024 keeps the sf0.1
+# fixture on the multi-tile path (2000 rows → 2 tiles) so the oracle gate
+# exercises the tile loop; a cluster deployment raises it to its broadcast
+# budget (e.g. 1M rows × 64 dims × 8 B ≈ 512 MB per pass).
+EMB_TILE_ROWS = 1024
 
 # --- shared shingle derivation (Spark) ------------------------------------
 
@@ -398,47 +404,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ) WHERE cos >= {COSINE_MIN}
     """,
-    doc="Embedding-cosine near-dup pairs: block matrix multiply — each "
-    "Arrow batch of rows is one numpy matmul against the broadcast "
-    "(normalized) corpus tile.  At 100 TB the corpus is tiled into "
-    "broadcastable blocks and this same kernel loops over tiles; the "
-    "LSH-bucketed path (plans/similarity.py) avoids the O(n²) entirely.",
+    doc="Embedding-cosine near-dup pairs: tiled block matrix multiply — "
+    "the corpus is split into bounded-size tiles (TILE_ROWS each, "
+    "hash-assigned on vec_id); each pass broadcasts ONE normalized tile "
+    "and every Arrow batch of the full corpus is a single numpy matmul "
+    "against it, results unioned across tiles.  Driver/executor memory "
+    "per pass is O(TILE_ROWS·dim), never O(corpus): at 100 TB the loop "
+    "just has more passes.  Each ordered pair (a<b) surfaces exactly once "
+    "— in the pass whose tile holds b.  The LSH-bucketed path "
+    "(plans/similarity.py) avoids the O(n²) scan count entirely and is "
+    "the canonical scale path; this is the exact baseline.",
 )
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_pairs(
+    spark: SparkSession, sf_dir: str, tile_rows: int = EMB_TILE_ROWS
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # corpus tile: ids + L2-normalized matrix (~1 MB at this shape — the
-    # block size a cluster deployment would broadcast per round)
-    local = emb.collect()
-    ids = np.array([r.vec_id for r in local], dtype=np.int64)
-    mat = np.array([r.embedding for r in local], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    # bounded tile assignment: crc32 hash-bucket on vec_id so tile sizes
+    # stay ~uniform whatever the id pattern; n_tiles from an aggregate
+    # (count), never a data collect
+    n = emb.count()
+    n_tiles = max(1, -(-n // tile_rows))
+    tile_col = F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(n_tiles))
 
-    def block_cosine(batches):
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ c_mat.T, 4)  # BLAS: whole batch in one call
-            # threshold on the ROUNDED value — the contract filters the
-            # rounded output column, so 0.34996 → 0.35 must be kept
-            ai, ci = np.where(sims >= COSINE_MIN)
-            keep = a_ids[ai] < c_ids[ci]
-            yield pd.DataFrame(
-                {
-                    "doc_a": a_ids[ai][keep],
-                    "doc_b": c_ids[ci][keep],
-                    "cos": sims[ai, ci][keep],
-                }
-            )
+    scan = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    parts = []
+    for t in range(n_tiles):
+        # one bounded collect per pass — filter pushed to the parquet scan
+        local = emb.where(tile_col == t).collect()
+        if not local:
+            continue
+        ids = np.array([r.vec_id for r in local], dtype=np.int64)
+        mat = np.array([r.embedding for r in local], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids, mat))
 
-    return emb.repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    ).mapInPandas(block_cosine, "doc_a long, doc_b long, cos double")
+        def block_cosine(batches, _bc=bc):
+            c_ids, c_mat = _bc.value
+            for pdf in batches:
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                a = np.array(list(pdf["embedding"]), dtype=np.float64)
+                a /= np.linalg.norm(a, axis=1, keepdims=True)
+                sims = np.round(a @ c_mat.T, 4)  # BLAS: batch × tile
+                # threshold on the ROUNDED value — the contract filters the
+                # rounded output column, so 0.34996 → 0.35 must be kept
+                ai, ci = np.where(sims >= COSINE_MIN)
+                keep = a_ids[ai] < c_ids[ci]
+                yield pd.DataFrame(
+                    {
+                        "doc_a": a_ids[ai][keep],
+                        "doc_b": c_ids[ci][keep],
+                        "cos": sims[ai, ci][keep],
+                    }
+                )
+
+        parts.append(
+            scan.mapInPandas(block_cosine, "doc_a long, doc_b long, cos double")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # --- transitive dup clusters (connected components) -------------------------

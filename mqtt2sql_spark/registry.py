@@ -31,6 +31,77 @@ def _load() -> None:
 
 _load()
 
+# Explicit presentation order. The driver's correctness gate samples queries
+# in registration order with a bounded window (r01 covered exactly the first
+# 50), so the inventory is ordered by evidence value: the SURVEY §2 core
+# pipeline first, then every extension operator that has no driver-green
+# CORRECTNESS row yet (r01 cut them off), then the analytics queries that
+# were already witnessed green in CORRECTNESS_r01.json. Names absent from
+# this tuple keep their registration order after it.
+_PRIORITY: tuple[str, ...] = (
+    # SURVEY §2 core (A1-A14) — must stay inside every window
+    "scan_events",
+    "filter_exclude_topic",
+    "filter_topic_wildcard",
+    "project_message",
+    "upsert_latest_per_topic",
+    "assign_topic_ids",
+    "history_enable_routing",
+    "history_append_all",
+    "history_diffonly",
+    "history_view_join",
+    "tz_render",
+    "hex_roundtrip",
+    "flip_history_flag",
+    # extension operators without a driver-green r01 row
+    "ntile_deciles",
+    "shipping_priority_topk",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "dedup_components",
+    "dedup_canonical_docs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "vector_norms",
+    "label_centroids",
+    "embedding_quantize_int8",
+    "token_count",
+    "text_quality",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    "quality_filter_pass",
+    "train_test_split",
+    "tfidf_top_terms",
+    "gap_fill_locf",
+    "range_join_bucketed",
+    "hll_distinct_users",
+    "multimodal_decode_meta",
+    "asof_join_purchase_click",
+    "multimodal_chunk_bytes",
+    "multimodal_resize_dims",
+    "multimodal_byte_histogram",
+    # re-witness the r01 hash-mismatch fix + diverse analytics shapes
+    "map_funcs",
+    "agg_pricing_summary",
+    "events_sessionize",
+    "asof_last_click_before_purchase",
+    "cohort_retention",
+    "funnel_conversion",
+)
+
 
 def all_specs() -> dict[str, QuerySpec]:
-    return REGISTRY.specs()
+    specs = REGISTRY.specs()
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PRIORITY:
+        if name in specs:
+            ordered[name] = specs[name]
+    for name, spec in specs.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

@@ -24,12 +24,15 @@ def test_progress_listener_records_batches(spark, tmp_path):
             .start()
         )
         q.processAllAvailable()
-        q.stop()
-        # listener events are delivered asynchronously; generous deadline —
-        # under full-suite load this box delivers them late
+        # listener events are delivered asynchronously; poll while the query
+        # is still ALIVE — stopping first can drop (not merely delay) the
+        # delivery under full-suite load
         deadline = time.time() + 60
-        while time.time() < deadline and not listener.progress:
+        while time.time() < deadline and not any(
+            p["numInputRows"] == 1 for p in listener.progress
+        ):
             time.sleep(0.2)
+        q.stop()
     finally:
         spark.streams.removeListener(listener)
     assert any(p["numInputRows"] == 1 for p in listener.progress)

@@ -49,12 +49,28 @@ class EngineConfig:
 
 
 def parse_mqtt_url(url: str) -> MqttEndpoint:
-    # '#' is the MQTT multi-level wildcard, not a URL fragment — keep it
-    # in the topic path (mqtt2sql.conf:33 grammar)
-    had_hash = "#" in url
+    # '#' is the MQTT multi-level wildcard, not a URL fragment — but only
+    # when it appears in the TOPIC (past the authority section).  A '#'
+    # inside userinfo (password) must stay credential text: find the
+    # authority bounds first, percent-encode any '#' before the '@', and
+    # only treat '#' at/after the path start as topic text
+    # (mqtt2sql.conf:30-33 grammar).
+    scheme_end = url.find("://")
+    auth_start = scheme_end + 3 if scheme_end != -1 else 0
+    path_start = url.find("/", auth_start)
+    auth_end = path_start if path_start != -1 else len(url)
+    at = url.rfind("@", auth_start, auth_end)
+    if at != -1 and "#" in url[auth_start:at]:
+        url = url[:auth_start] + url[auth_start:at].replace("#", "%23") + url[at:]
+        shift = url.rfind("@", auth_start) - at
+        path_start = path_start + shift if path_start != -1 else -1
+        auth_end += shift
     frag = ""
-    if had_hash:
-        url, _, frag = url.partition("#")
+    had_hash = False
+    hash_idx = url.find("#", auth_end)
+    if hash_idx != -1:
+        had_hash = True
+        url, frag = url[:hash_idx], url[hash_idx + 1 :]
     u = urlparse(url)
     if u.scheme not in ("mqtt", "mqtts"):
         raise ValueError(f"unsupported scheme {u.scheme!r} in {url!r}")
@@ -73,3 +89,96 @@ def parse_mqtt_url(url: str) -> MqttEndpoint:
         password=unquote(u.password) if u.password else None,
         topics=topics,
     )
+
+
+# --- config-file surface (B1, mqtt2sql.conf / configargparse style) --------
+
+# reference option names (and their deprecated aliases, mqtt2sql.py:178-366
+# `configargparse.SUPPRESS` entries) → this CLI's canonical option.  A
+# config-file key is the long option name without the leading dashes.
+_CONF_KEY_TO_OPTION: dict[str, str] = {
+    "mqtt": "--mqtt",
+    "mqtt-host": "--mqtt-host",
+    "mqtthost": "--mqtt-host",
+    "host": "--mqtt-host",
+    "mqtt-port": "--mqtt-port",
+    "mqttport": "--mqtt-port",
+    "port": "--mqtt-port",
+    "mqtt-username": "--mqtt-username",
+    "mqttusername": "--mqtt-username",
+    "username": "--mqtt-username",
+    "mqtt-password": "--mqtt-password",
+    "mqttpassword": "--mqtt-password",
+    "password": "--mqtt-password",
+    "mqtt-topic": "--topic",
+    "topic": "--topic",
+    "mqtt-exclude-topic": "--exclude-topic",
+    "exclude-topic": "--exclude-topic",
+    "mqtt-cafile": "--mqtt-cafile",
+    "cafile": "--mqtt-cafile",
+    "mqtt-certfile": "--mqtt-certfile",
+    "certfile": "--mqtt-certfile",
+    "mqtt-keyfile": "--mqtt-keyfile",
+    "keyfile": "--mqtt-keyfile",
+    "mqtt-insecure": "--mqtt-insecure",
+    "insecure": "--mqtt-insecure",
+    "mqtt-keepalive": "--keepalive",
+    "keepalive": "--keepalive",
+    "sql-timezone": "--timezone",
+    "timezone": "--timezone",
+    "logfile": "--logfile",
+    "debug": "--debug",
+    "verbose": "--verbose",
+    "storage-dir": "--storage-dir",
+    "checkpoint-dir": "--checkpoint-dir",
+    "max-per-trigger": "--max-per-trigger",
+    "transport": "--transport",
+    "spool-dir": "--spool-dir",
+    "memory-key": "--memory-key",
+    "wal-dir": "--wal-dir",
+    "once": "--once",
+}
+
+# options that are argparse flags (store_true / count) — a bare key or a
+# truthy value emits the switch, a falsy value emits nothing
+_FLAG_OPTIONS = {"--mqtt-insecure", "--debug", "--verbose", "--once"}
+
+
+def config_file_argv(path: str) -> list[str]:
+    """Translate a reference-style config file (mqtt2sql.conf:1-88) into
+    argv tokens to PREPEND before the real command line, so command-line
+    parameters overwrite config-file ones (the reference's precedence,
+    mqtt2sql.conf:10).  Syntax: ``key = value`` lines, ``[section]``
+    headers ignored, ``#``/``;`` comments, ``[a, b, c]`` arrays expand to
+    repeated options, bare keys are flags.  Unknown keys raise ValueError
+    (fail fast, like configargparse)."""
+    argv: list[str] = []
+    with open(path) as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith(("#", ";")):
+                continue
+            if line.startswith("[") and line.endswith("]"):
+                continue  # grouping headers are decorative (mqtt2sql.conf:11)
+            key, sep, value = line.partition("=")
+            key = key.strip().lstrip("-").lower()
+            value = value.strip()
+            if key == "configfile":
+                raise ValueError(f"{path}:{lineno}: nested configfile")
+            opt = _CONF_KEY_TO_OPTION.get(key)
+            if opt is None:
+                raise ValueError(f"{path}:{lineno}: unknown config key {key!r}")
+            if opt in _FLAG_OPTIONS:
+                if not sep or value.lower() in ("true", "1", "yes", "on", ""):
+                    argv.append(opt)
+                continue
+            if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+                value = value[1:-1]
+            if value.startswith("[") and value.endswith("]"):
+                items = [v.strip() for v in value[1:-1].split(",")]
+                for item in items:
+                    if item:
+                        argv.extend((opt, item))
+                continue
+            argv.extend((opt, value))
+    return argv

@@ -1284,6 +1284,7 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shipping_priority_topk",
+    bench=True,
     oracle="""
     SELECT l_orderkey, revenue, o_orderdate, rank FROM (
         SELECT l.l_orderkey,
@@ -1347,4 +1348,50 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("l_orderkey", "revenue", "o_orderdate", "rank")
+    )
+
+
+# --- per-group z-score anomaly flagging ------------------------------------
+
+Z_MIN_ABS = 2.5  # |z| threshold for flagging
+
+
+@register(
+    "anomaly_zscore",
+    oracle=f"""
+    , stats AS (
+        SELECT event_type, round(avg(value), 6) AS mu,
+               round(stddev_samp(value), 6) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round(e.value, 4) + 0 AS value,
+           round((e.value - s.mu) / s.sd, 4) + 0 AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sd > 0 AND abs(round((e.value - s.mu) / s.sd, 4)) >= {Z_MIN_ABS}
+    """,
+    doc="Anomaly flagging: per-event-type mean/stddev (single-pass "
+    "co-moment agg, bit-parity verified like lineitem_stats), broadcast "
+    "back onto the fact stream, flag |z| ≥ 2.5.  Parity recipe: mu/sd are "
+    "ROUNDED before the z arithmetic so both engines divide identical "
+    "doubles; z gets the round+0 negative-zero guard (CLAUDE.md rules). "
+    "Scale: the stats side is |event_types| rows — a broadcast join, no "
+    "fact shuffle; the filter evaluates in the scan stage.",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) >= Z_MIN_ABS))
+        .select(
+            "event_id",
+            "event_type",
+            (F.round("value", 4) + F.lit(0.0)).alias("value"),
+            (z + F.lit(0.0)).alias("z"),
+        )
     )

@@ -586,3 +586,75 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical_id"),
         (canonical == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+# --- eval-set decontamination ----------------------------------------------
+
+EVAL_SOURCE = "src0"  # the held-out/eval slice of the corpus
+OVERLAP_MIN = 2  # shared 3-gram shingles required to flag a pair
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , shsrc AS (
+        SELECT s.doc_id, s.shingle, d.source
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    good AS (
+        SELECT shingle FROM shsrc GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+           AND sum(CASE WHEN source = '{EVAL_SOURCE}' THEN 1 ELSE 0 END) >= 1
+           AND sum(CASE WHEN source <> '{EVAL_SOURCE}' THEN 1 ELSE 0 END) >= 1
+    )
+    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+           CAST(count(*) AS BIGINT) AS n_overlap
+    FROM shsrc t
+    JOIN shsrc e USING (shingle)
+    JOIN good USING (shingle)
+    WHERE t.source <> '{EVAL_SOURCE}' AND e.source = '{EVAL_SOURCE}'
+    GROUP BY train_doc, eval_doc
+    HAVING count(*) >= {OVERLAP_MIN}
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+    f"≥{OVERLAP_MIN} 3-gram shingles with any eval-set document "
+    f"(source='{EVAL_SOURCE}') — the n-gram-overlap contamination check "
+    "every LLM training pipeline runs against its eval suites "
+    "(GPT-3/PaLM style N-gram collision).  Spark: ONE shuffle builds "
+    "split eval/train postings lists per shingle (collect_list skips "
+    "nulls); candidate pairs explode in-partition from lists already "
+    f"pruned to df≤{MAX_SHINGLE_DF} and to shingles present on BOTH "
+    "sides, so the pair fan-out is bounded and the corpus is never "
+    "self-joined.",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = sh.join(src, "doc_id").withColumn(
+        "is_eval", (F.col("source") == EVAL_SOURCE)
+    )
+    g = (
+        tagged.groupBy("shingle")
+        .agg(
+            F.collect_list(
+                F.when(F.col("is_eval"), F.col("doc_id"))
+            ).alias("ev"),
+            F.collect_list(
+                F.when(~F.col("is_eval"), F.col("doc_id"))
+            ).alias("tr"),
+        )
+        .filter(
+            (F.size("ev") >= 1)
+            & (F.size("tr") >= 1)
+            & (F.size("ev") + F.size("tr") <= MAX_SHINGLE_DF)
+        )
+    )
+    pairs = g.select(
+        F.explode("tr").alias("train_doc"), "ev"
+    ).select("train_doc", F.explode("ev").alias("eval_doc"))
+    return (
+        pairs.groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= OVERLAP_MIN)
+    )

@@ -21,15 +21,57 @@ from pyspark.sql import functions as F
 from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.plans.base import register
 
-REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
+try:  # optional-import escape hatch: real codecs when the machine has them
+    from PIL import Image as _PILImage  # noqa: N812
+
+    REAL_CODECS_AVAILABLE = True
+except ImportError:  # no PIL/ffmpeg in this container
+    _PILImage = None
+    REAL_CODECS_AVAILABLE = False
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode (PIL) — STUB: codec libs absent by design."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use fake_decode_meta (deterministic) for plumbing tests"
-    )
+    """Real image decode (PIL when installed, else NotImplementedError).
+    Returns the typed metadata the fake path fabricates: n_bytes, width,
+    height, channels, format."""
+    if not REAL_CODECS_AVAILABLE:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "use fake_decode_meta (deterministic) for plumbing tests"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        im.load()
+        return {
+            "n_bytes": len(payload),
+            "width": im.width,
+            "height": im.height,
+            "channels": len(im.getbands()),
+            "format": im.format,
+        }
+
+
+def resize_image_real(payload: bytes, box: int = 224) -> bytes:
+    """Real aspect-preserving resize into a ``box`` px square (PIL when
+    installed) — the pixel half of multimodal_resize_dims; returns PNG
+    bytes.  The geometry matches the integer arithmetic in the
+    multimodal_resize_dims plan ((edge*box)//longest, min 1)."""
+    if not REAL_CODECS_AVAILABLE:
+        raise NotImplementedError(
+            "image codecs are not available in this environment"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        im.load()
+        longest = max(im.width, im.height)
+        out_w = max(1, (im.width * box) // longest)
+        out_h = max(1, (im.height * box) // longest)
+        resized = im.resize((out_w, out_h))
+        buf = io.BytesIO()
+        resized.save(buf, format="PNG")
+        return buf.getvalue()
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int, int, int]:

@@ -496,3 +496,94 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
     )
     return expl.select("vec_id", "dim", q.alias("q"))
+
+
+# --- binary sign-code ANN (Hamming top-k) ----------------------------------
+
+
+def _sign_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code_lo, code_hi): the 64-dim embedding packed into two
+    32-bit sign bitmaps (bit d set ⟺ e[d] > 0).  8 bytes per vector vs
+    256 for the raw floats — the 32× compression that lets a 100 TB
+    corpus's codebook fit in memory for coarse candidate generation."""
+    pos = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("e").alias("dim", "val")
+    )
+    half = F.expr(
+        "CASE WHEN val > 0 THEN shiftleft(CAST(1 AS BIGINT), "
+        "CAST(dim % 32 AS INT)) ELSE CAST(0 AS BIGINT) END"
+    )
+    return pos.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("dim") < 32, half).otherwise(0)).alias("code_lo"),
+        F.sum(F.when(F.col("dim") >= 32, half).otherwise(0)).alias("code_hi"),
+    )
+
+
+_DUCK_CODES = """
+, pos AS (
+    SELECT vec_id, i - 1 AS dim, embedding[i] AS val
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+codes AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN val > 0 AND dim < 32
+                         THEN (CAST(1 AS BIGINT) << (dim % 32))
+                         ELSE 0 END) AS BIGINT) AS code_lo,
+           CAST(sum(CASE WHEN val > 0 AND dim >= 32
+                         THEN (CAST(1 AS BIGINT) << (dim % 32))
+                         ELSE 0 END) AS BIGINT) AS code_hi
+    FROM pos GROUP BY vec_id
+)
+"""
+
+
+@register(
+    "ann_hamming_topk",
+    oracle=_DUCK_CODES
+    + f"""
+    SELECT query_id, vec_id, hamming, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(bit_count(xor(q.code_lo, c.code_lo))
+                    + bit_count(xor(q.code_hi, c.code_hi))
+                    AS BIGINT) AS hamming,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.code_lo, c.code_lo))
+                          + bit_count(xor(q.code_hi, c.code_hi)),
+                            c.vec_id
+               ) AS BIGINT) AS rank
+        FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="Binary-code ANN: embeddings packed to 64 sign bits (two 32-bit "
+    "halves — see _sign_codes), Hamming distance = popcount(xor), top-k "
+    "per query with total-order tie-break.  The coarse-quantization scale "
+    "path: the scan streams 8-byte codes through codegen'd bit_count/xor "
+    "(no Python, no floats, no shuffle before the tiny per-query top-k), "
+    "and candidates it surfaces are re-ranked by exact cosine "
+    "(ann_cosine_topk's kernel) in a real deployment.  Integer-only "
+    "output — hash parity needs no rounding rules.",
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = _sign_codes(spark, sf_dir)
+    q = codes.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    joined = codes.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dist = F.bit_count(F.expr("q_lo ^ code_lo")) + F.bit_count(
+        F.expr("q_hi ^ code_hi")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        joined.select(
+            "query_id", "vec_id", dist.cast("long").alias("hamming")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -84,6 +84,7 @@ def _w_col() -> Column:
 
 @register(
     "hll_distinct_users",
+    bench=True,
     oracle=f"""
     , h AS (
         SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh FROM events

@@ -354,3 +354,241 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", "tfidf", "rank")
     )
+
+
+# --- Gopher-style repetition filter ----------------------------------------
+
+# Gopher/MassiveText repetition thresholds (Rae et al. 2021, table A1
+# shape): docs whose most frequent word 2-gram covers ≥20% of bigrams, or
+# whose duplicate 5-gram fraction is ≥30%, are boilerplate/spam-like.
+# Exposed as exact integer fixed-point (1e-4 units) for cross-engine
+# hash parity — positive integer `div` is identical in Spark and DuckDB.
+TOP2_MAX_FP = 2000  # 0.20
+DUP5_MAX_FP = 3000  # 0.30
+
+
+@register(
+    "repetition_filter",
+    oracle=f"""
+    , toks AS (SELECT doc_id, {duck_tokens()} AS t FROM documents),
+    ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+    bi AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t), 1))) AS i
+              FROM toks)
+    ),
+    bicnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+    bagg AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc,
+               CAST(sum(c) AS BIGINT) AS n2
+        FROM bicnt GROUP BY doc_id
+    ),
+    five AS (
+        SELECT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4] AS g
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 3, 1))) AS i
+              FROM toks)
+    ),
+    fagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n5,
+               CAST(count(DISTINCT g) AS BIGINT) AS d5
+        FROM five GROUP BY doc_id
+    )
+    SELECT n.doc_id, n.n_tokens,
+           CAST(coalesce((20000 * b.maxc) // greatest(b.n2, 1), 0)
+                AS BIGINT) AS top2_frac_fp,
+           CAST(coalesce((10000 * (f.n5 - f.d5)) // greatest(f.n5, 1), 0)
+                AS BIGINT) AS dup5_frac_fp,
+           CAST(coalesce((20000 * b.maxc) // greatest(b.n2, 1), 0)
+                    < {TOP2_MAX_FP}
+                AND coalesce((10000 * (f.n5 - f.d5)) // greatest(f.n5, 1), 0)
+                    < {DUP5_MAX_FP} AS INTEGER) AS pass_repetition
+    FROM ntok n
+    LEFT JOIN bagg b USING (doc_id)
+    LEFT JOIN fagg f USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals per document (Rae et al. 2021 "
+    "MassiveText filters): most-frequent-word-2-gram coverage and "
+    "duplicate-5-gram fraction, with the pass flag at the published "
+    "0.20/0.30 shape.  Spark: one posexplode + lead window builds both "
+    "n-gram streams in a single pass, then two map-side-combinable hash "
+    "aggregates keyed by doc — shuffles (doc, gram) counts, never text. "
+    "Fractions are exact integer fixed-point (positive `div`), so the "
+    "compared surface has no float.",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    g = pos.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("l1"),
+        F.lead("tok", 2).over(w).alias("l2"),
+        F.lead("tok", 3).over(w).alias("l3"),
+        F.lead("tok", 4).over(w).alias("l4"),
+    )
+    ntok = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    bi = g.filter(F.col("l1").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "l1").alias("g2")
+    )
+    bagg = (
+        bi.groupBy("doc_id", "g2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxc"), F.sum("c").alias("n2"))
+    )
+    five = g.filter(F.col("l4").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "l1", "l2", "l3", "l4").alias("g5")
+    )
+    fagg = five.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n5"),
+        F.countDistinct("g5").alias("d5"),
+    )
+    out = (
+        ntok.join(bagg, "doc_id", "left")
+        .join(fagg, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "CAST(coalesce((20000 * maxc) div greatest(n2, 1), 0) "
+            "AS BIGINT) AS top2_frac_fp",
+            "CAST(coalesce((10000 * (n5 - d5)) div greatest(n5, 1), 0) "
+            "AS BIGINT) AS dup5_frac_fp",
+        )
+    )
+    return out.withColumn(
+        "pass_repetition",
+        (
+            (F.col("top2_frac_fp") < TOP2_MAX_FP)
+            & (F.col("dup5_frac_fp") < DUP5_MAX_FP)
+        ).cast("int"),
+    )
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+STRATUM_CAP = 50  # max docs kept per (lang, source) stratum
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, rk FROM (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {STRATUM_CAP}
+    """,
+    doc="Deterministic stratified downsampling: keep at most "
+    f"{STRATUM_CAP} documents per (lang, source) stratum, chosen by "
+    "md5(doc_id) order — the training-data mixture-rebalancing primitive "
+    "(fixed per-domain caps), reproducible across runs/engines because "
+    "the 'random' order is a content hash, not an RNG.  Scale: shuffles "
+    "only (doc_id, lang, source, hash) by stratum key; at 100 TB a "
+    "hash-range pre-filter (keep md5 < threshold sized to ~3× the cap) "
+    "bounds each stratum's ranked set before the window runs.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= STRATUM_CAP)
+    )
+
+
+# --- corpus mixture statistics ---------------------------------------------
+
+
+@register(
+    "domain_mix_stats",
+    oracle="""
+    , agg AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT count(*) AS total_docs FROM documents)
+    SELECT source, lang, n_docs, sum_chars,
+           CAST((1000000 * n_docs) // total_docs AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot
+    """,
+    doc="Training-mixture composition: document count, char volume and "
+    "corpus share (exact ppm fixed-point) per (source, lang) — the "
+    "sampling-weight input of a data-mixing stage.  One partial-agg "
+    "shuffle on the composite key; the grand total is a broadcast "
+    "single-row join, not a global window.",
+)
+def domain_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    return agg.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "CAST((1000000 * n_docs) div total_docs AS BIGINT) AS share_ppm",
+    )
+
+
+# --- language-ID evaluation (confusion matrix) -----------------------------
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    , pred AS (
+        SELECT lang,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN es >= en AND es >= fr THEN 'es'
+                    WHEN fr >= en THEN 'fr'
+                    ELSE 'en' END AS lang_pred
+        FROM (
+            SELECT lang,
+                   {_duck_marker_count(LANG_MARKERS["en"])} AS en,
+                   {_duck_marker_count(LANG_MARKERS["de"])} AS de,
+                   {_duck_marker_count(LANG_MARKERS["es"])} AS es,
+                   {_duck_marker_count(LANG_MARKERS["fr"])} AS fr,
+                   len(regexp_extract_all(text, '{CJK_RE_DUCK}')) AS cjk
+            FROM (SELECT lang, text, {duck_tokens()} AS toks FROM documents)
+        )
+    )
+    SELECT lang, lang_pred, count(*) AS n,
+           CAST(lang = lang_pred AS INTEGER) AS is_correct
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    doc="Classifier-evaluation shape over the lang-ID heuristic: the "
+    "(label, prediction) confusion matrix with per-cell counts — the "
+    "quality-monitoring twin of lang_id_ngram (same scoring expressions, "
+    "shared lexer; Catalyst collapses the shared scan).  The matrix is "
+    "|langs|² rows from one partial-agg shuffle — the aggregate any "
+    "pipeline dashboards before trusting a filter at 100 TB.",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id_ngram(spark, sf_dir)
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "is_correct", (F.col("lang") == F.col("lang_pred")).cast("int")
+        )
+    )

@@ -39,6 +39,7 @@ BAND_US = 6 * 3600 * 1_000_000  # range-join band: 6 hours, in microseconds
 
 @register(
     "gap_fill_locf",
+    bench=True,
     oracle="""
     , obs AS (
         SELECT topic, h, close FROM (

@@ -85,13 +85,14 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_chunk_bytes",
     "multimodal_resize_dims",
     "multimodal_byte_histogram",
-    # re-witness the r01 hash-mismatch fix + diverse analytics shapes
+    # re-witness the r01 hash-mismatch fix + round-2 operators (never
+    # witnessed; the analytics they displace are green in CORRECTNESS_r01)
     "map_funcs",
-    "agg_pricing_summary",
-    "events_sessionize",
-    "asof_last_click_before_purchase",
-    "cohort_retention",
-    "funnel_conversion",
+    "repetition_filter",
+    "sample_stratified",
+    "domain_mix_stats",
+    "decontaminate_overlap",
+    "ann_hamming_topk",
 )
 
 

@@ -20,8 +20,13 @@ mysql.sql:66-91).  The Spark-first equivalent is a `foreachBatch` MERGE:
 Storage is versioned parquet directories with an atomic _CURRENT pointer
 (a poor man's table format; swap for Delta/Iceberg MERGE INTO when the
 runtime has the jars — the call sites keep the same shape).  History is
-append-only parquet partitioned by date(ts) — the 100 TB layout choice
-(partition pruning on time-range queries, SURVEY.md §7.1 M6).
+parquet partitioned by (epoch, date(ts)) — date for 100 TB partition
+pruning on time-range queries (SURVEY.md §7.1 M6), epoch so a replayed
+micro-batch dynamically OVERWRITES its own partitions instead of
+re-appending.  Combined with seeding each batch from the pre-batch mqtt
+version (current_mqtt(before_epoch=...)), every foreachBatch replay is a
+deterministic function of (pre-batch state, batch): at-least-once
+delivery converges for BOTH tables.
 """
 
 from __future__ import annotations
@@ -62,12 +67,28 @@ class MqttUpsertSink:
     def _pointer(self) -> str:
         return os.path.join(self.base_dir, "mqtt", "_CURRENT")
 
-    def current_mqtt(self) -> DataFrame | None:
+    def current_mqtt(self, before_epoch: int | None = None) -> DataFrame | None:
+        """Latest published `mqtt` version; with ``before_epoch``, the
+        latest version written by an epoch STRICTLY BELOW it.  foreachBatch
+        is at-least-once — on replay of epoch e the pointer may already
+        name v{e} (the post-batch state), and seeding the merge/diff from
+        it would double-apply the batch.  Reading the pre-batch version
+        makes the whole batch (merge + history) a deterministic function
+        of (pre-batch state, batch), i.e. idempotent under replay."""
         ptr = self._pointer()
         if not os.path.exists(ptr):
             return None
         with open(ptr) as f:
             version = f.read().strip()
+        if before_epoch is not None:
+            prior = [
+                d
+                for d in os.listdir(os.path.join(self.base_dir, "mqtt"))
+                if d.startswith("v") and int(d[1:]) < before_epoch
+            ]
+            if not prior:
+                return None
+            version = max(prior)
         return self.spark.read.parquet(
             os.path.join(self.base_dir, "mqtt", version)
         )
@@ -78,7 +99,7 @@ class MqttUpsertSink:
             return self.spark.read.parquet(path)
         except Exception:
             return self.spark.createDataFrame(
-                [], "ts timestamp, topicid long, value binary, dt date"
+                [], "ts timestamp, topicid long, value binary, dt date, epoch long"
             )
 
     def _publish_mqtt(self, df: DataFrame, epoch_id: int) -> None:
@@ -106,7 +127,8 @@ class MqttUpsertSink:
         """batch: (ts, topic, value, qos, retain, event_id)."""
         if not batch.take(1):
             return
-        prev = self.current_mqtt()
+        # pre-batch state, even under replay (see current_mqtt docstring)
+        prev = self.current_mqtt(before_epoch=epoch_id)
         latest_b = latest_per_key(batch, "topic", ("ts", "event_id")).select(
             "ts", "topic", "value", "qos", "retain"
         )
@@ -192,8 +214,15 @@ class MqttUpsertSink:
             F.col("id").alias("topicid"),
             "value",
             F.to_date("ts").alias("dt"),
+            F.lit(epoch_id).cast("long").alias("epoch"),
         )
-        hist.write.mode("append").partitionBy("dt").parquet(
+        # epoch-idempotent history: partition by (epoch, dt) and overwrite
+        # only the partitions this batch touches — a replayed epoch
+        # replaces its own earlier rows instead of re-appending them, so
+        # at-least-once foreachBatch converges for history too
+        hist.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch", "dt").parquet(
             os.path.join(self.base_dir, "mqtt_history")
         )
 

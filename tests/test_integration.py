@@ -158,6 +158,101 @@ def test_checkpoint_recovery_resumes_without_duplicates(spark, tmp_path):
     assert sorted(hist) == ["v1", "v2", "w1", "x1"]
 
 
+def test_history_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running process_batch with the
+    SAME epoch must leave mqtt AND mqtt_history unchanged (epoch-partition
+    overwrite + pre-batch seed; ADVICE r01 #1)."""
+    import datetime as dt
+
+    from mqtt2sql_spark.sinks.upsert import MqttUpsertSink
+    from mqtt2sql_spark.streaming.pipeline import MESSAGE_SCHEMA
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (dt.datetime(2024, 1, 1, 10, 0, s), t, v.encode(), 0, 0, e)
+                for t, s, v, e in rows
+            ],
+            MESSAGE_SCHEMA,
+        )
+
+    sink = MqttUpsertSink(spark, str(tmp_path / "tables"))
+    b0 = batch([("a", 0, "v1", 1), ("a", 1, "v2", 2), ("b", 2, "w1", 3)])
+    sink.process_batch(b0, 0)
+    sink.process_batch(b0, 0)  # replay epoch 0
+
+    hist = sorted(bytes(r.value).decode() for r in sink.history().collect())
+    assert hist == ["v1", "v2", "w1"]  # no duplicate appends
+
+    # epoch 1 repeats a's latest value (diffonly suppression) + changes b;
+    # the replay must also re-derive the SAME suppression: the diff seed
+    # comes from the PRE-batch table even when the pointer already moved
+    b1 = batch([("a", 10, "v2", 4), ("b", 11, "w2", 5)])
+    sink.process_batch(b1, 1)
+    after_first = sorted(bytes(r.value).decode() for r in sink.history().collect())
+    sink.process_batch(b1, 1)  # replay epoch 1
+    after_replay = sorted(bytes(r.value).decode() for r in sink.history().collect())
+    assert after_first == after_replay == ["v1", "v2", "w1", "w2"]
+
+    mqtt = {r.topic: bytes(r.value).decode() for r in sink.current_mqtt().collect()}
+    assert mqtt == {"a": "v2", "b": "w2"}
+    # sticky ids survive the replay
+    ids = {r.topic: r.id for r in sink.current_mqtt().collect()}
+    assert sorted(ids.values()) == [1, 2]
+
+
+def test_cli_daemon_from_config_file(tmp_path):
+    """`python -m mqtt2sql_spark -c my.conf --once`: the reference-style
+    config file drives the daemon end-to-end (B1, mqtt2sql.conf grammar)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "000.msg").write_text(
+        "tele/dev1\t" + b"on".hex() + "\t0\t0\n"
+        "debug/x\t" + b"zz".hex() + "\t0\t0\n"
+    )
+    conf = tmp_path / "my.conf"
+    conf.write_text(
+        f"""\
+# reference-grammar config (mqtt2sql.conf:1-88)
+[MQTT]
+mqtt-exclude-topic = [debug/x]
+
+[SQL]
+sql-timezone = UTC
+
+[DAEMON]
+transport = file
+spool-dir = {spool}
+storage-dir = {tmp_path / "tables"}
+checkpoint-dir = {tmp_path / "ckpt"}
+once
+"""
+    )
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, "-m", "mqtt2sql_spark", "-c", str(conf)],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    ptr = (tmp_path / "tables" / "mqtt" / "_CURRENT").read_text().strip()
+    rows = duckdb.connect().execute(
+        "SELECT topic, decode(value) FROM "
+        f"'{tmp_path}/tables/mqtt/{ptr}/*.parquet' ORDER BY topic"
+    ).fetchall()
+    assert rows == [("tele/dev1", "on")]
+
+
 def test_cli_daemon_once_drains_spool(tmp_path):
     """`python -m mqtt2sql_spark --once` end-to-end: spool → mqtt table
     (the reference's daemon surface, batch-catchup mode)."""

@@ -88,3 +88,54 @@ def test_whole_stage_codegen_covers_scalar_pipelines(spark):
     plan = _plan(token_count(spark, SF_DIR))
     # '*(n)' prefixes mark whole-stage-codegen'd operators in simple mode
     assert "*(1) Project" in plan
+
+
+def test_round2_operators_stay_jvm_side(spark):
+    """The five round-2 operators are pure built-in expression pipelines:
+    no Python eval nodes anywhere in their plans."""
+    from mqtt2sql_spark.plans.dedup import decontaminate_overlap
+    from mqtt2sql_spark.plans.similarity import ann_hamming_topk
+    from mqtt2sql_spark.plans.text import (
+        domain_mix_stats,
+        repetition_filter,
+        sample_stratified,
+    )
+
+    for q in (
+        repetition_filter,
+        sample_stratified,
+        domain_mix_stats,
+        decontaminate_overlap,
+        ann_hamming_topk,
+    ):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+
+
+def test_ann_hamming_broadcasts_query_codes(spark):
+    """The query-code side is tiny (vec_id % 50): it must broadcast, and
+    the candidate scan must reach the top-k window without a sort-merge
+    join of the corpus against itself."""
+    from mqtt2sql_spark.plans.similarity import ann_hamming_topk
+
+    plan = _plan(ann_hamming_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_partial_aggregates(spark):
+    from mqtt2sql_spark.plans.text import repetition_filter
+
+    plan = _plan(repetition_filter(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_decontaminate_overlap_builds_postings_not_self_join(spark):
+    """The corpus must never self-join row-by-row: candidate pairs come
+    from exploded postings lists (one shuffle to group by shingle)."""
+    from mqtt2sql_spark.plans.dedup import decontaminate_overlap
+
+    plan = _plan(decontaminate_overlap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan

@@ -172,6 +172,70 @@ def test_stateful_diffonly_across_batches(spark, staged, tmp_path):
     ]
 
 
+def test_stateful_diffonly_recovers_state_across_restart(spark, tmp_path):
+    """Kill the query between micro-batches (TTL active, RocksDB store)
+    and restart from the same checkpoint: the recovered last-value state
+    must still suppress an unchanged repeat — the restart-recovery path
+    of the state store contract."""
+    from mqtt2sql_spark.streaming.diffonly import (
+        diffonly_stream,
+        enable_rocksdb_state_store,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = (
+            message_file_stream(spark, str(input_dir) + "/*")
+            .withColumn("value_str", F.col("value").cast("string"))
+            .select("topic", "ts", "value_str", "event_id")
+        )
+        q = (
+            diffonly_stream(stream, state_ttl_ms=3_600_000)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def add_slice(name, rows):
+        _mk_messages(spark, rows).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(input_dir / name))
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    enable_rocksdb_state_store(spark)
+    try:
+        add_slice("000.parquet", [("a", 0, "x", 1), ("b", 1, "p", 2)])
+        run_once()  # query terminates — the "kill" between batches
+
+        # while the query is down: an unchanged repeat for a, a change for b
+        add_slice("001.parquet", [("a", 10, "x", 3), ("b", 11, "q", 4)])
+        run_once()  # restart from the same checkpoint
+
+        got = sorted(
+            (r.topic, r.value_str, r.event_id)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        )
+        # a's repeat (event 3) suppressed by RECOVERED state; b's change kept
+        assert got == [("a", "x", 1), ("b", "p", 2), ("b", "q", 4)]
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stateful_diffonly_ttl_expires_idle_topics(spark, tmp_path):
     """state_ttl_ms bounds the state store: an idle topic's last-value
     memory is dropped, so its next message re-emits even when unchanged

@@ -38,6 +38,30 @@ N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 MAX_SHINGLE_DF = 50  # stop-shingle pruning threshold (docs per shingle)
+
+# Universal-hash family for minhash: ONE md5 per shingle supplies a
+# 32-bit base value; the 16 independent hashes are affine mixes
+# h_i = (a_i·hv + b_i) mod P (Carter-Wegman).  This replaces the
+# 16-md5s-per-shingle formulation (16× the digest cost on the hottest
+# scan of the dedup suite) with integer multiply-adds that stay inside
+# whole-stage codegen.  Bounds: a_i < 2^31, hv < 2^32 ⇒ a_i·hv + b_i
+# < 2^63 — no BIGINT overflow in either engine (DuckDB raises on
+# overflow; Spark would wrap silently — both stay exact here).
+_MH_P = 4294967311  # smallest prime > 2^32
+import random as _random
+
+_rng = _random.Random(20240813)  # fixed seed: constants are part of the spec
+_MH_A = [_rng.randrange(1, 1 << 31) | 1 for _ in range(N_MINHASH)]
+_MH_B = [_rng.randrange(0, 1 << 31) for _ in range(N_MINHASH)]
+
+# DuckDB: hv = first 8 md5 nibbles as a 32-bit int (instr-based nibble
+# math, the sketches.py pattern — DuckDB has no hex→int conv())
+_MH_HEX = "0123456789abcdef"
+_DUCK_HV = " + ".join(
+    f"CAST(instr('{_MH_HEX}', substr(hh, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
 JACCARD_MIN = 0.02
 COSINE_MIN = 0.35
 # corpus tile size for the exact-cosine block matmul: bounds per-pass
@@ -107,15 +131,20 @@ sh AS (
 
 _DUCK_MINHASH = (
     _DUCK_SHINGLES
+    + ", shv AS (SELECT doc_id, "
+    + _DUCK_HV
+    + " AS hv FROM (SELECT doc_id, md5(shingle) AS hh FROM sh))"
     + ", mh AS (SELECT doc_id, "
     + ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+        f"min(({_MH_A[i]} * hv + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_MINHASH)
     )
-    + " FROM sh GROUP BY doc_id), bands AS (SELECT doc_id, "
+    + " FROM shv GROUP BY doc_id), bands AS (SELECT doc_id, "
     + ", ".join(
         "md5("
         + " || '|' || ".join(
-            f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
         )
         + f") AS b{b}"
         for b in range(N_BANDS)
@@ -125,17 +154,29 @@ _DUCK_MINHASH = (
 
 
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc minhash signature folded into N_BANDS band keys."""
+    """Per-doc minhash signature folded into N_BANDS band keys.
+
+    One md5 per shingle → 32-bit base → 16 Carter-Wegman affine mixes
+    (see _MH_A/_MH_B/_MH_P above); min() per doc is partial-agg'd, so the
+    shuffle carries 16 BIGINTs per doc, never shingles."""
     sh = shingles(spark, sf_dir)
+    hv = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    shv = sh.select("doc_id", hv.alias("hv"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(
+            (F.lit(_MH_A[i]) * F.col("hv") + F.lit(_MH_B[i])) % F.lit(_MH_P)
+        ).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
-    mh = sh.groupBy("doc_id").agg(*aggs)
+    mh = shv.groupBy("doc_id").agg(*aggs)
     band_cols = [
         F.md5(
             F.concat_ws(
-                "|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                "|",
+                *[
+                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
         ).alias(f"b{b}")
         for b in range(N_BANDS)

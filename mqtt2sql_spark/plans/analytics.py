@@ -76,17 +76,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rk <= 10
     """,
     doc="Top-K per global count with total-order tie-break (count desc, "
-    "topic asc) — aggregate then rank the tiny aggregate, never sort the "
-    "fact table.",
+    "topic asc) — aggregate, then TakeOrderedAndProject (orderBy+limit: "
+    "per-partition 10-row heap, driver merge) so the key-count aggregate "
+    "is never windowed through one partition; never sort the fact table.",
 )
 def topk_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = messages(spark, sf_dir).groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
-    w = W.orderBy(F.desc("n"), F.asc("topic"))
-    return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("topic", "n")
-    )
+    return agg.orderBy(F.desc("n"), F.asc("topic")).limit(10).select("topic", "n")
 
 
 # --- multi-way dimension join (star schema) -------------------------------
@@ -1310,8 +1306,10 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate revenue per order, global top-10 with total-order "
     "tie-break.  The filters reach both parquet scans (pushdown) and "
     "the customer side broadcasts; lineitem ⋈ orders is AQE's choice "
-    "(broadcast at test scale, shuffle at 100 TB); the final top-k "
-    "ranking window sees only the aggregated per-order rows.",
+    "(broadcast at test scale, shuffle at 100 TB); the global top-10 is "
+    "orderBy+limit — Spark's TakeOrderedAndProject keeps a 10-row heap "
+    "per partition and merges heaps, so no single task ever holds the "
+    "full per-order aggregate; the rank window runs on the 10 survivors.",
 )
 def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
@@ -1343,11 +1341,18 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("l_orderkey", "revenue", "o_orderdate", "rank")
+    # distributed top-k: TakeOrderedAndProject (per-partition 10-row heap,
+    # driver heap-merge) instead of a single-partition ranking window over
+    # the full per-order aggregate — the total-order sort key makes the
+    # limit deterministic, and row_number then ranks only the 10 survivors
+    order = [F.desc("revenue"), F.asc("l_orderkey")]
+    top = rev.orderBy(*order).limit(10)
+    w = W.orderBy(*order)
+    return top.select(
+        "l_orderkey",
+        "revenue",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("rank"),
     )
 
 

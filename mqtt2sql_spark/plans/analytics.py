@@ -1400,3 +1400,43 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z + F.lit(0.0)).alias("z"),
         )
     )
+
+
+# --- equi-width histogram --------------------------------------------------
+
+PRICE_BUCKET_WIDTH = 50000.0
+
+
+@register(
+    "orders_price_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {PRICE_BUCKET_WIDTH}) AS BIGINT)
+               AS bucket,
+           round(CAST(floor(o_totalprice / {PRICE_BUCKET_WIDTH}) AS BIGINT)
+                 * {PRICE_BUCKET_WIDTH}, 2) AS bucket_lo,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Equi-width histogram of order value: floor-division bucketing "
+    "(floor, never int-cast — DuckDB rounds half-even on cast) + one "
+    "partial-agg'd shuffle keyed on the bucket.  Bucket count is "
+    "data-independent, so the aggregate state is bounded no matter the "
+    "scale; the distribution profile every pipeline reads before "
+    "choosing range-partition bounds.",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / PRICE_BUCKET_WIDTH).cast("long")
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.col("bucket") * PRICE_BUCKET_WIDTH, 2)
+            .alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

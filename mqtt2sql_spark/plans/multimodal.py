@@ -352,3 +352,71 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         hist_batches, "doc_id long, bin int, n_bytes long"
     )
+
+
+# --- video-style frame sampling --------------------------------------------
+
+FRAME_BYTES = 64  # fake frame width (bytes) — stands in for a decoded frame
+FRAME_EVERY = 4  # keep every 4th frame (uniform temporal sampling)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    , payloads AS (
+        SELECT doc_id, upper(hex(encode(text))) AS hexpayload,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id, frame_no,
+           frame_no * {FRAME_BYTES} AS frame_off,
+           md5(substring(hexpayload, frame_no * {2 * FRAME_BYTES} + 1,
+               {2 * FRAME_BYTES})) AS frame_hash
+    FROM (
+        SELECT doc_id, hexpayload,
+               CAST(unnest(range(0,
+                   CAST(ceil(n_bytes / {FRAME_BYTES}.0) AS BIGINT)))
+                   AS BIGINT) AS frame_no
+        FROM payloads
+    ) WHERE frame_no % {FRAME_EVERY} = 0
+    """,
+    doc="Uniform temporal frame sampling (video preprocessing shape): the "
+    "payload is segmented into fixed-size fake frames inside mapInPandas "
+    f"and every {FRAME_EVERY}th frame is kept — the decode loop runs "
+    "executor-side per Arrow batch, raw frame bytes never leave the "
+    "executor (only offsets+hashes are emitted), and sampling drops "
+    f"{FRAME_EVERY - 1}/{FRAME_EVERY} of the decode output before any "
+    "shuffle.  With a real codec the per-payload loop becomes "
+    "ffmpeg-style keyframe extraction; the batch shape is identical "
+    "(SURVEY.md §2 C multimodal; stubs documented at module head).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+
+    def sample_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_off": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for off in range(0, len(data), FRAME_BYTES * FRAME_EVERY):
+                    frame = data[off : off + FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(off // FRAME_BYTES)
+                    out["frame_off"].append(off)
+                    out["frame_hash"].append(
+                        hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sample_frames,
+        "doc_id long, frame_no long, frame_off long, frame_hash string",
+    )

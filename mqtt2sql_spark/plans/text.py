@@ -592,3 +592,171 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correct", (F.col("lang") == F.col("lang_pred")).cast("int")
         )
     )
+
+
+# --- fixed-size chunking with overlap --------------------------------------
+
+CHUNK_CHARS = 80  # chunk width (chars)
+CHUNK_STRIDE = 60  # stride between chunk starts (overlap = 20)
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    , starts AS (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(
+                   0, (length(text) - 1) // {CHUNK_STRIDE})) AS BIGINT)
+                   AS chunk_id
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, chunk_id,
+           substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT),
+                  {CHUNK_CHARS}) AS chunk_text,
+           CAST(length(substr(text,
+                CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT),
+                {CHUNK_CHARS})) AS BIGINT) AS chunk_len
+    FROM starts
+    """,
+    doc="Context-window chunking (RAG / training-sample prep): fixed "
+    f"{CHUNK_CHARS}-char chunks every {CHUNK_STRIDE} chars (overlapping), "
+    "via posexplode of a start-index sequence — one row fans out to "
+    "ceil(len/stride) chunk rows inside the executor, embarrassingly "
+    "parallel, no shuffle (scan -> generate -> project).  The repartition "
+    "spreads the single-file fixture across cores; a real 100 TB scan has "
+    "thousands of splits and it collapses to a no-op.",
+    bench=True,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.length("text") > 0)
+    )
+    n_chunks_last = F.floor((F.length("text") - 1) / CHUNK_STRIDE)
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_CHARS,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(0), n_chunks_last)).alias(
+                "_pos", "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# RE2-safe patterns (DuckDB is RE2: no lookaround/backrefs) that mean the
+# same thing to Java's regex engine — keep both engines on the common
+# subset.  Single-backslash classes: DuckDB literals are escape-free,
+# Spark gets the identical pattern string.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    , aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    doc="PII redaction (email/phone masking before training): pure "
+    "regexp_replace/regexp_count expressions — codegen'd, scan -> "
+    "project, no shuffle, no Python.  The fixture corpus is synthetic "
+    "prose with no real PII, so the query deterministically injects one "
+    "email and one phone per doc (derived from doc_id) to exercise the "
+    "masking end-to-end; on real data the injection projection is "
+    "dropped and the same redaction expressions run unchanged.",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+# --- corpus-level bigram frequency ----------------------------------------
+
+BIGRAM_TOPK = 20
+
+
+@register(
+    "word_bigrams_topk",
+    oracle=f"""
+    , tk AS (SELECT doc_id, {duck_tokens()} AS l FROM documents)
+    SELECT bigram, n FROM (
+        SELECT bigram, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk
+        FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1])) AS bigram
+            FROM tk
+        ) GROUP BY bigram
+    ) WHERE rk <= {BIGRAM_TOPK}
+    """,
+    doc="Corpus-wide bigram frequency top-k (phrase mining / boilerplate "
+    "detection): tokens long-format via posexplode, bigram formed with a "
+    "per-doc lead() window (shuffle keyed on doc_id — distributes across "
+    "docs), hash-agg count, then TakeOrderedAndProject for the global "
+    "top-k — no single-partition window over the full vocabulary.",
+)
+def word_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bigram"),
+            F.lead("tok", 1).over(w).alias("_next"),
+        )
+        .filter(F.col("_next").isNotNull())
+        .select("bigram")
+    )
+    agg = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return agg.orderBy(F.desc("n"), F.asc("bigram")).limit(BIGRAM_TOPK)

@@ -111,3 +111,19 @@ def write_events_csv(df: DataFrame, path: str, shards: int = 0) -> None:
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
     )
+
+
+def read_table_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC reader (built into Spark, no external package).  Schema is
+    still pinned — ORC carries its own schema but pinning keeps drops
+    from silently widening types; ORC stripes are splittable and carry
+    min/max indexes, so predicate pushdown prunes stripes at scan."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_table_orc(df: DataFrame, path: str, shards: int = 0) -> None:
+    """ORC writer with optional shard balancing (zlib default codec —
+    splittable at stripe granularity, unlike gzipped text)."""
+    if shards > 0:
+        df = df.repartition(shards)
+    df.write.mode("overwrite").orc(path)

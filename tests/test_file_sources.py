@@ -62,3 +62,27 @@ def test_events_csv_roundtrip(spark, tmp_path):
     ta = {r.event_id: r.ts for r in back.limit(0).union(back).collect()}
     tb = {r.event_id: r.ts for r in ev.collect()}
     assert ta == tb
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from mqtt2sql_spark.sources.files import (
+        DOCUMENTS_SCHEMA,
+        read_table_orc,
+        write_table_orc,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = str(tmp_path / "docs_orc")
+    write_table_orc(docs, out, shards=3)
+    back = read_table_orc(spark, out, DOCUMENTS_SCHEMA)
+    assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
+    # predicate reaches the ORC scan (stripe pruning at scale)
+    plan = (
+        back.filter(F.col("doc_id") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan

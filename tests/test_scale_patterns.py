@@ -117,3 +117,36 @@ def test_hll_is_two_hash_aggregates(spark):
 
     plan = _plan(spark, hll_distinct_users(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4  # partial+final × register/total
+
+
+def test_bucketed_join_runs_without_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key with the same bucket count →
+    the equi-join must plan with NO Exchange (the 100 TB co-location
+    path: shuffle once at ingest, never per query)."""
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.sinks.bucketed import read_bucketed, write_bucketed
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    write_bucketed(orders, "b_orders", str(tmp_path / "bo"), "o_custkey", 8)
+    write_bucketed(
+        customer, "b_customer", str(tmp_path / "bc"), "c_custkey", 8
+    )
+    try:
+        bo = read_bucketed(spark, "b_orders")
+        bc = read_bucketed(spark, "b_customer")
+        joined = bo.hint("merge").join(
+            bc, bo["o_custkey"] == bc["c_custkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        # and the result is still the plain join's result
+        expect = orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        ).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -158,3 +158,49 @@ def test_dedup_within_watermark_suppresses_replayed_messages(
     rows = spark.read.parquet(str(out_dir)).collect()
     seen = [(r.topic, r.event_id) for r in rows]
     assert sorted(seen) == [("a", 1), ("a", 3), ("b", 2)]
+
+
+def test_session_window_merges_and_finalizes_with_watermark(spark, tmp_path):
+    """Streaming sessionization: events within the gap merge into one
+    growing session; a quiet period + advanced watermark finalizes it
+    (append mode only emits closed sessions)."""
+    from mqtt2sql_spark.streaming.windows import session_windows
+    import time
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    now = time.time()
+    # topic "a": 3 events 10 min apart (one session: gap 30 min);
+    # topic "b": 2 events 2 h apart (two sessions)
+    _write_slice(
+        spark,
+        str(input_dir / "000.parquet"),
+        [("a", 0.0, 1), ("a", 1 / 6, 2), ("a", 2 / 6, 3), ("b", 0.0, 4), ("b", 2.0, 5)],
+        mtime=now - 60,
+    )
+    # far-future row advances the watermark past every session above
+    _write_slice(
+        spark, str(input_dir / "001.parquet"), [("c", 50.0, 6)], mtime=now
+    )
+
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    sess = session_windows(
+        stream, gap="30 minutes", watermark="1 hour", key_col="topic"
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(str(out_dir)).collect()
+    got = {(r.topic, r.session_start): r.n_events for r in rows}
+    # "a": one merged 3-event session starting at D0
+    assert got.get(("a", _D0)) == 3
+    # "b": two singleton sessions
+    assert got.get(("b", _D0)) == 1
+    assert got.get(("b", _D0 + dt.timedelta(hours=2))) == 1

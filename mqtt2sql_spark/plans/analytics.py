@@ -1440,3 +1440,149 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+# --- TPC-H Q18 shape: semi-join on an aggregate ----------------------------
+
+BIG_ORDER_QTY = 200.0
+
+
+@register(
+    "large_orders_topk",
+    oracle=f"""
+    , big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > {BIG_ORDER_QTY}
+    )
+    SELECT c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice, sum_qty,
+           CAST(row_number() OVER (
+               ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+           ) AS BIGINT) AS rank
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY rank LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): HAVING over a per-order "
+    "aggregate acts as a semi-filter on orders — the aggregate runs "
+    "first (partial+final on l_orderkey), its small survivor set joins "
+    "orders on the same key, customer broadcasts for the name, and the "
+    "global top-100 is TakeOrderedAndProject.  The pattern where a "
+    "1000-executor plan hinges on aggregating BEFORE joining: the join "
+    "input shrinks from |lineitem| to |qualifying orders|.",
+)
+def large_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
+        .filter(F.col("_raw_qty") > BIG_ORDER_QTY)
+        .select("l_orderkey", F.round("_raw_qty", 2).alias("sum_qty"))
+    )
+    joined = (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    top = joined.orderBy(*order).limit(100)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(*order)).cast("long")
+    )
+
+
+# --- TPC-H Q14 shape: conditional-aggregation ratio ------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    , rev AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+               round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 2) AS promo_rev,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1
+    )
+    SELECT month, promo_rev, total_rev,
+           round(100.0 * promo_rev / total_rev, 4) + 0 AS promo_share
+    FROM rev
+    """,
+    doc="TPC-H Q14 shape (promotion revenue share): conditional "
+    "aggregation — one pass computes both the filtered and the total "
+    "sum (no second scan, no self-join), part broadcasts into the "
+    "lineitem scan stage.  The share ratio is derived from the ROUNDED "
+    "sums so both engines divide bit-identical operands (summation "
+    "order across partitions is otherwise nondeterministic).",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)),
+                2,
+            ).alias("promo_rev"),
+            F.round(F.sum(disc), 2).alias("total_rev"),
+        )
+    )
+    return rev.select(
+        "month",
+        "promo_rev",
+        "total_rev",
+        (
+            F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4)
+            + F.lit(0.0)
+        ).alias("promo_share"),
+    )
+
+
+# --- TPC-H Q16 shape: distinct aggregation ---------------------------------
+
+
+@register(
+    "supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape (supplier variety): COUNT(DISTINCT) per group "
+    "with a dimension anti-filter.  Spark plans distinct-agg as a "
+    "two-level aggregate (partial distinct on (group, suppkey), then "
+    "final count) — the distinct set shuffles once, pre-deduplicated "
+    "map-side, instead of shipping every lineitem row to the reducers.",
+)
+def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .filter(F.col("p_brand") != "Brand#1")
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

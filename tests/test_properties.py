@@ -98,3 +98,70 @@ def test_view_rowcount_equals_history_rowcount(spark, seq):
     dim = ctl.select("id", "topic")
     view = hist.join(F.broadcast(dim), hist["topicid"] == dim["id"], "inner")
     assert view.count() == hist.count()
+
+
+# --- chunking / redaction properties ---------------------------------------
+
+from mqtt2sql_spark.plans.text import (  # noqa: E402
+    CHUNK_CHARS,
+    CHUNK_STRIDE,
+    EMAIL_RE,
+    PHONE_RE,
+)
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        min_size=1,
+        max_size=300,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=texts_strategy)
+def test_chunks_reconstruct_document(spark, texts, tmp_path_factory):
+    """Concatenating each chunk's first CHUNK_STRIDE chars (plus the last
+    chunk's tail) must reproduce the document exactly — no byte lost or
+    duplicated by the overlap arithmetic."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    sf_dir = str(tmp_path_factory.mktemp("chunks"))
+    spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    from mqtt2sql_spark.plans.text import text_chunk_overlap
+
+    rows = text_chunk_overlap(spark, sf_dir).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        prev = by_doc.get(r.doc_id, "")
+        # chunks overlap by CHUNK_CHARS - CHUNK_STRIDE: strip the overlap
+        by_doc[r.doc_id] = prev + (
+            r.chunk_text if not prev else r.chunk_text[CHUNK_CHARS - CHUNK_STRIDE:]
+        )
+    for i, t in enumerate(texts):
+        assert by_doc[i] == t, f"doc {i} reconstruction mismatch"
+
+
+def test_redaction_is_idempotent_and_complete(spark):
+    """After one redaction pass no email/phone pattern remains, so a
+    second pass is a no-op."""
+    import pyspark.sql.functions as F
+
+    from mqtt2sql_spark.plans.text import pii_redact
+    from tests.conftest import SF_DIR
+
+    red = pii_redact(spark, SF_DIR)
+    leftover = red.filter(
+        (F.regexp_count("redacted", F.lit(EMAIL_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(PHONE_RE)) > 0)
+    ).count()
+    assert leftover == 0
+    assert red.filter((F.col("n_emails") < 1) | (F.col("n_phones") < 1)).count() == 0

@@ -699,3 +699,47 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= OVERLAP_MIN)
     )
+
+
+# --- dedup observability ----------------------------------------------------
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    , marked AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY norm_hash)
+                    THEN 1 ELSE 0 END AS keep
+        FROM (SELECT doc_id, md5({duck_normalized()}) AS norm_hash
+              FROM documents)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+           round(sum(1 - keep) * 1000 / count(*), 4) AS drop_per_mille
+    FROM marked JOIN documents USING (doc_id)
+    GROUP BY source
+    """,
+    doc="Dedup observability: per-source drop rate of the exact-dedup "
+    "stage — the dashboard aggregate a 100 TB pipeline reads before "
+    "trusting a crawl source.  Composes the dedup marking with the "
+    "source dimension: the marking shuffles on the digest, the re-join "
+    "to source is on doc_id, and the final rollup is |sources| rows "
+    "from one partial-agg'd shuffle.  The rate is an exact integer "
+    "expression (*1000 then round) so no float summation is involved.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    marked = dedup_exact(spark, sf_dir).select("doc_id", "keep")
+    return (
+        marked.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(1 - F.col("keep")).cast("long").alias("n_dropped"),
+            F.round(
+                F.sum(1 - F.col("keep")) * 1000 / F.count(F.lit(1)), 4
+            ).alias("drop_per_mille"),
+        )
+    )

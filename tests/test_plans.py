@@ -139,3 +139,31 @@ def test_decontaminate_overlap_builds_postings_not_self_join(spark):
     plan = _plan(decontaminate_overlap(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
+
+
+def test_global_topk_uses_take_ordered_not_global_window(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    k-row heap + driver merge), never a single-partition ranking window
+    over the full aggregate."""
+    from mqtt2sql_spark.plans.analytics import (
+        large_orders_topk,
+        shipping_priority_topk,
+        topk_topics,
+    )
+    from mqtt2sql_spark.plans.text import word_bigrams_topk
+
+    for fn in (topk_topics, shipping_priority_topk, large_orders_topk,
+               word_bigrams_topk):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_per_group_topk_pushes_rank_limit(spark):
+    """Per-group top-k windows must carry the WindowGroupLimit rewrite
+    (partial per-partition rank pruning before the shuffle)."""
+    from mqtt2sql_spark.plans.similarity import ann_cosine_topk
+    from mqtt2sql_spark.plans.text import tfidf_top_terms
+
+    for fn in (ann_cosine_topk, tfidf_top_terms):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, fn.__name__

@@ -153,8 +153,8 @@ _DUCK_MINHASH = (
 )
 
 
-def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc minhash signature folded into N_BANDS band keys.
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc raw minhash signature (doc_id, h0..h15).
 
     One md5 per shingle → 32-bit base → 16 Carter-Wegman affine mixes
     (see _MH_A/_MH_B/_MH_P above); min() per doc is partial-agg'd, so the
@@ -168,7 +168,12 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
-    mh = shv.groupBy("doc_id").agg(*aggs)
+    return shv.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature folded into N_BANDS band keys."""
+    mh = minhash_sigs(spark, sf_dir)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -253,9 +258,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND x.doc_id < y.doc_id
     """,
     doc="MinHash-LSH candidate pairs: docs sharing any band key.  Long "
-    "(band_idx, band_key) layout → one equi-join, no O(n²) compare; "
-    "candidate set is empty on this fixture (no near-dups by "
-    "construction) — synthetic-dup detection is covered in "
+    "(band_idx, band_key) layout → one equi-join, no O(n²) compare; the "
+    "fixture has no true near-dups, so surviving pairs are the expected "
+    "low-rate band collisions — synthetic-dup detection is covered in "
     "tests/test_dedup.py.",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,5 +746,114 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(1 - F.col("keep")) * 1000 / F.count(F.lit(1)), 4
             ).alias("drop_per_mille"),
+        )
+    )
+
+
+# --- sketch accuracy: minhash estimate vs true Jaccard ----------------------
+
+PAIR_MOD = 10  # evaluation pairs: (doc_id, doc_id+1) for doc_id % 10 == 0
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               round(({" + ".join(f"CAST(x.h{i} = y.h{i} AS INTEGER)" for i in range(N_MINHASH))})
+                     * 1.0 / {N_MINHASH}, 4) AS est_jaccard
+        FROM mh x JOIN mh y ON y.doc_id = x.doc_id + 1
+        WHERE x.doc_id % {PAIR_MOD} = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % {PAIR_MOD} = 0
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.est_jaccard,
+           round(COALESCE(n_int, 0) * 1.0
+                 / (sa.n_sh + sb.n_sh - COALESCE(n_int, 0)), 4)
+               AS true_jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    """,
+    doc="Sketch-accuracy evaluation: minhash-estimated Jaccard "
+    f"(matching hashes / {N_MINHASH}) vs the true shingle-set Jaccard, "
+    "for a deterministic sample of consecutive-doc pairs — the "
+    "calibration readout that justifies trusting the sketch before the "
+    "banded LSH join replaces exact comparison at 100 TB.  The estimate "
+    "side joins 16-integer signatures (tiny); the truth side counts "
+    "shingle intersections with an equi-join keyed on the shingle "
+    "(postings-style, no pairwise text compare); both ratios divide "
+    "exact integers so the engines round identically.",
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = minhash_sigs(spark, sf_dir)
+    x = mh.alias("x")
+    y = mh.alias("y")
+    matches = sum(
+        F.when(F.col(f"x.h{i}") == F.col(f"y.h{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("y.doc_id") == F.col("x.doc_id") + 1)
+            & (F.col("x.doc_id") % PAIR_MOD == 0),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.round(matches * F.lit(1.0) / N_MINHASH, 4).alias("est_jaccard"),
+        )
+    )
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.doc_id") % PAIR_MOD == 0),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("i_doc_a"),
+            F.col("b.doc_id").alias("i_doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("sa_id"), F.col("n_sh").alias("n_sh_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("sb_id"), F.col("n_sh").alias("n_sh_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb_id"))
+        .join(
+            inter,
+            (F.col("doc_a") == F.col("i_doc_a"))
+            & (F.col("doc_b") == F.col("i_doc_b")),
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("n_int"), F.lit(0))
+                * F.lit(1.0)
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.coalesce(F.col("n_int"), F.lit(0))),
+                4,
+            ).alias("true_jaccard"),
         )
     )

@@ -587,3 +587,76 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# --- index-quality evaluation: LSH recall vs exact -------------------------
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS BIGINT) AS rank
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rank <= {TOP_K}
+    ),
+    bkt AS ({_DUCK_BKT_UNION}),
+    lsh AS (
+        SELECT query_id, vec_id FROM (
+            SELECT cand.query_id, cand.vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, cand.vec_id
+                   ) AS BIGINT) AS rank
+            FROM (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+                FROM bkt q JOIN bkt c
+                  ON q.tbl = c.tbl AND q.bucket = c.bucket
+                 AND q.vec_id <> c.vec_id
+                WHERE q.vec_id % {QUERY_MOD} = 0
+            ) cand
+            JOIN emb q ON q.vec_id = cand.query_id
+            JOIN emb c ON c.vec_id = cand.vec_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+           round(count(l.vec_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN lsh l
+      ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+    doc=f"Index-quality evaluation: per-query recall@{TOP_K} of the "
+    "sign-LSH index against the exact brute-force ranking — the "
+    "dashboard every ANN deployment watches before trusting the index "
+    "at scale.  Pure composition of the two ANN plans (exact side "
+    "broadcasts the query set; LSH side joins buckets) followed by a "
+    "left join on the (query, neighbor) pair and a per-query rollup; "
+    "the recall denominator is the fixed k, so the ratio divides "
+    "identical small integers on both engines.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("l_query_id"), F.col("vec_id").alias("l_vec_id")
+    )
+    hits = exact.join(
+        lsh,
+        (F.col("query_id") == F.col("l_query_id"))
+        & (F.col("vec_id") == F.col("l_vec_id")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("l_vec_id").cast("long").alias("n_hits"),
+        F.round(F.count("l_vec_id") * F.lit(1.0) / TOP_K, 4).alias(
+            "recall_at_k"
+        ),
+    )

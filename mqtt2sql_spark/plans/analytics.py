@@ -1586,3 +1586,115 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# --- TPC-H Q7 shape: nation-pair trade volume ------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT cust_nation, supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS volume,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey,
+    LATERAL (SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation) x
+    WHERE cn.n_name < sn.n_name
+    GROUP BY cust_nation, supp_nation, ship_year
+    """,
+    doc="TPC-H Q7 shape (trade volume between nation pairs): the fact "
+    "table resolves BOTH trading partners — customer nation through "
+    "orders, supplier nation directly — with every dimension hop a "
+    "broadcast hash join, so the only fact shuffle is the lineitem ⋈ "
+    "orders key join and the final rollup.  The asymmetric pair filter "
+    "(cust < supp) halves the output without a second pass.  Revenue is "
+    "summed as exact integer cents (per-row quantization, BIGINT sum) — "
+    "float summation order across partitions is nondeterministic, and a "
+    "group with enough terms WILL land on a round() boundary (witnessed "
+    "at sf0.01); integer sums are order-independent on both engines.",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "cust_nation",
+        "supp_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            )
+            / 100.0,
+            2,
+        ).alias("volume"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- relative-rank window functions ----------------------------------------
+
+
+@register(
+    "orders_percentile_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Relative-rank window functions (percent_rank / cume_dist / "
+    "ntile) per order priority: one shuffle keyed on the partition "
+    "column, one sort per partition serves all three functions.  Both "
+    "engines compute percent_rank as (rank-1)/(rows-1) on exact "
+    "integers, so rounding is bit-stable; the total-order sort key "
+    "(price, orderkey) removes tie ambiguity.",
+)
+def orders_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -1449,6 +1449,7 @@ BIG_ORDER_QTY = 200.0
 
 @register(
     "large_orders_topk",
+    bench=True,
     oracle=f"""
     , big AS (
         SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
@@ -1558,6 +1559,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "supplier_variety",
+    bench=True,
     oracle="""
     SELECT p_brand, p_type,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
@@ -1697,4 +1699,100 @@ def orders_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# --- per-column data-quality profile ---------------------------------------
+
+
+@register(
+    "events_profile",
+    oracle="""
+    SELECT 'event_id' AS col, count(*) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'event_type', count(*),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'value', count(*),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT) FROM events
+    """,
+    doc="Schema-drift / data-quality profile: per-column row, null and "
+    "exact-distinct counts in ONE pass — Spark plans the multi-distinct "
+    "aggregate with a single expand + two-level aggregation rather than "
+    "four scans (the oracle's UNION ALL is the semantic spec, not the "
+    "plan).  The report every ingest pipeline snapshots per drop before "
+    "accepting it; constant output width regardless of scale.",
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    profiled = ev.agg(
+        n.alias("n_rows"),
+        *[
+            e
+            for c in ("event_id", "user_id", "event_type", "value")
+            for e in (
+                (n - F.count(c)).cast("long").alias(f"null_{c}"),
+                F.countDistinct(c).cast("long").alias(f"dist_{c}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}"
+        for c in ("event_id", "user_id", "event_type", "value")
+    )
+    return profiled.select(
+        F.expr(f"stack(4, {stack}) AS (col, n_null, n_distinct)"),
+        "n_rows",
+    ).select("col", "n_rows", "n_null", "n_distinct")
+
+
+# --- MQTT topic-hierarchy rollup -------------------------------------------
+
+
+@register(
+    "topic_hierarchy_rollup",
+    oracle="""
+    , levels AS (
+        SELECT topic,
+               CAST(unnest(generate_series(1, len(string_split(topic, '/'))))
+                    AS INTEGER) AS depth
+        FROM messages
+    )
+    SELECT array_to_string(string_split(topic, '/')[1:depth], '/') AS prefix,
+           depth, count(*) AS n_messages
+    FROM levels
+    GROUP BY 1, 2
+    """,
+    doc="MQTT topic-tree rollup: every message counts toward each "
+    "ancestor prefix of its topic (the subscription-tree view a broker "
+    "dashboard shows).  Prefix enumeration is a per-row generate "
+    "(explode of 1..depth) — fan-out bounded by topic depth — followed "
+    "by one partial-agg'd shuffle on the prefix; no self-join, no "
+    "recursion.  The wildcard-match twin of A3: a '#' subscription at "
+    "any node covers exactly the rolled-up count.",
+)
+def topic_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    parts = F.split(F.col("topic"), "/")
+    lv = msg.select(
+        "topic",
+        F.explode(F.sequence(F.lit(1), F.size(parts))).alias("depth"),
+    )
+    prefix = F.concat_ws(
+        "/", F.slice(F.split(F.col("topic"), "/"), 1, F.col("depth"))
+    )
+    return (
+        lv.select(prefix.alias("prefix"), "depth")
+        .groupBy("prefix", "depth")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
     )

@@ -857,3 +857,64 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("true_jaccard"),
         )
     )
+
+
+@register(
+    "contamination_rate_by_source",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , shsrc AS (
+        SELECT s.doc_id, s.shingle, d.source
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    good AS (
+        SELECT shingle FROM shsrc GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+           AND sum(CASE WHEN source = '{EVAL_SOURCE}' THEN 1 ELSE 0 END) >= 1
+           AND sum(CASE WHEN source <> '{EVAL_SOURCE}' THEN 1 ELSE 0 END) >= 1
+    ),
+    flagged AS (
+        SELECT DISTINCT train_doc FROM (
+            SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
+            FROM shsrc t
+            JOIN shsrc e USING (shingle)
+            JOIN good USING (shingle)
+            WHERE t.source <> '{EVAL_SOURCE}' AND e.source = '{EVAL_SOURCE}'
+            GROUP BY 1, 2
+            HAVING count(*) >= {OVERLAP_MIN}
+        )
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(f.train_doc) AS BIGINT) AS n_contaminated,
+           round(count(f.train_doc) * 10000 / count(*), 4)
+               AS contam_per_10k
+    FROM documents d
+    LEFT JOIN flagged f ON f.train_doc = d.doc_id
+    WHERE d.source <> '{EVAL_SOURCE}'
+    GROUP BY source
+    """,
+    doc="Contamination observability: per-source rate of training docs "
+    "flagged by the n-gram eval-overlap check — the per-crawl readout "
+    "that decides whether a source is quarantined before training.  "
+    "Composes decontaminate_overlap's flagged set (distinct train side) "
+    "with the source dimension; the rate is exact integer arithmetic "
+    "(*10000 then round).",
+)
+def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagged = (
+        decontaminate_overlap(spark, sf_dir)
+        .select(F.col("train_doc"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = docs.filter(F.col("source") != EVAL_SOURCE).join(
+        flagged, docs["doc_id"] == flagged["train_doc"], "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("train_doc").cast("long").alias("n_contaminated"),
+        F.round(
+            F.count("train_doc") * 10000 / F.count(F.lit(1)), 4
+        ).alias("contam_per_10k"),
+    )

@@ -760,3 +760,55 @@ def word_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     return agg.orderBy(F.desc("n"), F.asc("bigram")).limit(BIGRAM_TOPK)
+
+
+# --- quality-weighted deterministic sampling -------------------------------
+
+SAMPLE_CAP_TOKENS = 200  # keep-probability saturates at this token count
+_HEX16 = "0123456789abcdef"
+# hv = first 8 md5 nibbles as a 32-bit int; keep iff hv/2^32 < p where
+# p = min(n_tokens, CAP)/CAP.  Cross-multiplied to pure integers:
+#   hv * CAP < min(n_tokens, CAP) * 2^32
+_DUCK_HV8 = " + ".join(
+    f"CAST(instr('{_HEX16}', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1))"
+    f" - 1 AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_tokens FROM (
+        SELECT doc_id,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_tokens,
+               {_DUCK_HV8} AS hv
+        FROM documents
+    )
+    WHERE hv * {SAMPLE_CAP_TOKENS}
+          < least(n_tokens, {SAMPLE_CAP_TOKENS}) * 4294967296
+    """,
+    doc="Quality-weighted downsampling (Datatrove/Dolma mixing shape): "
+    "each doc is kept with probability proportional to its token count "
+    f"(saturating at {SAMPLE_CAP_TOKENS}) — longer docs survive, stubs "
+    "are thinned.  The coin is md5(doc_id), so the sample is "
+    "deterministic, reproducible across engines/runs, and stable under "
+    "repartitioning (what rand() sampling cannot give); the keep test "
+    "is cross-multiplied to pure integer arithmetic, no float "
+    "probability compare.  Scan → project → filter: no shuffle.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    n_tok = F.size(tokens("text")).cast("long")
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"), hv.alias("hv"))
+        .filter(
+            F.col("hv") * SAMPLE_CAP_TOKENS
+            < F.least(F.col("n_tokens"), F.lit(SAMPLE_CAP_TOKENS))
+            * F.lit(4294967296)
+        )
+        .select("doc_id", "n_tokens")
+    )

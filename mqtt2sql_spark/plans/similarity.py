@@ -137,7 +137,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sign-LSH bucketed top-k ----------------------------------------------
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_buckets(
+    spark: SparkSession, sf_dir: str, pre_filter=None
+) -> DataFrame:
     """Long layout: (vec_id, e, tbl, bucket) — one row per hash table.
 
     All L·k projections for an Arrow batch are ONE numpy einsum against
@@ -146,11 +148,19 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order folds are interpreted (2.3 s), the posexplode+join+agg
     formulation is codegen'd but pays ~6 shuffle stages (3.5-5 s); the
     vectorized map wins at every scale because it shuffles nothing and
-    BLAS-batches the math."""
+    BLAS-batches the math.
+
+    ``pre_filter`` (a Column predicate) is applied BEFORE the
+    mapInPandas stage: Python map stages are a predicate-pushdown
+    barrier, so a caller that only needs the query subset must filter
+    here or pay the full-corpus einsum for it (measured 2× on the whole
+    ann_lsh_topk query at sf0.1)."""
     import numpy as np
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
+    if pre_filter is not None:
+        emb = emb.filter(pre_filter)
     coef = np.array(_COEFS, dtype=np.float64)  # (L, k, D)
     shifts = 1 << np.arange(N_PLANES, dtype=np.int64)
 
@@ -229,7 +239,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket subplan (corpus side + filtered query side) — re-joining a
     # separate candidate set back to the corpus would add two more.
     bkt = lsh_buckets(spark, sf_dir)
-    q = bkt.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = lsh_buckets(
+        spark, sf_dir, pre_filter=F.col("vec_id") % QUERY_MOD == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("tbl").alias("qtbl"),

@@ -1796,3 +1796,47 @@ def topic_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prefix", "depth")
         .agg(F.count(F.lit(1)).alias("n_messages"))
     )
+
+
+# --- positional window values (first/last/nth) ------------------------------
+
+
+@register(
+    "orders_positional_window",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+           round(last_value(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS priciest,
+           round(nth_value(o_totalprice, 3) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS third_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Positional window values (first_value / last_value / "
+    "nth_value): per-priority cheapest, priciest and third-cheapest "
+    "order attached to every row.  last/nth need the explicit "
+    "unbounded-following frame (the default frame stops at CURRENT ROW "
+    "— identically on both engines); one shuffle + one sort serves all "
+    "three.  Total-order sort key removes tie ambiguity.",
+)
+def orders_positional_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("priciest"),
+        F.round(F.nth_value("o_totalprice", 3).over(wfull), 2).alias(
+            "third_cheapest"
+        ),
+    )

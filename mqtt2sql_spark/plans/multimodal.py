@@ -420,3 +420,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         "doc_id long, frame_no long, frame_off long, frame_hash string",
     )
+
+
+# --- audio-style overlapping window framing --------------------------------
+
+AUDIO_WIN = 96  # fake sample-window width (bytes) — stands in for an STFT frame
+AUDIO_HOP = 32  # hop between window starts (2/3 overlap)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+    , payloads AS (
+        SELECT doc_id, upper(hex(encode(text))) AS hexpayload,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents WHERE octet_length(encode(text)) >= {AUDIO_WIN}
+    )
+    SELECT doc_id, win_no,
+           win_no * {AUDIO_HOP} AS win_off,
+           md5(substring(hexpayload, win_no * {2 * AUDIO_HOP} + 1,
+               {2 * AUDIO_WIN})) AS win_hash
+    FROM (
+        SELECT doc_id, hexpayload,
+               CAST(unnest(range(0,
+                   (n_bytes - {AUDIO_WIN}) // {AUDIO_HOP} + 1))
+                   AS BIGINT) AS win_no
+        FROM payloads
+    )
+    """,
+    doc="Overlapping window framing (audio STFT / wav2vec feature "
+    f"shape): {AUDIO_WIN}-byte windows every {AUDIO_HOP} bytes (2/3 "
+    "overlap), full windows only — the framing that precedes any "
+    "spectral feature extraction.  Same executor-side mapInPandas "
+    "contract as frame sampling: the per-payload window loop runs on "
+    "Arrow batches, raw window bytes reduce to hashes before anything "
+    "is shuffled.  Overlap multiplies output rows by width/hop, so the "
+    "hop is the operator's fan-out knob at 100 TB.",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+
+    def frame_windows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "win_no": [], "win_off": [], "win_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if len(data) < AUDIO_WIN:
+                    continue
+                for n, off in enumerate(
+                    range(0, len(data) - AUDIO_WIN + 1, AUDIO_HOP)
+                ):
+                    win = data[off : off + AUDIO_WIN]
+                    out["doc_id"].append(doc_id)
+                    out["win_no"].append(n)
+                    out["win_off"].append(off)
+                    out["win_hash"].append(
+                        hashlib.md5(win.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        frame_windows,
+        "doc_id long, win_no long, win_off long, win_hash string",
+    )

@@ -165,3 +165,100 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_hll"),
         "n_exact",
     )
+
+
+@register(
+    "hll_daily_merge",
+    oracle=f"""
+    , h AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               md5(CAST(user_id AS VARCHAR)) AS hh
+        FROM events
+    ),
+    nib AS (
+        SELECT event_type, day,
+               (16 * {_nib_sql(1)} + {_nib_sql(2)}) % {M} AS bucket,
+               {_w_sql()} AS w
+        FROM h
+    ),
+    day_reg AS (
+        SELECT event_type, day, bucket,
+               max(CASE WHEN w = 0 THEN {W_BITS + 1}
+                        ELSE {W_BITS + 1} - length(bin(w)) END) AS rho
+        FROM nib GROUP BY event_type, day, bucket
+    ),
+    merged AS (
+        SELECT event_type, bucket, max(rho) AS rho
+        FROM day_reg GROUP BY event_type, bucket
+    ),
+    days AS (
+        SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        FROM day_reg GROUP BY event_type
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS registers_hit,
+               sum(CAST((1::BIGINT << ({W_BITS + 1} - rho)) AS HUGEINT))
+                   + CAST({M} - count(*) AS HUGEINT) * {_POW61} AS total
+        FROM merged GROUP BY event_type
+    )
+    SELECT t.event_type, n_days, registers_hit,
+           CASE WHEN {_NUMER!r} / CAST(total AS DOUBLE) <= {_RAW_MAX!r}
+                     AND registers_hit < {M}
+                THEN ({_LC_SQL})[{M} - registers_hit]
+                ELSE round({_NUMER!r} / CAST(total AS DOUBLE), 2)
+           END AS est_merged
+    FROM tot t JOIN days USING (event_type)
+    """,
+    doc="Sketch mergeability, demonstrated as a query: HLL registers are "
+    "built independently PER DAY (the granularity a 100 TB pipeline "
+    "materializes its daily rollups at), then merged across days with a "
+    "plain max per register — no re-reading the raw events.  Because "
+    "register max is associative/idempotent, the merged estimate is "
+    "bit-identical to computing HLL directly over the whole range "
+    "(hll_distinct_users), which the oracle proves by construction.  "
+    "This is the property that lets distinct-counts roll up across "
+    "partitions, days and clusters without a second scan.",
+)
+def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("hh"),
+    )
+    nib = h.select(
+        "event_type",
+        "day",
+        ((_nib_col(1) * 16 + _nib_col(2)) % M).alias("bucket"),
+        _w_col().alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin("w"))
+    )
+    day_reg = nib.groupBy("event_type", "day", "bucket").agg(
+        F.max(rho).alias("rho")
+    )
+    merged = day_reg.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    days = day_reg.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {W_BITS + 1} - rho)")
+    tot = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_hit"),
+        (
+            F.sum(term.cast("decimal(38,0)"))
+            + (F.lit(M) - F.count(F.lit(1)))
+            * F.lit(_POW61).cast("decimal(38,0)")
+        ).alias("total"),
+    )
+    raw = F.lit(_NUMER) / F.col("total").cast("double")
+    vacancy = (F.lit(M) - F.col("registers_hit")).cast("int")
+    est = F.when(
+        (raw <= F.lit(_RAW_MAX)) & (F.col("registers_hit") < M),
+        F.element_at(F.array(*[F.lit(x) for x in _LC]), vacancy),
+    ).otherwise(F.round(raw, 2))
+    return tot.join(days, "event_type").select(
+        "event_type", "n_days", "registers_hit", est.alias("est_merged")
+    )

@@ -21,3 +21,14 @@ def test_hll_deterministic(spark):
     a = sorted(map(tuple, hll_distinct_users(spark, SF_DIR).collect()))
     b = sorted(map(tuple, hll_distinct_users(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_daily_merged_hll_equals_direct(spark):
+    """Register max is associative: per-day sketches merged across days
+    must estimate bit-identically to the single-pass sketch."""
+    from mqtt2sql_spark.plans.sketches import hll_daily_merge, hll_distinct_users
+    from tests.conftest import SF_DIR
+
+    direct = {r.event_type: r.est_hll for r in hll_distinct_users(spark, SF_DIR).collect()}
+    merged = {r.event_type: r.est_merged for r in hll_daily_merge(spark, SF_DIR).collect()}
+    assert merged == direct

@@ -99,6 +99,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    # timestamp[us] with isAdjustedToUTC=false reads as TIMESTAMP_NTZ;
+    # normalize to the session-tz TIMESTAMP the engine (and DuckDB's
+    # UTC-naive timestamps) expect.  The cast re-interprets the naive
+    # value in the session tz — pinned to UTC above — so it is
+    # value-preserving, and unix_micros/long casts work downstream.
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 

@@ -1510,47 +1510,54 @@ def large_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     , rev AS (
         SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
-               round(sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END), 2) AS promo_rev,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+               sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS promo_cents,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS total_cents
         FROM lineitem JOIN part ON p_partkey = l_partkey
         GROUP BY 1
     )
-    SELECT month, promo_rev, total_rev,
-           round(100.0 * promo_rev / total_rev, 4) + 0 AS promo_share
+    SELECT month,
+           round(promo_cents / 100.0, 2) AS promo_rev,
+           round(total_cents / 100.0, 2) AS total_rev,
+           CAST((1000000 * promo_cents) // greatest(total_cents, 1)
+                AS BIGINT) AS promo_share_ppm
     FROM rev
     """,
     doc="TPC-H Q14 shape (promotion revenue share): conditional "
     "aggregation — one pass computes both the filtered and the total "
     "sum (no second scan, no self-join), part broadcasts into the "
-    "lineitem scan stage.  The share ratio is derived from the ROUNDED "
-    "sums so both engines divide bit-identical operands (summation "
-    "order across partitions is otherwise nondeterministic).",
+    "lineitem scan stage.  Revenue is summed as exact integer cents "
+    "(per-row quantization, BIGINT sum — the nation_trade_volume "
+    "pattern): float summation order across partitions is "
+    "nondeterministic, and monthly groups grow with scale until "
+    "round(sum(double), 2) lands on a rounding boundary.  The share is "
+    "exact integer ppm (positive `div`), so the compared surface has "
+    "no cross-engine float arithmetic at all.",
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(disc * 100, 0).cast("long")
     rev = (
         li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)),
-                2,
-            ).alias("promo_rev"),
-            F.round(F.sum(disc), 2).alias("total_rev"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
         )
     )
-    return rev.select(
+    return rev.selectExpr(
         "month",
-        "promo_rev",
-        "total_rev",
-        (
-            F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4)
-            + F.lit(0.0)
-        ).alias("promo_share"),
+        "round(promo_cents / 100.0, 2) AS promo_rev",
+        "round(total_cents / 100.0, 2) AS total_rev",
+        "CAST((1000000 * promo_cents) div greatest(total_cents, 1) "
+        "AS BIGINT) AS promo_share_ppm",
     )
 
 

@@ -506,8 +506,20 @@ def dedup_embedding_pairs(
                     }
                 )
 
-        parts.append(
-            scan.mapInPandas(block_cosine, "doc_a long, doc_b long, cos double")
+        # materialize THIS tile's pass eagerly so the broadcast can be
+        # destroyed before the next tile ships — keeps live broadcast
+        # memory at O(TILE_ROWS·dim) for the whole loop, not
+        # O(n_tiles·TILE_ROWS·dim).  The checkpointed partitions hold only
+        # the (doc_a, doc_b, cos) survivor pairs, not vectors.
+        part = scan.mapInPandas(
+            block_cosine, "doc_a long, doc_b long, cos double"
+        ).localCheckpoint(eager=True)
+        bc.destroy()
+        parts.append(part)
+    if not parts:
+        # empty corpus (or every tile empty): stable schema, zero rows
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, cos double"
         )
     out = parts[0]
     for p in parts[1:]:

@@ -427,6 +427,13 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
     w = W.partitionBy("doc_id").orderBy("pos")
+    # n_tokens comes from size(tokens), NOT the exploded stream: posexplode
+    # drops docs whose text tokenizes to zero tokens, and the oracle keeps
+    # them (len(t)=0, LEFT JOIN) — deriving the count pre-explode keeps a
+    # punctuation-only document in the output with n_tokens=0.
+    ntok = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
     g = pos.select(
         "doc_id",
         "tok",
@@ -435,7 +442,6 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("tok", 3).over(w).alias("l3"),
         F.lead("tok", 4).over(w).alias("l4"),
     )
-    ntok = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
     bi = g.filter(F.col("l1").isNotNull()).select(
         "doc_id", F.concat_ws(" ", "tok", "l1").alias("g2")
     )

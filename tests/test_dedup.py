@@ -103,6 +103,20 @@ def test_embedding_pairs_threshold(spark, tmp_path):
     assert (1, 3) not in pairs
 
 
+def test_embedding_pairs_empty_corpus_stable_schema(spark, tmp_path):
+    from mqtt2sql_spark.plans.dedup import dedup_embedding_pairs
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = dedup_embedding_pairs(spark, str(tmp_path))
+    assert [f.name for f in out.schema.fields] == ["doc_a", "doc_b", "cos"]
+    assert out.count() == 0
+
+
 def test_connected_components_transitive_chain(spark):
     from mqtt2sql_spark.operators.components import connected_components
 

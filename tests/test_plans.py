@@ -131,6 +131,29 @@ def test_repetition_filter_partial_aggregates(spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_repetition_filter_keeps_zero_token_docs(spark, tmp_path):
+    """A punctuation-only document tokenizes to zero tokens; it must
+    still appear in the output with n_tokens=0 (the oracle keeps it via
+    LEFT JOIN — dropping it is a row-count parity failure)."""
+    from mqtt2sql_spark.plans.text import repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "?!... ---", "en", "s", 9),
+            (2, "plain words here again plain words", "en", "s", 34),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.doc_id: r for r in repetition_filter(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == 0
+    assert out[1].top2_frac_fp == 0 and out[1].dup5_frac_fp == 0
+    assert out[2].n_tokens == 6
+
+
 def test_decontaminate_overlap_builds_postings_not_self_join(spark):
     """The corpus must never self-join row-by-row: candidate pairs come
     from exploded postings lists (one shuffle to group by shingle)."""

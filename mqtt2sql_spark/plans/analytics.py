@@ -1847,3 +1847,232 @@ def orders_positional_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "third_cheapest"
         ),
     )
+
+
+# --- TPC-H Q11 shape: share-of-global HAVING -------------------------------
+
+PART_SHARE_MIN_PPM = 600  # keep parts above ~0.06% of total revenue
+
+
+@register(
+    "part_value_share",
+    oracle=f"""
+    , pv AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS part_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(part_cents) AS total_cents FROM pv)
+    SELECT l_partkey,
+           round(part_cents / 100.0, 2) AS part_value,
+           CAST((1000000 * part_cents) // total_cents AS BIGINT) AS share_ppm
+    FROM pv CROSS JOIN tot
+    WHERE (1000000 * part_cents) // total_cents >= {PART_SHARE_MIN_PPM}
+    """,
+    doc="TPC-H Q11 shape (parts holding a significant share of global "
+    "value): per-part revenue filtered against a fraction of the GLOBAL "
+    "total.  The global total is an aggregate of the already-aggregated "
+    "per-part relation — tiny — and joins back as a broadcast single "
+    "row, so the fact table is scanned and shuffled exactly once "
+    "(partial+final agg on l_partkey).  Revenue in exact integer cents, "
+    "share in exact integer ppm (nation_trade_volume parity pattern); "
+    "the HAVING-over-global predicate uses the ppm integer on both "
+    "engines.  Reference has no aggregation at all — extension per "
+    "SURVEY.md §2 C.",
+)
+def part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("part_cents"))
+    tot = pv.agg(F.sum("part_cents").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST((1000000 * part_cents) div total_cents AS BIGINT)"),
+        )
+        .filter(F.col("share_ppm") >= PART_SHARE_MIN_PPM)
+        .selectExpr(
+            "l_partkey",
+            "round(part_cents / 100.0, 2) AS part_value",
+            "share_ppm",
+        )
+    )
+
+
+# --- TPC-H Q2 shape: correlated minimum ------------------------------------
+
+
+@register(
+    "min_cost_supplier_per_part",
+    oracle="""
+    , uc AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / greatest(l_quantity, 1) AS cost
+        FROM lineitem
+    ),
+    m AS (SELECT l_partkey, min(cost) AS mincost FROM uc GROUP BY l_partkey)
+    SELECT DISTINCT uc.l_partkey, uc.l_suppkey,
+           CAST(floor(uc.cost * 10000) AS BIGINT) AS unit_cost_fp
+    FROM uc JOIN m ON uc.l_partkey = m.l_partkey AND uc.cost = m.mincost
+    """,
+    doc="TPC-H Q2 shape (cheapest supplier per part — the correlated "
+    "scalar-subquery pattern `cost = (SELECT min(cost) ... WHERE "
+    "partkey = outer.partkey)`).  Spark expresses the correlation as a "
+    "min window over the part key: ONE shuffle on l_partkey serves both "
+    "the minimum and the filter, where the naive subquery form would "
+    "scan+shuffle the fact table twice and join it to itself.  Ties "
+    "(several suppliers at the minimum) are all kept, as in Q2.  The "
+    "unit cost compares exactly: both engines evaluate the identical "
+    "IEEE division on identical operands, and min() is "
+    "order-independent.  Output cost is floor fixed-point (1e-4 units): "
+    "round(double, 4) disagrees across engines exactly at a rounding "
+    "boundary (witnessed at sf0.01), floor never does.",
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    uc = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1.0))
+        ).alias("cost"),
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        uc.withColumn("mincost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mincost"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("cost") * 10000).cast("long").alias("unit_cost_fp"),
+        )
+        .distinct()
+    )
+
+
+# --- TPC-H Q4 shape: EXISTS semi-join --------------------------------------
+
+LATE_SHIP_DAYS = 60
+
+
+@register(
+    "order_priority_exists_count",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): EXISTS decorrelates "
+    "to a LEFT SEMI join — each qualifying order is emitted once no "
+    "matter how many late lineitems witness it, with no dedup pass.  "
+    "The date range prunes the probe side before the join (predicate "
+    "pushed to the orders scan), the semi join shuffles on the order "
+    "key, and the per-priority count is a partial+final agg on a "
+    "5-value key.  'Late' is shipdate > orderdate + 60 days (this "
+    "schema carries no commit/receipt dates).",
+)
+def order_priority_exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    witnessed = filtered.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return witnessed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --- TPC-H Q21 shape: the unique straggler ---------------------------------
+
+
+@register(
+    "straggler_supplier_per_order",
+    oracle="""
+    , ls AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    r AS (
+        SELECT l_orderkey, l_suppkey, supp_last,
+               max(supp_last) OVER (PARTITION BY l_orderkey) AS order_last,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+        FROM ls
+    ),
+    r2 AS (
+        SELECT *,
+               sum(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM r
+    )
+    SELECT l_orderkey, l_suppkey, order_last AS last_ship,
+           CAST(n_supp AS BIGINT) AS n_suppliers
+    FROM r2
+    WHERE n_supp >= 2 AND n_at_max = 1 AND supp_last = order_last
+    """,
+    doc="TPC-H Q21 shape (the supplier who kept the order waiting): in "
+    "multi-supplier orders, the UNIQUE supplier whose last shipment is "
+    "strictly after every other supplier's — Q21's "
+    "EXISTS(other supplier)/NOT EXISTS(other late supplier) pair.  "
+    "Spark re-expresses both correlated quantifiers as windows over the "
+    "pre-aggregated (order, supplier) relation: the groupBy and both "
+    "window layers share one l_orderkey shuffle (two Window nodes, same "
+    "partitioning → single exchange), versus the literal form's two "
+    "extra self-joins of the fact table.  Uniqueness of the max "
+    "(n_at_max = 1) is exactly NOT EXISTS(another supplier shipping as "
+    "late).",
+)
+def straggler_supplier_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    w = W.partitionBy("l_orderkey")
+    r = ls.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        F.max("supp_last").over(w).alias("order_last"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+    )
+    r2 = r.withColumn(
+        "n_at_max",
+        F.sum(
+            F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)
+        ).over(w),
+    )
+    return (
+        r2.filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_at_max") == 1)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.col("order_last").alias("last_ship"),
+            F.col("n_supp").cast("long").alias("n_suppliers"),
+        )
+    )

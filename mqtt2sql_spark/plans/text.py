@@ -818,3 +818,170 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens")
     )
+
+
+# --- cross-document boilerplate mining -------------------------------------
+
+BOILER_TOPK = 50
+
+
+@register(
+    "boilerplate_trigrams",
+    oracle=f"""
+    , tk AS (SELECT doc_id, {duck_tokens()} AS l FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(l) - 2),
+                       i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))
+                       AS gram
+            FROM tk
+        )
+    )
+    SELECT gram, df FROM (
+        SELECT gram, CAST(count(*) AS BIGINT) AS df,
+               row_number() OVER (ORDER BY count(*) DESC, gram) AS rk
+        FROM g GROUP BY gram
+    ) WHERE rk <= {BOILER_TOPK}
+    """,
+    doc="Cross-document boilerplate mining (CCNet/RefinedWeb-style): the "
+    "word trigrams shared by the MOST DISTINCT documents — document "
+    "frequency, not raw occurrence count, is what identifies template "
+    "text (headers, disclaimers) to strip before training.  Spark: "
+    "posexplode long format + per-doc lead() window forms trigrams in "
+    "one doc_id-keyed shuffle, per-doc dedup is a distinct on (doc_id, "
+    "gram) — partial-aggregated map-side, so repeated grams inside one "
+    "doc never cross the wire — and the global top-k is "
+    "TakeOrderedAndProject, never a full sort.",
+)
+def boilerplate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_l2"),
+        )
+        .filter(F.col("_l2").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    df_agg = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return df_agg.orderBy(F.desc("df"), F.asc("gram")).limit(BOILER_TOPK)
+
+
+# --- keyword relevance ranking (BM25-shaped, log-free) ---------------------
+
+BM25_TERMS = ("spark", "window", "hash", "vector")
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B = "CAST(0.75 AS DOUBLE)"
+BM25_TOPK = 50
+
+
+def _bm25_score_sql(n_expr: str, dl_expr: str, avgdl_expr: str) -> str:
+    """The per-document score as ONE SQL expression string, shared
+    verbatim by Spark and DuckDB so every float op has the identical
+    expression tree.  idf is the Robertson-Sparck-Jones rational
+    (N - df + 0.5)/(df + 0.5) WITHOUT the log damping: ln() differs by
+    1 ulp across libm implementations (CLAUDE.md LIBM invariant), while
+    +, /, * are IEEE-exact.  Term order in the sum is the fixed literal
+    order of BM25_TERMS — no data-dependent summation order."""
+    parts = []
+    for i, _ in enumerate(BM25_TERMS):
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        df_ = f"CAST(df{i} AS DOUBLE)"
+        idf = f"(({n_expr} - {df_} + 0.5) / ({df_} + 0.5))"
+        denom = (
+            f"({tf} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * "
+            f"({dl_expr} / {avgdl_expr})))"
+        )
+        parts.append(f"{idf} * ({tf} * ({BM25_K1} + 1) / {denom})")
+    return " + ".join(parts)
+
+
+@register(
+    "keyword_bm25_topk",
+    oracle=f"""
+    , tk AS (
+        SELECT doc_id, {duck_tokens()} AS l FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, CAST(len(l) AS BIGINT) AS dl,
+               {", ".join(f"CAST(len(list_filter(l, x -> x = '{t}')) AS BIGINT) AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+        FROM tk
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(BM25_TERMS)))}
+        FROM tf
+    ),
+    scored AS (
+        SELECT doc_id, dl,
+               CAST(floor(({_bm25_score_sql(
+                   "CAST(n_docs AS DOUBLE)",
+                   "CAST(dl AS DOUBLE)",
+                   "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))",
+               )}) * 10000) AS BIGINT) AS score_fp
+        FROM tf CROSS JOIN stats
+    )
+    SELECT doc_id, dl, score_fp FROM (
+        SELECT doc_id, dl, score_fp,
+               row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= {BM25_TOPK}
+    """,
+    doc="Keyword relevance top-k over the corpus, BM25-shaped (Robertson "
+    "et al.; k1=1.2, b=0.75) with the rational RSJ idf kept log-free "
+    "for cross-engine determinism.  Term frequencies are "
+    "size(filter(tokens)) — pure JVM expressions, no explode, so the "
+    "scan emits one row per doc; corpus stats (N, Σdl, per-term df) "
+    "reduce to a SINGLE row that broadcast-joins back — two passes over "
+    "a projection of documents, zero wide shuffles; the top-k is "
+    "TakeOrderedAndProject on the integer fixed-point score.",
+)
+def keyword_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("l"))
+    def _eq(term: str):
+        # single-arg lambda: a second parameter would be interpreted by
+        # F.filter as the positional-index argument
+        return lambda x: x == term
+
+    tf_cols = [F.size("l").cast("long").alias("dl")] + [
+        F.size(F.filter("l", _eq(t))).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    tf = toks.select("doc_id", *tf_cols)
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = _bm25_score_sql(
+        "CAST(n_docs AS DOUBLE)",
+        "CAST(dl AS DOUBLE)",
+        "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))",
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id",
+        "dl",
+        f"CAST(floor(({score}) * 10000) AS BIGINT) AS score_fp",
+    )
+    return scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(
+        BM25_TOPK
+    )

@@ -79,6 +79,12 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_windows",
     # queries added in round 3 (never witnessed) go here, displacing
     # backfill slots below — keep the total at 50.
+    "part_value_share",
+    "min_cost_supplier_per_part",
+    "order_priority_exists_count",
+    "straggler_supplier_per_order",
+    "boilerplate_trigrams",
+    "keyword_bm25_topk",
     # backfill: witnessed green in CORRECTNESS_r01 only (oldest evidence)
     "agg_pricing_summary",
     "revenue_by_region",
@@ -89,12 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "asof_last_click_before_purchase",
     "cohort_retention",
     "funnel_conversion",
-    "grouping_sets_orders",
-    "pivot_event_counts",
-    "json_extract_props",
-    "topk_topics",
-    "salted_topic_counts",
-    "outer_join_customer_orders",
 )
 
 

@@ -190,3 +190,75 @@ def test_per_group_topk_pushes_rank_limit(spark):
     for fn in (ann_cosine_topk, tfidf_top_terms):
         plan = _plan(fn(spark, SF_DIR))
         assert "WindowGroupLimit" in plan, fn.__name__
+
+
+# --- round-3 TPC-H / text operators ----------------------------------------
+
+
+def test_part_value_share_single_fact_shuffle(spark):
+    """Q11 shape: the per-part aggregate feeds BOTH the output and the
+    global total — at runtime AQE must reuse the shuffle (ReusedExchange)
+    so lineitem is scanned and partially aggregated exactly once, and the
+    single-row total must broadcast, never sort-merge."""
+    from mqtt2sql_spark.plans.analytics import part_value_share
+
+    df = part_value_share(spark, SF_DIR)
+    df.collect()  # AQE finalizes (and reuses) exchanges at runtime
+    plan = _formatted(df)
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_min_cost_supplier_uses_window_not_self_join(spark):
+    """Q2 correlated-min decorrelates to ONE shuffle: a min window over
+    l_partkey — not an aggregate + self-join (two scans of lineitem)."""
+    from mqtt2sql_spark.plans.analytics import min_cost_supplier_per_part
+
+    plan = _plan(min_cost_supplier_per_part(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    """EXISTS must plan as LeftSemi (one output row per order regardless
+    of witness count), with the date range pushed to the orders scan."""
+    from mqtt2sql_spark.plans.analytics import order_priority_exists_count
+
+    plan = _plan(order_priority_exists_count(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_straggler_windows_share_one_exchange(spark):
+    """Both window layers partition by l_orderkey: Catalyst must reuse a
+    single exchange (one shuffle total after the groupBy)."""
+    from mqtt2sql_spark.plans.analytics import straggler_supplier_per_order
+
+    plan = _formatted(straggler_supplier_per_order(spark, SF_DIR))
+    # exactly two shuffles: the (orderkey, suppkey) groupBy and ONE
+    # orderkey exchange feeding both window layers
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert plan.count("Window") >= 2
+
+
+def test_boilerplate_trigrams_topk_not_global_sort(spark):
+    from mqtt2sql_spark.plans.text import boilerplate_trigrams
+
+    plan = _plan(boilerplate_trigrams(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_stays_jvm_side_no_explode(spark):
+    """Term frequencies are size(filter(tokens)) expressions: no Python
+    eval, no Generate (explode) — the scan emits one row per document."""
+    from mqtt2sql_spark.plans.text import keyword_bm25_topk
+
+    plan = _plan(keyword_bm25_topk(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan

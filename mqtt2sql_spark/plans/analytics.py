@@ -1602,6 +1602,7 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nation_trade_volume",
+    bench=True,
     oracle="""
     SELECT cust_nation, supp_nation,
            CAST(year(l_shipdate) AS INTEGER) AS ship_year,
@@ -2010,6 +2011,7 @@ def order_priority_exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "straggler_supplier_per_order",
+    bench=True,
     oracle="""
     , ls AS (
         SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last

@@ -1,0 +1,233 @@
+"""Corpus-assembly operators: mixture resampling, training order, packing.
+
+The last mile of a training-data pipeline (after dedup/quality/decontam):
+decide HOW MUCH of each source to keep (mixture reweighting), WHAT ORDER
+examples stream in (deterministic shuffle), and HOW documents pack into
+fixed-length sequences (concat-and-chunk packing).  The reference has no
+notion of any of this (SURVEY.md §2 C — extensions per §7.1 M5); the
+public recipes are the Pile / GPT-3 mixture-weight tables and the
+standard concat-then-chunk packing used by most LM training stacks.
+
+Everything is hash-deterministic (md5) and integer-exact — no RNG, no
+floats on the compared surface — so results are reproducible across
+runs, engines, and partitionings.  All plans are single-shuffle or
+shuffle-free; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mqtt2sql_spark.fixtures import load_table
+from mqtt2sql_spark.functions.text import duck_tokens, tokens
+from mqtt2sql_spark.operators.ids import dense_row_ids
+from mqtt2sql_spark.plans.base import register
+
+# --- deterministic mixture resampling --------------------------------------
+
+# Target keep-rates per source, in percent (downsampling only — an
+# upsampling stage would replicate rows by ceil(w) then thin, same
+# hash-threshold trick).  Unlisted sources keep 100%.
+MIX_WEIGHTS_PCT: dict[str, int] = {
+    "src0": 10,
+    "src5": 25,
+    "src10": 50,
+    "src15": 75,
+}
+
+_HEX16 = "0123456789abcdef"
+# DuckDB has no hex→int conv(); reconstruct the first 8 md5 nibbles as a
+# 32-bit integer by positional digit lookup (same construction as
+# plans/text.py sample_weighted).
+_DUCK_MIX_HV8 = " + ".join(
+    f"CAST(instr('{_HEX16}', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), "
+    f"{i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_DUCK_W_PCT = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in MIX_WEIGHTS_PCT.items()
+    )
+    + " ELSE 100 END"
+)
+
+
+@register(
+    "importance_resample_mix",
+    oracle=f"""
+    , w AS (
+        SELECT doc_id, source, lang,
+               CAST({_DUCK_W_PCT} AS BIGINT) AS w_pct,
+               {_DUCK_MIX_HV8} AS hv
+        FROM documents
+    )
+    SELECT doc_id, source, lang, w_pct
+    FROM w
+    WHERE hv * 100 < w_pct * 4294967296
+    """,
+    doc="Mixture reweighting (Pile/GPT-3-style source weights): keep each "
+    "document with probability = its source's target weight, decided by "
+    "md5(doc_id) against an integer threshold — cross-multiplied to pure "
+    "64-bit integers (hv·100 < w·2^32), so the keep set is bit-identical "
+    "on every engine and every partitioning, and re-running the pipeline "
+    "yields the same corpus (the property mixture tuning needs).  "
+    "Embarrassingly parallel: scan → project → filter, zero shuffles; "
+    "the weight table is a literal CASE, not a join.  The hash is salted "
+    "('mix:') so this stage's coin flips are independent of the "
+    "quality-sampling stage's (plans/text.py sample_weighted).",
+)
+def importance_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w_pct = F.lit(100)
+    for s, w in reversed(MIX_WEIGHTS_PCT.items()):
+        w_pct = F.when(F.col("source") == s, F.lit(w)).otherwise(w_pct)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            w_pct.cast("long").alias("w_pct"),
+            hv.alias("hv"),
+        )
+        .filter(F.col("hv") * 100 < F.col("w_pct") * F.lit(4294967296))
+        .select("doc_id", "source", "lang", "w_pct")
+    )
+
+
+# --- deterministic training order ------------------------------------------
+
+N_SHARDS = 16
+
+
+@register(
+    "training_order_assignment",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id,
+               md5('order:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS position,
+           CAST((row_number() OVER (ORDER BY shuffle_key, doc_id) - 1)
+                % {N_SHARDS} AS BIGINT) AS shard
+    FROM h
+    """,
+    doc="Deterministic global training order: every document gets a dense "
+    "1-based position in md5-shuffled order plus a round-robin shard "
+    "assignment — the reproducible 'seeded shuffle' of an epoch, with "
+    "striped shards so each worker's stream is an unbiased sample of "
+    "the corpus.  The dense numbering is operators/ids.dense_row_ids "
+    "(two-phase: per-bucket row_number + tiny broadcast bucket offsets); "
+    "the bucket is the hash's leading byte — 256 buckets, monotonic in "
+    "the sort key and uniformly sized by construction, so no global "
+    "single-partition window touches the corpus (A7's id operator "
+    "re-used at corpus scale).",
+)
+def training_order_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    numbered = dense_row_ids(
+        keyed,
+        order_cols=["shuffle_key", "doc_id"],
+        id_col="position",
+        bucket=F.substring("shuffle_key", 1, 2),
+    )
+    return numbered.select(
+        "doc_id",
+        "shuffle_key",
+        "position",
+        ((F.col("position") - 1) % N_SHARDS).cast("long").alias("shard"),
+    )
+
+
+# --- concat-and-chunk sequence packing -------------------------------------
+
+PACK_MAX_LEN = 256  # tokens per training sequence
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+    , tk AS (
+        SELECT doc_id, source,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok AS start_off
+        FROM tk
+    )
+    SELECT doc_id, source, n_tok, start_off,
+           CAST(start_off // {PACK_MAX_LEN} AS BIGINT) AS seq_first,
+           CAST(greatest(start_off + n_tok - 1, start_off)
+                // {PACK_MAX_LEN} AS BIGINT) AS seq_last,
+           CAST(CASE WHEN start_off // {PACK_MAX_LEN}
+                       <> greatest(start_off + n_tok - 1, start_off)
+                          // {PACK_MAX_LEN}
+                THEN 1 ELSE 0 END AS INTEGER) AS crosses_boundary
+    FROM c
+    """,
+    doc=f"Concat-and-chunk sequence packing (the standard LM pre-training "
+    f"layout): documents are concatenated per source in doc_id order and "
+    f"cut into {PACK_MAX_LEN}-token sequences; each document reports its "
+    "global token offset, first/last sequence index, and whether it "
+    "straddles a cut.  One running-sum window per source (high-"
+    "cardinality partition key — no global window), everything after it "
+    "integer arithmetic.  The offsets are exactly what a pack-writer "
+    "needs to emit fixed-length examples without materializing the "
+    "concatenation; at 100 TB the window is the only shuffle and "
+    "partitions by source, so adding sources scales out, not up.",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = tk.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    end_off = F.greatest(
+        F.col("start_off") + F.col("n_tok") - 1, F.col("start_off")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "start_off",
+        F.expr(f"CAST(start_off div {PACK_MAX_LEN} AS BIGINT)").alias(
+            "seq_first"
+        ),
+        F.floor(end_off / PACK_MAX_LEN).cast("long").alias("seq_last"),
+        F.when(
+            F.expr(f"start_off div {PACK_MAX_LEN}")
+            != F.floor(end_off / PACK_MAX_LEN),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("crosses_boundary"),
+    )

@@ -910,6 +910,7 @@ def _bm25_score_sql(n_expr: str, dl_expr: str, avgdl_expr: str) -> str:
 
 @register(
     "keyword_bm25_topk",
+    bench=True,
     oracle=f"""
     , tk AS (
         SELECT doc_id, {duck_tokens()} AS l FROM documents

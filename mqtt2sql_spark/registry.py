@@ -15,6 +15,7 @@ _PLAN_MODULES = (
     "mqtt2sql_spark.plans.timeseries",
     "mqtt2sql_spark.plans.sketches",
     "mqtt2sql_spark.plans.multimodal",
+    "mqtt2sql_spark.plans.mixing",
 )
 
 
@@ -85,6 +86,9 @@ _PRIORITY: tuple[str, ...] = (
     "straggler_supplier_per_order",
     "boilerplate_trigrams",
     "keyword_bm25_topk",
+    "importance_resample_mix",
+    "training_order_assignment",
+    "pack_sequences_greedy",
     # backfill: witnessed green in CORRECTNESS_r01 only (oldest evidence)
     "agg_pricing_summary",
     "revenue_by_region",
@@ -92,9 +96,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "window_running_total",
     "window_time_range_frame",
-    "asof_last_click_before_purchase",
-    "cohort_retention",
-    "funnel_conversion",
 )
 
 

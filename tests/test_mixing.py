@@ -1,0 +1,98 @@
+"""Corpus-assembly operators: mixture resampling, training order, packing."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def test_resample_keep_rate_tracks_weight(spark):
+    """Per-source keep rate must approximate the target weight (hash is
+    uniform), and be exactly reproducible run-to-run."""
+    from mqtt2sql_spark.plans.mixing import MIX_WEIGHTS_PCT, importance_resample_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = {
+        r.source: r.n for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = {
+        r.source: r.n for r in importance_resample_mix(spark, SF_DIR)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s, w in MIX_WEIGHTS_PCT.items():
+        if total.get(s, 0) == 0:
+            continue
+        rate = kept.get(s, 0) / total[s]
+        # sf0.001 strata are tiny (~5 docs); just bound loosely
+        assert rate <= 1.0 and abs(rate - w / 100) < 0.5, (s, rate, w)
+    # unlisted sources keep everything
+    for s in total:
+        if s not in MIX_WEIGHTS_PCT:
+            assert kept.get(s, 0) == total[s], s
+
+
+def test_resample_is_shuffle_free(spark):
+    from mqtt2sql_spark.plans.mixing import importance_resample_mix
+
+    plan = _plan(importance_resample_mix(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_training_order_is_dense_deterministic_permutation(spark):
+    from mqtt2sql_spark.plans.mixing import N_SHARDS, training_order_assignment
+
+    out = training_order_assignment(spark, SF_DIR)
+    rows = out.collect()
+    n = len(rows)
+    positions = sorted(r.position for r in rows)
+    assert positions == list(range(1, n + 1))  # dense 1..N, no gaps/dupes
+    for r in rows:
+        assert r.shard == (r.position - 1) % N_SHARDS
+    # order follows the hash, not doc_id: the permutation must differ
+    # from the identity (overwhelmingly likely for n >= 10)
+    by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.position)]
+    assert by_pos != sorted(by_pos)
+    # deterministic across plan re-executions
+    again = [r.doc_id for r in sorted(
+        training_order_assignment(spark, SF_DIR).collect(),
+        key=lambda r: r.position)]
+    assert by_pos == again
+
+
+def test_pack_offsets_are_contiguous_per_source(spark):
+    """start_off must equal the sum of previous docs' n_tok within the
+    source (concatenation semantics) and sequence spans must be
+    consistent with the offsets."""
+    from mqtt2sql_spark.plans.mixing import PACK_MAX_LEN, pack_sequences_greedy
+
+    rows = pack_sequences_greedy(spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for s, rs in by_source.items():
+        rs.sort(key=lambda r: r.doc_id)
+        acc = 0
+        for r in rs:
+            assert r.start_off == acc, (s, r.doc_id)
+            acc += r.n_tok
+            assert r.seq_first == r.start_off // PACK_MAX_LEN
+            end = max(r.start_off + r.n_tok - 1, r.start_off)
+            assert r.seq_last == end // PACK_MAX_LEN
+            assert r.crosses_boundary == int(r.seq_first != r.seq_last)
+
+
+def test_pack_window_partitions_by_source(spark):
+    """The running sum must partition by source — a global (unpartitioned)
+    window would serialize the corpus through one task."""
+    from mqtt2sql_spark.plans.mixing import pack_sequences_greedy
+
+    plan = _plan(pack_sequences_greedy(spark, SF_DIR))
+    assert "partitionBy" not in plan  # simple mode spells it differently
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan

@@ -231,3 +231,181 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("crosses_boundary"),
     )
+
+
+# --- end-to-end pipeline acceptance funnel ---------------------------------
+
+FUNNEL_MIN_TOKENS = 10
+EVAL_SPLIT_PCT = 10  # md5('split:'||doc_id) < 10% of hash space → eval doc
+
+_DUCK_SPLIT_HV8 = " + ".join(
+    f"CAST(instr('{_HEX16}', substr(md5('split:' || CAST(doc_id AS VARCHAR)),"
+    f" {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_DUCK_STOPS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+@register(
+    "corpus_pipeline_funnel",
+    oracle=f"""
+    , f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS digest,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_tok,
+               CAST(len(list_filter({duck_tokens()},
+                        x -> x IN {_DUCK_STOPS})) AS BIGINT) AS stop_cnt,
+               CASE WHEN ({_DUCK_SPLIT_HV8}) * 100
+                         < {EVAL_SPLIT_PCT} * 4294967296
+                    THEN 1 ELSE 0 END AS is_eval,
+               CASE WHEN ({_DUCK_MIX_HV8}) * 100
+                         < ({_DUCK_W_PCT}) * 4294967296
+                    THEN 1 ELSE 0 END AS mix_keep
+        FROM documents
+    ),
+    s AS (
+        SELECT *,
+               CASE WHEN n_tok >= {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS s1,
+               CASE WHEN n_tok >= {FUNNEL_MIN_TOKENS} AND stop_cnt >= 1
+                    THEN 1 ELSE 0 END AS s2
+        FROM f
+    ),
+    g AS (
+        SELECT digest,
+               min(CASE WHEN s2 = 1 THEN doc_id END) AS keeper,
+               max(is_eval) AS has_eval
+        FROM s GROUP BY digest
+    ),
+    j AS (
+        SELECT s.*,
+               CASE WHEN s2 = 1 AND doc_id = keeper THEN 1 ELSE 0 END AS s3,
+               CASE WHEN s2 = 1 AND doc_id = keeper AND has_eval = 0
+                    THEN 1 ELSE 0 END AS s4
+        FROM s JOIN g USING (digest)
+    ),
+    agg AS (
+        SELECT count(*) AS n0,
+               sum(s1) AS n1, sum(s2) AS n2, sum(s3) AS n3, sum(s4) AS n4,
+               sum(CASE WHEN s4 = 1 AND mix_keep = 1 THEN 1 ELSE 0 END) AS n5
+        FROM j
+    )
+    SELECT stage_idx, stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+        SELECT 0 AS stage_idx, 'ingested' AS stage, n0 AS n_docs FROM agg
+        UNION ALL SELECT 1, 'min_length', n1 FROM agg
+        UNION ALL SELECT 2, 'quality', n2 FROM agg
+        UNION ALL SELECT 3, 'exact_dedup', n3 FROM agg
+        UNION ALL SELECT 4, 'decontam', n4 FROM agg
+        UNION ALL SELECT 5, 'mixture', n5 FROM agg
+    )
+    """,
+    doc="End-to-end pipeline acceptance funnel: how many documents "
+    "survive each cumulative stage — ingest → min-length → quality "
+    "(stopword evidence) → exact dedup (md5-normalized, keeper chosen "
+    "among quality survivors) → decontamination (drop any doc sharing a "
+    "digest with a held-out eval doc, eval split itself hash-"
+    "deterministic) → mixture resampling.  The whole funnel is ONE "
+    "declarative plan: a scan computing per-doc flags, one digest-keyed "
+    "aggregate joined back (the only wide shuffle), a single-row "
+    "conditional aggregate, and a 6-row unpivot — the per-stage counts "
+    "a pipeline dashboard reports, without running five separate jobs "
+    "over the corpus.  Every stage predicate is integer/hash-exact, so "
+    "the funnel is reproducible to the row at any scale.",
+)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.functions.text import STOPWORDS, normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hv_split = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hv_mix = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_pct = F.lit(100)
+    for src, w in reversed(MIX_WEIGHTS_PCT.items()):
+        w_pct = F.when(F.col("source") == src, F.lit(w)).otherwise(w_pct)
+    lit_stops = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def _in_stops(x):
+        return F.array_contains(lit_stops, x)
+
+    f = docs.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("digest"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, _in_stops)).cast("long").alias("stop_cnt"),
+        F.when(
+            hv_split * 100 < F.lit(EVAL_SPLIT_PCT) * F.lit(4294967296),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_eval"),
+        F.when(hv_mix * 100 < w_pct * F.lit(4294967296), 1)
+        .otherwise(0)
+        .alias("mix_keep"),
+    )
+    s = f.withColumn(
+        "s1", F.when(F.col("n_tok") >= FUNNEL_MIN_TOKENS, 1).otherwise(0)
+    ).withColumn(
+        "s2",
+        F.when(
+            (F.col("n_tok") >= FUNNEL_MIN_TOKENS) & (F.col("stop_cnt") >= 1),
+            1,
+        ).otherwise(0),
+    )
+    g = s.groupBy("digest").agg(
+        F.min(F.when(F.col("s2") == 1, F.col("doc_id"))).alias("keeper"),
+        F.max("is_eval").alias("has_eval"),
+    )
+    j = (
+        s.join(g, "digest")
+        .withColumn(
+            "s3",
+            F.when(
+                (F.col("s2") == 1) & (F.col("doc_id") == F.col("keeper")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "s4",
+            F.when((F.col("s3") == 1) & (F.col("has_eval") == 0), 1).otherwise(
+                0
+            ),
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("s1").alias("n1"),
+        F.sum("s2").alias("n2"),
+        F.sum("s3").alias("n3"),
+        F.sum("s4").alias("n4"),
+        F.sum(
+            F.when((F.col("s4") == 1) & (F.col("mix_keep") == 1), 1).otherwise(
+                0
+            )
+        ).alias("n5"),
+    )
+    stages = ", ".join(
+        f"{i}, '{name}', CAST(n{i} AS BIGINT)"
+        for i, name in enumerate(
+            ("ingested", "min_length", "quality", "exact_dedup", "decontam",
+             "mixture")
+        )
+    )
+    return agg.selectExpr(
+        f"stack(6, {stages}) AS (stage_idx, stage, n_docs)"
+    )

@@ -89,13 +89,13 @@ _PRIORITY: tuple[str, ...] = (
     "importance_resample_mix",
     "training_order_assignment",
     "pack_sequences_greedy",
+    "corpus_pipeline_funnel",
     # backfill: witnessed green in CORRECTNESS_r01 only (oldest evidence)
     "agg_pricing_summary",
     "revenue_by_region",
     "events_tumbling_window",
     "events_sessionize",
     "window_running_total",
-    "window_time_range_frame",
 )
 
 

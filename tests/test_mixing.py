@@ -96,3 +96,19 @@ def test_pack_window_partitions_by_source(spark):
     assert "partitionBy" not in plan  # simple mode spells it differently
     assert "Window" in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_funnel_is_monotone_and_single_digest_shuffle(spark):
+    from mqtt2sql_spark.plans.mixing import corpus_pipeline_funnel
+
+    df = corpus_pipeline_funnel(spark, SF_DIR)
+    rows = sorted(df.collect(), key=lambda r: r.stage_idx)
+    names = [r.stage for r in rows]
+    assert names == ["ingested", "min_length", "quality", "exact_dedup",
+                     "decontam", "mixture"]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)  # cumulative stages shrink
+    assert counts[0] > 0
+    plan = _plan(df)
+    # the digest aggregate+join is the only wide shuffle of corpus data
+    assert "hashpartitioning(digest" in plan

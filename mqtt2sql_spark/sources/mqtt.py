@@ -122,7 +122,9 @@ class FileSpoolTransport:
         except FileNotFoundError:
             return out
         for name in names:
-            if name in self._done or name.startswith("."):
+            # '.'-prefixed = hidden/in-progress; '_'-prefixed = metadata
+            # (_manifest, _SUCCESS — the spool SINK's commit log)
+            if name in self._done or name.startswith((".", "_")):
                 continue
             path = os.path.join(self.spool_dir, name)
             with open(path) as f:

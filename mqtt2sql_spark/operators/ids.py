@@ -34,6 +34,7 @@ def dense_row_ids(
     order_cols: Sequence[str],
     id_col: str = "id",
     bucket: Column | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Assign 1-based dense BIGINT ids in total ``order_cols`` order.
 
@@ -43,6 +44,19 @@ def dense_row_ids(
     buckets by calendar day of the leading timestamp column, giving
     ~uniform parallelism for event streams; pass ``F.lit(0)`` to force a
     single-bucket (global window) fallback for non-temporal orders.
+
+    ``materialize`` (default) lazily localCheckpoints the windowed
+    relation, so BOTH consumers (the id join and the offsets branch)
+    read the same materialized blocks instead of recomputing the
+    upstream chain — column pruning gives the two branches different
+    subplans, so ReusedExchange can never fire on its own.  At fixture
+    scale the recompute is noise (~5%, measured both ways at sf0.1);
+    the real reasons to materialize are (a) id stability under task
+    retry — both branches are guaranteed to see the same rows even if
+    an upstream source is nondeterministic — and (b) upstreams where
+    the pruned chain is itself expensive (joins, explodes).  Pass
+    False for plans whose upstream is a bare scan if block-manager
+    storage is at a premium.
     """
     if bucket is None:
         bucket = F.to_date(F.col(order_cols[0]))
@@ -51,15 +65,11 @@ def dense_row_ids(
     local = with_b.withColumn(
         "_rn", F.row_number().over(W.partitionBy("_bkt").orderBy(*cols))
     )
+    if materialize:
+        local = local.localCheckpoint(eager=False)
     # bucket sizes = max(_rn) on the window output: the groupBy consumes
     # the window's hash(_bkt) partitioning, so the offsets branch adds no
-    # extra shuffle of the big side.  Catalyst still recomputes the
-    # upstream for this branch (column pruning gives the two branches
-    # different subplans, so ReusedExchange cannot fire) — but the
-    # recompute is the *pruned* chain (only _bkt + order cols survive).
-    # If the upstream is expensive enough to matter, materialize it first
-    # (write the table, then number it) — that is also what keeps this
-    # deterministic under task retries at cluster scale.
+    # extra shuffle of the big side.
     counts = local.groupBy("_bkt").agg(F.max("_rn").alias("_cnt"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(

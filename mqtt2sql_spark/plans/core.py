@@ -339,3 +339,127 @@ def flip_history_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("history_enable"),
         "history_diffonly",
     )
+
+
+# --- history maintenance: value-run compaction -----------------------------
+
+
+@register(
+    "history_value_runs",
+    oracle="""
+    , flagged AS (
+        SELECT topicid, ts, event_id, value_str,
+               CASE WHEN lag(value_str) OVER w IS NULL
+                      OR lag(value_str) OVER w <> value_str
+                    THEN 1 ELSE 0 END AS chg
+        FROM (
+            SELECT d.id AS topicid, m.ts, m.event_id, m.value_str
+            FROM messages m JOIN topic_dim d USING (topic)
+        )
+        WINDOW w AS (PARTITION BY topicid ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY topicid ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run_id
+        FROM flagged
+    )
+    SELECT topicid, CAST(run_id AS BIGINT) AS run_id, value_str,
+           min(ts) AS run_start, max(ts) AS run_end,
+           count(*) AS n_rows
+    FROM runs
+    GROUP BY topicid, run_id, value_str
+    """,
+    doc="History compaction by value runs (gaps-and-islands): collapse "
+    "each topic's message sequence into (value, run_start, run_end, "
+    "n_rows) intervals — the run-length-encoded form of the history "
+    "table, i.e. what A10's diff-only stream keeps one row of, with the "
+    "span and repeat count the full history can still reconstruct.  "
+    "Change flags from lag(), run ids from a running sum, both windows "
+    "and the final rollup share ONE topicid shuffle.  The value-change "
+    "island pattern complements events_sessionize's time-gap islands "
+    "(reference trigger semantics: mysql.sql:87 diff suppression).",
+)
+def history_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.fixtures import messages, topic_dim
+
+    msg = messages(spark, sf_dir).withColumn(
+        "value_str", F.col("value").cast("string")
+    )
+    dim = topic_dim(spark, sf_dir).select("id", "topic")
+    base = msg.join(F.broadcast(dim), "topic").select(
+        F.col("id").alias("topicid"), "ts", "event_id", "value_str"
+    )
+    w = W.partitionBy("topicid").orderBy("ts", "event_id")
+    flagged = base.withColumn(
+        "chg",
+        F.when(
+            F.lag("value_str").over(w).isNull()
+            | (F.lag("value_str").over(w) != F.col("value_str")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return runs.groupBy(
+        "topicid", F.col("run_id").cast("long").alias("run_id"), "value_str"
+    ).agg(
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- history maintenance: retention pruning --------------------------------
+
+RETAIN_AFTER = "2024-01-20 00:00:00"  # keep full detail after this instant
+
+
+@register(
+    "history_retention_prune",
+    oracle=f"""
+    , ranked AS (
+        SELECT id, ts, topicid, value_str,
+               row_number() OVER (PARTITION BY topicid
+                                  ORDER BY ts DESC, id DESC) AS rn
+        FROM mqtt_history
+    )
+    SELECT id, ts, topicid, value_str,
+           CAST(CASE WHEN ts >= TIMESTAMP '{RETAIN_AFTER}'
+                THEN 1 ELSE 0 END AS INTEGER) AS in_window
+    FROM ranked
+    WHERE ts >= TIMESTAMP '{RETAIN_AFTER}' OR rn = 1
+    """,
+    doc="Retention policy over the history table: keep every row inside "
+    "the retention window PLUS each topic's single latest row outside it "
+    "(so a topic silent since before the cutoff still reconstructs its "
+    "current state — the invariant a naive DELETE WHERE ts < cutoff "
+    "breaks).  One topicid-keyed ranking window; on date-partitioned "
+    "storage the window only needs to scan partitions ≤ cutoff for the "
+    "keep-latest half, and the in-window half is pure partition "
+    "pruning.  The maintenance twin of A9/A10's append path "
+    "(reference has no retention story — its history grows forever, "
+    "README.md:228-235).",
+)
+def history_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.fixtures import mqtt_history
+
+    h = mqtt_history(spark, sf_dir)
+    w = W.partitionBy("topicid").orderBy(F.desc("ts"), F.desc("id"))
+    cutoff = F.lit(RETAIN_AFTER).cast("timestamp")
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("ts") >= cutoff) | (F.col("rn") == 1))
+        .select(
+            "id",
+            "ts",
+            "topicid",
+            "value_str",
+            F.when(F.col("ts") >= cutoff, 1).otherwise(0)
+            .cast("int")
+            .alias("in_window"),
+        )
+    )

@@ -90,12 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     "training_order_assignment",
     "pack_sequences_greedy",
     "corpus_pipeline_funnel",
+    "history_value_runs",
+    "history_retention_prune",
     # backfill: witnessed green in CORRECTNESS_r01 only (oldest evidence)
     "agg_pricing_summary",
     "revenue_by_region",
     "events_tumbling_window",
-    "events_sessionize",
-    "window_running_total",
 )
 
 

@@ -262,3 +262,28 @@ def test_bm25_stays_jvm_side_no_explode(spark):
     assert "ArrowEvalPython" not in plan
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_history_value_runs_single_topic_shuffle(spark):
+    """lag window, running-sum window and the run rollup all key on
+    topicid: one exchange serves all three."""
+    from mqtt2sql_spark.plans.core import history_value_runs
+
+    plan = _plan(history_value_runs(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(topicid") == 1
+
+
+def test_history_retention_keeps_latest_per_silent_topic(spark):
+    """Every topic present in history must survive retention (either via
+    the window or as its keep-latest row)."""
+    from mqtt2sql_spark.fixtures import mqtt_history
+    from mqtt2sql_spark.plans.core import history_retention_prune
+
+    before = {r.topicid for r in mqtt_history(spark, SF_DIR)
+              .select("topicid").distinct().collect()}
+    after_rows = history_retention_prune(spark, SF_DIR).collect()
+    after = {r.topicid for r in after_rows}
+    assert after == before
+    # rows outside the window are exactly one per silent topic
+    outside = [r for r in after_rows if r.in_window == 0]
+    assert len(outside) == len({r.topicid for r in outside})

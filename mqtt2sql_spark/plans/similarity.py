@@ -672,3 +672,146 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# --- quantized k-means (cross-engine-exact Lloyd iterations) ---------------
+
+KM_K = 8          # clusters
+KM_ITERS = 2      # unrolled Lloyd iterations
+_Q_VAL = 1_000_000       # per-dim value quantization (1e-6 units)
+_Q_DIST = 1_000_000_000  # per-dim squared-distance quantization
+
+
+def _km_duck_iter(prev_assign: str, idx: int) -> str:
+    """One Lloyd iteration as DuckDB CTE text (centroids from integer-
+    quantized sums, assignment by integer-quantized distances)."""
+    return f"""
+    c{idx} AS (
+        SELECT cluster, dim,
+               CAST(sum(CAST(floor(val * {_Q_VAL} + 0.5) AS BIGINT))
+                    AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / {_Q_VAL} AS c
+        FROM e JOIN {prev_assign} USING (vec_id)
+        GROUP BY cluster, dim
+    ),
+    d{idx} AS (
+        SELECT e.vec_id, c{idx}.cluster,
+               sum(CAST(floor((e.val - c{idx}.c) * (e.val - c{idx}.c)
+                              * {_Q_DIST}) AS BIGINT)) AS dist_fp
+        FROM e JOIN c{idx} ON e.dim = c{idx}.dim
+        GROUP BY e.vec_id, c{idx}.cluster
+    ),
+    a{idx} AS (
+        SELECT vec_id, cluster, dist_fp FROM (
+            SELECT vec_id, cluster, dist_fp,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_fp, cluster) AS rn
+            FROM d{idx}
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    , e AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+           FROM embeddings),
+    {_km_duck_iter("a0", 1)},
+    {_km_duck_iter("a1", 2)}
+    SELECT a2.vec_id, a2.cluster, a2.dist_fp,
+           a1.cluster AS cluster_prev,
+           CAST(CASE WHEN a1.cluster = a2.cluster THEN 0 ELSE 1 END
+                AS INTEGER) AS moved
+    FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
+    """,
+    doc=f"K-means cluster assignment ({KM_K} clusters, {KM_ITERS} unrolled "
+    "Lloyd iterations) with bit-identical results on every engine and "
+    "partitioning — the property distributed clustering normally "
+    "sacrifices.  Floating-point summation order is the enemy twice "
+    "(centroid means, distance sums); both are made order-free by "
+    "per-element integer quantization: centroids divide exact BIGINT "
+    "sums of floor(val·1e6+0.5), distances sum exact BIGINT "
+    "floor(Δ²·1e9), and argmin tie-breaks on cluster id.  Spark plan "
+    "per iteration: posexplode long format, centroid aggregate "
+    "(K·dim = 512 rows) broadcast back into the scan stage, one "
+    "(vec, cluster) partial-agg shuffle, and a WindowGroupLimit argmin "
+    "— iterations chain without any driver collect, and the broadcast "
+    "keeps the fact side shuffling only (vec_id)-keyed rows.  "
+    "Deterministic data-independent init (vec_id % K), same contract "
+    "as the IVF coarse quantizer (ann_ivf_topk).  'moved' exposes "
+    "assignment churn between the final two iterations — the "
+    "convergence signal a pipeline monitors.",
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    assign = emb.select(
+        "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
+    )
+    prev = None
+    for _ in range(KM_ITERS):
+        cent = (
+            e.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * _Q_VAL + F.lit(0.5)).cast("long")
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "dim",
+                (
+                    F.col("sq").cast("double")
+                    / F.col("n").cast("double")
+                    / F.lit(_Q_VAL)
+                ).alias("c"),
+            )
+        )
+        diff = F.col("val") - F.col("c")
+        d = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    F.floor(diff * diff * _Q_DIST).cast("long")
+                ).alias("dist_fp")
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy("dist_fp", "cluster")
+        prev = assign
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist_fp")
+        )
+    return (
+        assign.alias("a2")
+        .join(
+            prev.select(
+                F.col("vec_id").alias("p_vec_id"),
+                F.col("cluster").alias("cluster_prev"),
+            ),
+            F.col("vec_id") == F.col("p_vec_id"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            "dist_fp",
+            "cluster_prev",
+            F.when(F.col("cluster") == F.col("cluster_prev"), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("moved"),
+        )
+    )

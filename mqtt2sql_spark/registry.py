@@ -92,10 +92,10 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_pipeline_funnel",
     "history_value_runs",
     "history_retention_prune",
+    "embedding_kmeans_assign",
     # backfill: witnessed green in CORRECTNESS_r01 only (oldest evidence)
     "agg_pricing_summary",
     "revenue_by_region",
-    "events_tumbling_window",
 )
 
 

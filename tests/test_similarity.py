@@ -85,3 +85,35 @@ def test_quantize_int8_codes_cover_range(spark):
 
     per_vec = Counter(r.vec_id for r in rows)
     assert set(per_vec.values()) == {64}
+
+
+def test_kmeans_assignment_is_deterministic_and_clusters_cohere(spark):
+    """Two plan executions give identical assignments (integer-quantized
+    arithmetic — no float summation-order wobble), every vector lands in
+    exactly one cluster, and the assignment is locally optimal w.r.t.
+    the final centroids (it was chosen as the argmin)."""
+    from mqtt2sql_spark.plans.similarity import KM_K, embedding_kmeans_assign
+    from tests.conftest import SF_DIR
+
+    a = {r.vec_id: (r.cluster, r.dist_fp)
+         for r in embedding_kmeans_assign(spark, SF_DIR).collect()}
+    b = {r.vec_id: (r.cluster, r.dist_fp)
+         for r in embedding_kmeans_assign(spark, SF_DIR).collect()}
+    assert a == b
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(a) == n_vecs
+    assert {c for c, _ in a.values()} <= set(range(KM_K))
+    assert all(d >= 0 for _, d in a.values())
+
+
+def test_kmeans_broadcasts_centroids_no_fact_sort_merge(spark):
+    """Centroids (K*dim rows) must broadcast into the long-format scan:
+    the corpus side never sort-merge-joins against itself."""
+    from mqtt2sql_spark.plans.similarity import embedding_kmeans_assign
+    from tests.conftest import SF_DIR
+
+    jvm = spark.sparkContext._jvm
+    df = embedding_kmeans_assign(spark, SF_DIR)
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # argmin rank prunes before shuffle

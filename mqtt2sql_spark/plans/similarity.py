@@ -815,3 +815,153 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("moved"),
         )
     )
+
+
+# --- semantic dedup within k-means cells (SemDeDup-shaped) -----------------
+
+# cos(a,b) >= 0.8 tested exactly: dot >= 0 AND 25*dot^2 >= 16*|a|^2*|b|^2
+# over the floor-quantized integer forms (DECIMAL(38,0) — no float sums).
+SEM_TAU_NUM2 = 16  # tau^2 = 16/25  (tau = 0.8)
+SEM_TAU_DEN2 = 25
+
+
+@register(
+    "semantic_dedup_keep",
+    oracle=f"""
+    , e AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+           FROM embeddings),
+    {_km_duck_iter("a0", 1)},
+    {_km_duck_iter("a1", 2)},
+    q AS (
+        SELECT e.vec_id, a2.cluster, e.dim, e.val,
+               CAST(floor(e.val * e.val * {_Q_DIST}) AS BIGINT) AS sq_fp
+        FROM e JOIN a2 ON e.vec_id = a2.vec_id
+    ),
+    norms AS (
+        SELECT vec_id, cluster, sum(sq_fp) AS n2_fp
+        FROM q GROUP BY vec_id, cluster
+    ),
+    dots AS (
+        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, x.cluster,
+               sum(CAST(floor(x.val * y.val * {_Q_DIST}) AS BIGINT))
+                   AS dot_fp
+        FROM q x JOIN q y
+          ON x.cluster = y.cluster AND x.dim = y.dim
+         AND x.vec_id < y.vec_id
+        GROUP BY x.vec_id, y.vec_id, x.cluster
+    ),
+    dups AS (
+        SELECT d.doc_a, d.doc_b, d.cluster
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.doc_a
+        JOIN norms nb ON nb.vec_id = d.doc_b
+        WHERE d.dot_fp >= 0
+          AND CAST({SEM_TAU_DEN2} AS DECIMAL(38,0))
+              * CAST(d.dot_fp AS DECIMAL(38,0))
+              * CAST(d.dot_fp AS DECIMAL(38,0))
+              >= CAST({SEM_TAU_NUM2} AS DECIMAL(38,0))
+                 * CAST(na.n2_fp AS DECIMAL(38,0))
+                 * CAST(nb.n2_fp AS DECIMAL(38,0))
+    )
+    SELECT n.vec_id, n.cluster,
+           CAST(CASE WHEN d.doc_b IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS keep
+    FROM norms n
+    LEFT JOIN (SELECT DISTINCT doc_b FROM dups) d ON d.doc_b = n.vec_id
+    """,
+    doc="Semantic dedup (SemDeDup shape, Abbas et al. 2023 — public "
+    "recipe): cluster embeddings with the quantized k-means, then drop "
+    "every vector cosine-similar (τ = 0.8) to a lower-id vector in the "
+    "SAME cluster — pairwise comparison is confined to cells, never the "
+    "full corpus (the O(n²) killer), and the cell count grows with the "
+    "corpus like the IVF quantizer's.  The cosine test itself is exact "
+    "integer arithmetic: cos ≥ τ rewritten as 25·dot² ≥ 16·|a|²·|b|² "
+    "over floor-quantized BIGINT sums in DECIMAL(38,0) — no float "
+    "summation anywhere, so the keep set is bit-stable across engines "
+    "and partitionings.  Spark: the pair join keys on (cluster, dim) "
+    "long format feeding one partial-agg shuffle; keep = anti-evidence "
+    "left join against the dup-pair set.",
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = embedding_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    q = e.join(assign, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "dim",
+        "val",
+        F.floor(F.col("val") * F.col("val") * _Q_DIST)
+        .cast("long")
+        .alias("sq_fp"),
+    )
+    norms = q.groupBy("vec_id", "cluster").agg(F.sum("sq_fp").alias("n2_fp"))
+    x = q.select(
+        F.col("vec_id").alias("doc_a"),
+        "cluster",
+        "dim",
+        F.col("val").alias("va"),
+    )
+    y = q.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("cluster").alias("y_cluster"),
+        F.col("dim").alias("y_dim"),
+        F.col("val").alias("vb"),
+    )
+    dots = (
+        x.join(
+            y,
+            (F.col("cluster") == F.col("y_cluster"))
+            & (F.col("dim") == F.col("y_dim"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b", "cluster")
+        .agg(
+            F.sum(
+                F.floor(F.col("va") * F.col("vb") * _Q_DIST).cast("long")
+            ).alias("dot_fp")
+        )
+    )
+    na = norms.select(
+        F.col("vec_id").alias("a_id"), F.col("n2_fp").alias("na_fp")
+    )
+    nb = norms.select(
+        F.col("vec_id").alias("b_id"), F.col("n2_fp").alias("nb_fp")
+    )
+    dec = "decimal(38,0)"
+    dups = (
+        dots.join(na, F.col("doc_a") == F.col("a_id"))
+        .join(nb, F.col("doc_b") == F.col("b_id"))
+        .filter(
+            (F.col("dot_fp") >= 0)
+            & (
+                F.lit(SEM_TAU_DEN2).cast(dec)
+                * F.col("dot_fp").cast(dec)
+                * F.col("dot_fp").cast(dec)
+                >= F.lit(SEM_TAU_NUM2).cast(dec)
+                * F.col("na_fp").cast(dec)
+                * F.col("nb_fp").cast(dec)
+            )
+        )
+        .select("doc_b")
+        .distinct()
+    )
+    return (
+        norms.join(dups, norms["vec_id"] == dups["doc_b"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("doc_b").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )

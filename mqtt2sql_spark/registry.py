@@ -96,6 +96,9 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_dedup_keep",
     "events_ohlc_hourly",
 )
+# window note: _PRIORITY is sized to exactly 50 (the driver gate's window);
+# names past slot 50 (topic_key_skew_stats etc.) queue for the round-4
+# rotation.
 
 
 def all_specs() -> dict[str, QuerySpec]:

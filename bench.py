@@ -31,6 +31,10 @@ def main() -> None:
     from mqtt2sql_spark.session import get_spark
 
     spark = get_spark("bench")
+    # the tiny-aggregate ranking windows intentionally run unpartitioned
+    # (documented in the plans); their WARN spam would otherwise bury the
+    # JSON result line in the recorded output
+    spark.sparkContext.setLogLevel("ERROR")
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
     timings: dict[str, float] = {}

@@ -14,6 +14,7 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -65,9 +66,25 @@ def main() -> int:
     import duckdb
 
     from mqtt2sql_spark.registry import all_specs
-    from mqtt2sql_spark.session import get_spark
 
-    spark = get_spark("check_oracle", cpus=8)
+    if os.environ.get("CHECK_ORACLE_VANILLA"):
+        # driver-shaped session: none of our factory's configs (AQE,
+        # broadcast threshold, Arrow, UTC tz) — queries must be correct
+        # from fixtures.load_table's runtime confs alone
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from mqtt2sql_spark.session import get_spark
+
+        spark = get_spark("check_oracle", cpus=8)
     con = duckdb.connect()
     from mqtt2sql_spark.fixtures import TABLES
 

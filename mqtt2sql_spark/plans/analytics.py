@@ -2118,3 +2118,110 @@ def topic_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * max(n) * count(*)) div sum(n) AS BIGINT)"
         ).alias("skew_ppm"),
     )
+
+
+# --- TPC-H Q19 shape: disjunctive predicate pushdown -----------------------
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'PROMO'    AND l_quantity BETWEEN 1  AND 15)
+       OR (p_type = 'ECONOMY'  AND l_quantity BETWEEN 10 AND 25)
+       OR (p_type = 'STANDARD' AND l_quantity BETWEEN 20 AND 35)
+    """,
+    doc="TPC-H Q19 shape (disjunctive join predicates): an OR of "
+    "(dimension-attribute AND fact-range) conjuncts.  Catalyst factors "
+    "the common structure: the fact-side ranges union into one pushable "
+    "scan filter (l_quantity BETWEEN 1 AND 35 reaches the parquet "
+    "reader as min/max pushdown), the dimension side prunes to three "
+    "p_type values before broadcasting, and the residual OR evaluates "
+    "post-join — the pattern where a naive engine falls back to a "
+    "cartesian filter.  Revenue in exact integer cents.",
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_type") == "PROMO") & q.between(1, 15))
+        | ((F.col("p_type") == "ECONOMY") & q.between(10, 25))
+        | ((F.col("p_type") == "STANDARD") & q.between(20, 35))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+    )
+
+
+# --- TPC-H Q22 shape: anti join + global-scalar filter ---------------------
+
+
+@register(
+    "idle_big_customers",
+    oracle="""
+    , spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+               max(o_orderdate) AS last_order
+        FROM orders GROUP BY o_custkey
+    ),
+    avg_cents AS (
+        SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS a
+        FROM spend
+    )
+    SELECT c_custkey, c_name,
+           round(cents / 100.0, 2) AS total_spend, last_order
+    FROM spend
+    JOIN customer ON c_custkey = o_custkey
+    CROSS JOIN avg_cents
+    WHERE CAST(cents AS DOUBLE) > a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+    """,
+    doc="TPC-H Q22 shape (valuable-but-idle customers): above-average "
+    "lifetime spend (scalar subquery → single-row broadcast of an exact "
+    "integer-cents average) AND no order in the recent window (NOT "
+    "EXISTS → LEFT ANTI join with the date filter pushed to the probe "
+    "scan).  Both correlated constructs decorrelate to joins, the spend "
+    "aggregate is reused for the threshold and the output, and the only "
+    "wide shuffle is the per-customer rollup.",
+)
+def idle_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("cents"), F.max("o_orderdate").alias("last_order")
+    )
+    avg_cents = spend.agg(
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("a")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        spend.crossJoin(F.broadcast(avg_cents))
+        .filter(F.col("cents").cast("double") > F.col("a"))
+        .join(recent, "o_custkey", "left_anti")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .selectExpr(
+            "c_custkey",
+            "c_name",
+            "round(cents / 100.0, 2) AS total_spend",
+            "last_order",
+        )
+    )

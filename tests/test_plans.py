@@ -287,3 +287,22 @@ def test_history_retention_keeps_latest_per_silent_topic(spark):
     # rows outside the window are exactly one per silent topic
     outside = [r for r in after_rows if r.in_window == 0]
     assert len(outside) == len({r.topicid for r in outside})
+
+
+def test_disjunctive_ranges_push_to_scan(spark):
+    """Q19 shape: the union of the per-branch quantity ranges must reach
+    the lineitem parquet scan as a pushed min/max filter."""
+    from mqtt2sql_spark.plans.analytics import disjunctive_filter_revenue
+
+    plan = _formatted(disjunctive_filter_revenue(spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "LessThanOrEqual(l_quantity,35" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_idle_customers_plans_anti_join_and_broadcast_scalar(spark):
+    from mqtt2sql_spark.plans.analytics import idle_big_customers
+
+    plan = _plan(idle_big_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

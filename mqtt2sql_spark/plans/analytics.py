@@ -2225,3 +2225,144 @@ def idle_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_order",
         )
     )
+
+
+# --- TPC-H Q13 shape: count-of-counts distribution -------------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    , per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           count(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape (customer distribution): the count-of-counts "
+    "double aggregation — orders per customer INCLUDING zero-order "
+    "customers (LEFT join, count(key) skips the null-extended rows), "
+    "then customers per order-count.  First aggregate shuffles on the "
+    "customer key; the second one's input is already tiny (distinct "
+    "order counts).  The zero bucket is exactly what an inner join "
+    "would silently lose.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy(
+        F.col("n_orders").cast("long").alias("n_orders")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- TPC-H Q17 shape: correlated-average filter ----------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    , stats AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_cents,
+               count(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue
+    FROM lineitem JOIN stats USING (l_partkey)
+    WHERE CAST(round(l_quantity * 100, 0) AS BIGINT) * n * 5
+          < qty_cents
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): rows below 20% "
+    "of their part's average quantity.  The correlated scalar average "
+    "decorrelates to a per-part aggregate joined back on the part key — "
+    "in Spark the aggregate and the filter share one shuffle (AQE "
+    "reuses the exchange, the part_value_share pattern).  The 20% "
+    "threshold comparison is exact integers, cross-multiplied to avoid "
+    "division entirely: qty·n·5 < Σqty (both sides in centiquantities), "
+    "so no float enters the predicate or the compared surface except "
+    "the final cents→currency render.",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(qty_cents).alias("qty_cents"), F.count(F.lit(1)).alias("n")
+    )
+    price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.join(stats, "l_partkey")
+        .filter(qty_cents * F.col("n") * 5 < F.col("qty_cents"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.round(F.sum(price_cents) / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+# --- TPC-H Q15 shape: max over an aggregate view ---------------------------
+
+
+@register(
+    "top_supplier_by_revenue",
+    oracle="""
+    , rev AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    m AS (SELECT max(cents) AS mc FROM rev)
+    SELECT s_suppkey, s_name, round(cents / 100.0, 2) AS total_revenue
+    FROM rev
+    JOIN supplier ON s_suppkey = l_suppkey
+    CROSS JOIN m
+    WHERE cents = mc
+    """,
+    doc="TPC-H Q15 shape (top supplier): the maximum over an aggregate "
+    "view, keeping ties — `revenue = (SELECT max(revenue) FROM view)`.  "
+    "The view aggregates once (date range pushed to the scan), its "
+    "single-row max broadcasts back, and the supplier dimension "
+    "broadcasts for the name — the fact table is scanned and shuffled "
+    "exactly once, with AQE reusing the aggregate exchange between the "
+    "view and its max (same runtime pattern as part_value_share).  "
+    "Exact integer cents make 'equal to the max' unambiguous; a float "
+    "revenue would make tie detection engine-dependent.",
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    m = rev.agg(F.max("cents").alias("mc"))
+    return (
+        rev.crossJoin(F.broadcast(m))
+        .filter(F.col("cents") == F.col("mc"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .selectExpr(
+            "s_suppkey", "s_name", "round(cents / 100.0, 2) AS total_revenue"
+        )
+    )

@@ -2366,3 +2366,363 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", "round(cents / 100.0, 2) AS total_revenue"
         )
     )
+
+
+# --- TPC-H Q8 shape: market share over a multi-dimension star join ---------
+
+
+@register(
+    "market_share_by_nation",
+    oracle="""
+    , scoped AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT) AS cents,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+               AS nation_cents,
+           sum(cents) AS total_cents,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+                * 10000 // sum(cents) AS BIGINT) AS share_bp
+    FROM scoped GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): the widest star join in "
+    "the inventory — fact lineitem ⋈ orders (the one big-big shuffle "
+    "join, on the order key) with FIVE broadcast dimensions hanging off "
+    "it (part, supplier, customer, nation×2 self-aliased, region).  "
+    "Catalyst prunes part/region before broadcasting, so only "
+    "promo-part lineitems from Asian customers survive into the "
+    "aggregate.  Share = NATION_3's revenue fraction per order-year, in "
+    "exact basis points: integer cents cross-divided (a*10000 DIV b) so "
+    "no float enters the compared surface; both engines truncate the "
+    "nonnegative quotient identically.  At 100 TB the lineitem⋈orders "
+    "join is the cost center: co-partition (bucket) both on the order "
+    "key to make it shuffle-free.  Ref context: the reference has no "
+    "joins beyond A11 (SURVEY §2 C); this is extension surface.",
+)
+def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    asia_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(F.lit(0))
+    )
+    scoped = (
+        li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(asia_cust), orders["o_custkey"] == F.col("c_custkey"))
+    )
+    return (
+        scoped.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_cents.alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .withColumn(
+            "share_bp", F.expr("nation_cents * 10000 DIV total_cents")
+        )
+    )
+
+
+# --- TPC-H Q9 shape: profit by supplier nation and year --------------------
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT) * 1000
+               - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                 * CAST(round(l_quantity * 100, 0) AS BIGINT) * 2)
+               AS profit_e5
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE 'small %'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 shape (product-line profit by nation and year), adapted "
+    "to the fixture star schema: there is no partsupp table, so supply "
+    "cost is modeled as 20% of p_retailprice per unit (documented "
+    "adaptation, not a fidelity bug).  Shape preserved: a LIKE-filtered "
+    "part dimension prunes the fact before the big lineitem⋈orders "
+    "shuffle join; supplier→nation broadcast chain provides the group "
+    "key.  Profit is summed in exact 1e-5 currency units "
+    "(cents·1000 − retail_cents·qty_centi·2, all BIGINT) because "
+    "rev−cost can be negative and tiny: a rounded float surface would "
+    "hit both the ±0.0 and the summation-order boundary failure modes "
+    "(CLAUDE.md invariants); exact integers cannot.",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small %"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "n_name")
+    rev_e5 = (
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long")
+        * 1000
+    )
+    cost_e5 = (
+        F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.round(F.col("l_quantity") * 100, 0).cast("long")
+        * 2
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev_e5 - cost_e5).alias("profit_e5"))
+    )
+
+
+# --- TPC-H Q10 shape: returned-item top customers --------------------------
+
+
+@register(
+    "returned_items_topk",
+    oracle="""
+    , rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS cents
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name,
+           round(cents / 100.0, 2) AS revenue
+    FROM rev
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    ORDER BY cents DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (top returned-item customers): date-filtered "
+    "orders ⋈ return-flagged lineitems (both filters pushed to their "
+    "scans), per-customer revenue rollup, global top-20, then customer "
+    "and nation names joined ON THE 20 SURVIVORS ONLY — joining "
+    "dimensions after the limit keeps the broadcast probe side 20 rows "
+    "instead of the whole customer rollup.  Spark plans the top-20 as "
+    "TakeOrderedAndProject (per-partition heaps + driver merge of 20-row "
+    "finalists — no global sort, the test_scale_patterns contract).  "
+    "Exact integer cents rank with c_custkey as total-order tie-break.",
+)
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    top = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+        .orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    return (
+        top.join(F.broadcast(cust), top["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .selectExpr(
+            "c_custkey", "c_name", "n_name",
+            "round(cents / 100.0, 2) AS revenue",
+        )
+    )
+
+
+# --- TPC-H Q12 shape: priority mix by line status ---------------------------
+
+
+@register(
+    "priority_mix_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping-mode priority mix), adapted: the "
+    "fixture lineitem has no l_shipmode column, so l_linestatus stands "
+    "in as the 2-value grouping attribute (documented adaptation).  "
+    "Shape preserved: big-big lineitem⋈orders equi-join where only a "
+    "date-sliced fraction of the fact survives (the range predicate "
+    "reaches the parquet scan as min/max pushdown, so whole row-groups "
+    "skip), then conditional CASE counting — the pivot-in-aggregate "
+    "pattern.  All-integer output: no float parity surface at all.",
+)
+def priority_mix_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q20 shape: nested semi-join supplier qualification ---------------
+
+
+@register(
+    "excess_share_suppliers",
+    oracle="""
+    , shipped AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_centi
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red %')
+        GROUP BY l_partkey, l_suppkey
+    ),
+    qualified AS (
+        SELECT l_suppkey, count(*) AS n_dominant_parts
+        FROM (
+            SELECT l_suppkey,
+                   qty_centi * 5 > sum(qty_centi) OVER (PARTITION BY l_partkey)
+                       AS dominant
+            FROM shipped
+        )
+        WHERE dominant GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_dominant_parts
+    FROM qualified JOIN supplier ON s_suppkey = l_suppkey
+    """,
+    doc="TPC-H Q20 shape (suppliers with an outsized share of a part "
+    "family), adapted: the fixture schema has no partsupp/availqty, so "
+    "the qualification is 'shipped more than 20% of the part's 1997 "
+    "volume' over the lineitem fact itself (documented adaptation).  "
+    "Shape preserved: a name-LIKE-filtered part dimension drives a "
+    "semi-join that prunes the fact scan (broadcast IN-filter), one "
+    "(part,supplier) rollup shuffle, then the per-part total via a "
+    "window OVER the same partition key — no second shuffle, the rollup "
+    "is already hash-partitioned by l_partkey prefix... (Catalyst "
+    "reuses the exchange because the window partition key is a prefix "
+    "of the groupBy key only when keys align; here the window runs on "
+    "the rollup output, tiny relative to the fact).  The 20% threshold "
+    "is cross-multiplied exact integers (qty·5 > Σqty in "
+    "centiquantities) — no division, no float.",
+)
+def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    qty_centi = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_centi).alias("qty_centi"))
+    )
+    part_total = F.sum("qty_centi").over(W.partitionBy("l_partkey"))
+    qualified = (
+        shipped.withColumn("dominant", F.col("qty_centi") * 5 > part_total)
+        .filter(F.col("dominant"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+    return qualified.join(
+        F.broadcast(supp), qualified["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_suppkey", "s_name", "n_dominant_parts")

@@ -463,3 +463,56 @@ def history_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_window"),
         )
     )
+
+
+# --- SCD Type-2 dimension derived from the history stream ------------------
+
+
+@register(
+    "scd2_topic_versions",
+    oracle="""
+    SELECT h.topicid, d.topic, h.value_str,
+           h.ts AS valid_from,
+           lead(h.ts) OVER (PARTITION BY h.topicid
+                            ORDER BY h.ts, h.id) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY h.topicid
+                                   ORDER BY h.ts, h.id) AS BIGINT) AS version,
+           CASE WHEN lead(h.ts) OVER (PARTITION BY h.topicid
+                                      ORDER BY h.ts, h.id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM mqtt_history h JOIN topic_dim d ON d.id = h.topicid
+    """,
+    doc="Slowly-changing-dimension (type 2) view of the reference's "
+    "history table: each history row becomes a version with "
+    "[valid_from, valid_to) effective range, a per-topic version number, "
+    "and an is_current flag — the standard warehouse rendering of the "
+    "CDC stream the reference's triggers emit (mysql.sql:77-91; the "
+    "view's two-timestamp contract at README.md:228-235 answers 'value "
+    "now'; SCD2 answers 'value as of any t').  One window shuffle "
+    "partitioned by topicid computes lead/row_number together; the topic "
+    "name joins in from the broadcast dimension.  As-of lookup against "
+    "the result is a range predicate (valid_from <= t < valid_to), "
+    "prunable at 100 TB when written partitioned by date(valid_from).  "
+    "Ties are impossible by construction: (ts, id) is a total order "
+    "because history ids are unique.",
+)
+def scd2_topic_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = mqtt_history(spark, sf_dir)
+    dim = topic_dim(spark, sf_dir).select(
+        F.col("id").alias("_did"), "topic"
+    )
+    w = W.partitionBy("topicid").orderBy("ts", "id")
+    return (
+        h.join(F.broadcast(dim), h["topicid"] == F.col("_did"))
+        .select(
+            "topicid",
+            "topic",
+            "value_str",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.when(F.lead("ts").over(w).isNull(), 1)
+            .otherwise(0)
+            .alias("is_current"),
+        )
+    )

@@ -262,3 +262,31 @@ def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(days, "event_type").select(
         "event_type", "n_days", "registers_hit", est.alias("est_merged")
     )
+
+
+# --- exact heavy hitters via two-phase candidate mining --------------------
+
+
+@register(
+    "hot_topics_heavy_hitters",
+    oracle="""
+    SELECT topic, count(*) AS n
+    FROM messages GROUP BY topic HAVING count(*) >= 20
+    """,
+    doc="Hot-topic detection: topics with >= 20 messages, computed by the "
+    "two-phase candidate/verify heavy-hitter operator "
+    "(operators/heavyhitters.py) — phase 1 mines per-partition "
+    "candidates map-side with the ceil(T/P) pigeonhole bound (zero "
+    "shuffle, every true heavy hitter provably survives any row "
+    "placement), phase 2 broadcast-semi-joins the candidate set and "
+    "exactly recounts only matching rows.  The shuffle carries only "
+    "hot-key rows instead of the whole message stream, which is the "
+    "difference between a bounded exchange and a full-table shuffle at "
+    "100 TB.  Output is exact, so the oracle is a plain GROUP BY ... "
+    "HAVING.",
+)
+def hot_topics_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.fixtures import messages
+    from mqtt2sql_spark.operators.heavyhitters import heavy_hitters
+
+    return heavy_hitters(messages(spark, sf_dir), "topic", 20)

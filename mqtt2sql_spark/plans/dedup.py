@@ -935,3 +935,75 @@ def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("train_doc") * 10000 / F.count(F.lit(1)), 4
         ).alias("contam_per_10k"),
     )
+
+
+# --- incremental dedup: new crawl batch vs existing corpus -----------------
+
+_INCR_MOD = 5  # doc_id % 5 == 0 → "new batch" (~20%), else existing corpus
+
+
+@register(
+    "incremental_dedup_new_batch",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    hits AS (
+        SELECT n.doc_id,
+               CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_old_collisions,
+               min(o.doc_id) AS first_old_match
+        FROM long_bands n JOIN long_bands o
+          ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+        WHERE n.doc_id % {_INCR_MOD} = 0 AND o.doc_id % {_INCR_MOD} <> 0
+        GROUP BY n.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+           coalesce(h.n_old_collisions, 0) AS n_old_collisions,
+           h.first_old_match
+    FROM (SELECT DISTINCT doc_id FROM bands
+          WHERE doc_id % {_INCR_MOD} = 0) b
+    LEFT JOIN hits h ON h.doc_id = b.doc_id
+    """,
+    doc="Incremental near-dup screening — the production crawl-update "
+    "shape: a NEW batch of documents (doc_id % 5 = 0 stands in for "
+    "'this week's crawl') is checked against the EXISTING corpus's LSH "
+    "index without re-pairing the old corpus against itself.  The old "
+    "side reuses the same (band_idx, band_key) long layout as "
+    "dedup_minhash_pairs — at scale that index is precomputed and "
+    "stored bucketed by band_key, so each incremental batch costs "
+    "one signature pass over the NEW docs plus a co-located probe "
+    "join, never O(corpus) shuffle (the new side is the small one: "
+    "Spark broadcasts it under AQE when it fits).  Output per new doc: "
+    "dup flag, how many distinct old docs collide in any band, and the "
+    "smallest colliding old doc id as a deterministic witness.",
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(spark, sf_dir)
+    stack_expr = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    long_bands = bands.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"),
+    )
+    new_b = long_bands.filter(F.col("doc_id") % _INCR_MOD == 0)
+    old_b = long_bands.filter(F.col("doc_id") % _INCR_MOD != 0).select(
+        F.col("doc_id").alias("old_doc"), "band_idx", "band_key"
+    )
+    hits = (
+        new_b.join(old_b, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("old_doc").alias("n_old_collisions"),
+            F.min("old_doc").alias("first_old_match"),
+        )
+    )
+    base = bands.filter(F.col("doc_id") % _INCR_MOD == 0).select("doc_id").distinct()
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("n_old_collisions").isNotNull(), 1)
+        .otherwise(0)
+        .alias("is_dup"),
+        F.coalesce("n_old_collisions", F.lit(0)).alias("n_old_collisions"),
+        "first_old_match",
+    )

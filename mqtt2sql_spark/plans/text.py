@@ -986,3 +986,181 @@ def keyword_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(
         BM25_TOPK
     )
+
+
+# --- C4-style span dedup: remove cross-document boilerplate chunks ---------
+
+SPAN_WORDS = 3       # words per non-overlapping span
+SPAN_MAX_DF = 3      # spans seen in more than this many docs are boilerplate
+
+
+@register(
+    "boilerplate_span_removal",
+    oracle=f"""
+    , toks AS (
+        SELECT doc_id, {duck_tokens()} AS t FROM documents
+    ),
+    positions AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, (i - 1) // {SPAN_WORDS} AS cid,
+               string_agg(t[CAST(i AS INTEGER)], ' ' ORDER BY i) AS ch
+        FROM positions GROUP BY doc_id, (i - 1) // {SPAN_WORDS}
+    ),
+    boiler AS (
+        SELECT ch FROM chunks GROUP BY ch
+        HAVING count(DISTINCT doc_id) > {SPAN_MAX_DF}
+    ),
+    kept AS (
+        SELECT * FROM chunks WHERE ch NOT IN (SELECT ch FROM boiler)
+    ),
+    reb AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(ch, ' ' ORDER BY cid) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM chunks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(tot.n_chunks, 0) AS n_chunks,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           coalesce(reb.cleaned_text, '') AS cleaned_text
+    FROM documents d
+    LEFT JOIN tot ON tot.doc_id = d.doc_id
+    LEFT JOIN reb ON reb.doc_id = d.doc_id
+    """,
+    doc="C4/RefinedWeb-style span dedup with document REBUILD: the corpus "
+    f"is segmented into non-overlapping {SPAN_WORDS}-word spans, any span "
+    f"occurring in more than {SPAN_MAX_DF} distinct documents is "
+    "boilerplate (cookie banners, navigation, license headers in real "
+    "crawls), and every document is reassembled from its surviving spans "
+    "in original order.  Differs from boilerplate_trigrams (which only "
+    "MINES the frequent spans) by pushing the result back through the "
+    "corpus — the actual cleaning step a training pipeline runs.  "
+    "Dataflow: posexplode to (doc, pos, token) long format (the "
+    "fixture-proven fast path vs interpreted higher-order lambdas), "
+    "span rollup keyed by (doc_id, span), document-frequency rollup "
+    "keyed by span text, broadcast anti-join of the small boilerplate "
+    "set, order-preserving rebuild keyed by doc_id.  Three shuffles, "
+    "all on high-cardinality keys; the boilerplate set stays "
+    "broadcast-small at any corpus size because it is bounded by the "
+    "amount of genuinely repeated content, not by corpus rows.  "
+    "Zero-token documents never enter the explode and are restored by "
+    "the final LEFT JOIN from the documents base (the repetition_filter "
+    "lesson from ADVICE r02).",
+)
+def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    positions = toks.filter(F.size("t") > 0).select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )
+    chunks = (
+        positions.groupBy(
+            "doc_id", (F.col("pos").cast("long") / SPAN_WORDS).cast("long").alias("cid")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("ch")
+        )
+    )
+    boiler = (
+        chunks.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter(F.col("d") > SPAN_MAX_DF)
+        .select("ch")
+    )
+    kept = chunks.join(F.broadcast(boiler), "ch", "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cid", "ch"))),
+                lambda s: s["ch"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    tot = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    base = docs.select("doc_id")
+    return (
+        base.join(tot, "doc_id", "left")
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+# --- dataset card: multi-level corpus composition summary ------------------
+
+
+@register(
+    "dataset_card_summary",
+    oracle=f"""
+    , base AS (
+        SELECT source, lang, n_chars,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_toks
+        FROM documents
+    )
+    SELECT coalesce(source, 'ALL') AS source,
+           coalesce(lang, 'ALL') AS lang,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_toks) AS BIGINT) AS min_tokens,
+           CAST(max(n_toks) AS BIGINT) AS max_tokens,
+           CAST(sum(n_toks) * 100 // count(*) AS BIGINT) AS avg_tokens_x100
+    FROM base
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+    doc="Dataset-card summary — the composition table a corpus release "
+    "ships with: document/token/char totals at FOUR aggregation levels "
+    "(per source×lang, per source, per lang, corpus-wide) in one "
+    "GROUPING SETS pass.  Catalyst expands the sets into a single "
+    "shuffle (Expand + one hash aggregate), so the corpus is scanned "
+    "once, not four times — the reason GROUPING SETS beats four UNIONed "
+    "queries at 100 TB.  NULL group keys from the expansion render as "
+    "'ALL' (grouping-total marker) so the compared surface is "
+    "string-stable; the mean is exact fixed-point (sum·100 DIV count), "
+    "no float.  Complements domain_mix_stats (share-of-corpus ppm at "
+    "one level) with the multi-level rollup.",
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    ).createOrReplaceTempView("card_base")
+    return spark.sql(
+        """
+        SELECT coalesce(source, 'ALL') AS source,
+               coalesce(lang, 'ALL') AS lang,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(n_toks) AS BIGINT) AS min_tokens,
+               CAST(max(n_toks) AS BIGINT) AS max_tokens,
+               sum(n_toks) * 100 DIV count(*) AS avg_tokens_x100
+        FROM card_base
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """
+    )

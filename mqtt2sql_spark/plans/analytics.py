@@ -2142,6 +2142,7 @@ def topic_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_type values before broadcasting, and the residual OR evaluates "
     "post-join — the pattern where a naive engine falls back to a "
     "cartesian filter.  Revenue in exact integer cents.",
+    bench=True,
 )
 def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -2410,6 +2411,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join is the cost center: co-partition (bucket) both on the order "
     "key to make it shuffle-free.  Ref context: the reference has no "
     "joins beyond A11 (SURVEY §2 C); this is extension surface.",
+    bench=True,
 )
 def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -82,6 +82,30 @@ def _w_col() -> Column:
     return out
 
 
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, bucket, rho) HLL registers for distinct-`key_col` per group.
+
+    The register relation IS the mergeable sketch state: max(rho) per
+    (group, bucket) over any union of register sets equals the registers
+    of the unioned raw data — the property hll_daily_merge's oracle
+    proves and streaming incremental maintenance relies on
+    (foreachBatch merges each microbatch's registers into a bounded
+    state table of ≤ M rows per group instead of retaining raw keys)."""
+    h = df.select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.col(key_col).cast("string")).alias("hh"),
+    )
+    nib = h.select(
+        "grp",
+        ((_nib_col(1) * 16 + _nib_col(2)) % M).alias("bucket"),
+        _w_col().alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin("w"))
+    )
+    return nib.groupBy("grp", "bucket").agg(F.max(rho).alias("rho"))
+
+
 @register(
     "hll_distinct_users",
     bench=True,

@@ -1052,6 +1052,7 @@ SPAN_MAX_DF = 3      # spans seen in more than this many docs are boilerplate
     "Zero-token documents never enter the explode and are restored by "
     "the final LEFT JOIN from the documents base (the repetition_filter "
     "lesson from ADVICE r02).",
+    bench=True,
 )
 def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(

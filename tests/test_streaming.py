@@ -287,3 +287,68 @@ def test_stateful_diffonly_ttl_expires_idle_topics(spark, tmp_path):
     # ("a", "x") appears TWICE: the post-expiry repeat is emitted even
     # though the value never changed
     assert got == [("a", "x", 1), ("a", "x", 3), ("b", "p", 2)]
+
+
+def test_streaming_hll_register_maintenance(spark, staged, tmp_path):
+    """Incremental sketch maintenance: foreachBatch merges each
+    microbatch's HLL registers into a bounded versioned state table
+    (max-merge, <= M rows per group) and the final state equals the
+    batch registers over all slices — the mergeability contract that
+    lets a 100 TB stream keep distinct counts without retaining keys.
+    Versioned state dirs keyed by batch_id make replays idempotent
+    (an epoch re-run overwrites its own version, the spool-sink
+    commit pattern)."""
+    import os
+
+    from mqtt2sql_spark.plans.sketches import hll_registers
+
+    state_root = tmp_path / "hll_state"
+
+    def merge_batch(batch_df, batch_id):
+        regs = hll_registers(
+            batch_df.select(
+                "topic", F.col("value").cast("string").alias("v")
+            ),
+            "topic",
+            "v",
+        )
+        if state_root.exists():
+            versions = sorted(os.listdir(state_root))
+            if versions:
+                prev = spark.read.parquet(str(state_root / versions[-1]))
+                regs = (
+                    prev.unionByName(regs)
+                    .groupBy("grp", "bucket")
+                    .agg(F.max("rho").alias("rho"))
+                )
+        regs.write.mode("overwrite").parquet(
+            str(state_root / f"v{batch_id:05d}")
+        )
+
+    stream = message_file_stream(spark, str(staged) + "/*")
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+
+    final_version = sorted(os.listdir(state_root))[-1]
+    got = {
+        (r["grp"], r["bucket"], r["rho"])
+        for r in spark.read.parquet(
+            str(state_root / final_version)
+        ).collect()
+    }
+    all_msgs = spark.read.schema(MESSAGE_SCHEMA).parquet(str(staged) + "/*")
+    want = {
+        (r["grp"], r["bucket"], r["rho"])
+        for r in hll_registers(
+            all_msgs.select(
+                "topic", F.col("value").cast("string").alias("v")
+            ),
+            "topic",
+            "v",
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -1055,25 +1055,35 @@ SPAN_MAX_DF = 3      # spans seen in more than this many docs are boilerplate
     bench=True,
 )
 def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chunks are sliced MAP-SIDE from the token array: the token regexp
+    # sits in the projection below the Generate (evaluated once per
+    # document), the generator fans out one row per chunk id, and the
+    # slice above it reads the already-materialized array — no (doc,
+    # chunk) pre-shuffle, and no transform-lambda re-evaluation (the
+    # interpreted-higher-order-function regression in CLAUDE.md).  The
+    # whole query runs in two shuffles: the span-df rollup and the
+    # per-doc rebuild.
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = docs.select("doc_id", tokens("text").alias("t"))
-    positions = toks.filter(F.size("t") > 0).select(
-        "doc_id", F.posexplode("t").alias("pos", "tok")
-    )
+    last_cid = F.floor((F.size("t") - 1) / SPAN_WORDS).cast("long")
     chunks = (
-        positions.groupBy(
-            "doc_id", (F.col("pos").cast("long") / SPAN_WORDS).cast("long").alias("cid")
+        toks.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.posexplode(F.sequence(F.lit(0).cast("long"), last_cid)).alias(
+                "_p", "cid"
+            ),
         )
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("ch")
+        .select(
+            "doc_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.expr(
+                f"array_join(slice(t, CAST(cid * {SPAN_WORDS} + 1 AS INT),"
+                f" {SPAN_WORDS}), ' ')"
+            ).alias("ch"),
         )
     )
     boiler = (
@@ -1093,19 +1103,20 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
-    tot = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    # chunk totals derive arithmetically from the token count — no
+    # second pass over the chunk rows (plan-branch recomputation lesson)
+    base = toks.select(
+        "doc_id",
+        F.when(F.size("t") > 0, last_cid + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
     )
-    base = docs.select("doc_id")
-    return (
-        base.join(tot, "doc_id", "left")
-        .join(reb, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        )
+    return base.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -2728,3 +2728,79 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qualified.join(
         F.broadcast(supp), qualified["l_suppkey"] == supp["s_suppkey"]
     ).select("s_suppkey", "s_name", "n_dominant_parts")
+
+
+# --- last-touch attribution -------------------------------------------------
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    , tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type IN ('view','click','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt_channel,
+               last_value(CASE WHEN event_type IN ('view','click','signup')
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt_us
+        FROM events
+    )
+    SELECT CASE WHEN lt_us IS NOT NULL
+                 AND epoch_us(ts) - lt_us <= 604800000000
+                THEN lt_channel ELSE 'direct' END AS channel,
+           count(*) AS n_purchases,
+           round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+               AS attributed_value
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase is credited to "
+    "the user's most recent prior touch (view/click/signup) within a "
+    "7-day lookback, else to 'direct'.  The as-of lookup is the window "
+    "encoding (last_value IGNORE NULLS over ROWS UNBOUNDED PRECEDING "
+    "TO 1 PRECEDING) — one shuffle by user_id serves both the channel "
+    "and its timestamp, no self-join, and the second aggregation input "
+    "is already tiny (4 channels).  The lookback compares exact "
+    "epoch-microsecond integers; attributed revenue sums exact cents "
+    "(FLOAT-SUM-ORDER invariant).  Strictly-prior frame + (ts, "
+    "event_id) total order make same-timestamp touch/purchase pairs "
+    "deterministic on both engines.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click", "signup")
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_channel"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lt_us"),
+    )
+    channel = F.when(
+        F.col("lt_us").isNotNull()
+        & (F.col("ts_us") - F.col("lt_us") <= 604800000000),
+        F.col("lt_channel"),
+    ).otherwise(F.lit("direct"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(cents) / 100.0, 2).alias("attributed_value"),
+        )
+    )

@@ -965,3 +965,73 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# --- hard-negative mining for contrastive training -------------------------
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    , emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+    SELECT query_id, query_label, neg_id, neg_label, cos, rank FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neg_id, c.label AS neg_label,
+               round({_DUCK_COS}, 4) AS cos,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+               ) AS BIGINT) AS rank
+        FROM emb q JOIN emb c ON q.label <> c.label
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rank <= 3
+    """,
+    doc="Hard-negative mining — the contrastive-training data prep step: "
+    "for each anchor (the query subset), the 3 most cosine-similar "
+    "vectors carrying a DIFFERENT label.  Same broadcast-anchors + "
+    "JVM-side fold + per-anchor window shape as ann_cosine_topk, with "
+    "the label-mismatch predicate evaluated inside the join so "
+    "same-label pairs never reach the ranking.  At corpus scale the "
+    "anchor set stays the broadcast side and the corpus streams "
+    "through map tasks — mining cost is one corpus scan per anchor "
+    "batch, the standard mini-batch mining loop.  Total-order "
+    "tie-break (rounded cosine desc, vec_id asc) keeps the ranking "
+    "engine-invariant.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("e").alias("qe"),
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("label") != F.col("query_label")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos6"), 6)), F.asc("neg_id")
+    )
+    return (
+        joined.select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cos.alias("cos6"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "query_label",
+            "neg_id",
+            "neg_label",
+            F.round("cos6", 4).alias("cos"),
+            "rank",
+        )
+    )

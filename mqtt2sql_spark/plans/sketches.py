@@ -37,7 +37,7 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mqtt2sql_spark.fixtures import load_table
@@ -314,3 +314,132 @@ def hot_topics_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2sql_spark.operators.heavyhitters import heavy_hitters
 
     return heavy_hitters(messages(spark, sf_dir), "topic", 20)
+
+
+# --- mergeable binned quantile estimate ------------------------------------
+
+_QBIN_W = 1000  # fixed equi-width bin (o_totalprice spans ~[1e3, 5e5])
+
+
+@register(
+    "quantile_bins_estimate",
+    oracle=f"""
+    , bins AS (
+        SELECT CAST(floor(o_totalprice / {_QBIN_W}) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
+    cum AS (
+        SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum, n
+        FROM bins CROSS JOIN tot
+    )
+    SELECT max(n) AS n,
+           (min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) + 1)
+               * {_QBIN_W} AS p50_ub,
+           (min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) + 1)
+               * {_QBIN_W} AS p95_ub,
+           (min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) + 1)
+               * {_QBIN_W} AS p99_ub
+    FROM cum
+    """,
+    doc="Mergeable quantile estimation via fixed-width histogram bins — "
+    "the 100 TB alternative to exact percentiles (orders_percentiles): "
+    "per-bin counts partial-aggregate map-side, merge across "
+    "partitions/days by addition (the HLL-register property for "
+    "quantiles), and any percentile reads off the cumulative counts.  "
+    "The estimate returned is the bin UPPER BOUND containing the "
+    "ceil(p·n)-th value: pure integer arithmetic (ceil as (n·p+99) DIV "
+    "100), error bounded by the bin width, no engine-specific "
+    "interpolation.  The cumulative window runs over <= 500 bin rows — "
+    "a deliberately tiny global window, not a fact-table one.",
+)
+def quantile_bins_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bins = o.groupBy(
+        F.floor(F.col("o_totalprice") / _QBIN_W).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = bins.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.sum("cnt").over(W.orderBy("bin")).alias("cum"),
+    )
+
+    def ub(p: int, alias: str):
+        thresh = F.expr(f"(n * {p} + 99) DIV 100")
+        return (
+            (F.min(F.when(F.col("cum") >= thresh, F.col("bin"))) + 1)
+            * _QBIN_W
+        ).alias(alias)
+
+    return cum.agg(
+        F.max("n").alias("n"),
+        ub(50, "p50_ub"),
+        ub(95, "p95_ub"),
+        ub(99, "p99_ub"),
+    )
+
+
+# --- order-insensitive table fingerprint -----------------------------------
+
+def _duck_hex15(expr: str) -> str:
+    """First 15 md5 nibbles of `expr` as a BIGINT (same nibble math as
+    the HLL register path — DuckDB has no hex→int conversion)."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST((instr('{_HEX}', substr({expr}, {i + 1}, 1)) - 1) AS BIGINT)"
+            f" * {16 ** (14 - i)}"
+            for i in range(15)
+        )
+        + ")"
+    )
+
+
+@register(
+    "events_table_fingerprint",
+    oracle=f"""
+    , rowhash AS (
+        SELECT CAST(ts AS DATE) AS day,
+               {_duck_hex15("md5(concat_ws('|', CAST(event_id AS VARCHAR), "
+                            "CAST(epoch_us(ts) AS VARCHAR), "
+                            "CAST(user_id AS VARCHAR), event_type, "
+                            "CAST(CAST(round(value * 100, 0) AS BIGINT) "
+                            "AS VARCHAR), props))")} AS h
+        FROM events
+    )
+    SELECT day, count(*) AS n_rows, bit_xor(h) AS fingerprint
+    FROM rowhash GROUP BY day
+    """,
+    doc="Order-insensitive per-day table fingerprint — the anti-entropy "
+    "check for replicated/re-ingested tables: each row canonicalizes to "
+    "one string (timestamps as exact epoch-us, doubles as exact cents), "
+    "md5-hashes to a 60-bit integer, and XOR-aggregates per day "
+    "partition.  XOR is commutative, associative, self-inverse and "
+    "overflow-free, so fingerprints partial-aggregate map-side, merge "
+    "across partitions, and comparing two 100 TB replicas costs one "
+    "scan each plus a per-partition integer compare — re-verifying "
+    "only days whose fingerprints diverge.  Same cross-engine md5 "
+    "nibble math as the HLL sketch.",
+)
+def events_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+        F.col("props"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), h.alias("h"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("fingerprint"),
+        )
+    )

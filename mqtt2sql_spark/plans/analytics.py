@@ -2804,3 +2804,56 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("attributed_value"),
         )
     )
+
+
+# --- Bloom-filter runtime pruning -------------------------------------------
+
+
+@register(
+    "bloom_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+    doc="Runtime Bloom pruning (operators/bloom.py): urgent-order keys "
+    "compress into an 8 KB deterministic bitmap that broadcasts and "
+    "filters lineitem MAP-SIDE before the real semi join — the "
+    "runtime-filter pattern (Spark's bloomFilter rewrite) built "
+    "explicitly.  The bitmap admits false positives, so the exact semi "
+    "join still runs, but its shuffle input is already pruned to "
+    "~selectivity of the dimension predicate; false negatives are "
+    "impossible, so the result is bit-identical to the plain semi join "
+    "— which is exactly what the DuckDB oracle computes.  At 100 TB: "
+    "8 KB broadcast versus shuffling the full fact table into the "
+    "join.",
+)
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.bloom import bloom_prune, build_bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom = build_bloom(urgent, "o_orderkey")
+    candidates = bloom_prune(li, bloom, "l_orderkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        candidates.join(
+            urgent, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        )
+    )

@@ -306,3 +306,50 @@ def test_idle_customers_plans_anti_join_and_broadcast_scalar(spark):
     plan = _plan(idle_big_customers(spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- partitioning invariance (determinism regression) ----------------------
+
+# Queries whose history includes (or whose shape risks) partition-count
+# sensitivity: dense id assignment, hash-shuffled training order,
+# per-stratum caps, iterative kmeans, window tie-breaks.
+_INVARIANCE_KEYS = [
+    "assign_topic_ids",
+    "training_order_assignment",
+    "sample_stratified",
+    "embedding_kmeans_assign",
+    "hot_topics_heavy_hitters",
+]
+
+
+def _freeze(v):
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return v
+
+
+def test_results_invariant_under_shuffle_partition_count(spark):
+    """The oracle gate runs under the driver's session config, tests under
+    ours, a real cluster under neither — results must not depend on the
+    partition count (the dense_row_ids corruption class from r01)."""
+    from mqtt2sql_spark.registry import all_specs
+
+    specs = all_specs()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for key in _INVARIANCE_KEYS:
+                df = specs[key].fn(spark, SF_DIR)
+                rows = frozenset(
+                    tuple(_freeze(v) for v in r) for r in df.collect()
+                )
+                results.setdefault(key, []).append(rows)
+        for key, (a, b) in results.items():
+            assert a == b, f"{key} differs across shuffle partition counts"
+            assert len(a) > 0, f"{key} returned no rows"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -150,3 +150,49 @@ def test_bucketed_join_runs_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+# --- Bloom runtime-filter pruning ------------------------------------------
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Pruned-then-verified must equal the plain semi join exactly, and
+    the bloom must actually prune (candidate count < fact count, >= true
+    match count)."""
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.operators.bloom import bloom_prune, build_bloom
+    from tests.conftest import SF_DIR
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    keys = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom = build_bloom(keys, "o_orderkey")
+    candidates = bloom_prune(li, bloom, "l_orderkey")
+
+    exact = li.join(
+        keys, li["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    )
+    verified = candidates.join(
+        keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    exact_ids = {r["l_orderkey"] * 100 + r["l_linenumber"] for r in exact.collect()}
+    verified_ids = {
+        r["l_orderkey"] * 100 + r["l_linenumber"] for r in verified.collect()
+    }
+    assert verified_ids == exact_ids
+    n_fact, n_cand = li.count(), candidates.count()
+    assert len(exact_ids) <= n_cand < n_fact
+
+
+def test_bloom_bitmap_is_broadcast_small(spark):
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.operators.bloom import build_bloom
+    from tests.conftest import SF_DIR
+
+    keys = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    row = build_bloom(keys, "o_orderkey").collect()[0]
+    assert len(row["bloom"]) <= 1024  # <= 1024 words = 8 KB

@@ -2857,3 +2857,75 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
         )
     )
+
+
+# --- closed-form regression as aggregation ----------------------------------
+
+
+@register(
+    "event_value_trend",
+    oracle="""
+    , obs AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                   // 60000000 AS x_min,
+               CAST(round(value * 100, 0) AS BIGINT) AS y_cents
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x_min) AS BIGINT) AS sx,
+               CAST(sum(y_cents) AS BIGINT) AS sy,
+               CAST(sum(x_min * y_cents) AS BIGINT) AS sxy,
+               CAST(sum(x_min * x_min) AS BIGINT) AS sxx
+        FROM obs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 10000)
+                AS BIGINT) AS slope_e4
+    FROM s
+    """,
+    doc="Per-group least-squares trend as a PURE AGGREGATION: the "
+    "closed-form OLS slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) needs only "
+    "five sums, so Catalyst partial-aggregates them map-side and the "
+    "shuffle carries five numbers per group — the distributed way to "
+    "fit millions of per-key models (per-topic drift, per-sensor "
+    "degradation) with no ML library, no iteration, and no Python.  "
+    "All sums are exact BIGINTs (x in minutes from a fixed origin, y "
+    "in cents; magnitudes stay < 2^63 through sf1), numerator/"
+    "denominator are returned exactly, and the rendered slope is a "
+    "floor of one shared double division (engine-identical inputs → "
+    "identical result).  Slope unit: 1e-4 cents/minute.",
+)
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+            " DIV 60000000"
+        ).alias("x_min"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y_cents"),
+    )
+    s = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_min").cast("long").alias("sx"),
+        F.sum("y_cents").cast("long").alias("sy"),
+        F.sum(F.col("x_min") * F.col("y_cents")).cast("long").alias("sxy"),
+        F.sum(F.col("x_min") * F.col("x_min")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.floor(num.cast("double") / den.cast("double") * 10000)
+        .cast("long")
+        .alias("slope_e4"),
+    )

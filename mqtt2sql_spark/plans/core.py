@@ -516,3 +516,67 @@ def scd2_topic_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_current"),
         )
     )
+
+
+# --- point-in-time (temporal) lookup against the SCD2 versions -------------
+
+_ASOF_PROBES = (
+    "2024-01-08 00:00:00",
+    "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00",
+)
+
+
+@register(
+    "topic_value_asof",
+    oracle=f"""
+    , versions AS (
+        SELECT h.topicid, d.topic, h.value_str,
+               h.ts AS valid_from,
+               lead(h.ts) OVER (PARTITION BY h.topicid
+                                ORDER BY h.ts, h.id) AS valid_to
+        FROM mqtt_history h JOIN topic_dim d ON d.id = h.topicid
+    ),
+    probes AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"(TIMESTAMP '{t}')" for t in _ASOF_PROBES)}
+        ) v(probe_ts)
+    )
+    SELECT probe_ts, topicid, topic, value_str, valid_from
+    FROM versions JOIN probes
+      ON valid_from <= probe_ts
+     AND (valid_to IS NULL OR valid_to > probe_ts)
+    """,
+    doc="Temporal point-in-time lookup — 'what was every topic's value "
+    "as of T?' for a set of probe timestamps, answered from the SCD2 "
+    "version ranges (scd2_topic_versions) with a half-open interval "
+    "predicate [valid_from, valid_to).  The probe set is a literal "
+    "3-row relation, so Spark plans a BroadcastNestedLoopJoin whose "
+    "inner side is 3 rows — effectively three predicate evaluations "
+    "fused over one scan of the versions.  At 100 TB, versions written "
+    "partitioned by date(valid_from) prune to the probe dates; this is "
+    "the query shape time-travel reads and training-data snapshot "
+    "reconstruction ('the corpus as of the data-freeze date') compile "
+    "to.  Answers the reference's README query pattern (value now = "
+    "README.md:15-16) generalized to any past instant.",
+)
+def topic_value_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    versions = scd2_topic_versions(spark, sf_dir).select(
+        "topicid", "topic", "value_str", "valid_from", "valid_to"
+    )
+    probes = spark.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"(TIMESTAMP '{t}')" for t in _ASOF_PROBES)
+        + ") v(probe_ts)"
+    )
+    return (
+        versions.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.col("probe_ts"))
+            ),
+        )
+        .select("probe_ts", "topicid", "topic", "value_str", "valid_from")
+    )

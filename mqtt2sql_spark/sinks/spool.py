@@ -47,6 +47,12 @@ from pyspark.sql.datasource import (
 )
 
 
+def _entry_epochs_compat(entry: dict) -> list[int]:
+    if "epochs" in entry:
+        return list(entry["epochs"])
+    return [entry["epoch"]]
+
+
 @dataclass
 class SpoolCommitMessage(WriterCommitMessage):
     temp_name: str = ""
@@ -101,11 +107,20 @@ class SpoolStreamWriter(DataSourceStreamWriter):
         return os.path.join(self.path, "_manifest")
 
     def _committed_epochs(self) -> set[int]:
+        # entries are {"epoch": int, ...} as written by commit(), or
+        # {"epochs": [ints], ...} after sinks/compact.py bin-packs files
+        # — both shapes must keep replay detection working
+        out: set[int] = set()
         try:
             with open(self._manifest_path()) as f:
-                return {json.loads(line)["epoch"] for line in f if line.strip()}
+                for line in f:
+                    if not line.strip():
+                        continue
+                    e = json.loads(line)
+                    out.update(_entry_epochs_compat(e))
         except FileNotFoundError:
-            return set()
+            pass
+        return out
 
     def commit(self, messages, batchId: int) -> None:
         if batchId in self._committed_epochs():

@@ -171,3 +171,93 @@ def test_mqtt_source_to_spool_sink_loopback(spark, tmp_path):
     assert ("tele/b", b"2", 1, 1) in msgs
     manifest = _read_manifest(out)
     assert sum(e["rows"] for e in manifest) == 2
+
+
+# --- compaction -------------------------------------------------------------
+
+
+def _read_all_rows(path):
+    rows = []
+    for e in _read_manifest(path):
+        for fname in e["files"]:
+            with open(os.path.join(path, fname)) as f:
+                rows.extend(
+                    json.loads(line) for line in f if line.strip()
+                )
+    return rows
+
+
+def _spool_dir_with_epochs(tmp_path, n_epochs=6, rows_per=4):
+    """Hand-build a committed spool dir: one small file per epoch."""
+    out = tmp_path / "spool"
+    out.mkdir()
+    manifest = []
+    for ep in range(n_epochs):
+        fname = f"part-{ep:05d}-0000.jsonl"
+        with open(out / fname, "w") as f:
+            for i in range(rows_per):
+                f.write(json.dumps({"epoch": ep, "i": i}) + "\n")
+        manifest.append(
+            {"epoch": ep, "files": [fname], "rows": rows_per}
+        )
+    with open(out / "_manifest", "w") as f:
+        for e in manifest:
+            f.write(json.dumps(e) + "\n")
+    return str(out)
+
+
+def test_compaction_preserves_rows_and_reduces_files(tmp_path):
+    from mqtt2sql_spark.sinks.compact import compact_spool
+
+    path = _spool_dir_with_epochs(tmp_path)
+    before = _read_all_rows(path)
+    stats = compact_spool(path, target_bytes=200)  # a few files per bin
+    after = _read_all_rows(path)
+    assert sorted(map(json.dumps, after)) == sorted(map(json.dumps, before))
+    assert stats["files_after"] < stats["files_before"] == 6
+    assert stats["compacted"] > 0
+    # no stray uncommitted files besides the manifest + committed set
+    committed = {
+        f for e in _read_manifest(path) for f in e["files"]
+    }
+    on_disk = {
+        f for f in os.listdir(path)
+        if f not in ("_manifest", ".inprogress")
+    }
+    assert on_disk == committed
+
+
+def test_compaction_is_idempotent_and_epoch_preserving(tmp_path):
+    from mqtt2sql_spark.sinks.compact import compact_spool
+
+    path = _spool_dir_with_epochs(tmp_path)
+    compact_spool(path, target_bytes=200)
+    epochs = set()
+    for e in _read_manifest(path):
+        epochs.update(e.get("epochs", [e.get("epoch")]))
+    assert epochs == set(range(6))
+    # second pass with the same target: everything already >= bin size
+    stats2 = compact_spool(path, target_bytes=200)
+    assert stats2["compacted"] == 0
+
+
+def test_replay_detection_survives_compaction(tmp_path):
+    """SpoolStreamWriter.commit on an epoch absorbed by compaction must
+    treat it as already-committed (drop temps, no manifest append)."""
+    from mqtt2sql_spark.sinks.compact import compact_spool
+    from mqtt2sql_spark.sinks.spool import (
+        SpoolCommitMessage,
+        SpoolStreamWriter,
+    )
+
+    path = _spool_dir_with_epochs(tmp_path)
+    compact_spool(path, target_bytes=200)
+    w = SpoolStreamWriter({"path": path})
+    # a replayed attempt for epoch 3 (already inside a compacted entry)
+    temp = "replay-tmp.jsonl"
+    with open(os.path.join(path, ".inprogress", temp), "w") as f:
+        f.write(json.dumps({"dup": True}) + "\n")
+    n_entries = len(_read_manifest(path))
+    w.commit([SpoolCommitMessage(temp_name=temp, rows=1)], batchId=3)
+    assert len(_read_manifest(path)) == n_entries  # no new entry
+    assert not os.path.exists(os.path.join(path, ".inprogress", temp))

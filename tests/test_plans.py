@@ -353,3 +353,61 @@ def test_results_invariant_under_shuffle_partition_count(spark):
             assert len(a) > 0, f"{key} returned no rows"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# --- plan shapes of the round-3 additions ----------------------------------
+
+
+def test_market_share_single_fact_shuffle_join(spark):
+    """Q8 shape: AT MOST one non-broadcast join (lineitem x orders on the
+    order key — at fixture scale even orders broadcasts, which is the
+    right call); every dimension hangs off the fact as a broadcast hash
+    join, and the selective predicates (p_type, r_name) reach their
+    scans before the broadcast."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(all_specs()["market_share_by_nation"].fn(spark, SF_DIR))
+    n_broadcast = plan.count("BroadcastHashJoin")
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_shuffle_joins <= 1, plan
+    assert n_broadcast >= 5, plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_type,PROMO)" in plan  # pruned before broadcast
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_returned_items_topk_uses_heap_topk(spark):
+    """Q10 shape: global top-20 must be TakeOrderedAndProject (partition
+    heaps + driver merge), never a full global sort."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(all_specs()["returned_items_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # dimensions join the 20 survivors, not the full rollup
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bloom_prune_filters_below_the_semi_join(spark):
+    """The bitmap membership test must run in a Filter BELOW the exact
+    LeftSemi join: candidates shrink before any shuffle."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(all_specs()["bloom_pruned_revenue"].fn(spark, SF_DIR))
+    semi_pos = plan.find("LeftSemi")
+    shift_pos = plan.rfind("shiftleft")
+    assert semi_pos != -1 and shift_pos != -1
+    # simple-mode plans print top-down: the probe filter appears after
+    # (deeper than) the semi join line
+    assert shift_pos > semi_pos, plan
+
+
+def test_scd2_single_window_shuffle(spark):
+    """SCD2 rendering: lead/row_number share one window over topicid —
+    exactly one exchange beyond the history derivation itself."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(all_specs()["scd2_topic_versions"].fn(spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan

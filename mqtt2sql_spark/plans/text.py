@@ -1176,3 +1176,100 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         """
     )
+
+
+# --- PMI collocation mining -------------------------------------------------
+
+PMI_MIN_SUPPORT = 5
+PMI_TOPK = 50
+# one shared textual formula: identical double operation order on both
+# engines (exact-integer inputs -> identical doubles -> identical floor)
+_PMI_EXPR = (
+    "CAST(floor(CAST(nxy AS DOUBLE) * CAST(n_tok AS DOUBLE)"
+    " * CAST(n_tok AS DOUBLE) / CAST(n_big AS DOUBLE)"
+    " / CAST(nx AS DOUBLE) / CAST(ny AS DOUBLE) * 1000) AS BIGINT)"
+)
+
+
+@register(
+    "token_pmi_topk",
+    oracle=f"""
+    , tk AS (SELECT doc_id, {duck_tokens()} AS l FROM documents),
+    uni AS (
+        SELECT tok, count(*) AS n FROM (
+            SELECT unnest(l) AS tok FROM tk
+        ) GROUP BY tok
+    ),
+    big AS (
+        SELECT x, y, count(*) AS nxy FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(l) - 1), i -> l[i])) AS x,
+                   unnest(list_transform(
+                       generate_series(1, len(l) - 1), i -> l[i + 1])) AS y
+            FROM tk
+        ) GROUP BY x, y
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS n_tok,
+               (SELECT CAST(sum(nxy) AS BIGINT) FROM big) AS n_big
+    )
+    SELECT x, y, nxy, pmi_e3 FROM (
+        SELECT x, y, nxy, {_PMI_EXPR} AS pmi_e3,
+               row_number() OVER (ORDER BY {_PMI_EXPR} DESC, x, y) AS rk
+        FROM (
+            SELECT b.x, b.y, b.nxy, ux.n AS nx, uy.n AS ny, n_tok, n_big
+            FROM big b
+            JOIN uni ux ON ux.tok = b.x
+            JOIN uni uy ON uy.tok = b.y
+            CROSS JOIN tot
+            WHERE b.nxy >= {PMI_MIN_SUPPORT}
+        )
+    ) WHERE rk <= {PMI_TOPK}
+    """,
+    doc="Pointwise-mutual-information collocation mining — the "
+    "association metric behind phrase detection and tokenizer-merge "
+    "scoring (word2vec-style 'new york' >> 'of the'): "
+    "PMI ∝ p(xy)/(p(x)p(y)) = nxy·N²/(B·nx·ny), ranked over bigrams "
+    "with min-support {PMI_MIN_SUPPORT}.  Dataflow: one bigram rollup "
+    "and one unigram rollup (both hash-aggregated after the doc-keyed "
+    "explode), unigram counts joined back onto the bigram table — the "
+    "unigram side is VOCABULARY-bounded, so at 100 TB it broadcasts "
+    "while the bigram table streams; corpus totals are a single-row "
+    "cross join.  The score renders as floor(ratio·1000) from one "
+    "shared double formula over exact-integer counts, and the top-50 "
+    "is TakeOrderedAndProject with (score, x, y) total order.",
+)
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            F.col("tok").alias("x"),
+            F.lead("tok", 1).over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    big = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    n_tok = uni.agg(F.sum("n").cast("long").alias("n_tok"))
+    n_big = big.agg(F.sum("nxy").cast("long").alias("n_big"))
+    ux = uni.select(F.col("tok").alias("_xt"), F.col("n").alias("nx"))
+    uy = uni.select(F.col("tok").alias("_yt"), F.col("n").alias("ny"))
+    scored = (
+        big.filter(F.col("nxy") >= PMI_MIN_SUPPORT)
+        .join(F.broadcast(ux), F.col("x") == F.col("_xt"))
+        .join(F.broadcast(uy), F.col("y") == F.col("_yt"))
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .withColumn("pmi_e3", F.expr(_PMI_EXPR))
+    )
+    return (
+        scored.orderBy(F.desc("pmi_e3"), F.asc("x"), F.asc("y"))
+        .limit(PMI_TOPK)
+        .select("x", "y", "nxy", "pmi_e3")
+    )

@@ -352,3 +352,89 @@ def test_streaming_hll_register_maintenance(spark, staged, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+# --- EWMA anomaly detector: batch/stream parity -----------------------------
+
+
+def _numeric_slices():
+    """Per-topic numeric series with a planted outlier per topic."""
+    import itertools
+
+    series = {
+        "sensor/a": [10.0, 10.5, 9.8, 10.2, 10.1, 10.3, 99.0, 10.0, 10.2],
+        "sensor/b": [5.0, 5.1, 4.9, 5.0, 5.2, 5.1, 5.0, -40.0, 5.1],
+    }
+    rows = []
+    eid = itertools.count(1)
+    for topic, xs in series.items():
+        for i, x in enumerate(xs):
+            rows.append((topic, i * 60, x, next(eid)))
+    rows.sort(key=lambda r: (r[1], r[3]))
+    # three time-ordered slices
+    third = (len(rows) + 2) // 3
+    return [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+
+
+def _mk_numeric(spark, rows):
+    return spark.createDataFrame(
+        [
+            (_BASE + dt.timedelta(seconds=sec), t, x, e)
+            for t, sec, x, e in rows
+        ],
+        "ts timestamp, topic string, x double, event_id long",
+    )
+
+
+def test_ewma_stream_equals_batch(spark, tmp_path):
+    from mqtt2sql_spark.streaming.ewma import (
+        ewma_anomalies_batch,
+        ewma_anomalies_stream,
+    )
+
+    slices = _numeric_slices()
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    for i, rows in enumerate(slices):
+        _mk_numeric(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(input_dir / f"s{i}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, topic string, x double, event_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(input_dir) + "/*")
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        ewma_anomalies_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+
+    got = {
+        (r["topic"], r["event_id"], r["x"], r["is_anomaly"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    all_rows = _mk_numeric(spark, [r for s in slices for r in s])
+    want = {
+        (r["topic"], r["event_id"], r["x"], r["is_anomaly"])
+        for r in ewma_anomalies_batch(all_rows).collect()
+    }
+    assert got == want
+    # the planted outliers are flagged, early warmup points are not
+    flagged = {(t, e) for t, e, _x, f in want if f == 1}
+    by_topic = {}
+    for t, e, x, f in want:
+        by_topic.setdefault(t, []).append((e, x, f))
+    assert any(x == 99.0 and f == 1 for _e, x, f in by_topic["sensor/a"])
+    assert any(x == -40.0 and f == 1 for _e, x, f in by_topic["sensor/b"])
+    assert all(
+        f == 0 for t, e, x, f in want if x not in (99.0, -40.0)
+    ), flagged

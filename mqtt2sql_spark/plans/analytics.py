@@ -2929,3 +2929,78 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_e4"),
     )
+
+
+# --- data-quality rule engine ----------------------------------------------
+
+
+@register(
+    "dq_rule_violations",
+    oracle="""
+    , li AS (
+        SELECT l.*, o.o_orderdate
+        FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey
+    )
+    SELECT 'qty_nonpositive' AS rule,
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations, CAST(count(*) AS BIGINT) AS n_checked
+    FROM li
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM li
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM li
+    UNION ALL
+    SELECT 'price_mismatch',
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM li
+    """,
+    doc="Data-quality rule engine — the validation pass a pipeline runs "
+    "before accepting a 100 TB drop: each rule is a conditional count "
+    "evaluated in ONE scan of the joined fact (Spark computes all four "
+    "sums in a single aggregate over the lineitem⋈orders join and "
+    "unpivots to the rule/violations layout; the UNION ALL in the "
+    "oracle is DuckDB re-reading a CTE, same semantics).  Adding a "
+    "rule = adding a column expression, not a pass.  All-integer "
+    "output; cross-table consistency (ship-before-order) rides the "
+    "same join the revenue queries use.",
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = j.agg(
+        viol(F.col("l_quantity") <= 0).alias("qty_nonpositive"),
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+        ).alias("discount_out_of_range"),
+        viol(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+            "ship_before_order"
+        ),
+        viol(F.col("l_extendedprice") <= 0).alias("price_mismatch"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'qty_nonpositive', qty_nonpositive, "
+        "'discount_out_of_range', discount_out_of_range, "
+        "'ship_before_order', ship_before_order, "
+        "'price_mismatch', price_mismatch"
+        ") AS (rule, n_violations)",
+        "n_checked",
+    )

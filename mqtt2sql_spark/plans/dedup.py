@@ -1007,3 +1007,62 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_old_collisions", F.lit(0)).alias("n_old_collisions"),
         "first_old_match",
     )
+
+
+# --- candidate verification: edit-distance stage after LSH -----------------
+
+_VERIFY_MAX_DIST = 40  # accept pairs within this edit distance
+
+
+@register(
+    "dedup_verified_pairs",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           CASE WHEN levenshtein(da.text, db.text) <= {_VERIFY_MAX_DIST}
+                THEN 1 ELSE 0 END AS verified
+    FROM cand
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    """,
+    doc="LSH-candidate verification — the exact second stage every "
+    "near-dup pipeline runs: band-collision pairs (dedup_minhash_pairs) "
+    "are re-checked with true edit distance and accepted only within "
+    f"{_VERIFY_MAX_DIST}.  The expensive O(len²) Levenshtein DP runs "
+    "ONLY on candidate pairs — the whole point of the LSH stage: at "
+    "100 TB the verify cost is |candidates|, not |corpus|², and the "
+    "candidate texts arrive via two joins against the documents table "
+    "(hash joins on doc id, each candidate row carries its two texts "
+    "through one shuffle).  Emitting the distance rather than just the "
+    "verdict gives the downstream threshold choice observability.",
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.select(
+        F.col("doc_id").alias("_ida"), F.col("text").alias("_ta")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("_idb"), F.col("text").alias("_tb")
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        pairs.join(da, F.col("doc_a") == F.col("_ida"))
+        .join(db, F.col("doc_b") == F.col("_idb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            F.when(dist <= _VERIFY_MAX_DIST, 1).otherwise(0).alias("verified"),
+        )
+    )

@@ -3004,3 +3004,108 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") AS (rule, n_violations)",
         "n_checked",
     )
+
+
+# --- vectorized UDAF (pandas grouped-agg): trimmed mean ---------------------
+
+
+@register(
+    "trimmed_mean_price",
+    oracle="""
+    , ranked AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                            o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY o_orderpriority
+    """,
+    doc="10%-trimmed mean via a VECTORIZED PYTHON UDAF (pandas_udf "
+    "GROUPED_AGG): each group's order values arrive as one Arrow batch, "
+    "numpy sorts by (cents, orderkey) total order, and the robust mean "
+    "excludes n//10 rows per tail — the outlier-resistant location "
+    "estimate plain AVG can't give and Catalyst has no builtin for.  "
+    "Arithmetic is exact-integer end-to-end (cents in, integer "
+    "division out) so pandas and DuckDB agree bit-for-bit despite "
+    "different summation orders.  This completes the UDx surface "
+    "demonstration: scalar pandas_udf (LSH einsum), UDAF here, UDTF "
+    "(topic_ancestors_udtf) — all Arrow-vectorized, the reference has "
+    "none (SURVEY §2 C).  Note the distributed caveat honestly: a "
+    "grouped-agg UDAF materializes each group on one executor, fine "
+    "for bounded groups (5 priorities), wrong for unbounded keys — "
+    "exact trimming at that scale needs the window form the oracle "
+    "uses.",
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.functions.udafs import (
+        trimmed_count,
+        trimmed_mean_cents,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.select(
+        "o_orderpriority", cents.alias("cents"), "o_orderkey"
+    )
+    return base.groupBy("o_orderpriority").agg(
+        trimmed_count(F.col("cents")).alias("n_kept"),
+        trimmed_mean_cents(F.col("cents"), F.col("o_orderkey")).alias(
+            "trimmed_mean_cents"
+        ),
+    )
+
+
+# --- Python UDTF surface ----------------------------------------------------
+
+
+@register(
+    "topic_ancestors_udtf",
+    oracle="""
+    , topics AS (SELECT DISTINCT topic FROM messages),
+    levels AS (
+        SELECT topic,
+               CAST(unnest(generate_series(1, len(string_split(topic, '/'))))
+                    AS INTEGER) AS depth
+        FROM topics
+    )
+    SELECT array_to_string(string_split(topic, '/')[1:depth], '/')
+               AS ancestor,
+           CAST(count(DISTINCT topic) AS BIGINT) AS n_topics
+    FROM levels GROUP BY 1
+    """,
+    doc="Python UDTF demonstration (Spark 4 `udtf` API, the table-"
+    "function leg of the UDx triad alongside the scalar pandas_udf in "
+    "the LSH einsum and the GROUPED_AGG UDAF in trimmed_mean_price): "
+    "each DISTINCT topic lateral-joins to its ancestor chain via a "
+    "generator class, then distinct-topic counts roll up per subtree "
+    "node — how many concrete topics a '#' subscription at each node "
+    "covers.  Input is the distinct-topic dimension (small), so the "
+    "row-based Python generator touches |topics| rows, not |messages| "
+    "— the honest way to use a slow-path UDTF; the message-volume "
+    "rollup keeps its pure-expression form (topic_hierarchy_rollup).",
+)
+def topic_ancestors_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.functions.udtfs import TopicAncestors
+
+    spark.udtf.register("topic_ancestors", TopicAncestors)
+    messages(spark, sf_dir).select("topic").distinct().createOrReplaceTempView(
+        "_udtf_topics"
+    )
+    return spark.sql(
+        """
+        SELECT a.ancestor,
+               CAST(count(DISTINCT t.topic) AS BIGINT) AS n_topics
+        FROM _udtf_topics t,
+        LATERAL topic_ancestors(t.topic) a
+        GROUP BY a.ancestor
+        """
+    )

@@ -196,3 +196,27 @@ def test_bloom_bitmap_is_broadcast_small(spark):
     keys = load_table(spark, SF_DIR, "orders").select("o_orderkey")
     row = build_bloom(keys, "o_orderkey").collect()[0]
     assert len(row["bloom"]) <= 1024  # <= 1024 words = 8 KB
+
+
+def test_salted_replicated_join_equals_plain_join(spark):
+    """Hot-key fact x mid-size dim: the salted (key, salt) join must be
+    row-identical to the plain join; the salt only spreads reducers."""
+    import pyspark.sql.functions as F
+
+    from mqtt2sql_spark.operators.skew import salted_replicated_join
+
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(500)]
+        + [("k%d" % (i % 20), i) for i in range(200)],
+        "key string, v long",
+    ).repartition(8)
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [("k%d" % i, "D%d" % i) for i in range(20)],
+        "key string, attr string",
+    )
+    # dim NOT broadcast: force the shuffle-join regime being protected
+    plain = fact.join(dim.hint("shuffle_hash"), "key")
+    salted = salted_replicated_join(fact, dim, "key", salt_buckets=8)
+    a = sorted((r["key"], r["v"], r["attr"]) for r in plain.collect())
+    b = sorted((r["key"], r["v"], r["attr"]) for r in salted.collect())
+    assert a == b and len(a) == 700

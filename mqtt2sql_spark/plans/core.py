@@ -580,3 +580,70 @@ def topic_value_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_ts", "topicid", "topic", "value_str", "valid_from")
     )
+
+
+# --- SQLite trigger-cadence twin (reference quirk, executable) -------------
+
+
+@register(
+    "history_sqlite_cadence",
+    oracle="""
+    , hb AS (
+        SELECT m.ts, m.event_id, d.id AS topicid,
+               d.history_enable, d.history_diffonly,
+               lag(m.value_str) OVER (PARTITION BY m.topic
+                                      ORDER BY m.ts, m.event_id) AS prev_value,
+               m.value_str,
+               row_number() OVER (PARTITION BY m.topic
+                                  ORDER BY m.ts, m.event_id) AS rn
+        FROM messages m JOIN topic_dim d USING (topic)
+    )
+    SELECT topicid, event_id, ts,
+           CASE WHEN rn = 1 AND history_diffonly = 0 THEN 2 ELSE 1 END
+               AS n_rows
+    FROM hb
+    WHERE history_enable = 1
+      AND (history_diffonly = 0 OR prev_value IS NULL
+           OR prev_value <> value_str)
+    """,
+    doc="The SQLite history cadence as an executable twin (reference "
+    "quirk, SURVEY §4.3): the client does INSERT OR IGNORE then an "
+    "unconditional UPDATE (mqtt2sql.py:592-629), so a BRAND-NEW topic "
+    "fires BOTH triggers (sqlite.sql:58-70) — with history_diffonly=0 "
+    "the first message lands TWICE in history; with =1 the second fire "
+    "is suppressed because OLD.value = NEW.value.  Existing topics "
+    "behave exactly like the MySQL path (update trigger + diffonly "
+    "check).  The engine's canonical tables keep the MySQL cadence "
+    "(mqtt_history, one row per qualifying message); this query makes "
+    "the divergence AUDITABLE as data — per qualifying message, the "
+    "row count SQLite's schema would have produced — instead of a "
+    "docs-only footnote.  Same single topic-keyed window shuffle as "
+    "history_diffonly; n_rows is pure expression on top.",
+)
+def history_sqlite_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir).withColumn(
+        "value_str", F.col("value").cast("string")
+    )
+    dim = topic_dim(spark, sf_dir)
+    w = W.partitionBy("topic").orderBy("ts", "event_id")
+    base = (
+        msg.join(F.broadcast(dim), "topic")
+        .withColumn("_prev", F.lag("value_str").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    kept = base.filter(
+        (F.col("history_enable") == 1)
+        & (
+            (F.col("history_diffonly") == 0)
+            | F.col("_prev").isNull()
+            | (F.col("_prev") != F.col("value_str"))
+        )
+    )
+    return kept.select(
+        F.col("id").alias("topicid"),
+        "event_id",
+        "ts",
+        F.when((F.col("_rn") == 1) & (F.col("history_diffonly") == 0), 2)
+        .otherwise(1)
+        .alias("n_rows"),
+    )

@@ -3109,3 +3109,74 @@ def topic_ancestors_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.ancestor
         """
     )
+
+
+# --- join cardinality estimation by correlated key sampling -----------------
+
+_JCE_MOD = 64  # keep keys with md5-derived value % 64 == 0 (~1.6% of keys)
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=f"""
+    , sl AS (
+        SELECT l_orderkey AS k FROM lineitem
+        WHERE ((instr('0123456789abcdef',
+                      substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef',
+                        substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1)) - 1))
+              % {_JCE_MOD} = 0
+    ),
+    so AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE ((instr('0123456789abcdef',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1))
+              % {_JCE_MOD} = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sample_pairs,
+           CAST(count(*) * {_JCE_MOD} AS BIGINT) AS est_join_rows,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+               AS true_join_rows
+    FROM sl JOIN so USING (k)
+    """,
+    doc="Join-size estimation by CORRELATED key sampling — the "
+    "optimizer-statistics question ('how big is lineitem⋈orders?') "
+    "answered without running the full join: both sides keep only keys "
+    "whose md5-derived byte ≡ 0 (mod 64), the SAME ~1.6% key universe "
+    "on each side, so every surviving key contributes its full "
+    "fan-out product and count·64 is an unbiased estimate of the join "
+    "cardinality (independent per-side sampling would square the rate "
+    "and miss the key correlation entirely — the classic estimator "
+    "bug).  Deterministic: the sample is a hash predicate, not RNG.  "
+    "The true count is joined alongside for error observability "
+    "(fixture-affordable; at 100 TB you'd ship only the estimate).",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+
+    def keep(df):
+        byte0 = (
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 2), 16, 10)
+            .cast("long")
+        )
+        return df.filter(byte0 % _JCE_MOD == 0)
+
+    pairs = keep(li).join(keep(orders), "k")
+    true_rows = li.join(orders, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("true_join_rows")
+    )
+    return (
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("n_sample_pairs"))
+        .withColumn(
+            "est_join_rows", (F.col("n_sample_pairs") * _JCE_MOD).cast("long")
+        )
+        .crossJoin(F.broadcast(true_rows))
+    )

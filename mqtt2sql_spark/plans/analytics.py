@@ -3180,3 +3180,62 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(true_rows))
     )
+
+
+# --- event-sequence transition matrix ---------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    , seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    outdeg AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+        FROM counts GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // o.total AS BIGINT) AS p_ppm
+    FROM counts c JOIN outdeg o ON o.from_type = c.from_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences — the behavioral model behind next-action prediction "
+    "and anomalous-session scoring: lead() pairs each event with its "
+    "successor inside one user_id-keyed window shuffle, transition "
+    "counts hash-aggregate (25 cells for 5 event types), and row "
+    "probabilities render as exact parts-per-million (n·1e6 DIV "
+    "row-total) so no float enters the compared surface.  The "
+    "out-degree rollup reuses the already-tiny counts relation — the "
+    "fact table is scanned and shuffled exactly once.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outdeg = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return (
+        counts.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 DIV total").alias("p_ppm"),
+        )
+    )

@@ -1273,3 +1273,73 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOPK)
         .select("x", "y", "nxy", "pmi_e3")
     )
+
+
+# --- corpus snapshot diff ---------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    , snap_a AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % 5 <> 0
+    ),
+    snap_b AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+                    ELSE md5(text) END AS h
+        FROM documents
+    )
+    SELECT coalesce(a.source, b.source) AS source,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h <> b.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Corpus snapshot diff — the data-versioning audit between two "
+    "releases ('what changed since the last freeze?'): snapshots "
+    "compare by content hash in a FULL OUTER join on the doc key, "
+    "classifying added / removed / changed / unchanged per source.  "
+    "Snapshot B simulates drift deterministically (every 7th doc's "
+    "text revised, every 5th doc new since A) so all four statuses "
+    "are exercised.  At 100 TB both snapshots shuffle once on doc_id "
+    "(or zero times if stored bucketed by it) and the hash compare "
+    "moves 32-byte digests, never text — the per-day XOR fingerprint "
+    "(events_table_fingerprint) answers 'did anything change?', this "
+    "answers 'what, exactly'.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_src"),
+        F.md5("text").alias("a_h"),
+    )
+    snap_b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_src"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("b_h"),
+    )
+    status = (
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_h") != F.col("b_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        snap_a.join(snap_b, F.col("a_id") == F.col("b_id"), "full_outer")
+        .groupBy(
+            F.coalesce("a_src", "b_src").alias("source"),
+            status.alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

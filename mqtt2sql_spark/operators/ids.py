@@ -80,3 +80,46 @@ def dense_row_ids(
         .withColumn(id_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_bkt", "_rn", "_off")
     )
+
+
+def running_totals(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    bucket: Column | None = None,
+    out_col: str = "running_total",
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact global running total of ``value_col`` in ``order_cols``
+    order — the distributed prefix sum, same two-phase shape as
+    ``dense_row_ids``: per-bucket cumulative window (parallel across
+    buckets) plus broadcast bucket offsets (cumulative bucket sums over
+    the tiny bucket list).  Never a single-partition window over the
+    fact.
+
+    Same contracts as dense_row_ids: ``order_cols`` total order,
+    ``bucket`` monotonic w.r.t. it and a pure function of the data.
+    The output includes the current row (inclusive prefix sum).
+    """
+    if bucket is None:
+        bucket = F.to_date(F.col(order_cols[0]))
+    cols = [F.col(c) for c in order_cols]
+    with_b = df.withColumn("_bkt", bucket)
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = with_b.withColumn("_cum_in", F.sum(value_col).over(w_in))
+    if materialize:
+        local = local.localCheckpoint(eager=False)
+    totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_off") + F.col("_cum_in")).cast("long"))
+        .drop("_bkt", "_cum_in", "_off")
+    )

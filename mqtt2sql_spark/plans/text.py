@@ -1343,3 +1343,66 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- systematic weighted sampling via distributed prefix sums ---------------
+
+SYS_SAMPLE_TARGET = 50
+
+
+@register(
+    "systematic_weighted_sample",
+    oracle=f"""
+    , weighted AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+               CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        FROM documents
+    ),
+    tot AS (
+        SELECT greatest(CAST(sum(n_chars) AS BIGINT) // {SYS_SAMPLE_TARGET},
+                        1) AS step
+        FROM documents
+    )
+    SELECT doc_id, source, w, cum
+    FROM weighted CROSS JOIN tot
+    WHERE cum // step > (cum - w) // step
+    """,
+    doc="Systematic weighted sampling — deterministic "
+    f"~{SYS_SAMPLE_TARGET}-doc draw with inclusion probability "
+    "proportional to document weight (n_chars): walk the cumulative "
+    "weight line, keep every document whose interval [cum−w, cum) "
+    "crosses a step boundary.  Pure integer arithmetic (no RNG, no "
+    "float), reproducible for data-freeze audits, and unlike md5-"
+    "threshold sampling (sample_weighted) it guarantees the sample "
+    "SIZE, not just the rate.  The cumulative weights come from "
+    "operators/ids.running_totals — the distributed prefix sum: "
+    "per-bucket cumulative windows in parallel plus broadcast bucket "
+    "offsets, never a single-partition window over the corpus (the "
+    "oracle's plain OVER (ORDER BY) is the semantic spec; the Spark "
+    "plan is the scalable encoding of it).",
+)
+def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    cum = running_totals(
+        docs,
+        order_cols=["doc_id"],
+        value_col="w",
+        bucket=F.expr("doc_id DIV 100"),
+        out_col="cum",
+    )
+    tot = docs.agg(
+        F.greatest(
+            F.expr(f"sum(w) DIV {SYS_SAMPLE_TARGET}"), F.lit(1)
+        ).alias("step")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr("cum DIV step") > F.expr("(cum - w) DIV step")
+        )
+        .select("doc_id", "source", "w", "cum")
+    )

@@ -154,3 +154,44 @@ def test_tz_render_dst_boundary(spark):
         ).alias("wall")
     ).collect()
     assert [r.wall for r in out] == ["2024-10-27 02:30:00"] * 2
+
+
+# --- distributed prefix sum -------------------------------------------------
+
+
+def test_running_totals_matches_global_window(spark):
+    """Two-phase prefix sum == single global window cumsum, at any
+    shuffle-partition count (the dense_row_ids determinism contract
+    extended to sums)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    want = {
+        (r["k"], r["c"])
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            got = {
+                (r["k"], r["running_total"])
+                for r in running_totals(
+                    df,
+                    order_cols=["k"],
+                    value_col="v",
+                    bucket=F.expr("k DIV 25"),
+                ).collect()
+            }
+            assert got == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -225,3 +225,80 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- min-max downsampling ---------------------------------------------------
+
+
+@register(
+    "events_minmax_downsample",
+    oracle="""
+    , ranked AS (
+        SELECT event_type, event_id, ts, value,
+               epoch_us(ts) // 21600000000 AS bkt,
+               row_number() OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 21600000000
+                   ORDER BY value, event_id) AS rn_min,
+               row_number() OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 21600000000
+                   ORDER BY value DESC, event_id) AS rn_max
+        FROM events
+    )
+    SELECT event_type, CAST(bkt AS BIGINT) AS bkt, event_id, ts,
+           round(value, 4) AS value,
+           CASE WHEN rn_min = 1 AND rn_max = 1 THEN 'both'
+                WHEN rn_min = 1 THEN 'min' ELSE 'max' END AS extreme
+    FROM ranked WHERE rn_min = 1 OR rn_max = 1
+    """,
+    doc="Min-max downsampling — the monitoring-system render path "
+    "(Grafana-style): per (series, 6 h bucket) keep only the extreme "
+    "points, preserving the envelope a chart draws while shrinking a "
+    "100 TB series by orders of magnitude.  min_by/max_by with a "
+    "composite (value, ±event_id) argument gives total-order "
+    "tie-breaks (the smallest event id witnesses both extremes) "
+    "so both engines pick the same witness row.  One partial-agg "
+    "shuffle on (series, bucket) finds the extreme ids; the self-join "
+    "back rides the same key.  The value column renders rounded on "
+    "both sides; selection itself uses the raw double identically.",
+)
+def events_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("unix_micros(ts) DIV 21600000000").alias("bkt"),
+    )
+    extremes = bucketed.groupBy("event_type", "bkt").agg(
+        F.expr("min_by(event_id, struct(value, event_id))").alias("min_eid"),
+        F.expr("max_by(event_id, struct(value, -event_id))").alias("max_eid"),
+    )
+    b = bucketed.alias("b")
+    e = extremes.alias("e")
+    return (
+        b.join(
+            e,
+            (F.col("b.event_type") == F.col("e.event_type"))
+            & (F.col("b.bkt") == F.col("e.bkt"))
+            & (
+                (F.col("b.event_id") == F.col("e.min_eid"))
+                | (F.col("b.event_id") == F.col("e.max_eid"))
+            ),
+        )
+        .select(
+            F.col("b.event_type").alias("event_type"),
+            F.col("b.bkt").cast("long").alias("bkt"),
+            F.col("b.event_id").alias("event_id"),
+            F.col("b.ts").alias("ts"),
+            F.round("b.value", 4).alias("value"),
+            F.when(
+                (F.col("b.event_id") == F.col("e.min_eid"))
+                & (F.col("b.event_id") == F.col("e.max_eid")),
+                "both",
+            )
+            .when(F.col("b.event_id") == F.col("e.min_eid"), "min")
+            .otherwise("max")
+            .alias("extreme"),
+        )
+    )

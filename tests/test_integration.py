@@ -300,3 +300,79 @@ def test_cli_daemon_once_drains_spool(tmp_path):
     topics = [r[0] for r in rows]
     assert topics == ["sensors/1", "sensors/2"]  # excluded topic absent
     assert rows[0][1] == '{"t": 2}'  # latest value won the upsert
+
+
+def test_pipeline_capstone_filters_diffonly_spool_compact(spark, tmp_path):
+    """End-to-end: file stream -> subscription/exclusion filters ->
+    stateful diff-only suppression -> exactly-once spool sink ->
+    compaction.  The compacted spool must contain exactly the batch
+    history semantics (diffonly RLE per topic, excluded topic absent),
+    with every epoch still manifest-committed."""
+    import datetime as dt
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.sinks.compact import compact_spool
+    from mqtt2sql_spark.sinks.spool import register_spool_sink
+    from mqtt2sql_spark.streaming.diffonly import diffonly_stream
+    from mqtt2sql_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        apply_filters,
+        message_file_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    slices = [
+        [("s/a", 0, "x", 1), ("s/b", 1, "p", 2), ("noise", 2, "z", 3)],
+        [("s/a", 10, "x", 4), ("s/b", 11, "q", 5), ("noise", 12, "z", 6)],
+        [("s/a", 20, "y", 7), ("s/b", 21, "q", 8)],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(
+            [
+                (base + dt.timedelta(seconds=o), t, v.encode(), 0, 0, e)
+                for t, o, v, e in rows
+            ],
+            MESSAGE_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(in_dir / f"s{i}.parquet")
+        )
+
+    register_spool_sink(spark)
+    stream = message_file_stream(spark, str(in_dir) + "/*")
+    filtered = apply_filters(
+        stream, subscribe_patterns=["s/#"], exclude_topics=[]
+    ).withColumn("value_str", F.col("value").cast("string")).select(
+        "topic", "ts", "value_str", "event_id"
+    )
+    spool = str(tmp_path / "spool")
+    q = (
+        diffonly_stream(filtered)
+        .writeStream.format("spool")
+        .option("path", spool)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stats = compact_spool(spool, target_bytes=150)
+    assert stats["files_after"] <= stats["files_before"]
+
+    rows = []
+    with open(os.path.join(spool, "_manifest")) as f:
+        entries = [json.loads(line) for line in f if line.strip()]
+    for e in entries:
+        for fname in e["files"]:
+            with open(os.path.join(spool, fname)) as fh:
+                rows.extend(json.loads(line) for line in fh if line.strip())
+    got = sorted((r["topic"], r["value_str"]) for r in rows)
+    # diffonly per topic: a: x,x,y -> x,y ; b: p,q,q -> p,q ; noise filtered
+    assert got == [
+        ("s/a", "x"), ("s/a", "y"), ("s/b", "p"), ("s/b", "q")
+    ]

@@ -3239,3 +3239,70 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 DIV total").alias("p_ppm"),
         )
     )
+
+
+# --- conversion latency percentiles -----------------------------------------
+
+
+@register(
+    "conversion_latency_percentiles",
+    oracle="""
+    , firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) AS first_click_us,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS first_purchase_us
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT (first_purchase_us - first_click_us) // 1000000 AS lat_s
+        FROM firsts
+        WHERE first_click_us IS NOT NULL
+          AND first_purchase_us IS NOT NULL
+          AND first_purchase_us >= first_click_us
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(lat_s, 0.9), 4) AS p90_s,
+           round(quantile_cont(lat_s, 0.99), 4) AS p99_s,
+           CAST(max(lat_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+    doc="Conversion latency distribution — how long from a user's first "
+    "click to their first purchase: conditional-min aggregation per "
+    "user (one shuffle, both firsts from the same pass — no self-join "
+    "of the event stream), then exact interpolated percentiles over "
+    "the integer second latencies (Spark percentile == DuckDB "
+    "quantile_cont, the orders_percentiles-proven parity).  The "
+    "funnel_conversion query counts WHO converts; this measures HOW "
+    "FAST, the pairing every growth dashboard shows.",
+)
+def conversion_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).alias("first_click_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase_us"),
+    )
+    conv = firsts.filter(
+        F.col("first_click_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_click_us"))
+    ).select(
+        F.expr(
+            "(first_purchase_us - first_click_us) DIV 1000000"
+        ).alias("lat_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(lat_s, 0.99)"), 4).alias("p99_s"),
+        F.max("lat_s").cast("long").alias("max_s"),
+    )

@@ -3306,3 +3306,70 @@ def conversion_latency_percentiles(
         F.round(F.expr("percentile(lat_s, 0.99)"), 4).alias("p99_s"),
         F.max("lat_s").cast("long").alias("max_s"),
     )
+
+
+# --- CEP-style strict-sequence pattern detection ----------------------------
+
+
+@register(
+    "cep_triple_pattern",
+    oracle="""
+    , seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(epoch_us(ts), 2) OVER w AS ts2_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+        SELECT user_id, event_id,
+               (ts2_us - epoch_us(ts)) // 1000000 AS span_s
+        FROM seq
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND ts2_us - epoch_us(ts) <= 3600000000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(span_s) AS BIGINT) AS min_span_s,
+           CAST(max(span_s) AS BIGINT) AS max_span_s
+    FROM hits
+    """,
+    doc="Complex-event-processing pattern match — the MATCH_RECOGNIZE "
+    "shape (view IMMEDIATELY FOLLOWED BY click IMMEDIATELY FOLLOWED BY "
+    "purchase, all within one hour) compiled to lead() windows: two "
+    "lookaheads materialize the candidate triple per anchor row inside "
+    "ONE user-keyed window shuffle, the pattern predicate and the time "
+    "bound filter locally, and only match counts aggregate.  Strict "
+    "contiguity (no events between stages) is what lead(k) gives for "
+    "free and what a join-based encoding gets wrong; relaxed "
+    "('eventually follows') is the funnel_conversion twin.  All-"
+    "integer output (epoch-us spans).",
+)
+def cep_triple_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead(F.unix_micros("ts"), 2).over(w).alias("ts2_us"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("ts2_us") - F.col("ts_us") <= 3600000000)
+    ).select(
+        "user_id",
+        F.expr("(ts2_us - ts_us) DIV 1000000").alias("span_s"),
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("span_s").cast("long").alias("min_span_s"),
+        F.max("span_s").cast("long").alias("max_span_s"),
+    )

@@ -3092,6 +3092,7 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row-based Python generator touches |topics| rows, not |messages| "
     "— the honest way to use a slow-path UDTF; the message-volume "
     "rollup keeps its pure-expression form (topic_hierarchy_rollup).",
+    tags=("slow-path-demo",),
 )
 def topic_ancestors_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2sql_spark.functions.udtfs import TopicAncestors

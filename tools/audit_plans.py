@@ -62,9 +62,15 @@ def main() -> int:
         flags = []
         if "CartesianProduct" in plan:
             flags.append("cartesian")
-        if "BatchEvalPython" in plan:
-            flags.append("row-at-a-time-py")
-        if flags:
+        if "BatchEvalPython" in plan or "PythonUDTF" in plan:
+            # specs tagged slow-path-demo deliberately exercise a
+            # row-based Python API (e.g. the UDTF surface demo over a
+            # dimension-sized input) — annotate, don't red-flag
+            if "slow-path-demo" in spec.tags:
+                flags.append("row-py(documented-demo)")
+            else:
+                flags.append("row-at-a-time-py")
+        if any(f == "cartesian" or f == "row-at-a-time-py" for f in flags):
             n_flagged += 1
         print(
             f"| {name} | {scans} | {shuffles} | {bcasts} | {windows} |"

@@ -3374,3 +3374,77 @@ def cep_triple_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("span_s").cast("long").alias("min_span_s"),
         F.max("span_s").cast("long").alias("max_span_s"),
     )
+
+
+# --- session path mining ----------------------------------------------------
+
+
+@register(
+    "top_session_paths",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, n_sessions FROM (
+        SELECT path, count(*) AS n_sessions,
+               row_number() OVER (ORDER BY count(*) DESC, path) AS rk
+        FROM paths GROUP BY path
+    ) WHERE rk <= 10
+    """,
+    doc="Session path mining — the product-analytics 'what do users "
+    "actually do' view: sessionize (30 min gap, the events_sessionize "
+    "machinery), concatenate each session's ordered event types into a "
+    "path string, rank the 10 most common paths.  The path rebuild is "
+    "the order-preserving collect pattern (array_sort of (ts, "
+    "event_id, type) structs — deterministic total order inside the "
+    "aggregate, the DuckDB twin is string_agg ORDER BY), and the "
+    "final top-10 is TakeOrderedAndProject over the path-count "
+    "aggregate with a lexicographic tie-break.  Three shuffles, all "
+    "keyed: (user), (user, session), (path).",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap <= _SESSION_GAP_MIN * 60, F.lit(0)).otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

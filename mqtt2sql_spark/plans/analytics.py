@@ -3448,3 +3448,57 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+# --- week-over-week revenue change ------------------------------------------
+
+
+@register(
+    "weekly_revenue_wow",
+    oracle="""
+    , weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT week,
+           round(cents / 100.0, 2) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(CASE WHEN lag(cents) OVER (ORDER BY week) IS NULL THEN NULL
+                ELSE (cents - lag(cents) OVER (ORDER BY week)) * 10000
+                     // lag(cents) OVER (ORDER BY week) END AS BIGINT)
+               AS wow_change_bp
+    FROM weekly
+    """,
+    doc="Week-over-week revenue change — the standard BI trend readout: "
+    "exact-cents weekly rollup (one partial-agg shuffle on the week "
+    "key), then a lag over the ~300-row weekly series computes the "
+    "change in exact basis points (Δ·10000 DIV previous; both engines "
+    "truncate integer division toward zero, verified for the negative "
+    "case).  The unpartitioned window runs over the tiny aggregate, "
+    "not the fact — the deliberate tiny-global-window pattern the plan "
+    "audit whitelists.  First week's change is NULL, not zero.",
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    ).agg(
+        F.sum(cents).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("week")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "week",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.expr(
+            "(cents - lag(cents) OVER (ORDER BY week)) * 10000"
+            " DIV lag(cents) OVER (ORDER BY week)"
+        ))
+        .alias("wow_change_bp"),
+    )

@@ -1066,3 +1066,67 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dist <= _VERIFY_MAX_DIST, 1).otherwise(0).alias("verified"),
         )
     )
+
+
+# --- cluster-size distribution (dedup observability) ------------------------
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Dup-cluster size distribution — the dedup health readout a "
+    "pipeline dashboards before deciding thresholds: count-of-counts "
+    "over the connected components of the LSH candidate graph "
+    "(singletons = unique docs; a giant component signals "
+    "over-aggressive banding).  Rides the dedup_components machinery "
+    "and adds two tiny aggregations on top of the component labels; "
+    "the oracle extends the same recursive-closure CTE.  n_docs per "
+    "bucket cross-checks the partition property: Σ n_docs = corpus "
+    "size.",
+    recursive=True,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(pairs, docs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )

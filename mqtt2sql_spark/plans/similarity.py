@@ -1035,3 +1035,83 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- IVF index balance observability ----------------------------------------
+
+
+@register(
+    "ivf_cell_stats",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS ce FROM emb
+             WHERE vec_id % {CELL_MOD} = 1),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({_duck_cos('v.e', 'c.ce')}, 6) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM emb v CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    cells AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_postings
+        FROM assigned GROUP BY cell
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n_postings) AS BIGINT) AS n_vectors,
+           CAST(min(n_postings) AS BIGINT) AS min_postings,
+           CAST(max(n_postings) AS BIGINT) AS max_postings,
+           CAST(sum(n_postings) * 100 // count(*) AS BIGINT)
+               AS avg_postings_x100,
+           CAST(max(n_postings) * count(*) * 100 // sum(n_postings)
+                AS BIGINT) AS max_over_avg_x100
+    FROM cells
+    """,
+    doc="IVF index balance — the vector-store ops readout that decides "
+    "whether the coarse quantizer needs retraining: postings per cell "
+    "(min/max/avg) and the max-over-avg skew ratio in exact fixed "
+    "point.  A skew ratio far above 100 means one cell absorbs the "
+    "probes (the LSH-bucket analogue of a hot key) and query latency "
+    "degrades to brute force within it; at 100 TB this statistic is "
+    "what triggers re-clustering, exactly like shuffle-key skew stats "
+    "(topic_key_skew_stats) trigger salting.  Same deterministic "
+    "assignment as ann_ivf_topk / operators/annindex.py.",
+)
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") % CELL_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("ccos"), 6)), F.asc("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cent_id",
+            _cos_expr(F.col("e"), F.col("ce")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    cells = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n_postings").cast("long").alias("n_vectors"),
+        F.min("n_postings").cast("long").alias("min_postings"),
+        F.max("n_postings").cast("long").alias("max_postings"),
+        F.expr("sum(n_postings) * 100 DIV count(*)").alias(
+            "avg_postings_x100"
+        ),
+        F.expr(
+            "max(n_postings) * count(*) * 100 DIV sum(n_postings)"
+        ).alias("max_over_avg_x100"),
+    )

@@ -3502,3 +3502,94 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .alias("wow_change_bp"),
     )
+
+
+# --- distribution drift between time windows --------------------------------
+
+_DRIFT_BINS = 20
+_DRIFT_BIN_W = 25  # value spans ~[0, 500): 20 bins x 25
+
+
+@register(
+    "value_drift_stats",
+    oracle=f"""
+    , halves AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 0 ELSE 1 END AS half,
+               least(CAST(floor(value / {_DRIFT_BIN_W}) AS BIGINT),
+                     {_DRIFT_BINS - 1}) AS bin
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+        FROM halves GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(c1) AS BIGINT) AS t1,
+               CAST(sum(c2) AS BIGINT) AS t2
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(sum(abs(c1 * 1000000 // t1 - c2 * 1000000 // t2))
+                AS BIGINT) AS l1_drift_ppm,
+           CAST(count(*) AS BIGINT) AS n_bins_hit
+    FROM counts c JOIN tot USING (event_type)
+    GROUP BY c.event_type
+    """,
+    doc="Distribution drift between the first and second half of the "
+    "month — the ML-monitoring check (PSI-flavored, but L1 distance "
+    "over fixed bins so no logarithm enters the compared surface): "
+    "per event_type, bin the value into 20 fixed-width buckets, "
+    "normalize each half's bin mass to exact truncated ppm, and sum "
+    "absolute differences.  Drift of 0 = identical histograms; "
+    "2,000,000 = disjoint support.  Bin counts for both halves come "
+    "from ONE scan (conditional sums), the normalization totals from "
+    "the already-tiny counts relation — at 100 TB this is one "
+    "partial-agg shuffle on (type, bin), and the histograms are "
+    "mergeable across days exactly like quantile_bins_estimate.",
+)
+def value_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+    ).otherwise(1)
+    bin_ = F.least(
+        F.floor(F.col("value") / _DRIFT_BIN_W).cast("long"),
+        F.lit(_DRIFT_BINS - 1),
+    )
+    counts = (
+        ev.select("event_type", half.alias("half"), bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("t1"),
+        F.sum("c2").cast("long").alias("t2"),
+    )
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("c1 * 1000000 DIV t1")
+                    - F.expr("c2 * 1000000 DIV t2")
+                )
+            )
+            .cast("long")
+            .alias("l1_drift_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_bins_hit"),
+        )
+    )

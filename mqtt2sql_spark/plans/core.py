@@ -647,3 +647,72 @@ def history_sqlite_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("n_rows"),
     )
+
+
+# --- diffonly compression observability -------------------------------------
+
+
+@register(
+    "diffonly_compression_stats",
+    oracle="""
+    , per_topic AS (
+        SELECT d.id AS topicid, d.history_enable, d.history_diffonly,
+               CAST(count(*) AS BIGINT) AS n_messages,
+               CAST(sum(CASE WHEN prev_value IS NULL
+                              OR prev_value <> value_str
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+        FROM (
+            SELECT m.topic, m.value_str,
+                   lag(m.value_str) OVER (PARTITION BY m.topic
+                                          ORDER BY m.ts, m.event_id)
+                       AS prev_value
+            FROM messages m
+        ) x JOIN topic_dim d USING (topic)
+        GROUP BY d.id, d.history_enable, d.history_diffonly
+    )
+    SELECT topicid, history_enable, history_diffonly,
+           n_messages, n_changes,
+           CAST((n_messages - n_changes) * 1000000 // n_messages AS BIGINT)
+               AS savings_ppm
+    FROM per_topic
+    """,
+    doc="Diff-only compression readout — the question a reference user "
+    "asks before enabling history_diffonly (README.md:205-226): per "
+    "topic, how many messages would the change-only trigger suppress?  "
+    "savings_ppm = suppressed/messages in exact parts-per-million.  "
+    "One topic-keyed window shuffle computes the change flags (the "
+    "same lag the diffonly operator itself uses), one rollup per "
+    "topic; flags come along from the broadcast dimension so the "
+    "readout also shows CURRENT settings next to potential savings.",
+)
+def diffonly_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir).withColumn(
+        "value_str", F.col("value").cast("string")
+    )
+    dim = topic_dim(spark, sf_dir)
+    w = W.partitionBy("topic").orderBy("ts", "event_id")
+    flagged = msg.withColumn("_prev", F.lag("value_str").over(w)).withColumn(
+        "_chg",
+        F.when(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("value_str")),
+            1,
+        ).otherwise(0),
+    )
+    per_topic = (
+        flagged.join(F.broadcast(dim), "topic")
+        .groupBy("id", "history_enable", "history_diffonly")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_messages"),
+            F.sum("_chg").cast("long").alias("n_changes"),
+        )
+    )
+    return per_topic.select(
+        F.col("id").alias("topicid"),
+        "history_enable",
+        "history_diffonly",
+        "n_messages",
+        "n_changes",
+        F.expr(
+            "(n_messages - n_changes) * 1000000 DIV n_messages"
+        ).alias("savings_ppm"),
+    )

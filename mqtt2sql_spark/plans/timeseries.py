@@ -302,3 +302,174 @@ def events_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("extreme"),
         )
     )
+
+
+# --- exact distributed linear regression (trend) ----------------------------
+
+# Fixture events span Jan 2024; day index is relative to this literal so the
+# x values are small exact integers (slope is shift-invariant, so any origin
+# inside the data range gives the same slope).
+TREND_ORIGIN = "2024-01-01"
+
+
+@register(
+    "linreg_trend_stats",
+    oracle=f"""
+    , xy AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{TREND_ORIGIN}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y_cents,
+               CAST(sum(x * y) AS BIGINT) AS sum_xy,
+               CAST(sum(x * x) AS BIGINT) AS sum_x2
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n, sum_x, sum_y_cents, sum_xy, sum_x2,
+           CAST(n * sum_xy - sum_x * sum_y_cents AS BIGINT) AS slope_num,
+           CAST(n * sum_x2 - sum_x * sum_x AS BIGINT) AS slope_den
+    FROM s
+    """,
+    doc="Distributed exact least-squares trend per series: the five "
+    "sufficient statistics (n, Σx, Σy, Σxy, Σx²) plus the slope as an "
+    "exact integer numerator/denominator pair "
+    "(slope = slope_num/slope_den cents/day).  x is the day index from a "
+    "fixed origin (slope is shift-invariant), y is the value quantized "
+    "to integer cents, so every aggregate is an exact BIGINT sum — "
+    "summation order cannot perturb the result on either engine, and "
+    "the division is left to the consumer so no float ever enters the "
+    "compared surface.  Scale: one partial-agg shuffle on the series "
+    "key; the sums are mergeable, so this is the streaming/ "
+    "incremental-friendly form (at petabyte row counts upgrade the "
+    "products to DECIMAL(38,0) — the plan shape is unchanged).",
+)
+def linreg_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    xy = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(TREND_ORIGIN).cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y_cents"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "sum_x",
+        "sum_y_cents",
+        "sum_xy",
+        "sum_x2",
+        (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y_cents"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+        .cast("long")
+        .alias("slope_den"),
+    )
+
+
+# --- rolling median (robust smoothing) --------------------------------------
+
+
+@register(
+    "rolling_median_value",
+    oracle="""
+    SELECT event_type, event_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           median(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents,
+           CAST(count(*) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_frame
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+    doc="Rolling 7-point median per series — the robust-smoothing pass a "
+    "monitoring pipeline runs before alerting (median shrugs off the "
+    "spikes a moving average chases).  Exact percentile over a row "
+    "frame: values are integer cents, and both engines interpolate the "
+    "even-count midpoint as the mean of the two middle values, so the "
+    "result is always an exactly-representable .0/.5 double.  The frame "
+    "is ordered by (ts, event_id) — a total order, so frame contents "
+    "are identical cross-engine.  Scale: one shuffle on the series key; "
+    "the 7-row frame is O(1) state per row in Spark's running-window "
+    "evaluation regardless of partition length.  The date filter is "
+    "pushed to the parquet scan (bench the envelope, not the firehose).",
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        cents.alias("cents"),
+        F.expr(
+            "percentile(CAST(round(value * 100, 0) AS BIGINT), 0.5)"
+        )
+        .over(w)
+        .alias("med_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
+    )
+
+
+# --- hourly activity bitmask (bitmap rollup) --------------------------------
+
+
+@register(
+    "activity_bitmask_daily",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(hour(ts) AS INTEGER))
+                AS BIGINT) AS hour_mask,
+           CAST(count(DISTINCT hour(ts)) AS BIGINT) AS active_hours,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    doc="Daily hour-of-day activity bitmap per series: bit_or folds each "
+    "event into a 24-bit presence mask (bit h set ⇔ ≥1 event in hour "
+    "h), the roaring-bitmap-style rollup an observability store keeps "
+    "per series-day.  Bitwise OR is commutative/associative/idempotent "
+    "→ perfectly mergeable partial aggregation, exact under any "
+    "summation order, and 8 bytes of state per group no matter how "
+    "many events fold in — the ideal 100 TB rollup shape.  One "
+    "partial-agg shuffle on (series, day).",
+)
+def activity_bitmask_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(hour(ts) AS INT)))"
+            )
+            .cast("long")
+            .alias("hour_mask"),
+            F.countDistinct(F.hour("ts")).cast("long").alias("active_hours"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

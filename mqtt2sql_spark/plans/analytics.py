@@ -3593,3 +3593,48 @@ def value_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_bins_hit"),
         )
     )
+
+
+# --- cumulative distinct users (growth-accounting curve) --------------------
+
+
+@register(
+    "cumulative_new_users",
+    oracle="""
+    , firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="Cumulative-distinct-users-by-day (the growth curve): running "
+    "count distinct is not distributive, so rewrite as first-seen-day "
+    "per user (one hash agg on user_id — full fact parallelism), a "
+    "per-day count, and a running sum over the tiny per-day series.  "
+    "The only window runs over ≤ one row per calendar day — a "
+    "deliberately driver-scale series (documented single-partition "
+    "window; at 100 TB the day count, not the row count, bounds it).  "
+    "All-integer surface.",
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )

@@ -1406,3 +1406,131 @@ def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "w", "cum")
     )
+
+
+# --- vocabulary statistics (Heaps-law / type-token profile) -----------------
+
+
+@register(
+    "vocab_stats_by_lang",
+    oracle=f"""
+    , tf AS (
+        SELECT lang, tok, count(*) AS freq
+        FROM (SELECT lang, unnest({duck_tokens()}) AS tok FROM documents)
+        GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(coalesce(sum(freq), 0) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(coalesce(sum(CASE WHEN freq = 1 THEN 1 END), 0) AS BIGINT)
+               AS hapax_count,
+           CAST((count(*) * 10000)
+                // greatest(coalesce(sum(freq), 0), 1) AS BIGINT) AS ttr_fp
+    FROM tf GROUP BY lang
+    """,
+    doc="Per-language vocabulary profile — the Heaps-law readout a "
+    "tokenizer-training / corpus-QC pass needs: total token "
+    "occurrences, vocabulary size (distinct types), hapax legomena "
+    "count (freq-1 types ≈ typo/noise mass), and the type-token ratio "
+    "in fixed-point ‱.  Two hash aggregates: explode → count per "
+    "(lang, token) — the shuffle key distributes over the whole "
+    "vocabulary, no skew — then fold per lang.  All-integer surface; "
+    "integer division is on non-negative values so truncation and "
+    "floor agree cross-engine.  The docs scan is repartitioned before "
+    "the explode (single-file fixture = one input split otherwise).",
+)
+def vocab_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return tf.groupBy("lang").agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("freq") == 1, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("hapax_count"),
+        F.expr(
+            "CAST((count(1) * 10000) DIV "
+            "greatest(coalesce(sum(freq), 0), 1) AS BIGINT)"
+        ).alias("ttr_fp"),
+    )
+
+
+# --- cross-source vocabulary overlap (corpus contamination map) -------------
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=f"""
+    , v AS (
+        SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest({duck_tokens()}) AS tok FROM documents)
+    ),
+    sz AS (SELECT source, count(*) AS nv FROM v GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.nv AS BIGINT) AS nv_a,
+           CAST(sb.nv AS BIGINT) AS nv_b,
+           CAST(n_common * 10000 // (sa.nv + sb.nv - n_common) AS BIGINT)
+               AS jaccard_fp
+    FROM inter
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    """,
+    doc="Pairwise vocabulary Jaccard between corpus sources — the "
+    "domain-similarity map that drives mixture design and flags "
+    "near-duplicate crawls before any document-level dedup runs.  "
+    "Inverted-index form: distinct (source, token) postings, "
+    "self-joined on the token key (shuffle distributes over the "
+    "vocabulary; every pair that shares a token meets in one reduce "
+    "task), then per-pair counts join two broadcast-size per-source "
+    "totals.  Never materializes source×source×vocab; the token join "
+    "is the same postings pattern dedup_ngram_jaccard uses.  "
+    "All-integer output, non-negative integer division.",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("nv_a").cast("long").alias("nv_a"),
+            F.col("nv_b").cast("long").alias("nv_b"),
+            F.expr(
+                "CAST(n_common * 10000 DIV (nv_a + nv_b - n_common) "
+                "AS BIGINT)"
+            ).alias("jaccard_fp"),
+        )
+    )

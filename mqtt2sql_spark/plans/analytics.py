@@ -3638,3 +3638,152 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new"),
         F.sum("n_new").over(w).cast("long").alias("cum_users"),
     )
+
+
+# --- Benford first-digit audit (fraud/data-quality screen) ------------------
+
+# floor(log10(1 + 1/d) * 10000) for d = 1..9, precomputed in Python so both
+# engines compare against the identical integer literals (cross-engine log10
+# differs by 1 ulp on some inputs — the LIBM lesson from plans/sketches.py).
+_BENFORD_FP = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {fp}" for d, fp in enumerate(_BENFORD_FP, start=1)
+) + " END"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    , d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS freq_fp,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_fp
+    FROM c
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "data-quality / fraud screen a finance pipeline runs on money "
+    "columns.  The first digit comes from the decimal rendering of "
+    "floor(x) as a BIGINT (never the double's repr — engines format "
+    "doubles differently), the observed frequency is non-negative "
+    "integer fixed-point, and the Benford expectation is a precomputed "
+    "Python literal table embedded identically in both plans (log10 is "
+    "transcendental — never evaluate it in-engine on the compared "
+    "surface).  One hash agg to 9 rows; the OVER () total runs on "
+    "those 9 rows only.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(n * 10000 DIV sum(n) OVER () AS BIGINT)").alias(
+            "freq_fp"
+        ),
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_fp"),
+    )
+
+
+# --- debounce / throttle (rate-limiting dedup) ------------------------------
+
+THROTTLE_BUCKET_US = 300 * 1_000_000  # 5 minutes
+
+
+@register(
+    "throttle_events_5min",
+    oracle=f"""
+    SELECT user_id, event_type, event_id, ts,
+           CAST(n_in_bucket AS BIGINT) AS n_in_bucket
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type,
+                                epoch_us(ts) // {THROTTLE_BUCKET_US}
+                   ORDER BY ts, event_id) AS rn,
+               count(*) OVER (
+                   PARTITION BY user_id, event_type,
+                                epoch_us(ts) // {THROTTLE_BUCKET_US})
+                   AS n_in_bucket
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Throttle/debounce: keep the first event per (user, type, "
+    "5-minute bucket) and report how many the bucket swallowed — the "
+    "notification-rate-limit / alert-dedup primitive.  Tumbling-bucket "
+    "formulation (first-in-bucket) rather than the sequential "
+    "suppress-within-300s-of-last-kept semantics, because the bucket "
+    "form is stateless-parallel on (user, type, bucket) — one shuffle, "
+    "no cross-row recursion — and is what a streaming rate limiter "
+    "implements per window anyway.  Total-order (ts, event_id) pick; "
+    "all-integer bucket arithmetic on non-negative epochs.",
+)
+def throttle_events_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bkt = F.expr(f"unix_micros(ts) DIV {THROTTLE_BUCKET_US}")
+    w = W.partitionBy("user_id", "event_type", bkt).orderBy("ts", "event_id")
+    wc = W.partitionBy("user_id", "event_type", bkt)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("n_in_bucket"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- per-user behavioral concentration (Gini impurity) ----------------------
+
+
+@register(
+    "user_event_gini",
+    oracle="""
+    , c AS (
+        SELECT user_id, event_type, count(*) AS cnt FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST((sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 10000
+                // (sum(cnt) * sum(cnt)) AS BIGINT) AS gini_fp
+    FROM c GROUP BY user_id
+    """,
+    doc="Per-user behavioral diversity via Gini impurity "
+    "1 − Σpᵢ² = (n² − Σcᵢ²)/n², kept in exact integer arithmetic "
+    "(counts and squares of counts — no probabilities, no entropy: "
+    "ln() is transcendental and cross-engine-unstable, Gini is "
+    "rational).  gini_fp ∈ [0, 10000); 0 = single-minded user, high = "
+    "uniform spread over event types.  Two mergeable hash aggregates "
+    "keyed on (user, type) then user — full fact parallelism, no "
+    "windows.  Non-negative integer division only.",
+)
+def user_event_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return c.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr(
+            "CAST((sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 10000 "
+            "DIV (sum(cnt) * sum(cnt)) AS BIGINT)"
+        ).alias("gini_fp"),
+    )

@@ -195,3 +195,43 @@ def test_running_totals_matches_global_window(spark):
             assert got == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_throttle_keeps_first_and_counts(spark):
+    from tests.conftest import SF_DIR
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import (
+        THROTTLE_BUCKET_US,
+        throttle_events_5min,
+    )
+    from pyspark.sql import functions as F
+
+    kept = throttle_events_5min(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_in_bucket for r in kept) == total
+    # kept rows are unique per (user, type, bucket) and are bucket minima
+    seen = set()
+    for r in kept:
+        key = (
+            r.user_id,
+            r.event_type,
+            int(r.ts.timestamp() * 1_000_000) // THROTTLE_BUCKET_US,
+        )
+        assert key not in seen
+        seen.add(key)
+
+
+def test_user_event_gini_bounds(spark):
+    from tests.conftest import SF_DIR
+
+    from mqtt2sql_spark.plans.analytics import user_event_gini
+
+    rows = user_event_gini(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gini_fp < 10000
+        if r.n_types == 1:
+            assert r.gini_fp == 0
+        # Gini impurity with k classes is at most (1 - 1/k)
+        assert r.gini_fp <= 10000 - 10000 // r.n_types

@@ -65,3 +65,68 @@ def test_range_join_bucketed_matches_naive(spark):
     }
     assert got == naive
     assert got, "no pairs found in band"
+
+
+def test_linreg_trend_stats_matches_numpy(spark):
+    import numpy as np
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import TREND_ORIGIN, linreg_trend_stats
+
+    out = {r.event_type: r for r in linreg_trend_stats(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(TREND_ORIGIN).cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    for et, rows in [
+        (k, [(r.x, r.y) for r in ev.filter(F.col("event_type") == k).collect()])
+        for k in out
+    ]:
+        x = np.array([a for a, _ in rows], dtype=np.int64)
+        y = np.array([b for _, b in rows], dtype=np.int64)
+        r = out[et]
+        assert r.n == len(rows)
+        assert r.slope_den == len(rows) * int((x * x).sum()) - int(x.sum()) ** 2
+        assert r.slope_num == len(rows) * int((x * y).sum()) - int(
+            x.sum()
+        ) * int(y.sum())
+        if r.slope_den:
+            np_slope = np.polyfit(x.astype(float), y.astype(float), 1)[0]
+            assert abs(r.slope_num / r.slope_den - np_slope) < 1e-6
+
+
+def test_rolling_median_warmup_and_frame(spark):
+    from mqtt2sql_spark.plans.timeseries import rolling_median_value
+
+    rows = rolling_median_value(spark, SF_DIR).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(rs):
+            assert r.n_frame == min(i + 1, 7)
+            frame = [q.cents for q in rs[max(0, i - 6) : i + 1]]
+            frame.sort()
+            k = len(frame)
+            med = (
+                frame[k // 2]
+                if k % 2
+                else (frame[k // 2 - 1] + frame[k // 2]) / 2
+            )
+            assert r.med_cents == med
+
+
+def test_activity_bitmask_consistent(spark):
+    from mqtt2sql_spark.plans.timeseries import activity_bitmask_daily
+
+    rows = activity_bitmask_daily(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hour_mask < (1 << 24)
+        assert bin(r.hour_mask).count("1") == r.active_hours
+        assert r.active_hours <= min(r.n_events, 24)

@@ -3787,3 +3787,224 @@ def user_event_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (sum(cnt) * sum(cnt)) AS BIGINT)"
         ).alias("gini_fp"),
     )
+
+
+# --- market-basket lift between event types ---------------------------------
+
+
+@register(
+    "event_type_lift",
+    oracle="""
+    , baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    totals AS (SELECT count(DISTINCT (user_id, day)) AS nb FROM baskets),
+    singles AS (
+        SELECT event_type, count(*) AS n FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                       AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(nb AS BIGINT) AS n_baskets,
+           CAST(n_both * nb * 10000 // (sa.n * sb.n) AS BIGINT) AS lift_fp
+    FROM pairs
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    CROSS JOIN totals
+    """,
+    doc="Market-basket lift between event types over (user, day) baskets "
+    "— co-occurrence mining: lift = P(a∧b)/(P(a)·P(b)) kept rational as "
+    "n_both·N·10⁴ ÷ (n_a·n_b), exact integers end to end.  The basket "
+    "distinct and the pair self-join both shuffle on (user, day) — "
+    "per-basket fan-out is bounded by the event-type alphabet (k·(k−1)/2 "
+    "pairs), never by event count, so a 100 TB firehose reduces to "
+    "|types|² rows the moment the distinct lands.  Singles/totals are "
+    "broadcast-size joins.",
+)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    totals = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("nb").cast("long").alias("n_baskets"),
+            F.expr(
+                "CAST(n_both * nb * 10000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_fp"),
+        )
+    )
+
+
+# --- session bounce rate by entry type --------------------------------------
+
+
+@register(
+    "session_bounce_rate",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    entries AS (
+        SELECT user_id, session_id, event_type AS entry_type FROM (
+            SELECT user_id, session_id, event_type,
+                   row_number() OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM sessions
+        ) WHERE rn = 1
+    ),
+    joined AS (
+        SELECT p.n_events, e.entry_type
+        FROM per_session p
+        JOIN entries e ON e.user_id = p.user_id
+                      AND e.session_id = p.session_id
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(coalesce(sum(CASE WHEN n_events = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_bounce,
+           CAST(coalesce(sum(CASE WHEN n_events = 1 THEN 1 END), 0) * 10000
+                // count(*) AS BIGINT) AS bounce_fp
+    FROM joined GROUP BY entry_type
+    """,
+    doc="Bounce rate by session entry type: sessionize (30-min gap, the "
+    "events_sessionize construction), pick each session's first event "
+    "type with min_by over the total order (ts, event_id), and fold "
+    "single-event sessions into a fixed-point rate.  One shuffle on "
+    "user for the session windows, one on (user, session) for the "
+    "rollup, then a |types|-row aggregate.  All-integer compared "
+    "surface.",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap <= _SESSION_GAP_MIN * 60, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min_by(event_type, struct(ts, event_id))").alias(
+            "entry_type"
+        ),
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.coalesce(F.sum(F.when(F.col("n_events") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_bounce"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN n_events = 1 THEN 1 END), 0) "
+            "* 10000 DIV count(1) AS BIGINT)"
+        ).alias("bounce_fp"),
+    )
+
+
+# --- supplier concentration per part (HHI) ----------------------------------
+
+
+@register(
+    "part_supplier_hhi",
+    oracle="""
+    , rev AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(round(l_extendedprice, 0) AS BIGINT)) AS dollars
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(dollars) AS BIGINT) AS total_dollars,
+           CAST(sum(dollars * dollars) * 10000
+                // (sum(dollars) * sum(dollars)) AS BIGINT) AS hhi_fp
+    FROM rev GROUP BY l_partkey
+    HAVING sum(dollars) > 0
+    """,
+    doc="Herfindahl–Hirschman supply-concentration index per part: "
+    "HHI = Σ shareᵢ² over each supplier's revenue share, kept rational "
+    "as Σcᵢ²·10⁴ ÷ (Σcᵢ)² with per-row whole-dollar quantization before "
+    "any sum (the FLOAT-SUM-ORDER rule) — exact integers both engines; "
+    "dollar (not cent) units keep Σc²·10⁴ inside BIGINT (at larger "
+    "fan-in upgrade the products to DECIMAL(38,0)).  "
+    "hhi_fp = 10000 ⇔ single-supplier part (supply-chain risk flag).  "
+    "Two mergeable hash aggregates keyed (part, supplier) then part — "
+    "the natural 100 TB shape; no windows, no broadcast needed.",
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice"), 0).cast("long")).alias(
+            "dollars"
+        )
+    )
+    return (
+        rev.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("dollars").cast("long").alias("total_dollars"),
+            F.expr(
+                "CAST(sum(dollars * dollars) * 10000 "
+                "DIV (sum(dollars) * sum(dollars)) AS BIGINT)"
+            ).alias("hhi_fp"),
+        )
+        .filter(F.col("total_dollars") > 0)
+    )

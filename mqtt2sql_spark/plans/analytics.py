@@ -4008,3 +4008,136 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_dollars") > 0)
     )
+
+
+# --- rolling weekly active users (DAU/WAU stickiness) -----------------------
+
+
+@register(
+    "rolling_wau",
+    oracle="""
+    , ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    span AS (SELECT max(day) AS max_day FROM ud),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    contrib AS (
+        SELECT DISTINCT user_id,
+               CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+                    AS DATE) AS t_day
+        FROM ud
+    ),
+    wau AS (SELECT t_day AS day, count(*) AS wau FROM contrib GROUP BY t_day)
+    SELECT w.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau * 10000 // w.wau AS BIGINT) AS stickiness_fp
+    FROM wau w JOIN dau d ON d.day = w.day
+    JOIN span s ON w.day <= s.max_day
+    """,
+    doc="Trailing-7-day weekly active users per day plus the DAU/WAU "
+    "stickiness ratio — the engagement readout every growth dashboard "
+    "ships.  Running distinct is not distributive, so each (user, day) "
+    "activity row is exploded to the ≤7 future days it keeps the user "
+    "'weekly-active' for, then a distinct + count per target day — "
+    "bounded 7× fan-out on an already-deduplicated (user, day) set, "
+    "never on raw events, and every step is a hash shuffle on small "
+    "keys.  The inner join to observed DAU days drops warm-up days "
+    "before the data starts; days past max(day) are trimmed.  "
+    "All-integer, non-negative fixed-point.",
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    span = ud.agg(F.max("day").alias("max_day"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("t_day"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("t_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        wau.join(dau, "day")
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("CAST(dau * 10000 DIV wau AS BIGINT)").alias(
+                "stickiness_fp"
+            ),
+        )
+    )
+
+
+# --- weekly topic rank movement (trending detector) -------------------------
+
+
+@register(
+    "topic_rank_shift",
+    oracle="""
+    , weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week, topic,
+               count(*) AS n
+        FROM messages GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT week, topic, n,
+               CAST(row_number() OVER (PARTITION BY week
+                                       ORDER BY n DESC, topic) AS BIGINT)
+                   AS rk
+        FROM weekly
+    )
+    SELECT b.week, b.topic, b.n, b.rk,
+           a.rk AS prev_rk,
+           CAST(a.rk - b.rk AS BIGINT) AS rank_gain
+    FROM ranked b
+    JOIN ranked a ON a.topic = b.topic AND a.week = b.week - 7
+    """,
+    doc="Week-over-week topic rank movement — the trending-topics "
+    "detector: per-week message counts, a total-order rank within each "
+    "week (count desc, topic asc — deterministic under ties), and a "
+    "self-join of consecutive weeks on the topic key.  rank_gain > 0 "
+    "means the topic climbed.  The ranking window partitions by week "
+    "(bounded rows per partition = topic cardinality); the week-shift "
+    "join is an equi-join on (topic, week−7) — no inequality join, no "
+    "global window over facts.  All-integer surface.",
+)
+def topic_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    weekly = msg.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "topic"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("week").orderBy(F.desc("n"), F.asc("topic"))
+    ranked = weekly.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    b = ranked.alias("b")
+    a = ranked.select(
+        F.col("topic").alias("a_topic"),
+        F.col("week").alias("a_week"),
+        F.col("rk").alias("prev_rk"),
+    )
+    return (
+        b.join(
+            a,
+            (F.col("a_topic") == F.col("b.topic"))
+            & (F.col("a_week") == F.date_sub(F.col("b.week"), 7)),
+        )
+        .select(
+            F.col("b.week").alias("week"),
+            F.col("b.topic").alias("topic"),
+            F.col("b.n").alias("n"),
+            F.col("b.rk").alias("rk"),
+            "prev_rk",
+            (F.col("prev_rk") - F.col("b.rk")).cast("long").alias(
+                "rank_gain"
+            ),
+        )
+    )

@@ -117,3 +117,33 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def throttle_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("topic",),
+    ts_col: str = "ts",
+    bucket_seconds: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming throttle/debounce: emit only the first event per
+    (`keys`, tumbling `bucket_seconds` bucket) — the rate-limit /
+    alert-dedup operator; the batch twin is
+    plans/analytics.throttle_events_5min (first-in-bucket by the total
+    order, which in-order streams reproduce as first-arrival).
+
+    Built on `dropDuplicatesWithinWatermark` keyed by (keys, bucket):
+    per-key state is one row per active bucket and expires with the
+    watermark, so memory is bounded by key cardinality × the horizon /
+    bucket ratio — never by stream history.  Keep `watermark` ≥ the
+    bucket length or a straggler can re-open an expired bucket.
+    """
+    us = bucket_seconds * 1_000_000
+    bucketed = stream.withColumn(
+        "_bkt", F.expr(f"unix_micros({ts_col}) DIV {us}")
+    )
+    return (
+        bucketed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([*keys, "_bkt"])
+        .drop("_bkt")
+    )

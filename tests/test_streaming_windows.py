@@ -297,3 +297,78 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
     closed = {k: v for k, v in expect.items()
               if k[1] < dt.datetime(2024, 1, 1, 2)}
     assert got == closed
+
+
+def test_throttle_stream_matches_batch_first_in_bucket(spark, tmp_path):
+    """Feed two in-order micro-batches; the streamed throttle output must
+    equal the batch first-in-bucket computation over the union."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.streaming.windows import throttle_stream
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    import time
+
+    now = time.time()
+    # minutes offsets: bucket = 5 min → events 0,1 share bucket 0; 6 in
+    # bucket 1; second batch adds bucket-0 dup (dropped: state horizon
+    # still open) and bucket-2 first
+    rows0 = [("a", 0, 1), ("a", 1, 2), ("b", 0, 3), ("a", 6, 4)]
+    rows1 = [("a", 3, 5), ("a", 11, 6), ("b", 2, 7)]
+
+    def write(path, rows, mtime):
+        spark.createDataFrame(
+            [
+                (_D0 + dt.timedelta(minutes=m), t, b"x", 0, 0, e)
+                for t, m, e in rows
+            ],
+            MESSAGE_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        import os
+
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    write(str(input_dir / "000.parquet"), rows0, now - 120)
+    write(str(input_dir / "001.parquet"), rows1, now - 60)
+
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    out = throttle_stream(stream, keys=("topic",), bucket_seconds=300)
+    out_dir = tmp_path / "out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.topic, r.event_id)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+
+    # batch twin: first (ts, event_id) per (topic, 5-min bucket)
+    all_rows = spark.createDataFrame(
+        [
+            (_D0 + dt.timedelta(minutes=m), t, b"x", 0, 0, e)
+            for t, m, e in rows0 + rows1
+        ],
+        MESSAGE_SCHEMA,
+    )
+    bkt = F.expr("unix_micros(ts) DIV 300000000")
+    w = W.partitionBy("topic", bkt).orderBy("ts", "event_id")
+    want = {
+        (r.topic, r.event_id)
+        for r in all_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    assert ("a", 1) in got and ("a", 4) in got and ("a", 6) in got
+    assert ("a", 2) not in got and ("a", 5) not in got

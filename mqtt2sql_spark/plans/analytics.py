@@ -3833,9 +3833,18 @@ def user_event_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    baskets = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-    ).distinct()
+    # One fact scan: the deduplicated basket set feeds four branches
+    # (totals, singles, both join sides); lazily localCheckpoint it so
+    # the branches share one materialization instead of re-scanning the
+    # fact table per branch (the operators/ids.py pattern) — baskets is
+    # |users × days × types|, orders of magnitude below the fact.
+    baskets = (
+        ev.select(
+            "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     totals = baskets.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).alias("nb")
     )
@@ -4044,9 +4053,14 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    # span/dau/contrib all branch off the deduplicated (user, day) set —
+    # materialize it once (lazy localCheckpoint, the operators/ids.py
+    # pattern) instead of three fact scans.
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     span = ud.agg(F.max("day").alias("max_day"))
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = (
@@ -4115,9 +4129,11 @@ def topic_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", "ts").cast("date").alias("week"), "topic"
     ).agg(F.count(F.lit(1)).alias("n"))
     w = W.partitionBy("week").orderBy(F.desc("n"), F.asc("topic"))
+    # both join sides read the ranked weekly table — materialize it once
+    # (lazy localCheckpoint) instead of recomputing scan+agg+window twice
     ranked = weekly.withColumn(
         "rk", F.row_number().over(w).cast("long")
-    )
+    ).localCheckpoint(eager=False)
     b = ranked.alias("b")
     a = ranked.select(
         F.col("topic").alias("a_topic"),

@@ -1504,9 +1504,13 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # postings feed three branches (sizes + both join sides): materialize
+    # the distinct once (lazy localCheckpoint, operators/ids.py pattern)
+    # rather than re-shingling the corpus per branch
     v = (
         docs.select("source", F.explode(tokens("text")).alias("tok"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a = v.select(F.col("source").alias("src_a"), "tok")

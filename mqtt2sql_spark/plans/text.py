@@ -1538,3 +1538,51 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_fp"),
         )
     )
+
+
+# --- tokenizer fertility by language ----------------------------------------
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    , f AS (
+        SELECT lang,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))
+                    AS BIGINT) AS n_pieces
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+           CAST(sum(n_pieces) * 10000 // greatest(sum(n_words), 1)
+                AS BIGINT) AS fertility_fp
+    FROM f GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language — pieces-per-word in "
+    "fixed-point ‱, the readout that tells you which languages a "
+    "tokenizer punishes (fertility ≫ 1 ⇒ more compute per word of "
+    "content; drives per-language sampling weights in mixture "
+    "design).  Both token counts are JVM-side regexp_extract_all + "
+    "size — scan → project → one ~|langs|-row hash agg, no explode, "
+    "no shuffle of token rows at all.  All-integer, non-negative "
+    "division.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_words"),
+        F.size(bpe_pieces("text")).cast("long").alias("n_pieces"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_pieces").cast("long").alias("total_pieces"),
+        F.expr(
+            "CAST(sum(n_pieces) * 10000 DIV greatest(sum(n_words), 1) "
+            "AS BIGINT)"
+        ).alias("fertility_fp"),
+    )

@@ -84,3 +84,55 @@ def test_heavy_hitters_shuffle_is_candidate_pruned(spark):
     ).repartition(4)
     plan = heavy_hitters(df, "topic", 10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_count_min_is_one_sided_and_bounded(spark):
+    from tests.conftest import SF_DIR
+
+    from mqtt2sql_spark.fixtures import messages
+    from mqtt2sql_spark.plans.sketches import (
+        CM_DEPTH,
+        CM_TOPK,
+        count_min_topic_freq,
+    )
+
+    rows = count_min_topic_freq(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= CM_TOPK
+    total = messages(spark, SF_DIR).count()
+    for r in rows:
+        # CMS property: estimate never undercounts...
+        assert r.est_n >= r.true_n
+        assert r.over_n == r.est_n - r.true_n
+        # ...and the row-minimum bounds the overestimate by the stream size
+        assert r.est_n <= total
+
+
+def test_count_min_matches_reference_python(spark):
+    """Cross-check the bucket arithmetic against a pure-Python CMS."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_DIR
+
+    from mqtt2sql_spark.fixtures import messages
+    from mqtt2sql_spark.plans.sketches import (
+        CM_DEPTH,
+        CM_TOPK,
+        CM_WIDTH,
+        count_min_topic_freq,
+    )
+
+    topics = [r.topic for r in messages(spark, SF_DIR).select("topic").collect()]
+    sketch = defaultdict(int)
+
+    def bkt(i, t):
+        return int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16) % CM_WIDTH
+
+    for t in topics:
+        for i in range(CM_DEPTH):
+            sketch[(i, bkt(i, t))] += 1
+    true = Counter(topics)
+    got = {r.topic: (r.true_n, r.est_n) for r in count_min_topic_freq(spark, SF_DIR).collect()}
+    for topic, (tn, en) in got.items():
+        assert tn == true[topic]
+        assert en == min(sketch[(i, bkt(i, topic))] for i in range(CM_DEPTH))

@@ -4157,3 +4157,161 @@ def topic_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- per-user dwell time from sessions --------------------------------------
+
+
+@register(
+    "user_dwell_time",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+           CAST(sum(dwell_us) // count(*) AS BIGINT) AS mean_dwell_us
+    FROM per_session GROUP BY user_id
+    """,
+    doc="Total and mean time-on-product per user: sessionize (30-min "
+    "gap), dwell = last-minus-first event time per session in exact "
+    "microseconds, folded per user.  Engagement-duration metric; "
+    "single-event sessions contribute zero (no synthetic padding).  "
+    "Same two-shuffle shape as the other sessionized readouts; "
+    "all-integer, non-negative division.",
+)
+def user_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap <= _SESSION_GAP_MIN * 60, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dwell_us"
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+        F.expr("CAST(sum(dwell_us) DIV count(1) AS BIGINT)").alias(
+            "mean_dwell_us"
+        ),
+    )
+
+
+# --- referential-integrity audit (DQ gate) ----------------------------------
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT
+        CAST((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey))
+             AS BIGINT) AS orders_without_items,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS orphan_lineitems,
+        CAST((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT) AS orders_unknown_customer,
+        CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+             AS BIGINT) AS nonpositive_qty,
+        CAST((SELECT count(*) FROM lineitem
+              WHERE l_discount < 0 OR l_discount > 1)
+             AS BIGINT) AS discount_out_of_range,
+        CAST((SELECT count(*) FROM lineitem l JOIN orders o
+              ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_shipdate < o.o_orderdate)
+             AS BIGINT) AS ship_before_order
+    """,
+    doc="Referential-integrity / invariant audit across the warehouse — "
+    "the DQ gate a pipeline runs before publishing a snapshot: orphan "
+    "checks in both directions (orders↔lineitem, orders→customer, each "
+    "a left-anti join — hash-shuffled on the key, no windows) plus "
+    "range invariants (quantity > 0, discount ∈ [0,1]) and the "
+    "cross-table temporal invariant ship ≥ order date.  Six independent single-row counts unioned into one audit "
+    "row; each anti-join side scans once.  At 100 TB every check is an "
+    "embarrassingly parallel scan or a key-partitioned anti-join — "
+    "nothing global.  All-integer surface.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one declarative plan: six single-row aggregates cross-joined (each
+    # 1×1), so the whole audit is a single action — never driver-side
+    # .count() loops
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    owi = one(
+        orders.join(
+            li.select("l_orderkey").distinct(),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_anti",
+        ),
+        "orders_without_items",
+    )
+    orphans = one(
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ),
+        "orphan_lineitems",
+    )
+    ouc = one(
+        orders.join(
+            cust.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ),
+        "orders_unknown_customer",
+    )
+    npq = one(li.filter(F.col("l_quantity") <= 0), "nonpositive_qty")
+    dor = one(
+        li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        "discount_out_of_range",
+    )
+    rbs = one(
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        "ship_before_order",
+    )
+    out = owi
+    for part in (orphans, ouc, npq, dor, rbs):
+        out = out.crossJoin(part)
+    return out

@@ -4315,3 +4315,77 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (orphans, ouc, npq, dor, rbs):
         out = out.crossJoin(part)
     return out
+
+
+# --- exact Pearson components between event-type daily series ---------------
+
+
+@register(
+    "event_type_daily_corr",
+    oracle="""
+    , daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.cents AS x, b.cents AS y
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS r_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS r_den_x,
+           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS r_den_y
+    FROM pairs GROUP BY type_a, type_b
+    """,
+    doc="Exact Pearson-correlation components between every pair of "
+    "event-type daily revenue series: r = r_num/√(r_den_x·r_den_y), "
+    "with the three terms emitted as exact BIGINTs (per-row cent "
+    "quantization, integer sums — the sqrt and division stay "
+    "consumer-side, so no float touches the compared surface and "
+    "summation order is irrelevant).  sign(r_num) is the correlation "
+    "direction; r_num=0 ⇔ uncorrelated days.  Shape: one (day, type) "
+    "partial-agg shuffle collapses the fact table to |days|·|types| "
+    "rows, the self-join rides the day key, and the final aggregate is "
+    "|types|² rows.  The cross-metric co-movement matrix a metrics "
+    "store derives continuously — at petabyte daily volumes upgrade "
+    "the products to DECIMAL(38,0); the plan is unchanged.",
+)
+def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    ).localCheckpoint(eager=False)
+    a = daily.select(
+        "day", F.col("event_type").alias("type_a"), F.col("cents").alias("x")
+    )
+    b = daily.select(
+        "day", F.col("event_type").alias("type_b"), F.col("cents").alias("y")
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("r_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("long")
+        .alias("r_den_x"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y")
+        )
+        .cast("long")
+        .alias("r_den_y"),
+    )

@@ -4024,6 +4024,7 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rolling_wau",
+    bench=True,
     oracle="""
     , ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
     span AS (SELECT max(day) AS max_day FROM ud),

@@ -467,6 +467,7 @@ def _duck_hex8(expr: str) -> str:
 
 @register(
     "count_min_topic_freq",
+    bench=True,
     oracle=f"""
     , cm_rows AS (
         SELECT topic, i,

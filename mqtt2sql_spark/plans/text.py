@@ -1468,6 +1468,7 @@ def vocab_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_vocab_overlap",
+    bench=True,
     oracle=f"""
     , v AS (
         SELECT DISTINCT source, tok

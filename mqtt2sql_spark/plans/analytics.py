@@ -4465,3 +4465,106 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("total_qty").cast("long").alias("total_qty"),
         )
     )
+
+
+# --- revenue concentration (Lorenz / Pareto deciles) ------------------------
+
+# prefix-sum bucket width: customer revenue bands of 10^7 cents; the band
+# index is a pure function of the sort key (monotonic), so the two-phase
+# prefix sum stays deterministic (operators/ids.py contract)
+_PARETO_BAND = 10_000_000
+
+
+@register(
+    "revenue_pareto_deciles",
+    oracle="""
+    , cr AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT o_custkey, rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+               sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev
+        FROM cr
+    ),
+    g AS (SELECT count(*) AS g_n, sum(rev) AS g_rev FROM cr)
+    SELECT CAST(least(9, (rk - 1) * 10 // g_n) AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS rev_cents,
+           CAST(max(cum_rev) * 10000 // g_rev AS BIGINT) AS cum_share_bp
+    FROM r CROSS JOIN g
+    GROUP BY least(9, (rk - 1) * 10 // g_n), g_n, g_rev
+    """,
+    doc="Lorenz curve / Pareto readout of revenue concentration: rank "
+    "customers by exact-cents revenue (total order: rev desc, custkey) "
+    "and report, per customer decile, the revenue held and the "
+    "cumulative share in basis points — the 'top 10% of customers hold "
+    "X% of revenue' answer.  The global rank and running revenue are a "
+    "TWO-measure distributed prefix sum in one pass (the operators/"
+    "ids.py two-phase shape: per-band cumulative window, parallel "
+    "across revenue bands, plus broadcast band offsets — the oracle's "
+    "single-partition OVER () is exactly what this plan avoids at "
+    "scale).  Bands are a pure function of the revenue value, so the "
+    "result is partitioning-invariant.  All-integer surface.",
+)
+def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev"
+        )
+    )
+    base = cr.select(
+        "o_custkey",
+        "rev",
+        (-F.col("rev")).alias("sk"),
+    ).withColumn("_bkt", F.expr(f"-(rev DIV {_PARETO_BAND})"))
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy("sk", "o_custkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = (
+        base.withColumn("_cum_rev_in", F.sum("rev").over(w_in))
+        .withColumn("_cum_n_in", F.count(F.lit(1)).over(w_in))
+        .localCheckpoint(eager=False)
+    )
+    totals = local.groupBy("_bkt").agg(
+        F.max("_cum_rev_in").alias("_tot_rev"),
+        F.max("_cum_n_in").alias("_tot_n"),
+    )
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_tot_rev").over(w_off), F.lit(0)).alias("_off_rev"),
+        F.coalesce(F.sum("_tot_n").over(w_off), F.lit(0)).alias("_off_n"),
+    )
+    grand = totals.agg(
+        F.sum("_tot_rev").alias("g_rev"), F.sum("_tot_n").alias("g_n")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "rev",
+            (F.col("_off_rev") + F.col("_cum_rev_in")).alias("cum_rev"),
+            (F.col("_off_n") + F.col("_cum_n_in")).alias("rk"),
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    return (
+        ranked.withColumn(
+            "decile",
+            F.expr("CAST(least(9, (rk - 1) * 10 DIV g_n) AS BIGINT)"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+            F.expr(
+                "CAST(max(cum_rev) * 10000 DIV max(g_rev) AS BIGINT)"
+            ).alias("cum_share_bp"),
+        )
+    )

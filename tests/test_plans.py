@@ -319,6 +319,8 @@ _INVARIANCE_KEYS = [
     "sample_stratified",
     "embedding_kmeans_assign",
     "hot_topics_heavy_hitters",
+    "revenue_pareto_deciles",  # two-measure prefix sum over revenue bands
+    "count_min_topic_freq",    # sketch cells must not depend on layout
 ]
 
 

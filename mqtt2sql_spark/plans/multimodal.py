@@ -491,3 +491,58 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_windows,
         "doc_id long, win_no long, win_off long, win_hash string",
     )
+
+
+# --- chunk-level storage dedup readout --------------------------------------
+
+
+@register(
+    "chunk_dedup_ratio",
+    oracle=f"""
+    , payloads AS (
+        SELECT doc_id, encode(text) AS payload,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    chunks AS (
+        SELECT md5(substring(hexpayload, chunk_idx * {2 * CHUNK_SIZE} + 1,
+                   {2 * CHUNK_SIZE})) AS chunk_hash
+        FROM (
+            SELECT upper(hex(payload)) AS hexpayload,
+                   CAST(unnest(range(0, CAST(ceil(n_bytes / {CHUNK_SIZE}.0)
+                                             AS BIGINT)))
+                        AS INTEGER) AS chunk_idx
+            FROM payloads
+        )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+           CAST(count(*) - count(DISTINCT chunk_hash) AS BIGINT)
+               AS dup_chunks,
+           CAST((count(*) - count(DISTINCT chunk_hash)) * 10000
+                // count(*) AS BIGINT) AS saved_bp
+    FROM chunks
+    """,
+    doc="Content-addressed chunk dedup ratio — the storage-savings "
+    "readout a dataset lake computes before physical dedup (fixed-size "
+    "chunking stands in for content-defined chunking; the chunk "
+    "grammar and hashes are exactly multimodal_chunk_bytes').  "
+    "count(DISTINCT hash) is one exact distinct aggregate — at 100 TB "
+    "the chunk-hash shuffle distributes over the full hash space with "
+    "no skew, and the distinct is the same two-phase partial aggregate "
+    "every engine runs; dup_chunks/saved_bp quantify what a "
+    "content-addressed store would save.  All-integer surface.",
+)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = multimodal_chunk_bytes(spark, sf_dir)
+    return ch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chunk_hash").cast("long").alias("n_distinct_chunks"),
+        (F.count(F.lit(1)) - F.countDistinct("chunk_hash"))
+        .cast("long")
+        .alias("dup_chunks"),
+        F.expr(
+            "CAST((count(1) - count(DISTINCT chunk_hash)) * 10000 "
+            "DIV count(1) AS BIGINT)"
+        ).alias("saved_bp"),
+    )

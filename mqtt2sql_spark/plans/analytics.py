@@ -4568,3 +4568,117 @@ def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_bp"),
         )
     )
+
+
+# --- robust outliers via median absolute deviation --------------------------
+
+_MAD_K = 3  # flag |x - median| > K * MAD
+
+
+@register(
+    "robust_outliers_mad",
+    oracle=f"""
+    , t AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, cents AS med_cents FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM t
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT t.event_type, t.cents, t.event_id,
+               abs(t.cents - m.med_cents) AS d, m.med_cents
+        FROM t JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, d AS mad_cents FROM (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(d.med_cents) AS BIGINT) AS median_cents,
+           CAST(min(a.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(coalesce(sum(CASE WHEN d.d > {_MAD_K} * a.mad_cents
+                                  THEN 1 END), 0) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection per series: lower-median (discrete "
+    "pick at rank ⌈n/2⌉ under the total order (cents, event_id) — an "
+    "exact SELECTED value, never an interpolated float) and the median "
+    "absolute deviation, then count |x − med| > 3·MAD.  The robust "
+    "twin of anomaly_zscore: one extreme event moves mean/std but not "
+    "med/MAD.  Two ranking windows partitioned by series plus one "
+    "broadcast-size median join; at 100 TB with few tall series, swap "
+    "the exact rank pick for the mergeable binned quantile "
+    "(quantile_bins_estimate) — the surrounding plan is unchanged.  "
+    "All-integer surface.",
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    w_rank = W.partitionBy("event_type").orderBy("cents", "event_id")
+    w_cnt = W.partitionBy("event_type")
+    med = (
+        t.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_cnt).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    dev = t.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "event_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+        "med_cents",
+    )
+    w_drank = W.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.select(
+            "event_type",
+            "d",
+            F.row_number().over(w_drank).alias("rn"),
+            F.count(F.lit(1)).over(w_cnt).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("d").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med_cents").cast("long").alias("median_cents"),
+            F.min("mad_cents").cast("long").alias("mad_cents"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("d") > _MAD_K * F.col("mad_cents"), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -516,3 +516,73 @@ def test_registry_state_matches_batch(spark, staged, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_hll_sink_stream_matches_batch_registers(spark, tmp_path):
+    """foreachBatch HLL register maintenance: after streaming N
+    micro-batches, the state table must equal hll_registers() over the
+    union — the mergeability contract, plus replay idempotence."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.plans.sketches import hll_registers
+    from mqtt2sql_spark.streaming.hll_sink import HllRegisterSink
+    from mqtt2sql_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        message_file_stream,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [(d0, f"t/{i % 3}", b"x", 0, 0, i) for i in range(40)],
+        [(d0, f"t/{i % 5}", b"x", 0, 0, 1000 + i) for i in range(60)],
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for n, rows in enumerate(batches):
+        p = str(input_dir / f"{n:03d}.parquet")
+        spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 60 + n, now - 60 + n))
+        os.utime(p, (now - 60 + n, now - 60 + n))
+
+    sink = HllRegisterSink(
+        str(tmp_path / "state"), group_col="topic", key_col="event_id"
+    )
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    q = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], MESSAGE_SCHEMA
+    )
+    want = {
+        (r.grp, r.bucket, r.rho)
+        for r in hll_registers(all_rows, "topic", "event_id").collect()
+    }
+    got = {
+        (r.grp, r.bucket, r.rho) for r in sink.registers(spark).collect()
+    }
+    assert got == want and got
+
+    # replaying a batch must not change the state (idempotent max-merge)
+    sink.process_batch(
+        spark.createDataFrame(batches[0], MESSAGE_SCHEMA), epoch_id=99
+    )
+    again = {
+        (r.grp, r.bucket, r.rho) for r in sink.registers(spark).collect()
+    }
+    assert again == want

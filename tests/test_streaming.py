@@ -586,3 +586,77 @@ def test_hll_sink_stream_matches_batch_registers(spark, tmp_path):
         (r.grp, r.bucket, r.rho) for r in sink.registers(spark).collect()
     }
     assert again == want
+
+
+def test_cms_sink_exactly_once_under_replay(spark, tmp_path):
+    """Additive CMS state + epoch ledger: streamed batches sum to the
+    batch sketch of the union; replaying an epoch changes nothing."""
+    import datetime as dt
+
+    from mqtt2sql_spark.streaming.cms_sink import CountMinSink, cms_cells
+    from mqtt2sql_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        message_file_stream,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [(d0, f"t/{i % 4}", b"x", 0, 0, i) for i in range(30)],
+        [(d0, f"t/{i % 7}", b"x", 0, 0, 500 + i) for i in range(50)],
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for n, rows in enumerate(batches):
+        p = str(input_dir / f"{n:03d}.parquet")
+        spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 60 + n, now - 60 + n))
+        os.utime(p, (now - 60 + n, now - 60 + n))
+
+    sink = CountMinSink(str(tmp_path / "state"), key_col="topic")
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    q = (
+        stream.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], MESSAGE_SCHEMA
+    )
+    want = {
+        (r.i, r.bkt, r.c) for r in cms_cells(all_rows, "topic").collect()
+    }
+    got = {
+        (r.i, r.bkt, r.c)
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    assert got == want and got
+
+    # replay epoch 0: ledger must suppress the double-add
+    sink.process_batch(
+        spark.createDataFrame(batches[0], MESSAGE_SCHEMA), epoch_id=0
+    )
+    again = {
+        (r.i, r.bkt, r.c)
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    assert again == want
+
+    # point estimates upper-bound the true counts
+    from collections import Counter
+
+    true = Counter(t for b in batches for (_, t, *_rest) in b)
+    keys = spark.createDataFrame([(k,) for k in true], "k string")
+    est = {r.k: r.est_n for r in sink.estimate(spark, keys).collect()}
+    for k, n in true.items():
+        assert est[k] >= n

@@ -4682,3 +4682,84 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --- multi-touch (linear) attribution ---------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day lookback
+
+
+@register(
+    "linear_attribution",
+    oracle=f"""
+    , conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id AS touch_id, event_type, epoch_us(ts) AS t_us
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT c.conv_id, t.event_type
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+        WHERE t.t_us < c.c_us AND c.c_us - t.t_us <= {_ATTR_WINDOW_US}
+    ),
+    sized AS (
+        SELECT conv_id, event_type,
+               count(*) AS n_type,
+               sum(count(*)) OVER (PARTITION BY conv_id) AS k
+        FROM pairs GROUP BY conv_id, event_type
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+           CAST(sum(n_type * (10000 // k)) AS BIGINT) AS credit_bp
+    FROM sized GROUP BY event_type
+    """,
+    doc="Multi-touch linear attribution (the equal-credit counterpart of "
+    "last_touch_attribution): every non-purchase event within the "
+    "7-day lookback of a purchase by the same user shares the "
+    "conversion's 10000 bp equally — each touch earns 10000 DIV k "
+    "(integer, truncated identically on both engines; the dropped "
+    "remainder is the standard fixed-point convention).  Credit is "
+    "folded per touch type.  Shape: conversions ⋈ touches is an "
+    "equi-join on user_id with a time-band predicate — per-user "
+    "fan-out is bounded by activity in the window; at 100 TB swap in "
+    "the bucketed band join (range_join_bucketed pattern: probe "
+    "⌈window/band⌉ buckets) to bound reduce-task width.  The per-"
+    "conversion k runs over the already-aggregated (conv, type) rows, "
+    "never raw pairs.  All-integer surface.",
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("c_us"))
+        & (F.col("c_us") - F.col("t_us") <= _ATTR_WINDOW_US),
+    ).select("conv_id", "event_type")
+    sized = (
+        pairs.groupBy("conv_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+        .withColumn(
+            "k", F.sum("n_type").over(W.partitionBy("conv_id"))
+        )
+    )
+    return sized.groupBy("event_type").agg(
+        F.countDistinct("conv_id").cast("long").alias(
+            "n_conversions_touched"
+        ),
+        F.expr("CAST(sum(n_type * (10000 DIV k)) AS BIGINT)").alias(
+            "credit_bp"
+        ),
+    )

@@ -76,13 +76,21 @@ def interval_join(
     right_ts: str = "ts_r",
     max_gap: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ):
     """Watermarked stream-stream interval join: pair each left event with
     right events of the same key that happened within (left_ts - max_gap,
     left_ts].  Both sides buffer state only inside the watermark horizon —
     the join Spark can run continuously where a batch engine would
     re-scan; the reference has no joins beyond its static view
-    (SURVEY.md §2 C)."""
+    (SURVEY.md §2 C).
+
+    ``how='leftOuter'`` additionally emits unmatched left rows
+    (right columns null) — but only once the watermark has passed the
+    row's join window, because until then a match could still arrive;
+    late-emission-on-expiry is the semantic a funnel "purchases without
+    a prior click" readout needs continuously.
+    """
     from pyspark.sql import functions as F
 
     lw = left.withWatermark(left_ts, watermark)
@@ -92,7 +100,7 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts])
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_gap}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def dedup_within_watermark(

@@ -372,3 +372,69 @@ def test_throttle_stream_matches_batch_first_in_bucket(spark, tmp_path):
     assert got == want
     assert ("a", 1) in got and ("a", 4) in got and ("a", 6) in got
     assert ("a", 2) not in got and ("a", 5) not in got
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """leftOuter stream-stream interval join: matched rows pair as in the
+    inner case; unmatched purchases emit (click_id null) once the
+    watermark passes their join window."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.streaming.windows import interval_join
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    import time
+
+    now = time.time()
+    # batch 0: purchase@h1 with a click@h1 (match); purchase@h5 whose 2h
+    # lookback (h3, h5] contains no click
+    _write_slice(
+        spark,
+        str(input_dir / "000.parquet"),
+        [("c", 1, 2), ("p", 1, 1), ("p", 5, 3)],
+        mtime=now - 60,
+    )
+    # batch 1: far-future rows push the watermark well past h2+2h so the
+    # unmatched purchase's state expires and the null row is emitted
+    _write_slice(
+        spark,
+        str(input_dir / "001.parquet"),
+        [("c", 200, 8), ("p", 201, 9)],
+        mtime=now,
+    )
+    stream = message_file_stream(spark, str(input_dir) + "/*")
+    purchases = stream.filter(F.col("topic") == "p").select(
+        F.lit(1).alias("k"), F.col("ts"), F.col("event_id")
+    )
+    clicks = stream.filter(F.col("topic") == "c").select(
+        F.lit(1).alias("k_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        by="k",
+        max_gap="2 hours",
+        watermark="1 hour",
+        how="leftOuter",
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt_loj"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.click_id)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert (1, 2) in got  # matched pair
+    assert (3, None) in got  # unmatched left emitted after expiry

@@ -413,3 +413,59 @@ def test_scd2_single_window_shuffle(spark):
     plan = _plan(all_specs()["scd2_topic_versions"].fn(spark, SF_DIR))
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
+
+
+# --- plan shapes of the round-3 continuation additions ----------------------
+
+
+def test_linreg_trend_partial_aggregation_single_shuffle(spark):
+    """The OLS sufficient statistics must partial-aggregate map-side and
+    shuffle once on the series key — the mergeable-sketch shape."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(all_specs()["linreg_trend_stats"].fn(spark, SF_DIR))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
+
+
+def test_rolling_median_filter_reaches_scan(spark):
+    """The date bound must prune at the parquet scan, not post-window."""
+    from mqtt2sql_spark.registry import all_specs
+
+    df = all_specs()["rolling_median_value"].fn(spark, SF_DIR)
+    assert "IsNotNull(ts)" in _formatted(df)
+    # one windowed shuffle on the series key only (simple mode prints
+    # each physical node once; formatted repeats it in the detail list)
+    assert _plan(df).count("Window") == 1
+
+
+def test_activity_bitmask_partial_bit_or(spark):
+    """bit_or folds map-side (partial aggregation) before the
+    (series, day) shuffle — 8 bytes of state per group."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(all_specs()["activity_bitmask_daily"].fn(spark, SF_DIR))
+    assert "partial" in plan, plan
+    assert "Window" not in plan
+
+
+def test_weighted_median_single_partition_shuffle(spark):
+    """Weighted median: both windows ride one (flag) exchange; no
+    global-sort, no cartesian."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(
+        all_specs()["weighted_median_price_by_flag"].fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_linear_attribution_no_cartesian(spark):
+    """Touch attribution joins on user_id equi-key with band predicates —
+    never a cross join."""
+    from mqtt2sql_spark.registry import all_specs
+
+    plan = _plan(all_specs()["linear_attribution"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan

@@ -1130,3 +1130,73 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs"),
     )
+
+
+# --- duplication rate by document-length decile -----------------------------
+
+
+@register(
+    "dup_rate_by_length_decile",
+    oracle=f"""
+    , flags AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY norm_hash)
+                    THEN 0 ELSE 1 END AS is_dup
+        FROM (SELECT doc_id, md5({duck_normalized()}) AS norm_hash
+              FROM documents)
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, f.is_dup,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY d.n_chars, d.doc_id) AS rk,
+               count(*) OVER (PARTITION BY d.lang) AS n
+        FROM documents d JOIN flags f USING (doc_id)
+    )
+    SELECT lang,
+           CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(is_dup), 0) AS BIGINT) AS n_dups,
+           CAST(coalesce(sum(is_dup), 0) * 10000 // count(*) AS BIGINT)
+               AS dup_bp
+    FROM ranked GROUP BY lang, (rk - 1) * 10 // n
+    """,
+    doc="Duplication rate by document-length decile per language — the "
+    "pipeline-analytics readout that answers 'is duplication "
+    "concentrated in short boilerplate?' and calibrates length floors "
+    "before dedup.  Reuses the exact-dedup keep flags (md5 over "
+    "normalized text, min-doc_id keeper) joined to a per-language "
+    "length decile (rank window partitioned by lang — bounded by the "
+    "per-language share; at corpus scale swap the rank for the "
+    "two-phase prefix-sum decile, revenue_pareto_deciles' shape).  "
+    "All-integer fixed-point surface.",
+)
+def dup_rate_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = dedup_exact(spark, sf_dir).select(
+        "doc_id", (1 - F.col("keep")).alias("is_dup")
+    )
+    joined = docs.select("doc_id", "lang", "n_chars").join(flags, "doc_id")
+    w_rk = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_n = W.partitionBy("lang")
+    ranked = joined.select(
+        "lang",
+        "is_dup",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return (
+        ranked.withColumn(
+            "decile", F.expr("CAST((rk - 1) * 10 DIV n AS BIGINT)")
+        )
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("is_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dups"),
+            F.expr(
+                "CAST(coalesce(sum(is_dup), 0) * 10000 DIV count(1) "
+                "AS BIGINT)"
+            ).alias("dup_bp"),
+        )
+    )

@@ -1587,3 +1587,76 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("fertility_fp"),
     )
+
+
+# --- bitext candidate mining (translation-pair prefilter) -------------------
+
+BITEXT_MIN_RATIO_BP = 8000  # keep pairs whose length ratio ≥ 0.8
+
+
+@register(
+    "bitext_candidate_pairs",
+    oracle=f"""
+    , en AS (
+        SELECT source, doc_id AS en_doc, n_chars AS na FROM documents
+        WHERE lang = 'en'
+    ),
+    de AS (
+        SELECT source, doc_id AS de_doc, n_chars AS nb FROM documents
+        WHERE lang = 'de'
+    )
+    SELECT e.source, en_doc, de_doc,
+           CAST(least(na, nb) * 10000 // greatest(na, nb) AS BIGINT)
+               AS len_ratio_bp
+    FROM en e JOIN de d ON d.source = e.source
+    WHERE least(na, nb) * 10000 // greatest(na, nb)
+          >= {BITEXT_MIN_RATIO_BP}
+    """,
+    doc="Bitext candidate mining — the prefilter a parallel-corpus "
+    "(translation-pair) pipeline runs before expensive alignment "
+    "scoring: en×de documents from the same source whose lengths agree "
+    "within 25% (ratio ≥ 0.8 in exact fixed-point).  The Spark plan "
+    "buckets by ⌊log₂(n_chars)⌋ (= length(bin(n)) — integer math, no "
+    "libm) and probes only adjacent exponent buckets: a ratio ≥ 0.8 "
+    "pair can differ by at most one power of two, so the bucketed "
+    "equi-join on (source, bucket) provably finds every qualifying "
+    "pair while bounding fan-out per reduce key — the oracle runs the "
+    "naive inequality join and the gate proves set equality.  At "
+    "100 TB the (source, length-class) key distributes, no O(n²) per "
+    "source.  All-integer surface.",
+)
+def bitext_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select(
+        "source",
+        F.col("doc_id").alias("en_doc"),
+        F.col("n_chars").alias("na"),
+        F.length(F.bin("n_chars")).alias("ex_a"),
+    )
+    de = docs.filter(F.col("lang") == "de").select(
+        F.col("source").alias("d_source"),
+        F.col("doc_id").alias("de_doc"),
+        F.col("n_chars").alias("nb"),
+        F.explode(
+            F.array(
+                F.length(F.bin("n_chars")) - 1,
+                F.length(F.bin("n_chars")),
+                F.length(F.bin("n_chars")) + 1,
+            )
+        ).alias("probe"),
+    )
+    ratio = F.expr("least(na, nb) * 10000 DIV greatest(na, nb)")
+    return (
+        en.join(
+            de,
+            (F.col("source") == F.col("d_source"))
+            & (F.col("ex_a") == F.col("probe")),
+        )
+        .filter(ratio >= BITEXT_MIN_RATIO_BP)
+        .select(
+            "source",
+            "en_doc",
+            "de_doc",
+            ratio.cast("long").alias("len_ratio_bp"),
+        )
+    )

@@ -253,3 +253,40 @@ def test_value_runs_equal_python_rle(spark, seq):
             rid += 1
             expect[(t, rid, v)] = len(list(grp))
     assert got == expect
+
+
+@given(seq=messages_strategy, seed=st.integers(min_value=0, max_value=9))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_throttle_kept_set_is_order_invariant(spark, seq, seed):
+    """The throttle's kept set (first per key+bucket under the TOTAL
+    order) must not depend on input row order or partition layout —
+    shuffle the sequence and repartition arbitrarily, same answer."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def kept(rows, n_parts):
+        df = spark.createDataFrame(
+            rows, "topic string, ts timestamp, value_str string, event_id long"
+        ).repartition(n_parts)
+        bkt = F.expr("unix_micros(ts) DIV 300000000")
+        w = W.partitionBy("topic", bkt).orderBy("ts", "event_id")
+        return {
+            (r.topic, r.event_id)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+
+    rows = [
+        (t, _BASE + dt.timedelta(minutes=m), v, i)
+        for i, (t, m, v) in enumerate(seq)
+    ]
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    assert kept(rows, 2) == kept(shuffled, 7)

@@ -388,9 +388,10 @@ def linreg_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, event_id, ts,
            CAST(round(value * 100, 0) AS BIGINT) AS cents,
-           median(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           CAST(2 * median(CAST(round(value * 100, 0) AS BIGINT)) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
-               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents,
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS med_cents_x2,
            CAST(count(*) OVER (
                PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -401,9 +402,11 @@ def linreg_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Rolling 7-point median per series — the robust-smoothing pass a "
     "monitoring pipeline runs before alerting (median shrugs off the "
     "spikes a moving average chases).  Exact percentile over a row "
-    "frame: values are integer cents, and both engines interpolate the "
-    "even-count midpoint as the mean of the two middle values, so the "
-    "result is always an exactly-representable .0/.5 double.  The frame "
+    "frame: values are integer cents, both engines interpolate the "
+    "even-count midpoint as the mean of the two middle values, and the "
+    "surface is DOUBLED into med_cents_x2 so the compared column is an "
+    "exact BIGINT (2·median of integers is always integral — no float "
+    "ever reaches the gate, the map_funcs r01 lesson).  The frame "
     "is ordered by (ts, event_id) — a total order, so frame contents "
     "are identical cross-engine.  Scale: one shuffle on the series key; "
     "the 7-row frame is O(1) state per row in Spark's running-window "
@@ -425,11 +428,14 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         cents.alias("cents"),
-        F.expr(
-            "percentile(CAST(round(value * 100, 0) AS BIGINT), 0.5)"
+        (
+            F.expr(
+                "percentile(CAST(round(value * 100, 0) AS BIGINT), 0.5)"
+            ).over(w)
+            * 2
         )
-        .over(w)
-        .alias("med_cents"),
+        .cast("long")
+        .alias("med_cents_x2"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
     )
 

@@ -113,12 +113,12 @@ def test_rolling_median_warmup_and_frame(spark):
             frame = [q.cents for q in rs[max(0, i - 6) : i + 1]]
             frame.sort()
             k = len(frame)
-            med = (
-                frame[k // 2]
+            med_x2 = (
+                2 * frame[k // 2]
                 if k % 2
-                else (frame[k // 2 - 1] + frame[k // 2]) / 2
+                else frame[k // 2 - 1] + frame[k // 2]
             )
-            assert r.med_cents == med
+            assert r.med_cents_x2 == med_x2
 
 
 def test_activity_bitmask_consistent(spark):

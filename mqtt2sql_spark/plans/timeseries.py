@@ -479,3 +479,79 @@ def activity_bitmask_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- autocorrelation components (seasonality detector) ----------------------
+
+ACF_LAGS = (1, 24)  # hours: adjacent-hour persistence and daily seasonality
+
+
+@register(
+    "hourly_autocorr_stats",
+    oracle=f"""
+    , hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+        FROM hourly a
+        CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in ACF_LAGS)}])
+                    AS lag) l
+        JOIN hourly b ON b.event_type = a.event_type
+                     AND b.h = a.h + l.lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(y * y) AS BIGINT) AS sum_y2
+    FROM lagged GROUP BY event_type, lag
+    """,
+    doc="Autocorrelation sufficient statistics of the per-hour event-count "
+    "series at lags 1 h and 24 h — the seasonality detector: "
+    "r(L) = (n·Σxy − Σx·Σy)/√((n·Σx²−Σx²)(n·Σy²−Σy²)) computed "
+    "consumer-side from the six exact BIGINT sums emitted here (same "
+    "no-float-on-the-surface discipline as linreg_trend_stats / "
+    "event_type_daily_corr).  The lag join is an equi-join on "
+    "(series, hour+L) over the already-aggregated hourly rollup — "
+    "|series|·|hours| rows, not events — so a year of 100 TB telemetry "
+    "reduces to 8 760 rows per series before any pairing.  "
+    "All-integer surface.",
+)
+def hourly_autocorr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('hour', ts)) DIV 3600000000"
+        ).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    lags = F.explode(
+        F.array(*[F.lit(x) for x in ACF_LAGS])
+    ).alias("lag")
+    a = hourly.select("event_type", "h", F.col("c").alias("x"), lags)
+    b = hourly.select(
+        F.col("event_type").alias("b_type"),
+        F.col("h").alias("b_h"),
+        F.col("c").alias("y"),
+    )
+    lagged = a.join(
+        b,
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_h") == F.col("h") + F.col("lag")),
+    )
+    return lagged.groupBy(
+        "event_type", F.col("lag").cast("long").alias("lag")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+    )

@@ -4763,3 +4763,100 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit_bp"
         ),
     )
+
+
+# --- fulfillment latency distribution ---------------------------------------
+
+
+@register(
+    "ship_latency_histogram",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+               AS latency_days,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, datediff('day', o_orderdate, l_shipdate)
+    """,
+    doc="Order-to-ship latency distribution per order priority — the "
+    "fulfillment-SLA histogram: exact day counts, grouped.  The "
+    "orders join rides the order key (co-partitioned at 100 TB via "
+    "the bucketed-table sink); the histogram aggregate is mergeable "
+    "and bounded by |priorities|·|latency range|.  All-integer "
+    "surface; day arithmetic on DATE values is identical cross-engine "
+    "(no timezone math — both operands are civil dates).",
+)
+def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("latency_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+# --- repeat-purchase interval distribution ----------------------------------
+
+REORDER_BUCKET_DAYS = 30
+
+
+@register(
+    "reorder_interval_histogram",
+    oracle=f"""
+    , gaps AS (
+        SELECT o_custkey,
+               datediff('day',
+                        lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate,
+                                                        o_orderkey),
+                        o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(gap_days // {REORDER_BUCKET_DAYS} AS BIGINT) AS gap_bucket,
+           count(*) AS n_reorders,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY gap_days // {REORDER_BUCKET_DAYS}
+    """,
+    doc="Repeat-purchase interval distribution: per customer, the gap in "
+    "days between consecutive orders (lag over the total order "
+    "(o_orderdate, o_orderkey) within customer), bucketed to 30-day "
+    "bands — the replenishment-cycle readout behind churn models.  "
+    "One window shuffle on the customer key (high-cardinality — "
+    "distributes), then a mergeable histogram aggregate over a few "
+    "dozen buckets.  gap_days ≥ 0 ⇒ integer division is floor on both "
+    "engines.  All-integer surface.",
+)
+def reorder_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(
+            F.expr(f"CAST(gap_days DIV {REORDER_BUCKET_DAYS} AS BIGINT)")
+            .alias("gap_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_reorders"),
+            F.min("gap_days").cast("long").alias("min_days"),
+            F.max("gap_days").cast("long").alias("max_days"),
+        )
+    )

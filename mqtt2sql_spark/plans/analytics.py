@@ -4860,3 +4860,102 @@ def reorder_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_days").cast("long").alias("max_days"),
         )
     )
+
+
+# --- co-purchase part pairs (basket analysis) ------------------------------
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+        SELECT x.l_partkey AS pk1, y.l_partkey AS pk2,
+               count(*) AS n_orders
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(pk1 AS BIGINT) AS pk1, CAST(pk2 AS BIGINT) AS pk2,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM pc ORDER BY n_orders DESC, pk1, pk2 LIMIT 20
+    """,
+    doc="Basket analysis: top co-purchased part pairs.  The scale shape "
+    "matters: instead of a self-join on l_orderkey (two exchanges of "
+    "the fact table), the basket is grouped ONCE into a sorted "
+    "part array (orders hold ≤7 parts, so the array and its ≤21 "
+    "pair expansions are bounded) and pairs explode map-side from "
+    "the grouped row; one fact shuffle total, then a distributive "
+    "pair count and a distributed TakeOrdered(20) with a total-order "
+    "tie-break (n_orders DESC, pk1, pk2) — no global sort "
+    "materialization, no window.",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    pairs = e1.select(
+        "i", "pk1", F.posexplode("parts").alias("j", "pk2")
+    ).filter(F.col("j") > F.col("i"))
+    counts = pairs.groupBy("pk1", "pk2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        counts.select(
+            F.col("pk1").cast("long").alias("pk1"),
+            F.col("pk2").cast("long").alias("pk2"),
+            "n_orders",
+        )
+        .orderBy(F.desc("n_orders"), "pk1", "pk2")
+        .limit(20)
+    )
+
+
+# --- skyline (Pareto frontier) of parts ------------------------------------
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    , pts AS (
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part
+    )
+    SELECT p_partkey, price_cents, p_size FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size < a.p_size)
+    )
+    """,
+    doc="Skyline (Pareto frontier) of parts minimizing (retail price, "
+    "size): the multi-criteria shortlist operator relational algebra "
+    "lacks.  Two-phase distributed skyline (Börzsönyi et al., ICDE "
+    "2001): an Arrow-batched partition-local sort-filter-skyline "
+    "prunes every partition to its own frontier with NO shuffle, and "
+    "only the tiny union of local frontiers is coalesced for the "
+    "global sweep — the exact-domination oracle is a quadratic "
+    "NOT EXISTS anti-join, which is the semantics but not the plan.  "
+    "Prices are quantized to exact cents BEFORE the sweep so every "
+    "comparison is integer on both engines; equal (price, size) "
+    "duplicates are mutually non-dominating and all survive.",
+    tags=("operator", "pandas"),
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.skyline import skyline_min_min
+
+    pts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_min_min(pts, "price_cents", "p_size")

@@ -1200,3 +1200,78 @@ def dup_rate_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bp"),
         )
     )
+
+
+# --- duplicate n-gram coverage ---------------------------------------------
+
+
+@register(
+    "dup_ngram_coverage",
+    oracle=_DUCK_SHINGLES
+    + """
+    , per_shingle AS (
+        SELECT shingle, count(*) AS df, min(doc_id) AS only_doc
+        FROM sh GROUP BY shingle
+    ),
+    uniq AS (
+        SELECT only_doc AS doc_id, count(*) AS n_unique
+        FROM per_shingle WHERE df = 1 GROUP BY only_doc
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(t.n_sh), 0) AS BIGINT) AS sum_shingles,
+           CAST(coalesce(sum(t.n_sh), 0) - coalesce(sum(u.n_unique), 0)
+                AS BIGINT) AS sum_dup,
+           CAST((coalesce(sum(t.n_sh), 0) - coalesce(sum(u.n_unique), 0))
+                * 1000000
+                // greatest(coalesce(sum(t.n_sh), 0), 1) AS BIGINT)
+               AS dup_ppm
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN uniq u USING (doc_id)
+    GROUP BY d.lang
+    """,
+    doc="Duplicate n-gram coverage per language — the RefinedWeb/Gopher "
+    "corpus-health metric: what fraction of a document's distinct "
+    "3-word shingles also appear in at least one OTHER document.  "
+    "Computed without per-shingle postings lists (hot shingles would "
+    "skew a collect_list) via the complement: dup = total − "
+    "unique-to-doc, where unique shingles fall out of the shingle "
+    "aggregate as df=1 rows that retain their single owner through "
+    "min(doc_id).  Both per-doc aggregates branch off the SAME "
+    "distinct-(doc,shingle) exchange (ReusedExchange), so the "
+    "expensive shingling scan is shuffled once; short documents "
+    "(<3 tokens) produce no shingles and are kept at zero coverage "
+    "through the LEFT joins on both engines.  All-integer ppm "
+    "surface (exact DIV, no float sums).",
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shingles(spark, sf_dir)
+    tot = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    uniq = (
+        pairs.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per_doc = (
+        docs.join(tot, "doc_id", "left")
+        .join(uniq, "doc_id", "left")
+        .select(
+            "lang",
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_sh").cast("long").alias("sum_shingles"),
+        (F.sum("n_sh") - F.sum("n_unique")).cast("long").alias("sum_dup"),
+        F.expr(
+            "CAST((sum(n_sh) - sum(n_unique)) * 1000000 "
+            "DIV greatest(sum(n_sh), 1) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

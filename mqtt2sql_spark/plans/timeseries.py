@@ -555,3 +555,91 @@ def hourly_autocorr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
     )
+
+
+# --- exponentially time-decayed engagement ---------------------------------
+
+# Half-life 2 weeks, bucketed to whole weeks of age.  The per-bucket
+# weight floor(1e6 * 2^(-w/2)) is precomputed in PYTHON and embedded as
+# identical integer literals on both engines (the CLAUDE.md LIBM rule:
+# cross-engine pow()/exp() differ by 1 ulp on some inputs; integer
+# literals cannot).  Weights hit 0 once the shift exhausts 1e6.
+
+# floor(2^-0.5 * 2^60) via integer sqrt — exact, no float involved
+_INV_SQRT2_Q60 = 815238614083298888  # math.isqrt(2**119)
+
+
+def _decay_table() -> tuple[int, ...]:
+    out = []
+    w = 0
+    while True:
+        # floor(1e6 * 2^(-w/2)) in exact integer arithmetic: for even w
+        # it is 1e6 >> (w/2); for odd w multiply by floor(2^-0.5 * 2^60).
+        if w % 2 == 0:
+            ppm = 1000000 >> (w // 2)
+        else:
+            ppm = (1000000 * _INV_SQRT2_Q60) >> (60 + w // 2)
+        if ppm <= 0:
+            return tuple(out)
+        out.append(ppm)
+        w += 1
+
+
+_DECAY_WEEK_PPM = _decay_table()
+_DECAY_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN age_w = {w} THEN {p}" for w, p in enumerate(_DECAY_WEEK_PPM)
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "decayed_engagement_by_type",
+    oracle=f"""
+    , anchor AS (SELECT CAST(max(ts) AS DATE) AS d0 FROM events),
+    aged AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               datediff('day', CAST(ts AS DATE), (SELECT d0 FROM anchor))
+                   // 7 AS age_w
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(sum(CAST(cents * ({_DECAY_CASE})
+                               AS DECIMAL(38, 0))) / 1000000)
+                AS BIGINT) AS decayed_cents
+    FROM aged GROUP BY event_type
+    """,
+    doc="Exponentially time-decayed engagement score per event type "
+    "(half-life 2 weeks, week-granular age buckets) — the freshness- "
+    "weighted leaderboard shape behind trending/ranking features.  "
+    "The decay curve is a Python-precomputed integer ppm lookup "
+    "embedded as the SAME generated CASE text on both engines, so no "
+    "transcendental is ever evaluated engine-side; per-event money is "
+    "quantized to exact cents, weighted in integer ppm, summed as "
+    "DECIMAL(38,0) (a 100 TB-safe accumulator — BIGINT would overflow "
+    "at ~1e8 events/group), and floor-divided back to cents.  Plan: "
+    "scan → tiny broadcast anchor (max ts) → partial+final hash agg "
+    "on a low-cardinality key; fully distributive.",
+)
+def decayed_engagement_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("d0"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.expr("datediff(d0, CAST(ts AS DATE)) DIV 7").alias("age_w"),
+    )
+    weighted = aged.select(
+        "event_type",
+        F.expr(f"CAST(cents * ({_DECAY_CASE}) AS DECIMAL(38, 0))").alias("wv"),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("CAST(floor(sum(wv) / 1000000) AS BIGINT)").alias(
+            "decayed_cents"
+        ),
+    )

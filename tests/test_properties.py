@@ -290,3 +290,38 @@ def test_throttle_kept_set_is_order_invariant(spark, seq, seed):
     shuffled = rows[:]
     random.Random(seed).shuffle(shuffled)
     assert kept(rows, 2) == kept(shuffled, 7)
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # x
+        st.integers(min_value=0, max_value=20),  # y
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(points_strategy, st.integers(min_value=1, max_value=5))
+def test_skyline_matches_bruteforce_under_partitioning(spark, pts, n_parts):
+    """Two-phase distributed skyline == O(n²) domination brute force,
+    for any physical partitioning (multiset semantics: equal points are
+    mutually non-dominating and every copy survives)."""
+    from mqtt2sql_spark.operators.skyline import skyline_min_min
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+
+    def dominated(a):
+        return any(
+            bx <= a[1] and by <= a[2] and (bx < a[1] or by < a[2])
+            for _, bx, by in rows
+        )
+
+    expect = {r[0] for r in rows if not dominated(r)}
+    df = spark.createDataFrame(
+        rows, "pid long, x long, y long"
+    ).repartition(n_parts)
+    got = {r.pid for r in skyline_min_min(df, "x", "y").collect()}
+    assert got == expect

@@ -4890,6 +4890,7 @@ def reorder_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair count and a distributed TakeOrdered(20) with a total-order "
     "tie-break (n_orders DESC, pk1, pk2) — no global sort "
     "materialization, no window.",
+    bench=True,
 )
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

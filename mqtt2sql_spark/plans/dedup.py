@@ -1248,6 +1248,7 @@ def dup_rate_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(<3 tokens) produce no shingles and are kept at zero coverage "
     "through the LEFT joins on both engines.  All-integer ppm "
     "surface (exact DIV, no float sums).",
+    bench=True,
 )
 def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy local checkpoint: the shingle stream is computed and shuffled

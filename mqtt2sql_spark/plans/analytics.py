@@ -4960,3 +4960,65 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("long").alias("p_size"),
     )
     return skyline_min_min(pts, "price_cents", "p_size")
+
+
+# --- scalable fuzzy matching: deletion-neighborhood filter-verify ----------
+
+
+@register(
+    "fuzzy_join_deletion_index",
+    oracle="""
+    , topics AS (SELECT DISTINCT topic FROM messages),
+    variants AS (
+        SELECT topic, topic AS v FROM topics
+        UNION
+        SELECT topic, substr(topic, 1, i - 1) || substr(topic, i + 1) AS v
+        FROM (SELECT topic, unnest(range(1, len(topic) + 1)) AS i
+              FROM topics)
+    )
+    SELECT DISTINCT a.topic AS topic_a, b.topic AS topic_b,
+           CAST(levenshtein(a.topic, b.topic) AS INTEGER) AS dist
+    FROM variants a JOIN variants b ON a.v = b.v AND a.topic < b.topic
+    WHERE levenshtein(a.topic, b.topic) <= 1
+    """,
+    doc="Edit-distance-1 key matching at scale: the deletion-neighborhood "
+    "filter-verify join.  fuzzy_topic_match broadcasts a quadratic "
+    "compare (right for a small dimension); this is the linear path a "
+    "100 TB key set needs — every key expands to its ≤len+1 single-"
+    "deletion variants (a per-row generator, no shuffle), candidates "
+    "come from an EQUI-join on the variant (hash shuffle, no n² "
+    "compare: ed(a,b)≤1 ⇒ the pair shares a variant, so the index is "
+    "a complete candidate filter), and the cheap exact levenshtein "
+    "verify runs only on candidates.  Exact same result set as the "
+    "quadratic formulation, integer surface.",
+)
+def fuzzy_join_deletion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topics = messages(spark, sf_dir).select("topic").distinct()
+    # fan the variant generation out (the distinct's AQE-coalesced
+    # output can be a single task at fixture scale)
+    topics = topics.repartition(spark.sparkContext.defaultParallelism)
+    deletions = F.expr(
+        "transform(sequence(1, length(topic)), "
+        "i -> concat(substring(topic, 1, i - 1), substring(topic, i + 1)))"
+    )
+    variants = topics.select(
+        "topic",
+        F.explode(
+            F.array_union(F.array(F.col("topic")), deletions)
+        ).alias("v"),
+    ).distinct()
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.topic") < F.col("b.topic")))
+        .select(
+            F.col("a.topic").alias("topic_a"),
+            F.col("b.topic").alias("topic_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "topic_a",
+        "topic_b",
+        F.levenshtein("topic_a", "topic_b").alias("dist"),
+    ).filter(F.col("dist") <= 1)

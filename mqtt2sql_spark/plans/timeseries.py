@@ -643,3 +643,57 @@ def decayed_engagement_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_cents"
         ),
     )
+
+
+# --- day-of-week × hour seasonality profile --------------------------------
+
+
+@register(
+    "dow_hour_profile",
+    oracle="""
+    , cells AS (
+        SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hr, n,
+           CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS dow_total,
+           CAST(sum(n) OVER (PARTITION BY hr) AS BIGINT) AS hr_total,
+           CAST(sum(n) OVER () AS BIGINT) AS total,
+           CAST(n * sum(n) OVER () * 1000000
+                // (sum(n) OVER (PARTITION BY dow)
+                    * sum(n) OVER (PARTITION BY hr)) AS BIGINT) AS lift_ppm
+    FROM cells
+    """,
+    doc="Weekly seasonality heatmap: event counts per (day-of-week, "
+    "hour-of-day) cell with the independence lift n·N/(row·col) in "
+    "exact integer ppm — the load-profile readout behind capacity "
+    "planning and anomaly baselines.  One distributive count over the "
+    "fact table collapses 100 TB to ≤168 cells; the marginal windows "
+    "run over that tiny aggregate only (the documented tiny-window "
+    "pattern).  Day numbering pinned to 0=Sunday on both engines "
+    "(Spark dayofweek() is 1-based).  All-integer surface.",
+)
+def dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_dow = W.partitionBy("dow")
+    w_hr = W.partitionBy("hr")
+    w_all = W.partitionBy()
+    return cells.select(
+        "dow",
+        "hr",
+        "n",
+        F.sum("n").over(w_dow).cast("long").alias("dow_total"),
+        F.sum("n").over(w_hr).cast("long").alias("hr_total"),
+        F.sum("n").over(w_all).cast("long").alias("total"),
+        F.expr(
+            "CAST(n * sum(n) OVER () * 1000000 DIV "
+            "(sum(n) OVER (PARTITION BY dow) * sum(n) OVER (PARTITION BY hr)) "
+            "AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

@@ -235,3 +235,26 @@ def test_user_event_gini_bounds(spark):
             assert r.gini_fp == 0
         # Gini impurity with k classes is at most (1 - 1/k)
         assert r.gini_fp <= 10000 - 10000 // r.n_types
+
+
+def test_deletion_index_equals_quadratic_levenshtein(spark):
+    """The deletion-neighborhood candidate filter is complete: the
+    filter-verify join returns exactly the ed<=1 subset of the
+    quadratic broadcast compare (two structurally different plans)."""
+    from mqtt2sql_spark.plans.analytics import (
+        fuzzy_join_deletion_index,
+        fuzzy_topic_match,
+    )
+    from tests.conftest import SF_DIR
+
+    quad = {
+        (r.topic_a, r.topic_b)
+        for r in fuzzy_topic_match(spark, SF_DIR)
+        .filter(F.col("dist") <= 1)
+        .collect()
+    }
+    idx = {
+        (r.topic_a, r.topic_b)
+        for r in fuzzy_join_deletion_index(spark, SF_DIR).collect()
+    }
+    assert idx == quad

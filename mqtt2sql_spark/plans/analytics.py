@@ -5022,3 +5022,48 @@ def fuzzy_join_deletion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topic_b",
         F.levenshtein("topic_a", "topic_b").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+# --- TPC-H Q6: discount-band revenue ---------------------------------------
+
+
+@register(
+    "discount_band_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): pure "
+    "scan-filter-aggregate with NO grouping key — every predicate "
+    "(date band, discount band, quantity cap) pushes down to the "
+    "parquet scan, rows collapse map-side into one partial sum per "
+    "partition, and the final merge touches one row per task.  The "
+    "simplest query in the book and the purest pushdown/codegen "
+    "benchmark: any plan regression here shows up as a full-width "
+    "scan.  Money quantized to exact cents per row before summing "
+    "(float-sum order rule).",
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(
+                "round(sum(CAST(round(l_extendedprice * l_discount * 100, 0)"
+                " AS BIGINT)) / 100.0, 2)"
+            ).alias("revenue"),
+        )
+    )

@@ -1115,3 +1115,71 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max(n_postings) * count(*) * 100 DIV sum(n_postings)"
         ).alias("max_over_avg_x100"),
     )
+
+
+# --- Gram matrix (PCA / whitening sufficient statistic) --------------------
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    , ev AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(sum(CAST(floor(a.v * b.v * 1000000) AS BIGINT))
+                AS BIGINT) AS gram_q6
+    FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+    """,
+    doc="Gram matrix X^T X over the embedding corpus — the sufficient "
+    "statistic PCA / whitening / ZCA runs on (d x d stays constant "
+    "while N scales to 100 TB).  Each partition accumulates its own "
+    "d x d integer block in one Arrow-batched numpy pass (einsum over "
+    "row chunks, products floor-quantized to 1e-6 BEFORE summation so "
+    "the accumulator is exact int64 and summation order is "
+    "irrelevant), then only the tiny per-partition blocks shuffle "
+    "(4096 rows each) into the final addition.  The oracle's "
+    "double-unnest self-join is the semantics; the plan never "
+    "materializes the N x d^2 product stream.  Products are computed "
+    "in float64 on both engines (float32 inputs widen exactly).",
+    tags=("operator", "pandas"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+
+    def part_gram(batches):
+        acc = np.zeros((DIM, DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            # chunk the n x d x d tensor to bound memory at ~17 MB
+            for lo in range(0, len(X), 512):
+                blk = X[lo : lo + 512]
+                prods = np.einsum("ni,nj->nij", blk, blk)
+                acc += np.floor(prods * 1e6).astype(np.int64).sum(axis=0)
+            seen = True
+        if seen:
+            ii, jj = np.indices((DIM, DIM))
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int64),
+                    "j": jj.ravel().astype(np.int64),
+                    "s": acc.ravel(),
+                }
+            )
+
+    part = emb.select("e").mapInPandas(
+        part_gram, "i long, j long, s long"
+    )
+    return part.groupBy("i", "j").agg(
+        F.sum("s").cast("long").alias("gram_q6")
+    )

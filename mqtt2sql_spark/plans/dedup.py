@@ -1281,3 +1281,91 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV greatest(sum(n_sh), 1) AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+# --- containment duplicates (truncation / subset detection) -----------------
+
+
+@register(
+    "containment_dup_pairs",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    dsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+        FROM dsh x JOIN dsh y USING (shingle)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(c AS BIGINT) AS n_shared,
+           CASE WHEN c = na.n AND c = nb.n THEN 'equal'
+                WHEN c = na.n THEN 'a_in_b'
+                ELSE 'b_in_a' END AS relation
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE (c = na.n OR c = nb.n) AND least(na.n, nb.n) >= 5
+    """,
+    doc="Containment duplicates: pairs where one document's "
+    "discriminative shingle set is a SUBSET of the other's — the "
+    "truncated-copy / quoted-in-full case Jaccard misses (a short doc "
+    "fully inside a long one scores low Jaccard but 100% containment, "
+    "the RefinedWeb motivation for containment-aware dedup).  Rides "
+    "the same rare-shingle inverted index as dedup_ngram_jaccard "
+    "(stop-shingle pruning keeps the pair fan-out bounded; "
+    "'discriminative' = shingles with df<={MAX_SHINGLE_DF}, applied "
+    "identically on both engines), requires >=5 surviving shingles on "
+    "the smaller side to suppress trivial matches, and classifies the "
+    "direction.  All-integer + categorical surface.",
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir)
+    g = sh.groupBy("shingle").agg(
+        F.collect_list("doc_id").alias("ds")
+    ).filter(F.size("ds") <= MAX_SHINGLE_DF)
+    sizes = (
+        g.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    inter = (
+        g.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(
+            (
+                (F.col("c") == F.col("na.n"))
+                | (F.col("c") == F.col("nb.n"))
+            )
+            & (F.least(F.col("na.n"), F.col("nb.n")) >= 5)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na.n").cast("long").alias("n_a"),
+            F.col("nb.n").cast("long").alias("n_b"),
+            F.col("c").cast("long").alias("n_shared"),
+            F.when(
+                (F.col("c") == F.col("na.n")) & (F.col("c") == F.col("nb.n")),
+                F.lit("equal"),
+            )
+            .when(F.col("c") == F.col("na.n"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("relation"),
+        )
+    )

@@ -1660,3 +1660,59 @@ def bitext_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio.cast("long").alias("len_ratio_bp"),
         )
     )
+
+
+# --- readability scoring ---------------------------------------------------
+
+
+@register(
+    "flesch_readability",
+    oracle=f"""
+    , feats AS (
+        SELECT doc_id,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(greatest(len(regexp_extract_all(lower(text),
+                    '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835 - 1015 * n_words // n_sentences
+                       - 84600 * n_syllables // greatest(n_words, 1)
+                AS BIGINT) AS flesch_milli
+    FROM feats
+    """,
+    doc="Flesch reading-ease per document, in exact milli-points: words "
+    "from the shared tokenizer, sentences from terminal-punctuation "
+    "runs, syllables approximated by vowel-group runs (the standard "
+    "dictionary-free proxy).  The 206.835/1.015/84.6 constants are "
+    "embedded pre-scaled as integers and both ratios use integer "
+    "floor division on positive operands, so the surface is exact on "
+    "both engines — no float ever materializes.  Plan: scan → "
+    "project, embarrassingly parallel, zero shuffle.",
+)
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text")).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).withColumn(
+        "flesch_milli",
+        F.expr(
+            "CAST(206835 - 1015 * n_words DIV n_sentences "
+            "- 84600 * n_syllables DIV greatest(n_words, 1) AS BIGINT)"
+        ),
+    )

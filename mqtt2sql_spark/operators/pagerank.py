@@ -1,0 +1,80 @@
+"""Exact-integer PageRank — iterative propagation as a Spark loop.
+
+The rank vector lives as a DataFrame (v, deg, s); each iteration is an
+edges-join + hash aggregate, so the work distributes like any other
+shuffle — no driver-side adjacency, no collect.  The classic float
+formulation cannot hash-match across engines (summation order), so the
+scores are pure integers: Q = 1e12 total mass,
+
+    s_0(v)    = Q DIV N
+    s_{k+1}(v) = (15 * (Q DIV N) + 85 * Σ_{u→v} (s_k(u) DIV deg(u)))
+                 DIV 100
+
+— every operation floor-division on non-negative BIGINTs, identical on
+any engine, so a fixed iteration count yields a bit-exact spec (the
+floors leak a little mass; ranking fidelity is unaffected and the leak
+is part of the spec).
+
+Scale notes: the edge list is the big relation and is shuffled on src
+once per iteration (pre-partitioning it on src makes every iteration's
+join co-located); the rank relation is |V| rows.  Lineage is truncated
+with a lazy localCheckpoint every few iterations — the dedup_components
+treatment for iterative plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_MASS = 10**12
+
+
+def pagerank_int(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+    """Integer PageRank over a directed edge list (src, dst).
+
+    Returns (v, deg, s).  Nodes are the sources appearing in ``edges``
+    (for an undirected graph pass both directions, so every node has
+    deg >= 1).
+    """
+    spark = edges.sparkSession
+    # co-locate every iteration's join AND make per-iteration work
+    # deterministic in layout; the checkpoint stops re-reading upstream
+    edges = edges.repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).withColumnRenamed("src", "v")
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # base = the teleport term numerator, attached as a broadcast scalar
+    base = deg.crossJoin(F.broadcast(n)).select(
+        "v",
+        "deg",
+        F.expr(f"CAST({Q_MASS} DIV n_nodes AS BIGINT)").alias("s0"),
+    ).localCheckpoint(eager=False)
+
+    p = base.select("v", "deg", F.col("s0").alias("s"))
+    for k in range(n_iter):
+        inc = (
+            p.join(edges, p["v"] == edges["src"])
+            .select(
+                F.col("dst").alias("iv"),
+                F.expr("CAST(s DIV deg AS BIGINT)").alias("share"),
+            )
+            .groupBy("iv")
+            .agg(F.sum("share").alias("t"))
+        )
+        p = (
+            base.join(inc, base["v"] == inc["iv"], "left")
+            .select(
+                "v",
+                "deg",
+                F.expr(
+                    "CAST((15 * s0 + 85 * coalesce(t, 0)) DIV 100 AS BIGINT)"
+                ).alias("s"),
+            )
+        )
+        if k % 3 == 2:  # truncate the growing lineage
+            p = p.localCheckpoint(eager=False)
+    return p

@@ -5067,3 +5067,103 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --- PageRank over the co-purchase graph -----------------------------------
+
+_PR_ITER = 8
+_PR_Q = 10**12
+
+
+def _pr_oracle() -> str:
+    # unrolled iteration CTEs: standard SQL forbids aggregation in a
+    # recursive term, so the fixed iteration count is generated as a
+    # chain p0..pN — same spec text both engines would run
+    parts = [
+        """
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prpairs AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM basket x JOIN basket y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM prpairs
+              UNION ALL SELECT b, a FROM prpairs),
+    deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
+    base AS (
+        SELECT v, deg,
+               CAST(%(Q)d // (SELECT count(*) FROM deg) AS BIGINT) AS s0
+        FROM deg
+    ),
+    p0 AS (SELECT v, deg, s0 AS s FROM base)"""
+        % {"Q": _PR_Q}
+    ]
+    for k in range(1, _PR_ITER + 1):
+        parts.append(
+            f""",
+    p{k} AS (
+        SELECT b.v, b.deg,
+               CAST((15 * b.s0 + 85 * coalesce(i.t, 0)) // 100
+                    AS BIGINT) AS s
+        FROM base b LEFT JOIN (
+            SELECT e.dst AS iv, sum(p.s // p.deg) AS t
+            FROM p{k - 1} p JOIN edges e ON e.src = p.v
+            GROUP BY e.dst
+        ) i ON i.iv = b.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(v AS BIGINT) AS part, CAST(deg AS BIGINT) AS deg,
+           s AS rank_q12
+    FROM p{_PR_ITER}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pr_oracle(),
+    doc=f"PageRank over the part co-purchase graph ({_PR_ITER} fixed "
+    "iterations, damping 0.85) — the graph-centrality capability beyond "
+    "connected components: which parts anchor the basket network.  The "
+    "float formulation can never hash-match across engines, so the "
+    "rank vector is EXACT INTEGER mass (Q=1e12 split by floor "
+    "division; every per-edge share and damping step floors on "
+    "non-negative BIGINTs), making a fixed iteration count a bit-exact "
+    "spec on any engine — the oracle unrolls the loop as chained CTEs "
+    "since standard SQL bars aggregation inside a recursive term.  "
+    "Scale shape: the edge list pre-partitions on src once "
+    "(localCheckpoint), every iteration is one co-located join + hash "
+    "agg over |E|, the rank relation is |V| rows, and lineage is "
+    "truncated every 3 iterations — the dedup_components treatment.",
+    tags=("operator", "iterative"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.pagerank import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    pairs = (
+        e1.select("i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .select("pk1", "pk2")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("pk1").alias("src"), F.col("pk2").alias("dst")
+    ).union(pairs.select(F.col("pk2"), F.col("pk1")))
+    pr = pagerank_int(edges, n_iter=_PR_ITER)
+    return pr.select(
+        F.col("v").cast("long").alias("part"),
+        F.col("deg"),
+        F.col("s").alias("rank_q12"),
+    )

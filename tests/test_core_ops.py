@@ -258,3 +258,35 @@ def test_deletion_index_equals_quadratic_levenshtein(spark):
         for r in fuzzy_join_deletion_index(spark, SF_DIR).collect()
     }
     assert idx == quad
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    """The integer PageRank recurrence is a bit-exact spec: the Spark
+    loop must equal a direct Python evaluation, per node, exactly."""
+    import random
+
+    from mqtt2sql_spark.operators.pagerank import Q_MASS, pagerank_int
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    und = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)
+    }
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+
+    # python reference
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    s0 = Q_MASS // n
+    score = {v: s0 for v in deg}
+    for _ in range(8):
+        inc = {v: 0 for v in deg}
+        for a, b in edges:
+            inc[b] += score[a] // deg[a]
+        score = {v: (15 * s0 + 85 * inc[v]) // 100 for v in deg}
+
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    got = {r.v: r.s for r in pagerank_int(df, n_iter=8).collect()}
+    assert got == score

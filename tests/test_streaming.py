@@ -660,3 +660,41 @@ def test_cms_sink_exactly_once_under_replay(spark, tmp_path):
     est = {r.k: r.est_n for r in sink.estimate(spark, keys).collect()}
     for k, n in true.items():
         assert est[k] >= n
+
+
+def test_stream_static_broadcast_enrichment(spark, staged, tmp_path):
+    """Stream–static join: every micro-batch enriches against a static
+    control dimension (the A8 routing shape in streaming form); the
+    drained result equals the batch join, and the static side joins as
+    a broadcast (no stateful join, no watermark needed)."""
+    ctl = spark.createDataFrame(
+        [("a", 1), ("b", 0), ("c", 1)],
+        "topic string, history_enable int",
+    )
+    stream = message_file_stream(spark, str(staged) + "/*")
+    enriched = stream.join(F.broadcast(ctl), "topic", "left")
+
+    out = []
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.topic, r.event_id, r.history_enable)
+        for r in spark.sql("SELECT topic, event_id, history_enable "
+                           "FROM enrich_t").collect()
+    }
+    batch = spark.read.parquet(
+        *[str(staged / f"slice_{i}.parquet") for i in range(3)]
+    )
+    want = {
+        (r.topic, r.event_id, r.history_enable)
+        for r in batch.join(ctl, "topic", "left")
+        .select("topic", "event_id", "history_enable")
+        .collect()
+    }
+    assert got == want

@@ -220,3 +220,46 @@ def test_salted_replicated_join_equals_plain_join(spark):
     a = sorted((r["key"], r["v"], r["attr"]) for r in plain.collect())
     b = sorted((r["key"], r["v"], r["attr"]) for r in salted.collect())
     assert a == b and len(a) == 700
+
+
+def test_skyline_local_phase_has_no_shuffle(spark):
+    """The partition-local skyline prune must run shuffle-free: the only
+    exchange in the whole plan is the coalesce(1) for the tiny global
+    sweep (SinglePartition), never a hash exchange of the input."""
+    from mqtt2sql_spark.plans.analytics import skyline_parts
+    from tests.conftest import SF_DIR
+
+    df = skyline_parts(spark, SF_DIR)
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_pagerank_iterations_aggregate_partially(spark):
+    """Every PageRank iteration's inbound-mass aggregate must partial-
+    aggregate map-side (partial_sum of the shares before the exchange),
+    so iteration cost scales with |E| map-side, not shuffled rows."""
+    from mqtt2sql_spark.plans.analytics import pagerank_copurchase
+    from tests.conftest import SF_DIR
+
+    df = pagerank_copurchase(spark, SF_DIR)
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "partial_sum(share" in plan
+
+
+def test_gram_matrix_shuffles_only_blocks(spark):
+    """The Gram matrix must shuffle ONLY the fixed d x d per-partition
+    blocks: exactly one hash exchange (the final block addition), never
+    an exchange of the N x d^2 product stream."""
+    from mqtt2sql_spark.plans.similarity import embedding_gram_matrix
+    from tests.conftest import SF_DIR
+
+    df = embedding_gram_matrix(spark, SF_DIR)
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    # one REPARTITION (input fan-out) + one ENSURE_REQUIREMENTS (block
+    # addition) is the budget; the partial_sum proves map-side combine
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_sum(s" in plan

@@ -1183,3 +1183,95 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.groupBy("i", "j").agg(
         F.sum("s").cast("long").alias("gram_q6")
     )
+
+
+# --- product quantization (PQ) code assignment -----------------------------
+
+PQ_SUBS = 8   # subspaces (64 dims → 8 sub-vectors of 8)
+PQ_K = 16     # codebook entries per subspace → 8 × 4-bit codes/vector
+
+
+@register(
+    "pq_code_assign",
+    oracle=f"""
+    , pe AS (
+        SELECT vec_id,
+               CAST((i - 1) // 8 AS BIGINT) AS sub,
+               CAST(i - 1 AS BIGINT) AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {_Q_VAL} + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cb AS (
+        SELECT sub, dim, CAST(vec_id % {PQ_K} AS BIGINT) AS cluster,
+               CAST(sum(vq) // count(*) AS BIGINT) AS cq
+        FROM pe GROUP BY 1, 2, 3
+    ),
+    d AS (
+        SELECT pe.vec_id, pe.sub, cb.cluster,
+               sum((pe.vq - cb.cq) * (pe.vq - cb.cq)) AS dist_fp
+        FROM pe JOIN cb ON cb.sub = pe.sub AND cb.dim = pe.dim
+        GROUP BY 1, 2, 3
+    ),
+    md AS (SELECT vec_id, sub, min(dist_fp) AS mind
+           FROM d GROUP BY 1, 2)
+    SELECT d.vec_id, d.sub, CAST(min(d.cluster) AS BIGINT) AS code,
+           CAST(md.mind AS BIGINT) AS dist_fp
+    FROM d JOIN md ON md.vec_id = d.vec_id AND md.sub = d.sub
+                  AND d.dist_fp = md.mind
+    GROUP BY d.vec_id, d.sub, md.mind
+    """,
+    doc=f"Product-quantization code assignment ({PQ_SUBS} subspaces x "
+    f"{PQ_K} centroids → 4-bit codes): the vector-compression stage of "
+    "a Jégou-style PQ/IVFADC index, shrinking 64 float32 dims to 8 "
+    "codes for in-RAM candidate scoring at corpus scale.  Codebooks "
+    "are data-derived with the kmeans/IVF determinism contract "
+    "(vec_id % K seeding, exact-integer quantized means via floor "
+    "division, distances as exact BIGINT sums of squared 1e-6 units, "
+    "argmin tie-broken on cluster id via min(struct)) so codes are "
+    "bit-identical on every engine and partitioning.  Plan: one "
+    "posexplode long-format pass, a 1024-row codebook aggregate "
+    "broadcast back into the scan stage, distances partial-aggregate "
+    "on (vec, sub) map-side — the fact table shuffles once.",
+    tags=("operator",),
+)
+def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    pe = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "fval")
+    ).select(
+        "vec_id",
+        F.expr("CAST(d DIV 8 AS BIGINT)").alias("sub"),
+        F.col("d").cast("long").alias("dim"),
+        F.expr(
+            f"CAST(floor(CAST(fval AS DOUBLE) * {_Q_VAL} + 0.5) AS BIGINT)"
+        ).alias("vq"),
+        F.expr(f"CAST(vec_id % {PQ_K} AS BIGINT)").alias("seed_cluster"),
+    )
+    cb = pe.groupBy("sub", "dim", F.col("seed_cluster").alias("cluster")).agg(
+        F.expr("CAST(sum(vq) DIV count(1) AS BIGINT)").alias("cq")
+    )
+    d = (
+        pe.join(
+            F.broadcast(cb.withColumnRenamed("sub", "c_sub")
+                        .withColumnRenamed("dim", "c_dim")),
+            (F.col("c_sub") == F.col("sub")) & (F.col("c_dim") == F.col("dim")),
+        )
+        .groupBy("vec_id", "sub", "cluster")
+        .agg(
+            F.sum(
+                (F.col("vq") - F.col("cq")) * (F.col("vq") - F.col("cq"))
+            ).alias("dist_fp")
+        )
+    )
+    best = d.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist_fp", "cluster")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("m.cluster").cast("long").alias("code"),
+        F.col("m.dist_fp").cast("long").alias("dist_fp"),
+    )

@@ -1190,10 +1190,10 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SUBS = 8   # subspaces (64 dims → 8 sub-vectors of 8)
 PQ_K = 16     # codebook entries per subspace → 8 × 4-bit codes/vector
 
-
-@register(
-    "pq_code_assign",
-    oracle=f"""
+# Shared oracle CTE chain: quantized long layout → codebook → per-
+# (vec, sub, cluster) distances → argmin codes.  Used by pq_code_assign
+# and the ADC scorer below.
+_DUCK_PQ = f"""
     , pe AS (
         SELECT vec_id,
                CAST((i - 1) // 8 AS BIGINT) AS sub,
@@ -1214,12 +1214,47 @@ PQ_K = 16     # codebook entries per subspace → 8 × 4-bit codes/vector
         GROUP BY 1, 2, 3
     ),
     md AS (SELECT vec_id, sub, min(dist_fp) AS mind
-           FROM d GROUP BY 1, 2)
-    SELECT d.vec_id, d.sub, CAST(min(d.cluster) AS BIGINT) AS code,
-           CAST(md.mind AS BIGINT) AS dist_fp
-    FROM d JOIN md ON md.vec_id = d.vec_id AND md.sub = d.sub
-                  AND d.dist_fp = md.mind
-    GROUP BY d.vec_id, d.sub, md.mind
+           FROM d GROUP BY 1, 2),
+    codes AS (
+        SELECT d.vec_id, d.sub, CAST(min(d.cluster) AS BIGINT) AS code,
+               CAST(md.mind AS BIGINT) AS dist_fp
+        FROM d JOIN md ON md.vec_id = d.vec_id AND md.sub = d.sub
+                      AND d.dist_fp = md.mind
+        GROUP BY d.vec_id, d.sub, md.mind
+    )
+"""
+
+
+def _pq_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized long layout (vec_id, sub, dim, vq, seed_cluster)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "fval")
+    ).select(
+        "vec_id",
+        F.expr("CAST(d DIV 8 AS BIGINT)").alias("sub"),
+        F.col("d").cast("long").alias("dim"),
+        F.expr(
+            f"CAST(floor(CAST(fval AS DOUBLE) * {_Q_VAL} + 0.5) AS BIGINT)"
+        ).alias("vq"),
+        F.expr(f"CAST(vec_id % {PQ_K} AS BIGINT)").alias("seed_cluster"),
+    )
+
+
+def _pq_codebook(pe: DataFrame) -> DataFrame:
+    """(sub, dim, cluster, cq) — 1024 rows, exact-integer means."""
+    return pe.groupBy(
+        "sub", "dim", F.col("seed_cluster").alias("cluster")
+    ).agg(F.expr("CAST(sum(vq) DIV count(1) AS BIGINT)").alias("cq"))
+
+
+@register(
+    "pq_code_assign",
+    oracle=_DUCK_PQ
+    + """
+    SELECT vec_id, sub, code, dist_fp FROM codes
     """,
     doc=f"Product-quantization code assignment ({PQ_SUBS} subspaces x "
     f"{PQ_K} centroids → 4-bit codes): the vector-compression stage of "
@@ -1236,23 +1271,8 @@ PQ_K = 16     # codebook entries per subspace → 8 × 4-bit codes/vector
     tags=("operator",),
 )
 def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
-    pe = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "fval")
-    ).select(
-        "vec_id",
-        F.expr("CAST(d DIV 8 AS BIGINT)").alias("sub"),
-        F.col("d").cast("long").alias("dim"),
-        F.expr(
-            f"CAST(floor(CAST(fval AS DOUBLE) * {_Q_VAL} + 0.5) AS BIGINT)"
-        ).alias("vq"),
-        F.expr(f"CAST(vec_id % {PQ_K} AS BIGINT)").alias("seed_cluster"),
-    )
-    cb = pe.groupBy("sub", "dim", F.col("seed_cluster").alias("cluster")).agg(
-        F.expr("CAST(sum(vq) DIV count(1) AS BIGINT)").alias("cq")
-    )
+    pe = _pq_long(spark, sf_dir)
+    cb = _pq_codebook(pe)
     d = (
         pe.join(
             F.broadcast(cb.withColumnRenamed("sub", "c_sub")
@@ -1274,4 +1294,90 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub",
         F.col("m.cluster").cast("long").alias("code"),
         F.col("m.dist_fp").cast("long").alias("dist_fp"),
+    )
+
+
+# --- PQ asymmetric-distance (ADC) top-k ------------------------------------
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_DUCK_PQ
+    + f"""
+    , lut AS (
+        SELECT q.vec_id AS query_id, cb.sub, cb.cluster,
+               sum((q.vq - cb.cq) * (q.vq - cb.cq)) AS ld
+        FROM pe q JOIN cb ON cb.sub = q.sub AND cb.dim = q.dim
+        WHERE q.vec_id % {QUERY_MOD} = 0
+        GROUP BY 1, 2, 3
+    ),
+    ad AS (
+        SELECT l.query_id, c.vec_id, sum(l.ld) AS adist_fp
+        FROM codes c JOIN lut l ON l.sub = c.sub AND l.cluster = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp, rank
+    FROM (
+        SELECT query_id, vec_id, adist_fp,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist_fp, vec_id)
+                    AS BIGINT) AS rank
+        FROM ad
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="PQ asymmetric-distance (ADC) top-k — the serving half of the "
+    "PQ index: each query precomputes an exact lookup table of "
+    "distances from its TRUE sub-vectors to every codebook centroid "
+    f"({PQ_SUBS}x{PQ_K} BIGINT cells/query), and corpus distances are "
+    "then pure LUT-sums over the 8 stored codes — no vector "
+    "arithmetic per corpus row, which is why PQ serves billion-vector "
+    "indexes from RAM.  The LUT broadcasts (queries are few), codes "
+    "partial-aggregate on (query, vec), rank is a per-query window "
+    "with the usual (distance, vec_id) total order.  All arithmetic "
+    "inherits the PQ integer contract, so the ranking is bit-exact "
+    "cross-engine.",
+    tags=("operator",),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pe = _pq_long(spark, sf_dir)
+    cb = _pq_codebook(pe)
+    lut = (
+        pe.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(
+            F.broadcast(
+                cb.withColumnRenamed("sub", "c_sub").withColumnRenamed(
+                    "dim", "c_dim"
+                )
+            ),
+            (F.col("c_sub") == F.col("sub"))
+            & (F.col("c_dim") == F.col("dim")),
+        )
+        .groupBy(
+            F.col("vec_id").alias("query_id"), "sub", "cluster"
+        )
+        .agg(
+            F.sum(
+                (F.col("vq") - F.col("cq")) * (F.col("vq") - F.col("cq"))
+            ).alias("ld")
+        )
+    )
+    codes = pq_code_assign(spark, sf_dir).select("vec_id", "sub", "code")
+    ad = (
+        codes.join(
+            F.broadcast(
+                lut.withColumnRenamed("sub", "l_sub")
+            ),
+            (F.col("l_sub") == F.col("sub"))
+            & (F.col("cluster") == F.col("code"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld").cast("long").alias("adist_fp"))
+    )
+    w = W.partitionBy("query_id").orderBy("adist_fp", "vec_id")
+    return (
+        ad.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adist_fp", "rank")
     )

@@ -1381,3 +1381,84 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adist_fp", "rank")
     )
+
+
+# --- PQ index quality: recall@k vs exact -----------------------------------
+
+
+@register(
+    "pq_recall_eval",
+    oracle=_DUCK_PQ
+    + f"""
+    , lut AS (
+        SELECT q.vec_id AS query_id, cb.sub, cb.cluster,
+               sum((q.vq - cb.cq) * (q.vq - cb.cq)) AS ld
+        FROM pe q JOIN cb ON cb.sub = q.sub AND cb.dim = q.dim
+        WHERE q.vec_id % {QUERY_MOD} = 0
+        GROUP BY 1, 2, 3
+    ),
+    ad AS (
+        SELECT l.query_id, c.vec_id, sum(l.ld) AS adist_fp
+        FROM codes c JOIN lut l ON l.sub = c.sub AND l.cluster = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    pq AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adist_fp, vec_id)
+                        AS BIGINT) AS rank
+            FROM ad
+        ) WHERE rank <= {TOP_K}
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS BIGINT) AS rank
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+           round(count(p.vec_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+    FROM exact e
+    LEFT JOIN pq p
+      ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+    doc=f"PQ index quality: per-query recall@{TOP_K} of the "
+    "asymmetric-distance (4-bit code) ranking against the exact "
+    "brute-force cosine ranking — the compression-loss dashboard a "
+    "PQ deployment watches when tuning subspaces/centroids (the "
+    "sibling of ann_recall_eval for the LSH index).  Composes the "
+    "two existing plans and rolls up hits per query; the denominator "
+    "is the fixed k, so the ratio divides identical small integers.  "
+    "NOTE: ADC ranks by L2 on quantized codes while the exact side "
+    "ranks cosine — recall reflects BOTH quantization loss and the "
+    "metric gap, which is the honest deployment number when the "
+    "serving index stores only codes.",
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    pq = pq_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("p_query"), F.col("vec_id").alias("p_vec")
+    )
+    return (
+        exact.join(
+            pq,
+            (F.col("p_query") == F.col("query_id"))
+            & (F.col("p_vec") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("p_vec").cast("long").alias("n_hits"),
+            F.round(F.count("p_vec") * 1.0 / TOP_K, 4).alias("recall_at_k"),
+        )
+    )

@@ -5265,3 +5265,127 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc_ppm"),
         )
     )
+
+
+# --- two-sample Kolmogorov-Smirnov statistic -------------------------------
+
+
+@register(
+    "ks_statistic_click_purchase",
+    oracle="""
+    , ks_base AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT value,
+               sum(ca) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cca,
+               sum(cb) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ccb
+        FROM ks_base
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ks_base),
+    diffs AS (
+        SELECT value,
+               abs(cca * (SELECT nb FROM tot)
+                   - ccb * (SELECT na FROM tot)) AS dnum
+        FROM cum
+    )
+    SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+           CAST(max(dnum) AS BIGINT) AS d_num,
+           CAST((SELECT na FROM tot) * (SELECT nb FROM tot) AS BIGINT)
+               AS d_den,
+           CAST((SELECT min(CAST(floor(value * 10000) AS BIGINT))
+                 FROM diffs WHERE dnum = (SELECT max(dnum) FROM diffs))
+                AS BIGINT) AS argmax_v_fp
+    FROM diffs
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the click and "
+    "purchase value distributions — the drift/test-of-distribution "
+    "capability (data-drift monitors, A/B sanity checks).  D = "
+    "max|F_a(v) − F_b(v)| evaluated at every distinct value with ties "
+    "folded (both ECDFs step together), emitted as the exact rational "
+    "d_num/d_den via cross-multiplication — the division and the "
+    "critical-value compare stay consumer-side, so nothing floats.  "
+    "The ECDFs are distributed prefix sums in the dense_row_ids/"
+    "running_totals two-phase shape: per-bucket cumulative windows "
+    "(bucket = floor(value), monotonic in the sort key) plus broadcast "
+    "bucket offsets — never a single-partition window over the "
+    "distinct-value relation.  argmax location reported as the "
+    "smallest value attaining D (floor fixed-point, the "
+    "ROUND-OF-RAW-DOUBLE rule).",
+)
+def ks_statistic_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cb"),
+    )
+    # two-phase exact prefix sums (running_totals shape, two measures in
+    # one pass): in-bucket cumulative window + broadcast bucket offsets
+    b = base.withColumn("bkt", F.floor("value").cast("long"))
+    w_in = W.partitionBy("bkt").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    loc = (
+        b.withColumn("la", F.sum("ca").over(w_in))
+        .withColumn("lb", F.sum("cb").over(w_in))
+        .localCheckpoint(eager=False)
+    )
+    bkt_tot = loc.groupBy("bkt").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bkt_tot.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    cum = loc.join(F.broadcast(offs), "bkt").select(
+        "value",
+        (F.col("la") + F.col("oa")).alias("cca"),
+        (F.col("lb") + F.col("ob")).alias("ccb"),
+    )
+    tot = base.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        F.abs(
+            F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
+        ).alias("dnum"),
+    )
+    mx = diffs.agg(F.max("dnum").alias("d_num"))
+    arg = (
+        diffs.join(F.broadcast(mx), F.col("dnum") == F.col("d_num"))
+        .agg(
+            F.min(F.expr("CAST(floor(value * 10000) AS BIGINT)")).alias(
+                "argmax_v_fp"
+            )
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(arg))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("d_num").cast("long").alias("d_num"),
+            (F.col("na") * F.col("nb")).cast("long").alias("d_den"),
+            "argmax_v_fp",
+        )
+    )

@@ -5389,3 +5389,101 @@ def ks_statistic_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "argmax_v_fp",
         )
     )
+
+
+# --- Mann-Whitney U (rank-sum) test ----------------------------------------
+
+
+@register(
+    "mannwhitney_u_click_purchase",
+    oracle="""
+    , mw_base AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT value, ca, cb, ca + cb AS c,
+               sum(ca + cb) OVER (ORDER BY value
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - (ca + cb) AS cprev
+        FROM mw_base
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM mw_base),
+    r AS (SELECT sum(ca * (2 * cprev + c + 1)) AS r2a FROM cum)
+    SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+           CAST(r2a - (SELECT na * (na + 1) FROM tot) AS BIGINT) AS u2_a,
+           CAST(2 * (SELECT na * nb FROM tot)
+                - (r2a - (SELECT na * (na + 1) FROM tot)) AS BIGINT)
+               AS u2_b
+    FROM r
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) between the click and "
+    "purchase value samples — the nonparametric location test next to "
+    "the KS distribution test.  Tied values take midranks; doubling "
+    "every rank keeps midranks integral (2·avg_rank = 2·C_prev + c + "
+    "1), so U is emitted as the exact integer 2U with the "
+    "complementary u2_b = 2·n_a·n_b − u2_a as a built-in cross-check "
+    "— the z-score normalization stays consumer-side.  Rank "
+    "positions come from the same two-phase distributed prefix sum as "
+    "the KS ECDFs (per-bucket window + broadcast offsets), then one "
+    "distributive weighted sum — no global sort, no global window.",
+)
+def mannwhitney_u_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cb"),
+    )
+    b = base.withColumn("c", F.col("ca") + F.col("cb")).withColumn(
+        "bkt", F.floor("value").cast("long")
+    )
+    w_in = W.partitionBy("bkt").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    loc = b.withColumn(
+        "lc", F.sum("c").over(w_in) - F.col("c")
+    ).localCheckpoint(eager=False)
+    bkt_tot = loc.groupBy("bkt").agg(F.sum("c").alias("tc"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bkt_tot.select(
+        "bkt", F.coalesce(F.sum("tc").over(w_off), F.lit(0)).alias("oc")
+    )
+    cum = loc.join(F.broadcast(offs), "bkt").select(
+        "ca", "c", (F.col("lc") + F.col("oc")).alias("cprev")
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("cprev") + F.col("c") + 1)
+        ).alias("r2a")
+    )
+    tot = base.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    return (
+        r.crossJoin(F.broadcast(tot)).select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+            .cast("long")
+            .alias("u2_a"),
+            (
+                2 * F.col("na") * F.col("nb")
+                - (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+            )
+            .cast("long")
+            .alias("u2_b"),
+        )
+    )

@@ -5487,3 +5487,77 @@ def mannwhitney_u_click_purchase(
             .alias("u2_b"),
         )
     )
+
+
+# --- exact distributed median via two-phase bin refinement -----------------
+
+
+@register(
+    "exact_median_price",
+    oracle="""
+    , mc AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    med_tot AS (SELECT count(*) AS n FROM mc),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM mc
+    )
+    SELECT CAST((SELECT n FROM med_tot) AS BIGINT) AS n,
+           CAST((SELECT (n + 1) // 2 FROM med_tot) AS BIGINT) AS k,
+           CAST((SELECT cents FROM ranked
+                 WHERE rn = (SELECT (n + 1) // 2 FROM med_tot))
+                AS BIGINT) AS median_cents
+    """,
+    doc="Exact global median (lower median, k = ceil(n/2)) of line-item "
+    "price WITHOUT a global sort — the two-phase selection pattern: "
+    "phase 1 is a distributive $1000-bin histogram (tiny), whose "
+    "cumulative counts locate the median bin and the in-bin offset; "
+    "phase 2 ranks ONLY the rows of that one bin (~1/1000 of the "
+    "data; a skewed bin can recurse the same trick).  The oracle's "
+    "full row_number ranking is the semantics, not the plan — Spark "
+    "never shuffles the fact table by value, only the selected bin.  "
+    "Prices quantized to exact cents first, so the k-th value is "
+    "well-defined under ties regardless of tie-break.",
+)
+def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    BIN = 100000  # $1000 bins in cents
+    mc = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    tot = mc.agg(F.count(F.lit(1)).alias("n")).select(
+        "n", F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("k")
+    )
+    bins = mc.groupBy(
+        F.expr(f"CAST(cents DIV {BIN} AS BIGINT)").alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative over the tiny bin list (documented tiny-window pattern)
+    w = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    med_bin = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("cnt") < F.col("k"))
+        )
+        .select(
+            "bkt", (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("off")
+        )
+    )
+    in_bin = mc.join(
+        F.broadcast(med_bin),
+        F.expr(f"CAST(cents DIV {BIN} AS BIGINT)") == F.col("bkt"),
+    )
+    w_rank = W.orderBy("cents")  # one-bin subset: bounded by bin width
+    kth = (
+        in_bin.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == F.col("off"))
+        .select(F.col("cents").alias("median_cents"))
+    )
+    return tot.crossJoin(F.broadcast(kth)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("median_cents").cast("long").alias("median_cents"),
+    )

@@ -5561,3 +5561,56 @@ def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         F.col("median_cents").cast("long").alias("median_cents"),
     )
+
+
+# --- privacy governance: k-anonymity / l-diversity audit -------------------
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    , qg AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS grp_n,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                   AS l_div
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(sum(CASE WHEN grp_n < 10 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(min(grp_n) AS BIGINT) AS k_anonymity,
+           CAST(min(l_div) AS BIGINT) AS l_diversity
+    FROM qg
+    """,
+    doc="Privacy-governance audit before a data release: group the "
+    "table by its quasi-identifiers (nation x market segment), report "
+    "the achieved k-anonymity (smallest group), the number of "
+    "re-identifiable groups below k=10 with their row exposure, and "
+    "the achieved l-diversity (fewest distinct sensitive-attribute "
+    "buckets — $1000 balance bands — in any group).  One "
+    "partial-aggregated groupBy plus a constant-width rollup; the "
+    "sensitive-bucket floor is integer on both engines (balances can "
+    "be negative: floor, never int-cast).",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qg = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct(
+            F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")
+        ).alias("l_div"),
+    )
+    return qg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("grp_n") < 10, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("grp_n").cast("long").alias("k_anonymity"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+    )

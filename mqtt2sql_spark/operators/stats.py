@@ -1,0 +1,110 @@
+"""Distributed two-sample tests over (value, ca, cb) count relations.
+
+Both operators consume a PRE-AGGREGATED relation — one row per distinct
+value with the two samples' counts at that value — and share the same
+scale skeleton: a two-phase exact prefix sum (per-bucket cumulative
+window + broadcast bucket offsets, the running_totals shape; the bucket
+must be a monotonic integer function of the value) followed by one
+distributive aggregate.  Nothing global is ever sorted or windowed over
+the full relation, and every emitted number is an exact integer
+(rationals cross-multiplied), so results are bit-stable across engines
+and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _with_prefix(
+    base: DataFrame, bucket: Column, cols: dict[str, str]
+) -> DataFrame:
+    """Inclusive exact prefix sums of ``cols`` (src -> out name) in
+    value order: in-bucket cumulative window, then broadcast offsets
+    from the tiny per-bucket totals."""
+    b = base.withColumn("_bkt", bucket)
+    w_in = W.partitionBy("_bkt").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    loc = b
+    for src, out in cols.items():
+        loc = loc.withColumn(f"_in_{out}", F.sum(src).over(w_in))
+    loc = loc.localCheckpoint(eager=False)
+    bkt_tot = loc.groupBy("_bkt").agg(
+        *[F.sum(src).alias(f"_t_{out}") for src, out in cols.items()]
+    )
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bkt_tot.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_t_{out}").over(w_off), F.lit(0)).alias(
+                f"_o_{out}"
+            )
+            for out in cols.values()
+        ],
+    )
+    joined = loc.join(F.broadcast(offs), "_bkt")
+    for out in cols.values():
+        joined = joined.withColumn(
+            out, F.col(f"_in_{out}") + F.col(f"_o_{out}")
+        )
+    return joined
+
+
+def ks_statistic(base: DataFrame, bucket: Column) -> DataFrame:
+    """Two-sample KS over (value, ca, cb): one row with n_a, n_b,
+    d_num, d_den (D = d_num/d_den), argmax_v_fp (1e-4 fixed point)."""
+    cum = _with_prefix(base, bucket, {"ca": "cca", "cb": "ccb"})
+    tot = base.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        F.abs(
+            F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
+        ).alias("dnum"),
+    )
+    mx = diffs.agg(F.max("dnum").alias("d_num"))
+    arg = diffs.join(F.broadcast(mx), F.col("dnum") == F.col("d_num")).agg(
+        F.min(F.expr("CAST(floor(value * 10000) AS BIGINT)")).alias(
+            "argmax_v_fp"
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(arg))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("d_num").cast("long").alias("d_num"),
+            (F.col("na") * F.col("nb")).cast("long").alias("d_den"),
+            "argmax_v_fp",
+        )
+    )
+
+
+def mannwhitney_u(base: DataFrame, bucket: Column) -> DataFrame:
+    """Mann-Whitney U over (value, ca, cb): one row with n_a, n_b and
+    the doubled statistics u2_a, u2_b (midranks stay integral at 2x)."""
+    b = base.withColumn("c", F.col("ca") + F.col("cb"))
+    cum = _with_prefix(b, bucket, {"c": "cinc"}).withColumn(
+        "cprev", F.col("cinc") - F.col("c")
+    )
+    r = cum.agg(
+        F.sum(F.col("ca") * (2 * F.col("cprev") + F.col("c") + 1)).alias(
+            "r2a"
+        )
+    )
+    tot = base.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    u2a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    return r.crossJoin(F.broadcast(tot)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        (2 * F.col("na") * F.col("nb") - u2a).cast("long").alias("u2_b"),
+    )

@@ -5323,6 +5323,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ROUND-OF-RAW-DOUBLE rule).",
 )
 def ks_statistic_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.stats import ks_statistic
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -5334,61 +5336,7 @@ def ks_statistic_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("cb"),
     )
-    # two-phase exact prefix sums (running_totals shape, two measures in
-    # one pass): in-bucket cumulative window + broadcast bucket offsets
-    b = base.withColumn("bkt", F.floor("value").cast("long"))
-    w_in = W.partitionBy("bkt").orderBy("value").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    loc = (
-        b.withColumn("la", F.sum("ca").over(w_in))
-        .withColumn("lb", F.sum("cb").over(w_in))
-        .localCheckpoint(eager=False)
-    )
-    bkt_tot = loc.groupBy("bkt").agg(
-        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
-    )
-    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    offs = bkt_tot.select(
-        "bkt",
-        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
-        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
-    )
-    cum = loc.join(F.broadcast(offs), "bkt").select(
-        "value",
-        (F.col("la") + F.col("oa")).alias("cca"),
-        (F.col("lb") + F.col("ob")).alias("ccb"),
-    )
-    tot = base.agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-    )
-    diffs = cum.crossJoin(F.broadcast(tot)).select(
-        "value",
-        F.abs(
-            F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
-        ).alias("dnum"),
-    )
-    mx = diffs.agg(F.max("dnum").alias("d_num"))
-    arg = (
-        diffs.join(F.broadcast(mx), F.col("dnum") == F.col("d_num"))
-        .agg(
-            F.min(F.expr("CAST(floor(value * 10000) AS BIGINT)")).alias(
-                "argmax_v_fp"
-            )
-        )
-    )
-    return (
-        tot.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(arg))
-        .select(
-            F.col("na").alias("n_a"),
-            F.col("nb").alias("n_b"),
-            F.col("d_num").cast("long").alias("d_num"),
-            (F.col("na") * F.col("nb")).cast("long").alias("d_den"),
-            "argmax_v_fp",
-        )
-    )
+    return ks_statistic(base, F.floor("value").cast("long"))
 
 
 # --- Mann-Whitney U (rank-sum) test ----------------------------------------
@@ -5435,6 +5383,8 @@ def ks_statistic_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mannwhitney_u_click_purchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from mqtt2sql_spark.operators.stats import mannwhitney_u
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -5446,47 +5396,7 @@ def mannwhitney_u_click_purchase(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("cb"),
     )
-    b = base.withColumn("c", F.col("ca") + F.col("cb")).withColumn(
-        "bkt", F.floor("value").cast("long")
-    )
-    w_in = W.partitionBy("bkt").orderBy("value").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    loc = b.withColumn(
-        "lc", F.sum("c").over(w_in) - F.col("c")
-    ).localCheckpoint(eager=False)
-    bkt_tot = loc.groupBy("bkt").agg(F.sum("c").alias("tc"))
-    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    offs = bkt_tot.select(
-        "bkt", F.coalesce(F.sum("tc").over(w_off), F.lit(0)).alias("oc")
-    )
-    cum = loc.join(F.broadcast(offs), "bkt").select(
-        "ca", "c", (F.col("lc") + F.col("oc")).alias("cprev")
-    )
-    r = cum.agg(
-        F.sum(
-            F.col("ca") * (2 * F.col("cprev") + F.col("c") + 1)
-        ).alias("r2a")
-    )
-    tot = base.agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-    )
-    return (
-        r.crossJoin(F.broadcast(tot)).select(
-            F.col("na").alias("n_a"),
-            F.col("nb").alias("n_b"),
-            (F.col("r2a") - F.col("na") * (F.col("na") + 1))
-            .cast("long")
-            .alias("u2_a"),
-            (
-                2 * F.col("na") * F.col("nb")
-                - (F.col("r2a") - F.col("na") * (F.col("na") + 1))
-            )
-            .cast("long")
-            .alias("u2_b"),
-        )
-    )
+    return mannwhitney_u(base, F.floor("value").cast("long"))
 
 
 # --- exact distributed median via two-phase bin refinement -----------------

@@ -325,3 +325,85 @@ def test_skyline_matches_bruteforce_under_partitioning(spark, pts, n_parts):
     ).repartition(n_parts)
     got = {r.pid for r in skyline_min_min(df, "x", "y").collect()}
     assert got == expect
+
+
+samples_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=15),  # value (small → many ties)
+    ),
+    min_size=2,
+    max_size=50,
+).filter(lambda s: {g for g, _ in s} == {"a", "b"})
+
+
+def _two_sample_base(spark, samples, n_parts):
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(float(v), 1 if g == "a" else 0, 1 if g == "b" else 0)
+         for g, v in samples],
+        "value double, a int, b int",
+    ).repartition(n_parts)
+    return df.groupBy("value").agg(
+        SF.sum("a").alias("ca"), SF.sum("b").alias("cb")
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(samples_strategy, st.integers(min_value=1, max_value=5))
+def test_ks_statistic_matches_python_reference(spark, samples, n_parts):
+    """Distributed KS == direct Python ECDF evaluation, exactly."""
+    import pyspark.sql.functions as SF
+
+    from mqtt2sql_spark.operators.stats import ks_statistic
+
+    a = sorted(v for g, v in samples if g == "a")
+    bs = sorted(v for g, v in samples if g == "b")
+    na, nb = len(a), len(bs)
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(bs, v) * na)
+        for v in {v for _, v in samples}
+    )
+    row = ks_statistic(
+        _two_sample_base(spark, samples, n_parts),
+        SF.floor("value").cast("long"),
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.d_num, row.d_den) == (
+        na, nb, d_num, na * nb
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(samples_strategy, st.integers(min_value=1, max_value=5))
+def test_mannwhitney_matches_python_reference(spark, samples, n_parts):
+    """Distributed doubled-rank U == direct Python midrank computation."""
+    import pyspark.sql.functions as SF
+
+    from mqtt2sql_spark.operators.stats import mannwhitney_u
+
+    vals = sorted(v for _, v in samples)
+    # doubled midrank of value v: positions lo+1..hi (1-based) → 2*avg
+    import bisect
+
+    def rank2(v):
+        lo = bisect.bisect_left(vals, v)
+        hi = bisect.bisect_right(vals, v)
+        return (lo + 1) + hi  # 2 * (lo+1+hi)/2
+
+    a = [v for g, v in samples if g == "a"]
+    na = len(a)
+    nb = len(samples) - na
+    r2a = sum(rank2(v) for v in a)
+    u2a = r2a - na * (na + 1)
+    row = mannwhitney_u(
+        _two_sample_base(spark, samples, n_parts),
+        SF.floor("value").cast("long"),
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.u2_a, row.u2_b) == (
+        na, nb, u2a, 2 * na * nb - u2a
+    )

@@ -888,59 +888,60 @@ SEM_TAU_DEN2 = 25
     "left join against the dup-pair set.",
 )
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = embedding_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    # checkpoint the cluster assignment: the kmeans chain is expensive
+    # and would otherwise re-derive per consumer branch
+    assign = (
+        embedding_kmeans_assign(spark, sf_dir)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    e = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "fval")
-    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
-    q = e.join(assign, "vec_id").select(
-        "vec_id",
-        "cluster",
-        "dim",
-        "val",
-        F.floor(F.col("val") * F.col("val") * _Q_DIST)
-        .cast("long")
-        .alias("sq_fp"),
+    # array form: one row per vector.  The pair join then shuffles
+    # cluster-size^2 ROWS instead of cluster-size^2 x dim (the previous
+    # long-format join moved 16M rows at sf0.1; this moves 250k —
+    # measured 10.3 s -> 5.8 s end to end).  The per-pair dot is an
+    # interpreted zip_with/aggregate fold, affordable at pair-count
+    # volume; per-element floor(u*v*Q) BEFORE the sum keeps the exact
+    # integer contract (identical to the oracle's long-format sum).
+    qfp = F.expr(
+        f"aggregate(transform(e, v -> CAST(floor(v * v * {_Q_DIST}) "
+        "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    norms = q.groupBy("vec_id", "cluster").agg(F.sum("sq_fp").alias("n2_fp"))
-    x = q.select(
+    base = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .join(assign, "vec_id")
+        .select("vec_id", "cluster", "e", qfp.alias("n2_fp"))
+        .localCheckpoint(eager=False)
+    )
+    x = base.select(
         F.col("vec_id").alias("doc_a"),
         "cluster",
-        "dim",
-        F.col("val").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("n2_fp").alias("na_fp"),
     )
-    y = q.select(
+    y = base.select(
         F.col("vec_id").alias("doc_b"),
-        F.col("cluster").alias("y_cluster"),
-        F.col("dim").alias("y_dim"),
-        F.col("val").alias("vb"),
+        F.col("cluster").alias("yc"),
+        F.col("e").alias("eb"),
+        F.col("n2_fp").alias("nb_fp"),
     )
-    dots = (
-        x.join(
-            y,
-            (F.col("cluster") == F.col("y_cluster"))
-            & (F.col("dim") == F.col("y_dim"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .groupBy("doc_a", "doc_b", "cluster")
-        .agg(
-            F.sum(
-                F.floor(F.col("va") * F.col("vb") * _Q_DIST).cast("long")
-            ).alias("dot_fp")
-        )
-    )
-    na = norms.select(
-        F.col("vec_id").alias("a_id"), F.col("n2_fp").alias("na_fp")
-    )
-    nb = norms.select(
-        F.col("vec_id").alias("b_id"), F.col("n2_fp").alias("nb_fp")
+    dot = F.expr(
+        f"aggregate(zip_with(ea, eb, (u, v) -> CAST(floor(u * v * "
+        f"{_Q_DIST}) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     dec = "decimal(38,0)"
     dups = (
-        dots.join(na, F.col("doc_a") == F.col("a_id"))
-        .join(nb, F.col("doc_b") == F.col("b_id"))
+        x.join(
+            y,
+            (F.col("cluster") == F.col("yc"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_b", dot.alias("dot_fp"), "na_fp", "nb_fp")
         .filter(
             (F.col("dot_fp") >= 0)
             & (
@@ -956,7 +957,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        norms.join(dups, norms["vec_id"] == dups["doc_b"], "left")
+        base.join(dups, base["vec_id"] == dups["doc_b"], "left")
         .select(
             "vec_id",
             "cluster",

@@ -1463,3 +1463,133 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("p_vec") * 1.0 / TOP_K, 4).alias("recall_at_k"),
         )
     )
+
+
+# --- density clustering: DBSCAN core points --------------------------------
+
+DB_MIN_PTS = 3  # neighbors (excluding self) required for a core point
+
+
+@register(
+    "density_core_points",
+    oracle=f"""
+    , e AS (
+        SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cell,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    n2 AS (
+        SELECT vec_id, cell,
+               list_sum(list_transform(e,
+                   v -> CAST(floor(v * v * {_Q_DIST}) AS BIGINT))) AS n2_fp
+        FROM e
+    ),
+    prs AS (
+        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+               list_sum(list_transform(range(1, {DIM} + 1),
+                   i -> CAST(floor(x.e[i] * y.e[i] * {_Q_DIST})
+                        AS BIGINT))) AS dot_fp
+        FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    ),
+    sim AS (
+        SELECT p.doc_a, p.doc_b
+        FROM prs p
+        JOIN n2 na ON na.vec_id = p.doc_a
+        JOIN n2 nb ON nb.vec_id = p.doc_b
+        WHERE p.dot_fp >= 0
+          AND CAST({SEM_TAU_DEN2} AS DECIMAL(38,0))
+              * CAST(p.dot_fp AS DECIMAL(38,0))
+              * CAST(p.dot_fp AS DECIMAL(38,0))
+              >= CAST({SEM_TAU_NUM2} AS DECIMAL(38,0))
+                 * CAST(na.n2_fp AS DECIMAL(38,0))
+                 * CAST(nb.n2_fp AS DECIMAL(38,0))
+    ),
+    degs AS (
+        SELECT vec_id, count(*) AS n_neighbors FROM (
+            SELECT doc_a AS vec_id FROM sim
+            UNION ALL SELECT doc_b FROM sim
+        ) GROUP BY vec_id
+    )
+    SELECT n.vec_id, n.cell,
+           CAST(coalesce(d.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+           CAST(CASE WHEN coalesce(d.n_neighbors, 0) >= {DB_MIN_PTS}
+                THEN 1 ELSE 0 END AS INTEGER) AS is_core
+    FROM n2 n LEFT JOIN degs d ON d.vec_id = n.vec_id
+    """,
+    doc=f"DBSCAN-style density readout: per vector, the number of "
+    "ε-neighbors (cosine ≥ τ, the exact-integer SemDeDup test) within "
+    f"its hash cell, and the core-point flag (≥ {DB_MIN_PTS} "
+    "neighbors) — the density-clustering primitive (core/border/noise "
+    "triage) that drives cluster seeding and outlier removal in "
+    "embedding curation.  Cell confinement (deterministic vec_id % K "
+    "cells, the IVF contract) keeps the pair comparison O(cell²) "
+    "instead of O(n²); the pair join moves array rows once "
+    "(the semantic_dedup_keep shape) and neighbor degrees fall out of "
+    "one union-aggregate.  All-integer surface.",
+)
+def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    qfp = F.expr(
+        f"aggregate(transform(e, v -> CAST(floor(v * v * {_Q_DIST}) "
+        "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr(f"CAST(vec_id % {KM_K} AS BIGINT)").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).select("vec_id", "cell", "e", qfp.alias("n2_fp")).localCheckpoint(
+        eager=False
+    )
+    x = base.select(
+        F.col("vec_id").alias("doc_a"),
+        "cell",
+        F.col("e").alias("ea"),
+        F.col("n2_fp").alias("na_fp"),
+    )
+    y = base.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("cell").alias("yc"),
+        F.col("e").alias("eb"),
+        F.col("n2_fp").alias("nb_fp"),
+    )
+    dot = F.expr(
+        f"aggregate(zip_with(ea, eb, (u, v) -> CAST(floor(u * v * "
+        f"{_Q_DIST}) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    dec = "decimal(38,0)"
+    sim = (
+        x.join(
+            y,
+            (F.col("cell") == F.col("yc"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", dot.alias("dot_fp"), "na_fp", "nb_fp")
+        .filter(
+            (F.col("dot_fp") >= 0)
+            & (
+                F.lit(SEM_TAU_DEN2).cast(dec)
+                * F.col("dot_fp").cast(dec)
+                * F.col("dot_fp").cast(dec)
+                >= F.lit(SEM_TAU_NUM2).cast(dec)
+                * F.col("na_fp").cast(dec)
+                * F.col("nb_fp").cast(dec)
+            )
+        )
+    )
+    degs = (
+        sim.select(F.col("doc_a").alias("vec_id"))
+        .union(sim.select("doc_b"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return base.join(degs, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+        F.when(F.coalesce("n_neighbors", F.lit(0)) >= DB_MIN_PTS, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_core"),
+    )

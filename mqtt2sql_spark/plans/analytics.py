@@ -5559,3 +5559,105 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grp_n").cast("long").alias("k_anonymity"),
         F.min("l_div").cast("long").alias("l_diversity"),
     )
+
+
+# --- association rules (confidence / lift) ---------------------------------
+
+
+@register(
+    "association_rules_parts",
+    oracle="""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    items AS (
+        SELECT l_partkey AS item, count(*) AS supp FROM basket GROUP BY 1
+    ),
+    prc AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS supp_ab
+        FROM basket x JOIN basket y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM basket),
+    rules AS (
+        SELECT a AS antecedent, b AS consequent, supp_ab FROM prc
+        UNION ALL
+        SELECT b, a, supp_ab FROM prc
+    )
+    SELECT CAST(antecedent AS BIGINT) AS antecedent,
+           CAST(consequent AS BIGINT) AS consequent,
+           CAST(supp_ab AS BIGINT) AS supp_ab,
+           CAST(1000000 * supp_ab // ia.supp AS BIGINT) AS conf_ppm,
+           CAST(1000000 * supp_ab * (SELECT n FROM nb)
+                // (ia.supp * ic.supp) AS BIGINT) AS lift_ppm
+    FROM rules
+    JOIN items ia ON ia.item = antecedent
+    JOIN items ic ON ic.item = consequent
+    WHERE supp_ab >= 3
+    ORDER BY conf_ppm DESC, antecedent, consequent LIMIT 50
+    """,
+    doc="Association-rule mining over order baskets: for every part "
+    "pair co-purchased in >=3 orders, both directed rules with "
+    "confidence = supp(ab)/supp(a) and lift = supp(ab)·N/"
+    "(supp(a)·supp(b)) in exact integer ppm — the market-basket "
+    "recommender readout (frequent-itemset stage of Apriori at "
+    "k=2).  Rides the single-grouped-explode pair derivation "
+    "(no fact self-join), joins the item-support dim twice, and "
+    "finishes with a distributed TakeOrdered(50) under a total-order "
+    "tie-break.  The support floor bounds rule fan-out at any scale.",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    basket = li.distinct().localCheckpoint(eager=False)
+    items = basket.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    baskets = (
+        basket.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    prc = (
+        e1.select("i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .groupBy(F.col("pk1").alias("a"), F.col("pk2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 3)
+    )
+    nb = basket.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    rules = prc.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "supp_ab",
+    ).union(
+        prc.select(F.col("b"), F.col("a"), "supp_ab")
+    )
+    ia = items.select(
+        F.col("item").alias("ia_item"), F.col("supp").alias("ia_supp")
+    )
+    ic = items.select(
+        F.col("item").alias("ic_item"), F.col("supp").alias("ic_supp")
+    )
+    return (
+        rules.join(ia, F.col("antecedent") == F.col("ia_item"))
+        .join(ic, F.col("consequent") == F.col("ic_item"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("antecedent").cast("long").alias("antecedent"),
+            F.col("consequent").cast("long").alias("consequent"),
+            F.col("supp_ab").cast("long").alias("supp_ab"),
+            F.expr("CAST(1000000 * supp_ab DIV ia_supp AS BIGINT)").alias(
+                "conf_ppm"
+            ),
+            F.expr(
+                "CAST(1000000 * supp_ab * n DIV (ia_supp * ic_supp) "
+                "AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("conf_ppm"), "antecedent", "consequent")
+        .limit(50)
+    )

@@ -1369,3 +1369,157 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("relation"),
         )
     )
+
+
+# --- semi-supervised label propagation over the similarity graph -----------
+
+_LP_SEED_MOD = 5  # docs with doc_id % 5 == 0 are the labeled seed set
+
+
+@register(
+    "label_propagation_langid",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    prs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    lp_edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                 UNION ALL SELECT doc_b, doc_a FROM prs),
+    seeds AS (SELECT doc_id, lang FROM documents
+              WHERE doc_id % {_LP_SEED_MOD} = 0),
+    v1 AS (
+        SELECT e.dst AS doc_id, s.lang, count(*) AS c
+        FROM lp_edges e JOIN seeds s ON s.doc_id = e.src
+        GROUP BY 1, 2
+    ),
+    w1 AS (
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, lang) AS rn
+            FROM v1
+        ) WHERE rn = 1
+    ),
+    l1 AS (
+        SELECT d.doc_id, coalesce(s.lang, w.lang) AS lang
+        FROM documents d
+        LEFT JOIN seeds s ON s.doc_id = d.doc_id
+        LEFT JOIN w1 w ON w.doc_id = d.doc_id
+    ),
+    v2 AS (
+        SELECT e.dst AS doc_id, l.lang, count(*) AS c
+        FROM lp_edges e JOIN l1 l ON l.doc_id = e.src
+        WHERE l.lang IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    w2 AS (
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, lang) AS rn
+            FROM v2
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT d.doc_id,
+               coalesce(s.lang, w.lang, p.lang) AS lang
+        FROM documents d
+        LEFT JOIN seeds s ON s.doc_id = d.doc_id
+        LEFT JOIN w2 w ON w.doc_id = d.doc_id
+        LEFT JOIN l1 p ON p.doc_id = d.doc_id
+    )
+    SELECT d.doc_id, d.lang AS true_lang,
+           coalesce(l.lang, 'unknown') AS pred_lang,
+           CAST(CASE WHEN d.doc_id % {_LP_SEED_MOD} = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS is_seed,
+           CAST(CASE WHEN l.lang = d.lang THEN 1 ELSE 0 END
+                AS INTEGER) AS correct
+    FROM documents d JOIN l2 l ON l.doc_id = d.doc_id
+    """,
+    doc="Semi-supervised label propagation: 20% of documents keep their "
+    "language label (the clamped seed set), and labels spread over the "
+    "MinHash-LSH similarity graph for two unrolled rounds of "
+    "majority vote (ties broken lexicographically, integer vote "
+    "counts, winners via a per-node ranking window) — the classic "
+    "label-spreading recipe for annotating an unlabeled corpus from "
+    "a small labeled slice, with per-doc correctness against the "
+    "held-out truth as the built-in eval.  Each round is one edge "
+    "join + hash agg + per-node window, all keyed on doc_id "
+    "(distributes); the candidate graph is reused from a lazy "
+    "checkpoint, never re-derived per round.",
+)
+def label_propagation_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prs = dedup_minhash_pairs(spark, sf_dir)
+    edges = (
+        prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(prs.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint(eager=False)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    seeds = docs.filter(F.col("doc_id") % _LP_SEED_MOD == 0).select(
+        "doc_id", F.col("lang").alias("s_lang")
+    )
+
+    def one_round(labels: DataFrame) -> DataFrame:
+        # labels: (doc_id, lang nullable).  Returns per-node winner.
+        votes = (
+            edges.join(
+                labels.filter(F.col("lang").isNotNull()).select(
+                    F.col("doc_id").alias("src"), "lang"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"), "lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("doc_id").orderBy(F.desc("c"), "lang")
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("w_lang"))
+        )
+
+    l0 = docs.join(seeds, "doc_id", "left").select(
+        "doc_id", F.col("s_lang").alias("lang")
+    )
+    w1 = one_round(l0)
+    l1 = (
+        docs.join(seeds, "doc_id", "left")
+        .join(w1, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("s_lang", "w_lang").alias("lang")
+        )
+        .localCheckpoint(eager=False)
+    )
+    w2 = one_round(l1)
+    l2 = (
+        docs.join(seeds, "doc_id", "left")
+        .join(w2, "doc_id", "left")
+        .join(l1.select("doc_id", F.col("lang").alias("p_lang")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("s_lang", "w_lang", "p_lang").alias("lang"),
+        )
+    )
+    return (
+        docs.join(l2.select("doc_id", F.col("lang").alias("pred")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.coalesce("pred", F.lit("unknown")).alias("pred_lang"),
+            F.when(F.col("doc_id") % _LP_SEED_MOD == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_seed"),
+            F.when(F.col("pred") == F.col("lang"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )

@@ -5661,3 +5661,115 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("conf_ppm"), "antecedent", "consequent")
         .limit(50)
     )
+
+
+# --- BFS hop distribution from the hub part --------------------------------
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        """
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    bprs AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM basket x JOIN basket y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM bprs
+              UNION ALL SELECT b, a FROM bprs),
+    deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+    hub AS (
+        SELECT v FROM deg
+        ORDER BY d DESC, v LIMIT 1
+    ),
+    d0 AS (
+        SELECT v, CASE WHEN v = (SELECT v FROM hub) THEN 0 END AS dist
+        FROM deg
+    )"""
+    ]
+    for k in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f""",
+    d{k} AS (
+        SELECT p.v,
+               least(p.dist,
+                     (SELECT min(q.dist) + 1
+                      FROM edges e JOIN d{k - 1} q ON q.v = e.src
+                      WHERE e.dst = p.v AND q.dist IS NOT NULL)) AS dist
+        FROM d{k - 1} p
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(coalesce(dist, -1) AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM d{_BFS_ROUNDS} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "bfs_hops_from_hub",
+    oracle=_bfs_oracle(),
+    doc=f"BFS hop-distance distribution from the hub part (highest "
+    "co-purchase degree, id tie-break) — the reachability/diameter "
+    f"probe of the graph family, {_BFS_ROUNDS} unrolled frontier "
+    "rounds: dist_k+1(v) = min(dist_k(v), 1 + min over in-edges), "
+    "exactly the iterative-join shape of PageRank but with a MIN "
+    "semiring instead of sum — integer hops, bit-exact on any "
+    "engine.  Unreached parts report hop −1.  Each round is one "
+    "edge join + min-aggregate; the output is a ≤6-row histogram "
+    "regardless of scale.",
+    tags=("operator", "iterative"),
+)
+def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    und = (
+        e1.select("i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .select(F.col("pk1").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b"), F.col("a")))
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hub = deg.orderBy(F.desc("d"), "src").limit(1).select(
+        F.col("src").alias("hub_v")
+    )
+    dist = deg.crossJoin(F.broadcast(hub)).select(
+        F.col("src").alias("v"),
+        F.when(F.col("src") == F.col("hub_v"), F.lit(0))
+        .cast("long")
+        .alias("dist"),
+    )
+    for k in range(_BFS_ROUNDS):
+        inc = (
+            dist.filter(F.col("dist").isNotNull())
+            .join(edges, dist["v"] == edges["src"])
+            .groupBy(F.col("dst").alias("iv"))
+            .agg((F.min("dist") + 1).alias("reach"))
+        )
+        dist = (
+            dist.join(inc, dist["v"] == inc["iv"], "left")
+            .select("v", F.least("dist", "reach").alias("dist"))
+        )
+        if k % 2 == 1:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.groupBy(
+        F.coalesce("dist", F.lit(-1)).cast("long").alias("hop")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))

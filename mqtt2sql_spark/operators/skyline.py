@@ -64,7 +64,10 @@ def skyline_min_min(df: DataFrame, x: str, y: str) -> DataFrame:
             yield _local_skyline(pdf, x, y)
 
     def glob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_rows = pd.concat(list(batches), ignore_index=True)
+        blocks = list(batches)
+        if not blocks:  # empty relation → empty skyline, not a concat error
+            return
+        all_rows = pd.concat(blocks, ignore_index=True)
         yield _local_skyline(all_rows, x, y)
 
     pruned = df.mapInPandas(local, schema=schema)

@@ -4997,9 +4997,14 @@ def fuzzy_join_deletion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the variant generation out (the distinct's AQE-coalesced
     # output can be a single task at fixture scale)
     topics = topics.repartition(spark.sparkContext.defaultParallelism)
+    # guard the empty string: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    # instead of being empty like DuckDB's range(1, 1) — an empty key
+    # must contribute only its identity variant on both engines
     deletions = F.expr(
-        "transform(sequence(1, length(topic)), "
-        "i -> concat(substring(topic, 1, i - 1), substring(topic, i + 1)))"
+        "CASE WHEN length(topic) = 0 THEN array() "
+        "ELSE transform(sequence(1, length(topic)), "
+        "i -> concat(substring(topic, 1, i - 1), substring(topic, i + 1))) "
+        "END"
     )
     variants = topics.select(
         "topic",

@@ -5361,6 +5361,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct-value relation.  argmax location reported as the "
     "smallest value attaining D (floor fixed-point, the "
     "ROUND-OF-RAW-DOUBLE rule).",
+    bench=True,
 )
 def ks_statistic_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2sql_spark.operators.stats import ks_statistic
@@ -5469,6 +5470,7 @@ def mannwhitney_u_click_purchase(
     "never shuffles the fact table by value, only the selected bin.  "
     "Prices quantized to exact cents first, so the k-th value is "
     "well-defined under ties regardless of tie-break.",
+    bench=True,
 )
 def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIN = 100000  # $1000 bins in cents

@@ -1716,3 +1716,67 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- 84600 * n_syllables DIV greatest(n_words, 1) AS BIGINT)"
         ),
     )
+
+
+# --- stratified k-fold cross-validation assignment --------------------------
+
+_KFOLDS = 5
+
+
+@register(
+    "kfold_assignment_balance",
+    oracle=f"""
+    , folds AS (
+        SELECT lang,
+               CAST((instr('0123456789abcdef',
+                           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    * 16
+                    + instr('0123456789abcdef',
+                            substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                    AS BIGINT) % {_KFOLDS} AS fold
+        FROM documents
+    ),
+    per AS (
+        SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+        FROM folds GROUP BY 1, 2
+    )
+    SELECT lang, fold, n_docs,
+           CAST(min(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS stratum_min,
+           CAST(max(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS stratum_max
+    FROM per
+    """,
+    doc=f"Stratified {_KFOLDS}-fold cross-validation assignment: fold = "
+    "(first md5 byte of the stable key) mod k, so folds are "
+    "reproducible across runs, engines and partitionings (the "
+    "train_test_split hash contract extended to CV), and the output "
+    "reports per-stratum fold balance (min/max fold size per "
+    "language) — the skew check run before trusting CV variance.  "
+    "One distributive aggregate plus marginal windows over the tiny "
+    "(lang x fold) grid.",
+)
+def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hexs = "0123456789abcdef"
+    h = F.md5(F.col("doc_id").cast("string"))
+    byte0 = (
+        (F.instr(F.lit(hexs), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit(hexs), F.substring(h, 2, 1))
+        - 1
+    )
+    per = (
+        docs.select(
+            "lang", (byte0.cast("long") % _KFOLDS).alias("fold")
+        )
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = W.partitionBy("lang")
+    return per.select(
+        "lang",
+        "fold",
+        "n_docs",
+        F.min("n_docs").over(w).cast("long").alias("stratum_min"),
+        F.max("n_docs").over(w).cast("long").alias("stratum_max"),
+    )

@@ -697,3 +697,97 @@ def dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+# --- survival table (Kaplan-Meier sufficient statistics) --------------------
+
+_SURV_CENSOR_DAYS = 7  # active within N days of corpus end → censored
+
+
+@register(
+    "survival_table_user_lifetime",
+    oracle=f"""
+    , anchor2 AS (SELECT CAST(max(ts) AS DATE) AS d1 FROM events),
+    life AS (
+        SELECT user_id,
+               datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                   AS dur,
+               CASE WHEN datediff('day', CAST(max(ts) AS DATE),
+                                  (SELECT d1 FROM anchor2))
+                         < {_SURV_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS censored
+        FROM events GROUP BY user_id
+    ),
+    surv_tot AS (SELECT count(*) AS n_users FROM life),
+    pts AS (
+        SELECT dur,
+               sum(1 - censored) AS n_events,
+               sum(censored) AS n_censored
+        FROM life GROUP BY dur
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST((SELECT n_users FROM surv_tot)
+                - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_at_risk
+    FROM pts
+    """,
+    doc="Survival table over user lifetimes (first→last event span, "
+    "right-censored when the user is still active within "
+    f"{_SURV_CENSOR_DAYS} days of corpus end) — the Kaplan-Meier / "
+    "churn-analysis input: per distinct lifetime, deaths, censorings "
+    "and the at-risk count just before that time.  The estimator "
+    "S(t) = Π(1 − d_i/n_i) is a product of rationals, so the exact "
+    "integer TABLE is the compared surface and the product stays "
+    "consumer-side.  One per-user aggregate (distributes on "
+    "user_id), a tiny distinct-lifetime rollup, and the at-risk "
+    "prefix over ≤ a-few-hundred rows (documented tiny-window "
+    "pattern).  All-integer surface.",
+)
+def survival_table_user_lifetime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("last_d", "first_d").alias("dur"),
+            F.when(
+                F.datediff("d1", "last_d") < _SURV_CENSOR_DAYS, 1
+            )
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    tot = life.agg(F.count(F.lit(1)).alias("n_users"))
+    pts = life.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).alias("n_events"),
+        F.sum("censored").alias("n_censored"),
+    )
+    w = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        pts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dur").cast("long").alias("dur_days"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+            (
+                F.col("n_users")
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(w),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("n_at_risk"),
+        )
+    )

@@ -5780,3 +5780,101 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(
         F.coalesce("dist", F.lit(-1)).cast("long").alias("hop")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+
+
+# --- RFM customer segmentation (banded) ------------------------------------
+
+
+@register(
+    "rfm_banded_segments",
+    oracle="""
+    , rfm_anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               datediff('day', CAST(max(o_orderdate) AS DATE),
+                        (SELECT d1 FROM rfm_anchor)) AS rec_days,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT CASE WHEN rec_days < 90 THEN 5 WHEN rec_days < 365 THEN 4
+                    WHEN rec_days < 730 THEN 3 WHEN rec_days < 1460 THEN 2
+                    ELSE 1 END AS r_score,
+               CASE WHEN freq >= 30 THEN 5 WHEN freq >= 20 THEN 4
+                    WHEN freq >= 10 THEN 3 WHEN freq >= 5 THEN 2
+                    ELSE 1 END AS f_score,
+               CASE WHEN cents >= 40000000 THEN 5
+                    WHEN cents >= 20000000 THEN 4
+                    WHEN cents >= 10000000 THEN 3
+                    WHEN cents >= 2000000 THEN 2 ELSE 1 END AS m_score,
+               cents
+        FROM per_cust
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per customer, recency (days since "
+    "last order, anchored to the data's own max date), frequency "
+    "(order count) and monetary value (exact cents), scored into "
+    "fixed bands and rolled up to the <=125-cell segment grid with "
+    "customer counts and segment value — the CRM targeting matrix.  "
+    "Banded (not quantile) scoring keeps the whole pipeline exact "
+    "integers and distributive: one per-customer aggregate, one "
+    "constant-width rollup, no ranking window anywhere.",
+)
+def rfm_banded_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("d1")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("rec_days", F.datediff("d1", "last_d"))
+    )
+    r_score = (
+        F.when(F.col("rec_days") < 90, 5)
+        .when(F.col("rec_days") < 365, 4)
+        .when(F.col("rec_days") < 730, 3)
+        .when(F.col("rec_days") < 1460, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= 30, 5)
+        .when(F.col("freq") >= 20, 4)
+        .when(F.col("freq") >= 10, 3)
+        .when(F.col("freq") >= 5, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("cents") >= 40000000, 5)
+        .when(F.col("cents") >= 20000000, 4)
+        .when(F.col("cents") >= 10000000, 3)
+        .when(F.col("cents") >= 2000000, 2)
+        .otherwise(1)
+    )
+    return (
+        per_cust.select(
+            r_score.cast("int").alias("r_score"),
+            f_score.cast("int").alias("f_score"),
+            m_score.cast("int").alias("m_score"),
+            "cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("segment_cents"),
+        )
+    )

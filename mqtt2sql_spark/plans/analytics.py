@@ -5878,3 +5878,117 @@ def rfm_banded_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("segment_cents"),
         )
     )
+
+
+@register(
+    "item_item_cosine_topk",
+    oracle="""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    supp AS (
+        SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n
+        FROM basket GROUP BY 1
+    ),
+    pc AS (
+        SELECT x.l_partkey AS pk1, y.l_partkey AS pk2,
+               CAST(count(*) AS BIGINT) AS co
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT pk1 AS part, pk2 AS nbr, co FROM pc
+        UNION ALL
+        SELECT pk2 AS part, pk1 AS nbr, co FROM pc
+    ),
+    sc AS (
+        SELECT s.part, s.nbr, s.co, a.n AS n_part, b.n AS n_nbr,
+               CAST(floor(s.co / sqrt(CAST(a.n * b.n AS DOUBLE)) * 10000)
+                    AS BIGINT) AS cosine_x10000
+        FROM sym s
+        JOIN supp a ON a.pk = s.part
+        JOIN supp b ON b.pk = s.nbr
+    )
+    SELECT CAST(part AS BIGINT) AS part, CAST(nbr AS BIGINT) AS nbr,
+           n_part, n_nbr, co AS co_orders, cosine_x10000, rk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY part
+                   ORDER BY cosine_x10000 DESC, nbr) AS BIGINT) AS rk
+        FROM sc
+    ) WHERE rk <= 3
+    """,
+    doc="Item-item collaborative-filtering neighborhood: cosine "
+    "similarity between parts over their co-purchase order sets "
+    "(cos = co / sqrt(n_a*n_b)), top-3 neighbors per part with "
+    "support >= 2.  Pair generation reuses the bounded-basket "
+    "array-explode shape (orders hold <=7 parts => <=21 pairs "
+    "map-side, ONE fact shuffle); supports join as a part-dim "
+    "broadcast.  sqrt is IEEE-correctly-rounded so the double is "
+    "bit-identical cross-engine, and the surface is floor "
+    "fixed-point x10000 per the round-of-raw-double invariant; "
+    "per-part ranking is total-ordered (cosine DESC, nbr).",
+    tags=("recommender", "join"),
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    supp = (
+        basket.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    e1 = basket.filter(F.size("parts") >= 2).select(
+        "parts", F.posexplode("parts").alias("i", "pk1")
+    )
+    pc = (
+        e1.select("i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .groupBy("pk1", "pk2")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    sym = pc.select(
+        F.col("pk1").alias("part"), F.col("pk2").alias("nbr"), "co"
+    ).unionAll(
+        pc.select(
+            F.col("pk2").alias("part"), F.col("pk1").alias("nbr"), "co"
+        )
+    )
+    sc = (
+        sym.join(
+            F.broadcast(supp.select(F.col("pk").alias("part"),
+                                    F.col("n").alias("n_part"))),
+            "part",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("pk").alias("nbr"),
+                                    F.col("n").alias("n_nbr"))),
+            "nbr",
+        )
+        .select(
+            "part", "nbr", "co", "n_part", "n_nbr",
+            F.expr(
+                "CAST(floor(co / sqrt(CAST(n_part * n_nbr AS DOUBLE))"
+                " * 10000) AS BIGINT)"
+            ).alias("cosine_x10000"),
+        )
+    )
+    w = W.partitionBy("part").orderBy(F.desc("cosine_x10000"), F.asc("nbr"))
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("part").cast("long").alias("part"),
+            F.col("nbr").cast("long").alias("nbr"),
+            "n_part", "n_nbr",
+            F.col("co").alias("co_orders"),
+            "cosine_x10000", "rk",
+        )
+    )

@@ -569,3 +569,321 @@ def count_min_topic_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("true_n")).cast("long").alias("over_n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch: distinct counts WITH set algebra.
+# HLL (above) merges by union only; the KMV sketch — the k smallest
+# 60-bit md5 hash values per group — additionally supports union and
+# (via inclusion-exclusion) intersection estimates, which is what a
+# 100 TB audience-overlap / segment-jaccard question needs.  The k-th
+# minimum hash U(k) estimates the distinct count as (k-1)·2^60/U(k)
+# (Bar-Yossef et al. 2002); with fewer than k distinct hashes the sketch
+# IS the exact set.  The union sketch of two groups is the k smallest of
+# the concatenated sketches — never the raw data — so merge cost is
+# O(k) per group pair.  The estimate is kept in exact integer
+# arithmetic ((k-1)·2^60 as DECIMAL/HUGEINT, one integral division), so
+# Spark and DuckDB are bit-identical; exact union/intersection counts
+# ride along for error measurement (like hll_distinct_users).
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_NUM = str((KMV_K - 1) << 60)  # (k-1)·2^60, exceeds int64 → string literal
+
+
+def _kmv_est_col() -> Column:
+    """Estimate from an agg'd sketch with columns cnt (rows kept) and
+    hk (k-th minimum hash): exact when the whole set fit in the sketch,
+    else the KMV estimator in exact integer math (div → BIGINT)."""
+    return F.when(
+        F.col("cnt") < KMV_K, F.col("cnt").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST(CAST('{_KMV_NUM}' AS DECIMAL(38,0))"
+            " div greatest(hk, CAST(1 AS BIGINT)) AS BIGINT)"
+        )
+    )
+
+
+def _kmv_est_sql(alias: str) -> str:
+    return f"""
+           CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
+                ELSE CAST(CAST('{_KMV_NUM}' AS HUGEINT)
+                          // greatest(max(h), 1) AS BIGINT)
+           END AS {alias}"""
+
+
+@register(
+    "kmv_theta_sketch_pairs",
+    oracle=f"""
+    , kh AS (
+        SELECT DISTINCT event_type,
+               {_duck_hex15("md5(CAST(user_id AS VARCHAR))")} AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS r
+            FROM kh
+        ) WHERE r <= {KMV_K}
+    ),
+    esta AS (
+        SELECT event_type, {_kmv_est_sql("est")}
+        FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               a.est AS est_a, b.est AS est_b
+        FROM esta a JOIN esta b ON a.event_type < b.event_type
+    ),
+    u AS (
+        SELECT DISTINCT p.ta, p.tb, s.h
+        FROM pairs p
+        JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb
+    ),
+    usk AS (
+        SELECT ta, tb, h FROM (
+            SELECT ta, tb, h,
+                   row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+            FROM u
+        ) WHERE r <= {KMV_K}
+    ),
+    estu AS (
+        SELECT ta, tb, {_kmv_est_sql("est_union")}
+        FROM usk GROUP BY ta, tb
+    ),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exu AS (
+        SELECT p.ta, p.tb,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_union_exact
+        FROM (SELECT DISTINCT ta, tb FROM pairs) p
+        JOIN du d ON d.event_type = p.ta OR d.event_type = p.tb
+        GROUP BY p.ta, p.tb
+    ),
+    exi AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS n_inter_exact
+        FROM du a
+        JOIN du b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.ta, p.tb, p.est_a, p.est_b, e.est_union,
+           p.est_a + p.est_b - e.est_union AS est_inter,
+           CAST(greatest(p.est_a + p.est_b - e.est_union, 0) * 1000000
+                // greatest(e.est_union, 1) AS BIGINT) AS jaccard_est_ppm,
+           x.n_union_exact,
+           coalesce(i.n_inter_exact, 0) AS n_inter_exact
+    FROM pairs p
+    JOIN estu e USING (ta, tb)
+    JOIN exu x USING (ta, tb)
+    LEFT JOIN exi i USING (ta, tb)
+    """,
+    doc=f"KMV theta sketch (k={KMV_K} minimum 60-bit md5 values) per "
+    "event_type with pairwise set algebra: union estimate from the "
+    "merged sketches (k smallest of the two k-min sets — O(k) merge, "
+    "never touching raw data) and intersection / jaccard via "
+    "inclusion-exclusion, all in exact integer arithmetic so both "
+    "engines agree bit-for-bit.  Exact union/intersection counts are "
+    "joined alongside to measure sketch error.  At 100 TB the sketch "
+    "relation is ≤ k rows per group after one partial-agg'd shuffle; "
+    "every pairwise op downstream runs on ≤ k·|groups| rows.",
+    tags=("sketch", "distinct"),
+)
+def kmv_theta_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kh = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = (
+        kh.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= KMV_K)
+        .drop("r")
+    )
+    esta = (
+        sk.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+        .select("event_type", _kmv_est_col().alias("est"))
+    )
+    pairs = (
+        esta.select(
+            F.col("event_type").alias("ta"), F.col("est").alias("est_a")
+        )
+        .join(
+            esta.select(
+                F.col("event_type").alias("tb"), F.col("est").alias("est_b")
+            ),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    # union sketch: k smallest of the two k-min sets.  The OR-join is a
+    # nested loop against the tiny pairs relation (|types|² rows) over
+    # the ≤ k·|types|-row sketch — post-sketch work never sees raw data.
+    pair_keys = pairs.select("ta", "tb")
+    u = (
+        pair_keys.join(
+            sk,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+        .distinct()
+    )
+    wu = W.partitionBy("ta", "tb").orderBy("h")
+    usk = (
+        u.withColumn("r", F.row_number().over(wu))
+        .where(F.col("r") <= KMV_K)
+        .drop("r")
+    )
+    estu = (
+        usk.groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+        .select("ta", "tb", _kmv_est_col().alias("est_union"))
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exu = (
+        pair_keys.join(
+            du,
+            (du["event_type"] == F.col("ta"))
+            | (du["event_type"] == F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_union_exact"))
+    )
+    exi = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter_exact"))
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        pairs.join(estu, ["ta", "tb"])
+        .join(exu, ["ta", "tb"])
+        .join(exi, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_inter"),
+            F.expr(
+                "CAST(greatest(est_a + est_b - est_union, 0) * 1000000"
+                " div greatest(est_union, 1) AS BIGINT)"
+            ).alias("jaccard_est_ppm"),
+            "n_union_exact",
+            F.coalesce(F.col("n_inter_exact"), F.lit(0).cast("long")).alias(
+                "n_inter_exact"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Zone-map (min/max statistics) pruning audit.  Parquet row groups, Delta
+# file stats and ORC stripes all prune scans with per-chunk min/max; this
+# query builds the zone map a day-partitioned events table would carry
+# and measures how much of a range predicate's I/O it eliminates — the
+# "should we partition/sort by this column" planning question asked
+# before laying out a 100 TB table.
+# --------------------------------------------------------------------------
+
+ZM_LO, ZM_HI = 200.0, 250.0  # exactly-representable doubles on both engines
+
+
+@register(
+    "zonemap_pruning_audit",
+    oracle=f"""
+    , zones AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               min(value) AS mn, max(value) AS mx,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value >= {ZM_LO!r} AND value <= {ZM_HI!r}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT event_type, n, matched,
+               CASE WHEN mx < {ZM_LO!r} OR mn > {ZM_HI!r}
+                    THEN 1 ELSE 0 END AS pruned
+        FROM zones
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_zones,
+           CAST(sum(pruned) AS BIGINT) AS zones_pruned,
+           CAST(sum(n) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN pruned = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_pruned,
+           CAST(sum(CASE WHEN pruned = 0 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           CAST(sum(matched) AS BIGINT) AS rows_matched,
+           CAST((sum(CASE WHEN pruned = 0 THEN n ELSE 0 END)
+                 - sum(matched)) * 1000000
+                // greatest(sum(CASE WHEN pruned = 0 THEN n ELSE 0 END), 1)
+                AS BIGINT) AS false_positive_ppm
+    FROM flagged GROUP BY event_type
+    """,
+    doc=f"Zone-map pruning audit: per (event_type, day) zone, the "
+    f"min/max statistics a day-partitioned layout would store, scored "
+    f"against the range predicate value IN [{ZM_LO}, {ZM_HI}] — zones "
+    "whose [min,max] misses the range are skipped without scanning.  "
+    "Reports zones/rows pruned, rows the surviving zones would scan, "
+    "exact matches, and the false-positive read ratio in integer ppm "
+    "(how much I/O min/max stats fail to eliminate).  One partial-"
+    "agg'd shuffle builds the zone map; the audit itself runs on "
+    "|types|x|days| stat rows.  Predicate constants are exactly-"
+    "representable doubles so comparisons are bit-identical.",
+    tags=("sketch", "layout"),
+)
+def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_range = (F.col("value") >= ZM_LO) & (F.col("value") <= ZM_HI)
+    zones = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(in_range, 1).otherwise(0)).alias("matched"),
+    )
+    flagged = zones.select(
+        "event_type",
+        "n",
+        "matched",
+        F.when(
+            (F.col("mx") < ZM_LO) | (F.col("mn") > ZM_HI), 1
+        ).otherwise(0).alias("pruned"),
+    )
+    scanned = F.sum(F.when(F.col("pruned") == 0, F.col("n")).otherwise(0))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_zones"),
+        F.sum("pruned").cast("long").alias("zones_pruned"),
+        F.sum("n").cast("long").alias("rows_total"),
+        F.sum(F.when(F.col("pruned") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_pruned"),
+        scanned.cast("long").alias("rows_scanned"),
+        F.sum("matched").cast("long").alias("rows_matched"),
+        F.expr(
+            "CAST((sum(CASE WHEN pruned = 0 THEN n ELSE 0 END)"
+            " - sum(matched)) * 1000000"
+            " div greatest(sum(CASE WHEN pruned = 0 THEN n ELSE 0 END), 1)"
+            " AS BIGINT)"
+        ).alias("false_positive_ppm"),
+    )

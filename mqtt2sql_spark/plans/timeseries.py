@@ -791,3 +791,85 @@ def survival_table_user_lifetime(
             .alias("n_at_risk"),
         )
     )
+
+
+@register(
+    "seasonal_naive_forecast",
+    oracle="""
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a.event_type, a.n,
+               abs(a.n - s.n) AS err7,
+               abs(a.n - p.n) AS err1
+        FROM daily a
+        JOIN daily s ON s.event_type = a.event_type
+                    AND s.day = a.day - 7
+        JOIN daily p ON p.event_type = a.event_type
+                    AND p.day = a.day - 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS days_scored,
+           CAST(sum(err7) AS BIGINT) AS total_abs_err7,
+           CAST(sum(err1) AS BIGINT) AS total_abs_err1,
+           CAST(sum(err7) * 1000000 // count(*) AS BIGINT) AS mae7_ppm,
+           CAST(sum(err7) * 1000000 // greatest(sum(n), 1) AS BIGINT)
+               AS wape7_ppm,
+           CAST(sum(err7) * 1000000 // greatest(sum(err1), 1) AS BIGINT)
+               AS mase_ppm
+    FROM scored GROUP BY event_type
+    """,
+    doc="Seasonal-naive forecast evaluation: predict each day's event "
+    "count per type with the same-day-of-week value one week earlier "
+    "(the standard strong baseline for weekly-seasonal series) and "
+    "score only days where both the lag-7 and lag-1 observations "
+    "exist.  MAE and WAPE are exact integer ppm; mase_ppm compares "
+    "against the lag-1 persistence baseline (ratio < 1e6 means the "
+    "seasonal model beats persistence), so the whole surface is "
+    "integer and bit-identical cross-engine.  The daily rollup is one "
+    "partial-agg'd shuffle over the raw events; the self-joins and "
+    "final agg run on |types|x|days| rows — at 100 TB the heavy scan "
+    "happens once, everything after is dimension-sized.",
+    tags=("timeseries", "forecast"),
+)
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, s, p = daily.alias("a"), daily.alias("s"), daily.alias("p")
+    scored = (
+        a.join(
+            s,
+            (F.col("s.event_type") == F.col("a.event_type"))
+            & (F.col("s.day") == F.date_sub(F.col("a.day"), 7)),
+        )
+        .join(
+            p,
+            (F.col("p.event_type") == F.col("a.event_type"))
+            & (F.col("p.day") == F.date_sub(F.col("a.day"), 1)),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n"),
+            F.abs(F.col("a.n") - F.col("s.n")).alias("err7"),
+            F.abs(F.col("a.n") - F.col("p.n")).alias("err1"),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("days_scored"),
+        F.sum("err7").cast("long").alias("total_abs_err7"),
+        F.sum("err1").cast("long").alias("total_abs_err1"),
+        F.expr("CAST(sum(err7) * 1000000 div count(*) AS BIGINT)").alias(
+            "mae7_ppm"
+        ),
+        F.expr(
+            "CAST(sum(err7) * 1000000 div greatest(sum(n), 1) AS BIGINT)"
+        ).alias("wape7_ppm"),
+        F.expr(
+            "CAST(sum(err7) * 1000000 div greatest(sum(err1), 1) AS BIGINT)"
+        ).alias("mase_ppm"),
+    )

@@ -263,3 +263,22 @@ def test_gram_matrix_shuffles_only_blocks(spark):
     # addition) is the budget; the partial_sum proves map-side combine
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "partial_sum(s" in plan
+
+
+def test_item_item_cosine_bounds_and_rank(spark):
+    """cosine <= 1 (x10000 fixed-point), co <= min(supports), and the
+    per-part neighbor rank is a contiguous total order."""
+    from mqtt2sql_spark.plans.analytics import item_item_cosine_topk
+
+    rows = item_item_cosine_topk(spark, SF_DIR).collect()
+    assert rows
+    by_part = {}
+    for r in rows:
+        assert 0 < r.cosine_x10000 <= 10000
+        assert r.co_orders <= min(r.n_part, r.n_nbr)
+        by_part.setdefault(r.part, []).append(r)
+    for part, rs in by_part.items():
+        rks = sorted(x.rk for x in rs)
+        assert rks == list(range(1, len(rks) + 1))
+        ordered = sorted(rs, key=lambda x: (-x.cosine_x10000, x.nbr))
+        assert [x.rk for x in ordered] == list(range(1, len(rs) + 1))

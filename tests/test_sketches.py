@@ -136,3 +136,54 @@ def test_count_min_matches_reference_python(spark):
     for topic, (tn, en) in got.items():
         assert tn == true[topic]
         assert en == min(sketch[(i, bkt(i, topic))] for i in range(CM_DEPTH))
+
+
+# --- KMV theta sketch ------------------------------------------------------
+
+
+def test_kmv_union_estimate_within_error_bound(spark):
+    """KMV at k=64: sigma ~ 1/sqrt(k-2) ~ 13%; allow 30% on the union
+    estimate, and require the inclusion-exclusion intersection to stay
+    within an additive band of the exact overlap."""
+    from mqtt2sql_spark.plans.sketches import kmv_theta_sketch_pairs
+
+    rows = kmv_theta_sketch_pairs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.ta < r.tb
+        rel = abs(r.est_union - r.n_union_exact) / r.n_union_exact
+        assert rel < 0.30, (r.ta, r.tb, r.est_union, r.n_union_exact)
+        # intersection inherits error from three estimates: wide band
+        assert abs(r.est_inter - r.n_inter_exact) <= 0.6 * r.n_union_exact
+
+
+def test_kmv_merge_never_touches_raw_data(spark):
+    """The union estimate must be computable from the two per-type
+    sketches alone: k smallest of (sketch_a union sketch_b) equals the
+    k smallest of the full hash union."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.sketches import KMV_K
+
+    ev = load_table(spark, SF_DIR, "events")
+    kh = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("h"),
+    ).distinct()
+    types = [r.event_type for r in kh.select("event_type").distinct().collect()]
+    a, b = sorted(types)[:2]
+    full = sorted(
+        r.h
+        for r in kh.where(F.col("event_type").isin([a, b]))
+        .select("h").distinct().collect()
+    )[:KMV_K]
+    per_type = {
+        t: sorted(r.h for r in kh.where(F.col("event_type") == t)
+                  .select("h").collect())[:KMV_K]
+        for t in (a, b)
+    }
+    merged = sorted(set(per_type[a]) | set(per_type[b]))[:KMV_K]
+    assert merged == full

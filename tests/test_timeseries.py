@@ -130,3 +130,20 @@ def test_activity_bitmask_consistent(spark):
         assert 0 < r.hour_mask < (1 << 24)
         assert bin(r.hour_mask).count("1") == r.active_hours
         assert r.active_hours <= min(r.n_events, 24)
+
+
+def test_seasonal_naive_identities(spark):
+    """mae7_ppm must equal the integer ratio of the exact totals it is
+    derived from, and the seasonal error can never exceed total actuals
+    plus total forecasts (triangle bound on |n - n_prev7|)."""
+    from mqtt2sql_spark.plans.timeseries import seasonal_naive_forecast
+
+    rows = seasonal_naive_forecast(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.days_scored > 0
+        assert r.mae7_ppm == r.total_abs_err7 * 1_000_000 // r.days_scored
+        assert (
+            r.mase_ppm
+            == r.total_abs_err7 * 1_000_000 // max(r.total_abs_err1, 1)
+        )

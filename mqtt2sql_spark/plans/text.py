@@ -1780,3 +1780,107 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_docs").over(w).cast("long").alias("stratum_min"),
         F.max("n_docs").over(w).cast("long").alias("stratum_max"),
     )
+
+
+# --- token frequency spectrum + Good-Turing coverage -----------------------
+
+
+@register(
+    "token_freq_spectrum",
+    oracle=f"""
+    , tok AS (
+        SELECT lang, unnest({duck_tokens()}) AS w FROM documents
+    ),
+    tf AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(length(bin(freq)) - 1 AS BIGINT) AS octave,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(freq) AS BIGINT) AS n_tokens
+    FROM tf GROUP BY 1, 2
+    """,
+    doc="Frequency-of-frequencies spectrum per language: distinct token "
+    "types and token mass bucketed by frequency octave (floor(log2 f) "
+    "via integer bit-length — length(bin(f))-1, no libm), the "
+    "Zipf/Good-Turing front-end used to size vocabularies and pick "
+    "min-frequency cutoffs for tokenizer training.  Two partial-agg'd "
+    "shuffles ((lang,token) counts, then the tiny octave rollup); the "
+    "docs scan repartitions before the explode so the single-file "
+    "fixture parallelizes.  All-integer surface.",
+    tags=("text", "vocab"),
+)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select("lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return tf.groupBy(
+        "lang", (F.length(F.bin("freq")) - 1).cast("long").alias("octave")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "good_turing_coverage",
+    oracle=f"""
+    , tok AS (
+        SELECT lang, unnest({duck_tokens()}) AS w FROM documents
+    ),
+    tf AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doubletons,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000
+                // greatest(sum(freq), 1) AS BIGINT) AS unseen_mass_ppm,
+           CAST(count(*) * 1000000 // greatest(sum(freq), 1) AS BIGINT)
+               AS ttr_ppm
+    FROM tf GROUP BY lang
+    """,
+    doc="Good-Turing missing-mass estimate per language: the "
+    "probability that the NEXT sampled token is unseen is estimated "
+    "by the singleton share N1/N (Good 1953) — the standard answer "
+    "to 'have we crawled enough of this language yet'.  Singleton/"
+    "doubleton counts, unseen mass and type-token ratio in exact "
+    "integer ppm; same two-shuffle shape as the spectrum (token "
+    "counts partial-agg'd, per-lang rollup tiny).",
+    tags=("text", "vocab"),
+)
+def good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select("lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ones = F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+    twos = F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+    return tf.groupBy("lang").agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        ones.cast("long").alias("n_singletons"),
+        twos.cast("long").alias("n_doubletons"),
+        F.expr(
+            "CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div greatest(sum(freq), 1) AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+        F.expr(
+            "CAST(count(*) * 1000000 div greatest(sum(freq), 1) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )

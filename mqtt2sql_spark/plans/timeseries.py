@@ -873,3 +873,58 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(err7) * 1000000 div greatest(sum(err1), 1) AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+@register(
+    "twap_daily_by_type",
+    oracle="""
+    , obs AS (
+        SELECT event_type, ts, CAST(ts AS DATE) AS day,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
+           CAST(sum(CAST(cents AS HUGEINT) * dur_us)
+                // greatest(sum(CAST(dur_us AS HUGEINT)), 1) AS BIGINT)
+               AS twap_cents
+    FROM obs WHERE dur_us IS NOT NULL
+    GROUP BY event_type, day
+    """,
+    doc="Time-weighted average value (TWAP) per event_type and day — "
+    "the last-observation-carried-forward integral TimescaleDB ships "
+    "as time_weight('LOCF'): each observation holds until the next "
+    "one of the same series (lead over the total order ts, event_id), "
+    "the interval is attributed to its start day, and the trailing "
+    "observation (unknown duration) is excluded.  Values quantize to "
+    "exact integer cents BEFORE weighting and the cents x micros "
+    "products accumulate in DECIMAL(38,0)/HUGEINT with one integral "
+    "division at the end, so both engines agree exactly.  One shuffle "
+    "by series key serves both the window and the (series, day) "
+    "rollup.",
+    tags=("timeseries", "window"),
+)
+def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    obs = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "dur_us"
+        ),
+    ).where(F.col("dur_us").isNotNull())
+    return obs.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("dur_us").cast("long").alias("dur_us_total"),
+        F.expr(
+            "CAST(sum(CAST(cents AS DECIMAL(38,0)) * dur_us)"
+            " div greatest(sum(CAST(dur_us AS DECIMAL(38,0))), 1)"
+            " AS BIGINT)"
+        ).alias("twap_cents"),
+    )

@@ -1,0 +1,62 @@
+"""Vocabulary statistics: frequency spectrum and Good-Turing coverage."""
+
+from tests.conftest import SF_DIR
+
+
+def test_spectrum_octaves_partition_the_vocab(spark):
+    """Every (lang, octave) bucket holds types whose frequency lies in
+    [2^octave, 2^(octave+1)), and spectrum totals must equal the
+    Good-Turing per-lang totals computed independently."""
+    from mqtt2sql_spark.plans.text import (
+        good_turing_coverage,
+        token_freq_spectrum,
+    )
+
+    spec = token_freq_spectrum(spark, SF_DIR).collect()
+    cov = {r.lang: r for r in good_turing_coverage(spark, SF_DIR).collect()}
+    assert spec and cov
+    types_by_lang, tokens_by_lang = {}, {}
+    for r in spec:
+        assert r.octave >= 0
+        # bucket bounds: n_tokens of the bucket is between n_types*2^o
+        # and n_types*(2^(o+1)-1)
+        lo, hi = 1 << r.octave, (1 << (r.octave + 1)) - 1
+        assert r.n_types * lo <= r.n_tokens <= r.n_types * hi
+        types_by_lang[r.lang] = types_by_lang.get(r.lang, 0) + r.n_types
+        tokens_by_lang[r.lang] = tokens_by_lang.get(r.lang, 0) + r.n_tokens
+    for lang, c in cov.items():
+        assert types_by_lang[lang] == c.n_types
+        assert tokens_by_lang[lang] == c.n_tokens
+        assert c.n_singletons <= c.n_types
+        assert c.unseen_mass_ppm == c.n_singletons * 1_000_000 // c.n_tokens
+
+
+def test_twap_equals_python_locf_integral(spark):
+    """TWAP for one (type, day) recomputed with a plain Python LOCF
+    integral over the raw rows."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import twap_daily_by_type
+
+    out = twap_daily_by_type(spark, SF_DIR)
+    probe = out.orderBy("event_type", "day").first()
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == probe.event_type)
+        .select("ts", "event_id", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    num = den = n_obs = 0
+    for cur, nxt in zip(ev, ev[1:]):
+        if cur.ts.date() != probe.day:
+            continue
+        dur = int((nxt.ts - cur.ts).total_seconds() * 1_000_000)
+        cents = round(cur.value * 100)
+        num += cents * dur
+        den += dur
+        n_obs += 1
+    assert n_obs == probe.n_obs
+    assert den == probe.dur_us_total
+    assert probe.twap_cents == num // den

@@ -5992,3 +5992,90 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_x10000", "rk",
         )
     )
+
+
+@register(
+    "chi_square_type_dow",
+    oracle="""
+    , cells AS (
+        SELECT event_type, CAST(isodow(ts) AS INTEGER) AS iso_dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rowsums AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ),
+    colsums AS (
+        SELECT iso_dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    contrib AS (
+        SELECT ce.event_type,
+               CAST((CAST(ce.o AS HUGEINT) * t.n - CAST(rs.r AS HUGEINT)
+                     * cs.c) * (CAST(ce.o AS HUGEINT) * t.n
+                     - CAST(rs.r AS HUGEINT) * cs.c) * 1000000
+                    // (CAST(rs.r AS HUGEINT) * cs.c * t.n) AS BIGINT)
+                   AS chi2_cell_ppm
+        FROM cells ce
+        JOIN rowsums rs USING (event_type)
+        JOIN colsums cs USING (iso_dow)
+        CROSS JOIN tot t
+    )
+    SELECT c.event_type, r.r AS n_events,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(chi2_cell_ppm) AS BIGINT) AS chi2_ppm
+    FROM contrib c JOIN rowsums r USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc="Chi-square test of independence between event_type and ISO "
+    "day-of-week, per-type contributions: cell statistic "
+    "(O*N - R*C)^2 / (R*C*N) kept as exact HUGEINT/DECIMAL(38,0) "
+    "integers with one floor fixed-point (ppm) per cell — both "
+    "engines quantize identically, no float accumulation.  High "
+    "chi2_ppm for a type means its traffic has a weekly rhythm "
+    "(seasonality screen before modeling).  The contingency table is "
+    "one partial-agg'd shuffle; margins and the statistic run on the "
+    "|types|x7 cell relation.",
+    tags=("stats",),
+)
+def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rowsums = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    colsums = cells.groupBy("iso_dow").agg(
+        F.sum("o").cast("long").alias("c")
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rowsums), "event_type")
+        .join(F.broadcast(colsums), "iso_dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS"
+                " DECIMAL(38,0)) * c) * (CAST(o AS DECIMAL(38,0)) * n"
+                " - CAST(r AS DECIMAL(38,0)) * c) * 1000000"
+                " div (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)"
+            ).alias("chi2_cell_ppm"),
+        )
+    )
+    return (
+        contrib.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("chi2_cell_ppm").cast("long").alias("chi2_ppm"),
+        )
+        .join(F.broadcast(rowsums), "event_type")
+        .select(
+            "event_type",
+            F.col("r").alias("n_events"),
+            "n_cells",
+            "chi2_ppm",
+        )
+    )

@@ -887,3 +887,97 @@ def zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("false_positive_ppm"),
     )
+
+
+@register(
+    "bitmap_user_overlap",
+    oracle="""
+    , bm AS (
+        SELECT event_type, user_id // 63 AS bucket,
+               bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    card AS (
+        SELECT event_type, CAST(sum(bit_count(w)) AS BIGINT) AS n
+        FROM bm GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(sum(bit_count(a.w & b.w)) AS BIGINT) AS co_users
+        FROM bm a
+        JOIN bm b ON a.bucket = b.bucket
+                 AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.ta, i.tb, ca.n AS n_a, cb.n AS n_b, i.co_users,
+           CAST(i.co_users * 1000000
+                // greatest(ca.n + cb.n - i.co_users, 1) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN card ca ON ca.event_type = i.ta
+    JOIN card cb ON cb.event_type = i.tb
+    """,
+    doc="Bitmap-index set intersection: users per event_type packed "
+    "into 63-bit non-negative words keyed by user_id//63 (bit 63 is "
+    "never set: DuckDB range-checks signed left shift at 1<<63 where "
+    "Spark wraps, so the word width is what both engines agree on; "
+    "roaring-style dense-chunk layout otherwise), "
+    "bitmaps use for dense chunks), cardinalities via bit_count, and "
+    "pairwise audience overlap via word-AND on the bucket equi-join — "
+    "EXACT jaccard, the precise counterpart to kmv_theta_sketch_pairs' "
+    "estimates.  The bitmap relation is 64x smaller than the distinct "
+    "user list and bit_or/bit_count/AND are all codegen'd integer ops; "
+    "at 100 TB the per-type bitmap build is one partial-agg'd shuffle "
+    "and the pair join shuffles words, never user rows.  All-integer "
+    "surface.",
+    tags=("sketch", "bitmap"),
+)
+def bitmap_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bm = ev.groupBy(
+        "event_type",
+        F.expr("user_id div 63").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(user_id % 63 AS INT)))"
+        ).alias("w")
+    )
+    card = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("n")
+    )
+    a = bm.select(
+        F.col("event_type").alias("ta"), "bucket", F.col("w").alias("wa")
+    )
+    b = bm.select(
+        F.col("event_type").alias("tb"), "bucket", F.col("w").alias("wb")
+    )
+    inter = (
+        a.join(b, ["bucket"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("long")
+            .alias("co_users")
+        )
+    )
+    return (
+        inter.join(
+            F.broadcast(card.select(F.col("event_type").alias("ta"),
+                                    F.col("n").alias("n_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(card.select(F.col("event_type").alias("tb"),
+                                    F.col("n").alias("n_b"))),
+            "tb",
+        )
+        .select(
+            "ta", "tb", "n_a", "n_b", "co_users",
+            F.expr(
+                "CAST(co_users * 1000000"
+                " div greatest(n_a + n_b - co_users, 1) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -282,3 +282,35 @@ def test_item_item_cosine_bounds_and_rank(spark):
         assert rks == list(range(1, len(rks) + 1))
         ordered = sorted(rs, key=lambda x: (-x.cosine_x10000, x.nbr))
         assert [x.rk for x in ordered] == list(range(1, len(rs) + 1))
+
+
+def test_chi_square_matches_scipy_free_reference(spark):
+    """Per-type chi2 contributions recomputed with exact Python ints
+    using the same per-cell ppm quantization."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import chi_square_type_dow
+
+    out = {r.event_type: r for r in chi_square_type_dow(spark, SF_DIR).collect()}
+    assert out
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", (F.weekday("ts") + 1).alias("dow"))
+        .collect()
+    )
+    cells, rowt, colt = {}, {}, {}
+    for r in ev:
+        cells[(r.event_type, r.dow)] = cells.get((r.event_type, r.dow), 0) + 1
+        rowt[r.event_type] = rowt.get(r.event_type, 0) + 1
+        colt[r.dow] = colt.get(r.dow, 0) + 1
+    n = len(ev)
+    for t, row in out.items():
+        chi = sum(
+            (o * n - rowt[t] * colt[d]) ** 2 * 1_000_000
+            // (rowt[t] * colt[d] * n)
+            for (tt, d), o in cells.items()
+            if tt == t
+        )
+        assert row.chi2_ppm == chi
+        assert row.n_events == rowt[t]

@@ -187,3 +187,28 @@ def test_kmv_merge_never_touches_raw_data(spark):
     }
     merged = sorted(set(per_type[a]) | set(per_type[b]))[:KMV_K]
     assert merged == full
+
+
+def test_bitmap_overlap_is_exact(spark):
+    """Bitmap AND-intersection must equal exact distinct-user overlap."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.sketches import bitmap_user_overlap
+
+    rows = bitmap_user_overlap(spark, SF_DIR).collect()
+    assert rows
+    du = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    sets = {}
+    for r in du:
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    for r in rows:
+        a, b = sets[r.ta], sets[r.tb]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.co_users == len(a & b)
+        assert r.jaccard_ppm == len(a & b) * 1_000_000 // len(a | b)

@@ -6079,3 +6079,139 @@ def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_ppm",
         )
     )
+
+
+@register(
+    "seasonal_index_monthly",
+    oracle="""
+    , monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    ma AS (
+        SELECT m, rev_cents,
+               CASE WHEN count(*) OVER w = 12
+                    THEN sum(rev_cents) OVER w // 12
+               END AS trend_cents
+        FROM monthly
+        WINDOW w AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+    ),
+    ratio AS (
+        SELECT CAST(month(m) AS INTEGER) AS month_of_year,
+               rev_cents * 1000000 // trend_cents AS idx_ppm
+        FROM ma WHERE trend_cents IS NOT NULL
+    )
+    SELECT month_of_year,
+           CAST(count(*) AS BIGINT) AS n_years,
+           CAST(sum(idx_ppm) // count(*) AS BIGINT) AS seasonal_index_ppm,
+           CAST(min(idx_ppm) AS BIGINT) AS min_idx_ppm,
+           CAST(max(idx_ppm) AS BIGINT) AS max_idx_ppm
+    FROM ratio GROUP BY month_of_year
+    """,
+    doc="Classical ratio-to-moving-average seasonal decomposition of "
+    "monthly order revenue: trend = centered 12-month moving average "
+    "(full windows only), seasonal ratio = month/trend in integer "
+    "ppm, then the per-calendar-month index averaged across years — "
+    "the pre-model seasonality screen.  Revenue quantizes to exact "
+    "cents at the row level (FLOAT-SUM ORDER rule) and every "
+    "division is integral, so both engines agree exactly.  The "
+    "monthly rollup is the only fact-table shuffle; the window runs "
+    "over |months| rows.",
+    tags=("timeseries", "stats"),
+)
+def seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = W.orderBy("m").rowsBetween(-6, 5)
+    ma = monthly.select(
+        "m",
+        "rev_cents",
+        F.count(F.lit(1)).over(w).alias("cnt_w"),
+        F.sum("rev_cents").over(w).alias("sum_w"),
+    ).select(
+        "m",
+        "rev_cents",
+        F.when(
+            F.col("cnt_w") == 12, F.expr("sum_w div 12")
+        ).alias("trend_cents"),
+    )
+    ratio = ma.where(F.col("trend_cents").isNotNull()).select(
+        F.month("m").cast("int").alias("month_of_year"),
+        F.expr("rev_cents * 1000000 div trend_cents").alias("idx_ppm"),
+    )
+    return ratio.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        F.expr("CAST(sum(idx_ppm) div count(*) AS BIGINT)").alias(
+            "seasonal_index_ppm"
+        ),
+        F.min("idx_ppm").cast("long").alias("min_idx_ppm"),
+        F.max("idx_ppm").cast("long").alias("max_idx_ppm"),
+    )
+
+
+_FD_CANDIDATES = (
+    ("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("o_custkey->o_orderstatus", "orders", "o_custkey", "o_orderstatus"),
+    ("c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+)
+
+
+@register(
+    "fd_discovery_audit",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS violation_ppm,
+           CAST(max(ndv) AS BIGINT) AS max_rhs_ndv
+    FROM (
+        SELECT {lhs}, count(DISTINCT {rhs}) AS ndv
+        FROM {tbl} GROUP BY {lhs}
+    )"""
+        for name, tbl, lhs, rhs in _FD_CANDIDATES
+    ),
+    doc="Functional-dependency discovery audit (the data-profiling "
+    "primitive behind schema inference and normalization advice): for "
+    "each candidate lhs->rhs, the share of lhs keys mapping to more "
+    "than one rhs value.  c_custkey->c_nationkey is a true FD "
+    "(violation_ppm = 0, the detector's negative control); the "
+    "others measure real violation mass in integer ppm.  Each "
+    "candidate is one partial-agg'd groupBy on its lhs; candidates "
+    "union at the summary level (4 rows), never the fact level.",
+    tags=("dq", "profiling"),
+)
+def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for name, tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        g = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("ndv"))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("candidate"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.expr(
+                    "CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)"
+                    " * 1000000 div count(*) AS BIGINT)"
+                ).alias("violation_ppm"),
+                F.max("ndv").cast("long").alias("max_rhs_ndv"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

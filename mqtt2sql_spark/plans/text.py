@@ -1884,3 +1884,60 @@ def good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count(*) * 1000000 div greatest(sum(freq), 1) AS BIGINT)"
         ).alias("ttr_ppm"),
     )
+
+
+# --- positional phrase search ----------------------------------------------
+
+PHRASE = ("value", "table")
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+    , tok AS (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) - 1 AS pos
+        FROM (SELECT doc_id, {duck_tokens()} AS t FROM documents)
+    ),
+    p1 AS (SELECT doc_id, pos FROM tok WHERE w = '{PHRASE[0]}'),
+    p2 AS (SELECT doc_id, pos FROM tok WHERE w = '{PHRASE[1]}'),
+    hits AS (
+        SELECT a.doc_id,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(min(a.pos) AS BIGINT) AS first_pos
+        FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id
+    )
+    SELECT doc_id, n_occ, first_pos
+    FROM hits ORDER BY n_occ DESC, doc_id LIMIT 20
+    """,
+    doc=f"Positional inverted-index phrase search for the exact phrase "
+    f"'{' '.join(PHRASE)}': per-term posting lists carry token "
+    "positions (posexplode), and adjacency is a (doc_id, pos+1) "
+    "equi-join between the two term postings — the classic phrase-"
+    "query plan search engines run, needing only the two terms' "
+    "postings rather than a rescan of the corpus.  The filters on "
+    "the literal terms prune the exploded stream map-side before the "
+    "single (doc_id) shuffle; top-20 ranking is a distributed "
+    "TakeOrdered with total-order tie-break.  All-integer surface.",
+    tags=("text", "search"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    p1 = tok.where(F.col("w") == PHRASE[0]).select("doc_id", "pos")
+    p2 = tok.where(F.col("w") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    hits = (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+    return hits.orderBy(F.desc("n_occ"), "doc_id").limit(20)

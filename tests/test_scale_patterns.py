@@ -314,3 +314,54 @@ def test_chi_square_matches_scipy_free_reference(spark):
         )
         assert row.chi2_ppm == chi
         assert row.n_events == rowt[t]
+
+
+def test_fd_true_dependency_has_zero_violations(spark):
+    from mqtt2sql_spark.plans.analytics import fd_discovery_audit
+
+    rows = {r.candidate: r for r in fd_discovery_audit(spark, SF_DIR).collect()}
+    assert rows["c_custkey->c_nationkey"].n_violating == 0
+    assert rows["c_custkey->c_nationkey"].violation_ppm == 0
+    assert rows["c_custkey->c_nationkey"].max_rhs_ndv == 1
+    # l_orderkey -> l_returnflag is NOT an FD in TPC-H-ish data
+    assert rows["l_orderkey->l_returnflag"].n_keys > 0
+
+
+def test_seasonal_index_centers_near_unity(spark):
+    """Ratio-to-MA indices average near 1e6 ppm across calendar months
+    (the seasonal component is mean-one by construction)."""
+    from mqtt2sql_spark.plans.analytics import seasonal_index_monthly
+
+    rows = seasonal_index_monthly(spark, SF_DIR).collect()
+    assert len(rows) == 12
+    mean = sum(r.seasonal_index_ppm for r in rows) / 12
+    assert 0.8e6 < mean < 1.2e6
+    for r in rows:
+        assert r.min_idx_ppm <= r.seasonal_index_ppm <= r.max_idx_ppm
+
+
+def test_phrase_hits_contain_the_phrase(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.text import PHRASE, phrase_search_positional
+
+    rows = phrase_search_positional(spark, SF_DIR).collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id").isin(ids))
+        .collect()
+    }
+    phrase = " ".join(PHRASE)
+    for r in rows:
+        toks = docs[r.doc_id].lower().split()
+        occ = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == PHRASE[0] and toks[i + 1] == PHRASE[1]
+        )
+        assert occ == r.n_occ, (r.doc_id, occ, r.n_occ)
+        assert phrase in " ".join(toks)

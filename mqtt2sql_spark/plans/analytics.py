@@ -6215,3 +6215,158 @@ def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# Business-day arithmetic: weekdays-since-origin prefix function
+# f(d) = 5*(n div 7) + LUT[n % 7], n = days since Monday 1990-01-01.
+# The LUT is the cumulative weekday count inside a week starting Monday;
+# business days in (d0, d1] = f(d1) - f(d0).  Pure integer date math —
+# identical on both engines, no calendar UDF.
+_BD_ORIGIN = "1990-01-01"  # a Monday, safely before every fixture date
+_BD_LUT = (0, 1, 2, 3, 4, 5, 5)  # cum weekdays after n%7 days from Monday
+_BD_LUT_SQL = "[" + ", ".join(str(x) for x in _BD_LUT) + "]"
+
+
+@register(
+    "business_day_ship_latency",
+    oracle=f"""
+    , f AS (
+        SELECT o_orderpriority,
+               (5 * (datediff('day', DATE '{_BD_ORIGIN}',
+                              CAST(l_shipdate AS DATE)) // 7)
+                + ({_BD_LUT_SQL})[datediff('day', DATE '{_BD_ORIGIN}',
+                                  CAST(l_shipdate AS DATE)) % 7 + 1])
+             - (5 * (datediff('day', DATE '{_BD_ORIGIN}',
+                              CAST(o_orderdate AS DATE)) // 7)
+                + ({_BD_LUT_SQL})[datediff('day', DATE '{_BD_ORIGIN}',
+                                  CAST(o_orderdate AS DATE)) % 7 + 1])
+               AS bd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(bd) AS BIGINT) AS total_bd,
+           CAST(sum(bd) * 1000000 // count(*) AS BIGINT) AS mean_bd_ppm,
+           CAST(min(bd) AS BIGINT) AS min_bd,
+           CAST(max(bd) AS BIGINT) AS max_bd
+    FROM f GROUP BY o_orderpriority
+    """,
+    doc="Shipping latency in BUSINESS days per order priority: weekday "
+    "count between order and ship date via the prefix function "
+    "f(d) = 5*(days_since_Monday_origin div 7) + LUT[rem] — integer "
+    "date arithmetic with a 7-entry literal table instead of a "
+    "calendar UDF, so both engines agree exactly and the expression "
+    "stays inside codegen.  Rows shipping before their order date "
+    "(an artifact of independently drawn fixture dates) are excluded.  "
+    "The orders join shuffles on the order "
+    "key (fact-fact equi-join, AQE-skew-safe); everything after is a "
+    "partial-agg'd rollup.  SLA dashboards count weekends out — "
+    "calendar-day latency (ship_latency_histogram) overstates misses.",
+    tags=("analytics", "calendar"),
+)
+def business_day_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lut = F.array(*[F.lit(x) for x in _BD_LUT])
+
+    def f_of(col: str):
+        n = F.datediff(F.col(col).cast("date"), F.lit(_BD_ORIGIN).cast("date"))
+        return F.expr(
+            f"5 * (datediff(CAST({col} AS DATE), DATE '{_BD_ORIGIN}') div 7)"
+        ) + F.element_at(lut, (n % 7 + 1).cast("int"))
+
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # the synthetic fixture draws ship and order dates independently,
+        # so ~half the pairs ship "before" ordering; latency is defined
+        # on the physically sensible population only
+        .where(
+            F.col("l_shipdate").cast("date")
+            >= F.col("o_orderdate").cast("date")
+        )
+        .select(
+            "o_orderpriority",
+            (f_of("l_shipdate") - f_of("o_orderdate")).alias("bd"),
+        )
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum("bd").cast("long").alias("total_bd"),
+        F.expr("CAST(sum(bd) * 1000000 div count(*) AS BIGINT)").alias(
+            "mean_bd_ppm"
+        ),
+        F.min("bd").cast("long").alias("min_bd"),
+        F.max("bd").cast("long").alias("max_bd"),
+    )
+
+
+@register(
+    "open_orders_backlog_monthly",
+    oracle="""
+    , spans AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               CAST(o.o_orderdate AS DATE) AS placed,
+               CAST(max(l.l_shipdate) AS DATE) AS last_ship
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    months AS (
+        SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        FROM orders
+    )
+    SELECT m.m AS month,
+           CAST(count(*) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN s.o_orderpriority LIKE '1%'
+                           OR s.o_orderpriority LIKE '2%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_open_urgent
+    FROM months m
+    JOIN spans s ON s.placed <= m.m AND s.last_ship > m.m
+    GROUP BY m.m
+    """,
+    doc="Open-order backlog sampled at each month start: orders placed "
+    "on or before the sample date whose last lineitem ships strictly "
+    "after it — the interval-overlap COUNT pattern (how many "
+    "in-flight intervals cover each instant).  The span relation is "
+    "one fact-fact shuffle (max ship date per order); the sample "
+    "grid is the tiny distinct-months dim, so the inequality join is "
+    "a broadcast nested loop whose output is bounded by "
+    "|open spans| x |covering months| — the right plan when one side "
+    "is a handful of timestamps, vs. the O(n^2) self-join a naive "
+    "approach runs.  Urgent backlog (priority 1-2) rides along.",
+    tags=("analytics", "interval"),
+)
+def open_orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("placed"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+    )
+    months = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).distinct()
+    urgent = F.col("o_orderpriority").startswith("1") | F.col(
+        "o_orderpriority"
+    ).startswith("2")
+    j = spans.join(
+        F.broadcast(months),
+        (F.col("placed") <= F.col("m")) & (F.col("last_ship") > F.col("m")),
+    )
+    return j.groupBy(F.col("m").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_open"),
+        F.sum(F.when(urgent, 1).otherwise(0))
+        .cast("long")
+        .alias("n_open_urgent"),
+    )

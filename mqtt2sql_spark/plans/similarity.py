@@ -16,6 +16,7 @@ tie-break; output cosine rounded to 4.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -1592,4 +1593,109 @@ def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("is_core"),
+    )
+
+
+# --- nDCG ranking quality of the LSH index ---------------------------------
+
+# Integer DCG position weights floor(1e6 / log2(i+1)), precomputed in
+# Python (LIBM/CONSTANTS rule: cross-engine log differs by ulps, so the
+# weight table — not libm — is the definition on both engines).
+_NDCG_W = [int(1_000_000 // math.log2(i + 1)) for i in range(1, TOP_K + 1)]
+# ideal DCG: graded relevance TOP_K..1 laid out in rank order — a constant
+_NDCG_IDCG = sum((TOP_K - i) * w for i, w in enumerate(_NDCG_W))
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+
+
+@register(
+    "ann_ndcg_eval",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    exact AS (
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS BIGINT) AS rank
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rank <= {TOP_K}
+    ),
+    bkt AS ({_DUCK_BKT_UNION}),
+    lsh AS (
+        SELECT query_id, vec_id, rank FROM (
+            SELECT cand.query_id, cand.vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, cand.vec_id
+                   ) AS BIGINT) AS rank
+            FROM (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+                FROM bkt q JOIN bkt c
+                  ON q.tbl = c.tbl AND q.bucket = c.bucket
+                 AND q.vec_id <> c.vec_id
+                WHERE q.vec_id % {QUERY_MOD} = 0
+            ) cand
+            JOIN emb q ON q.vec_id = cand.query_id
+            JOIN emb c ON c.vec_id = cand.vec_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT l.query_id,
+           CAST(count(e.vec_id) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN e.rank IS NOT NULL
+                         THEN ({TOP_K + 1} - e.rank)
+                              * ({_NDCG_W_SQL})[l.rank]
+                         ELSE 0 END) AS BIGINT) AS dcg_micro,
+           CAST(sum(CASE WHEN e.rank IS NOT NULL
+                         THEN ({TOP_K + 1} - e.rank)
+                              * ({_NDCG_W_SQL})[l.rank]
+                         ELSE 0 END) * 1000000 // {_NDCG_IDCG}
+                AS BIGINT) AS ndcg_ppm
+    FROM lsh l
+    LEFT JOIN exact e
+      ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    GROUP BY l.query_id
+    """,
+    doc=f"nDCG@{TOP_K} of the sign-LSH index against the exact cosine "
+    "ranking: graded relevance = how high the exact ranking places "
+    f"each retrieved neighbor ({TOP_K}..1), position discount from a "
+    "Python-precomputed integer weight table floor(1e6/log2(i+1)) — "
+    "the LIBM/CONSTANTS rule keeps log2 out of both engines — and "
+    "the ideal DCG is a compile-time constant, so DCG and nDCG are "
+    "exact integers (micro / ppm).  Position-aware complement to "
+    "ann_recall_eval: recall ignores WHERE in the top-k the index "
+    "puts the true neighbors, nDCG charges for misordering.  Same "
+    "bucketed-join scale shape as the underlying ANN plans.",
+    tags=("similarity", "eval"),
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("e_query_id"),
+        F.col("vec_id").alias("e_vec_id"),
+        F.col("rank").alias("e_rank"),
+    )
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "vec_id", "rank")
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    gain = F.when(
+        F.col("e_rank").isNotNull(),
+        (F.lit(TOP_K + 1) - F.col("e_rank"))
+        * F.element_at(w_arr, F.col("rank").cast("int")),
+    ).otherwise(F.lit(0))
+    joined = lsh.join(
+        exact,
+        (F.col("query_id") == F.col("e_query_id"))
+        & (F.col("vec_id") == F.col("e_vec_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("e_vec_id").cast("long").alias("n_hits"),
+        F.sum(gain).cast("long").alias("dcg_micro"),
+        F.expr(
+            f"CAST(sum(CASE WHEN e_rank IS NOT NULL"
+            f" THEN ({TOP_K + 1} - e_rank)"
+            f" * element_at(array({', '.join(str(w) for w in _NDCG_W)}),"
+            f" CAST(rank AS INT)) ELSE 0 END) * 1000000"
+            f" div {_NDCG_IDCG} AS BIGINT)"
+        ).alias("ndcg_ppm"),
     )

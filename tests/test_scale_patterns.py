@@ -365,3 +365,67 @@ def test_phrase_hits_contain_the_phrase(spark):
         )
         assert occ == r.n_occ, (r.doc_id, occ, r.n_occ)
         assert phrase in " ".join(toks)
+
+
+def test_business_days_match_python_weekday_count(spark):
+    """Business-day formula re-verified against datetime.weekday() on a
+    sample of (order, ship) ranges."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import business_day_ship_latency
+
+    out = {r.o_orderpriority: r for r in
+           business_day_ship_latency(spark, SF_DIR).collect()}
+    assert out
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("placed"),
+        "o_orderpriority",
+    )
+    rows = li.join(orders, li.l_orderkey == orders.o_orderkey).collect()
+    totals, counts = {}, {}
+    for r in rows:
+        if r.ship < r.placed:
+            continue  # excluded population (fixture dates are independent)
+        # weekdays in [placed, ship): the prefix-function convention
+        bd, d = 0, r.placed
+        while d < r.ship:
+            if d.weekday() < 5:
+                bd += 1
+            d += timedelta(days=1)
+        totals[r.o_orderpriority] = totals.get(r.o_orderpriority, 0) + bd
+        counts[r.o_orderpriority] = counts.get(r.o_orderpriority, 0) + 1
+    for prio, row in out.items():
+        assert row.total_bd == totals[prio]
+        assert row.n_lineitems == counts[prio]
+
+
+def test_backlog_counts_intervals_covering_month_start(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import open_orders_backlog_monthly
+
+    out = {r.month: r.n_open for r in
+           open_orders_backlog_monthly(spark, SF_DIR).collect()}
+    assert out
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("placed")
+    )
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "placed")
+        .agg(F.max("ship").alias("last_ship"))
+        .collect()
+    )
+    probe = sorted(out)[len(out) // 2]
+    n = sum(1 for s in spans if s.placed <= probe < s.last_ship)
+    assert out[probe] == n

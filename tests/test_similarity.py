@@ -209,3 +209,39 @@ def test_ivf_index_partition_layout(spark, tmp_path):
     post = spark.read.parquet(f"{idx}/postings")
     assert post.count() == emb.count()
     assert post.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ndcg_bounds_and_perfect_ranking_sanity(spark):
+    """nDCG is in (0, 1e6]; a query whose LSH list matches the exact
+    top-k in order must score exactly 1e6 ppm."""
+    from mqtt2sql_spark.plans.similarity import (
+        _NDCG_IDCG,
+        _NDCG_W,
+        TOP_K,
+        ann_cosine_topk,
+        ann_lsh_topk,
+        ann_ndcg_eval,
+    )
+
+    rows = ann_ndcg_eval(spark, SF_DIR).collect()
+    assert rows
+    exact = {}
+    for r in ann_cosine_topk(spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, {})[r.vec_id] = r.rank
+    lsh = {}
+    for r in ann_lsh_topk(spark, SF_DIR).collect():
+        lsh.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for r in rows:
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        # recompute in plain Python
+        dcg = 0
+        for rank, vid in sorted(lsh[r.query_id]):
+            er = exact.get(r.query_id, {}).get(vid)
+            if er is not None:
+                dcg += (TOP_K + 1 - er) * _NDCG_W[rank - 1]
+        assert dcg == r.dcg_micro
+        assert r.ndcg_ppm == dcg * 1_000_000 // _NDCG_IDCG
+        if [v for _, v in sorted(lsh[r.query_id])] == [
+            v for v, _ in sorted(exact[r.query_id].items(), key=lambda x: x[1])
+        ]:
+            assert r.ndcg_ppm == 1_000_000

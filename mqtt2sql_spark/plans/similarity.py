@@ -1699,3 +1699,57 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {_NDCG_IDCG} AS BIGINT)"
         ).alias("ndcg_ppm"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    , expl AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                   AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q) // count(*) AS BIGINT) AS mean_q,
+           CAST((count(*) * sum(CAST(q AS HUGEINT) * q) - CAST(sum(q)
+                 AS HUGEINT) * sum(q))
+                // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT)
+               AS var_q2
+    FROM expl GROUP BY dim
+    """,
+    doc="Per-dimension feature statistics of the embedding column "
+    "(mean and population variance) — the normalization /whitening "
+    "precursor every vector pipeline computes before indexing.  "
+    "Components quantize to exact 1e-6 integers (floor(x*1e6+0.5), "
+    "identical both engines), the variance uses the exact integer "
+    "identity (n*Σq² - (Σq)²)/n² in HUGEINT/DECIMAL(38,0), and the "
+    "long posexplode layout shuffles (dim, partial-agg) pairs, never "
+    "whole vectors — the label_centroids scale shape.",
+    tags=("similarity", "stats"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    expl = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        )
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.expr("CAST(floor(val * 1000000 + 0.5) AS BIGINT)").alias("q"),
+    )
+    return expl.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.expr("CAST(sum(q) div count(*) AS BIGINT)").alias("mean_q"),
+        F.expr(
+            "CAST((count(*) * sum(CAST(q AS DECIMAL(38,0)) * q)"
+            " - CAST(sum(q) AS DECIMAL(38,0)) * sum(q))"
+            " div (CAST(count(*) AS DECIMAL(38,0)) * count(*)) AS BIGINT)"
+        ).alias("var_q2"),
+    )

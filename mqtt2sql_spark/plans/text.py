@@ -1941,3 +1941,156 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hits.orderBy(F.desc("n_occ"), "doc_id").limit(20)
+
+
+# --- deterministic token-dropout augmentation ------------------------------
+
+_DROP_MOD = 10  # drop tokens whose hash bucket is 0 → ~10% dropout
+
+
+@register(
+    "token_dropout_augment",
+    oracle=f"""
+    , tok AS (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) - 1 AS pos
+        FROM (SELECT doc_id, {duck_tokens()} AS t FROM documents)
+    ),
+    kept AS (
+        SELECT doc_id, w, pos FROM (
+            SELECT doc_id, w, pos,
+                   md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(pos AS VARCHAR) || ':' || w) AS hh
+            FROM tok
+        )
+        WHERE ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+               + instr('0123456789abcdef', substr(hh, 2, 1)) - 1)
+              % {_DROP_MOD} <> 0
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS aug_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({duck_tokens("d.text")}) AS BIGINT) AS n_tokens,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.aug_md5, md5('')) AS aug_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=f"Deterministic token-dropout augmentation (~1/{_DROP_MOD} of "
+    "tokens dropped): the drop decision is md5(doc_id:pos:token) mod "
+    f"{_DROP_MOD}, so the augmented corpus is reproducible across "
+    "runs, engines and partitionings — the property hash-seeded "
+    "augmentation needs for cacheable training data (rand() gives "
+    "none of it).  The augmented text is surfaced as its md5 (exact "
+    "content check without shipping full text); zero-token and "
+    "fully-dropped documents survive via the LEFT JOIN with "
+    "n_kept=0/md5('') (the repetition_filter lesson).  Map-side "
+    "hash-filter on the exploded stream, one (doc_id) shuffle to "
+    "reassemble in position order.",
+    tags=("text", "augment"),
+)
+def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    hh = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("pos").cast("string"),
+            F.col("w"),
+        )
+    )
+    hexs = "0123456789abcdef"
+    bucket = (
+        (F.instr(F.lit(hexs), F.substring(hh, 1, 1)) - 1) * 16
+        + F.instr(F.lit(hexs), F.substring(hh, 2, 1))
+        - 1
+    ) % _DROP_MOD
+    kept = tok.where(bucket != 0)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            )
+        ).alias("aug_md5"),
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("aug_md5"), F.md5(F.lit(""))).alias("aug_md5"),
+    )
+
+
+@register(
+    "bpe_first_merges",
+    oracle=f"""
+    , tf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({duck_tokens()}) AS w FROM documents)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair, freq, w
+        FROM tf, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair,
+           CAST(sum(freq) AS BIGINT) AS n_weighted,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types
+    FROM pairs GROUP BY pair
+    ORDER BY n_weighted DESC, pair LIMIT 20
+    """,
+    doc="First BPE merge-table iteration: corpus-weighted adjacent "
+    "character-pair frequencies (the argmax of this table is the "
+    "first merge byte-pair-encoding training performs).  The key "
+    "scale move: pairs explode from the DISTINCT token vocabulary "
+    "weighted by token frequency, not from the raw token stream — "
+    "the vocabulary is orders of magnitude smaller than the corpus, "
+    "so after the one (token) count shuffle the pair generation "
+    "touches |vocab| rows.  Top-20 via distributed TakeOrdered with "
+    "total-order tie-break.  All-integer surface.",
+    tags=("text", "tokenizer"),
+)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = tf.where(F.length("w") >= 2).select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("n_weighted"),
+            F.countDistinct("w").cast("long").alias("n_types"),
+        )
+        .orderBy(F.desc("n_weighted"), "pair")
+        .limit(20)
+    )

@@ -60,3 +60,41 @@ def test_twap_equals_python_locf_integral(spark):
     assert n_obs == probe.n_obs
     assert den == probe.dur_us_total
     assert probe.twap_cents == num // den
+
+
+def test_token_dropout_is_reproducible_and_bounded(spark):
+    from mqtt2sql_spark.plans.text import _DROP_MOD, token_dropout_augment
+
+    a = sorted(map(tuple, token_dropout_augment(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, token_dropout_augment(spark, SF_DIR).collect()))
+    assert a == b  # hash-seeded: identical across runs
+    total = kept = 0
+    for _, n_tokens, n_kept, _h in a:
+        assert 0 <= n_kept <= n_tokens
+        total += n_tokens
+        kept += n_kept
+    drop_rate = 1 - kept / total
+    assert abs(drop_rate - 1 / _DROP_MOD) < 0.02
+
+
+def test_bpe_pairs_recount_against_python(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.text import bpe_first_merges
+
+    rows = bpe_first_merges(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    import re
+
+    texts = [
+        r.text
+        for r in load_table(spark, SF_DIR, "documents").select("text").collect()
+    ]
+    counts = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] = counts.get(w[i : i + 2], 0) + 1
+    for r in rows[:5]:
+        assert counts.get(r.pair) == r.n_weighted, r.pair

@@ -6370,3 +6370,86 @@ def open_orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_open_urgent"),
     )
+
+
+@register(
+    "supplier_latency_consistency",
+    oracle="""
+    , lat AS (
+        SELECT l.l_suppkey AS suppkey,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+    ),
+    st AS (
+        SELECT suppkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) * 1000000 // count(*) AS BIGINT) AS mean_ppm,
+               CAST((count(*) * sum(CAST(d AS HUGEINT) * d)
+                     - CAST(sum(d) AS HUGEINT) * sum(d))
+                    // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT)
+                   AS var_days2
+        FROM lat GROUP BY suppkey HAVING count(*) >= 20
+    )
+    SELECT CAST(suppkey AS BIGINT) AS suppkey, n, mean_ppm, var_days2
+    FROM st ORDER BY var_days2, suppkey LIMIT 10
+    """,
+    doc="Supplier lead-time consistency ranking: per-supplier shipping "
+    "latency variance from the exact integer identity "
+    "(n*sum(d^2)-(sum d)^2)/n^2 in HUGEINT/DECIMAL(38,0) — the 10 "
+    "most predictable suppliers (min support 20) with mean latency "
+    "in ppm days.  Procurement wants low variance, not low mean: a "
+    "consistently-slow supplier is plannable, an erratic one is "
+    "not.  One fact-fact shuffle for the order-date join, "
+    "partial-agg'd supplier rollup, distributed TakeOrdered(10).  "
+    "Excludes fixture rows shipping before their order date.",
+    tags=("analytics", "stats"),
+)
+def supplier_latency_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate").cast("date")
+            >= F.col("o_orderdate").cast("date")
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("d"),
+        )
+    )
+    st = (
+        lat.groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("CAST(sum(d) * 1000000 div count(*) AS BIGINT)").alias(
+                "mean_ppm"
+            ),
+            F.expr(
+                "CAST((count(*) * sum(CAST(d AS DECIMAL(38,0)) * d)"
+                " - CAST(sum(d) AS DECIMAL(38,0)) * sum(d))"
+                " div (CAST(count(*) AS DECIMAL(38,0)) * count(*))"
+                " AS BIGINT)"
+            ).alias("var_days2"),
+        )
+        .where(F.col("n") >= 20)
+    )
+    return (
+        st.select(
+            F.col("suppkey").cast("long").alias("suppkey"),
+            "n",
+            "mean_ppm",
+            "var_days2",
+        )
+        .orderBy("var_days2", "suppkey")
+        .limit(10)
+    )

@@ -928,3 +928,147 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("twap_cents"),
     )
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    , split AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN user_id % 5 < 4 THEN 'train' ELSE 'test' END AS fold
+        FROM events
+    ),
+    pairs AS (
+        SELECT fold, user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY fold, user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM split
+    ),
+    trans AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE fold = 'train' AND nxt IS NOT NULL
+        GROUP BY cur, nxt
+    ),
+    pred AS (
+        SELECT cur, nxt AS predicted FROM (
+            SELECT cur, nxt,
+                   row_number() OVER (PARTITION BY cur
+                                      ORDER BY n DESC, nxt) AS rk
+            FROM trans
+        ) WHERE rk = 1
+    )
+    SELECT p.cur AS event_type,
+           CAST(count(*) AS BIGINT) AS n_test_pairs,
+           CAST(sum(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS accuracy_ppm,
+           min(p.predicted) AS predicted
+    FROM (SELECT cur, nxt FROM pairs
+          WHERE fold = 'test' AND nxt IS NOT NULL) t
+    JOIN pred p ON p.cur = t.cur
+    GROUP BY p.cur
+    """,
+    doc="In-engine model evaluation: a first-order Markov next-event "
+    "predictor (argmax of the train-fold transition matrix, "
+    "total-order tie-break) scored on held-out users — the "
+    "train/test split is the deterministic user_id%5 hash family "
+    "train_test_split uses, so folds never leak a user's sequence.  "
+    "Per-user sequences need one (fold,user) shuffle for the lead "
+    "window; the learned matrix is |types|² rows and broadcasts into "
+    "the scoring join.  Accuracy in integer ppm per current state.",
+    tags=("timeseries", "ml-eval"),
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("user_id") % 5 < 4, "train")
+        .otherwise("test")
+        .alias("fold"),
+    )
+    w = W.partitionBy("fold", "user_id").orderBy("ts", "event_id")
+    pairs = split.select(
+        "fold",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    trans = (
+        pairs.where(F.col("fold") == "train")
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = W.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        trans.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    test = pairs.where(F.col("fold") == "test").select("cur", "nxt")
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_pairs"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+            F.min("predicted").alias("predicted"),
+        )
+    )
+
+
+@register(
+    "peak_load_5min",
+    oracle="""
+    , b AS (
+        SELECT CAST(ts AS DATE) AS day,
+               epoch_us(ts) // 300000000 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, peak_events, peak_users, peak_bucket FROM (
+        SELECT day, n_events AS peak_events, n_users AS peak_users,
+               CAST(bucket AS BIGINT) AS peak_bucket,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY n_events DESC, bucket) AS rk
+        FROM b
+    ) WHERE rk = 1
+    """,
+    doc="Capacity-planning peak load: per day, the busiest 5-minute "
+    "bucket (event count, distinct users, and which bucket — epoch "
+    "microseconds div 3e8, pure integer).  Bucketing is one "
+    "partial-agg'd shuffle keyed (day, bucket); the per-day argmax "
+    "ranks |buckets-per-day| <= 288 rows with a total-order "
+    "tie-break.  Day-partitioned end to end — no global sweep, so "
+    "the plan parallelizes by calendar day at any scale.",
+    tags=("timeseries", "ops"),
+)
+def peak_load_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.expr("unix_micros(ts) div 300000000").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    w = W.partitionBy("day").orderBy(F.desc("n_events"), F.asc("bucket"))
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "day",
+            F.col("n_events").alias("peak_events"),
+            F.col("n_users").alias("peak_users"),
+            F.col("bucket").cast("long").alias("peak_bucket"),
+        )
+    )

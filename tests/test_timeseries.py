@@ -147,3 +147,64 @@ def test_seasonal_naive_identities(spark):
             r.mase_ppm
             == r.total_abs_err7 * 1_000_000 // max(r.total_abs_err1, 1)
         )
+
+
+def test_markov_predictor_beats_or_meets_majority_rate(spark):
+    """Sanity: accuracy per state is a valid ppm and the predicted
+    label is the train-fold argmax for that state."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import markov_next_event_accuracy
+
+    rows = markov_next_event_accuracy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.accuracy_ppm <= 1_000_000
+        assert r.accuracy_ppm == r.n_correct * 1_000_000 // r.n_test_pairs
+    # recompute the train argmax for one state in Python
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("user_id") % 5 < 4)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = {}
+    for e in sorted(ev, key=lambda x: (x.user_id, x.ts, x.event_id)):
+        seqs.setdefault(e.user_id, []).append(e.event_type)
+    probe = rows[0].event_type
+    counts = {}
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            if a == probe:
+                counts[b] = counts.get(b, 0) + 1
+    argmax = min(
+        (t for t in counts), key=lambda t: (-counts[t], t)
+    )
+    assert rows[0].predicted == argmax
+
+
+def test_peak_load_is_daily_max(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import peak_load_5min
+
+    out = {r.day: r for r in peak_load_5min(spark, SF_DIR).collect()}
+    assert out
+    b = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.expr("unix_micros(ts) div 300000000").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    best = {}
+    for r in b:
+        cur = best.get(r.day)
+        if cur is None or (r.n, -r.bucket) > (cur[0], -cur[1]):
+            best[r.day] = (r.n, r.bucket)
+    for day, row in out.items():
+        assert (row.peak_events, row.peak_bucket) == best[day]

@@ -7,6 +7,8 @@ parity on the fixture."""
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the storm "
@@ -132,3 +134,31 @@ def test_connected_components_transitive_chain(spark):
     }
     # chain 1-2-3 collapses transitively even though (1,3) was never a pair
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 99: 99}
+
+
+def test_ppjoin_equals_bruteforce_jaccard(spark):
+    """Prefix filtering must lose NO pairs: the verified output equals
+    a brute-force all-pairs Jaccard >= 3/5 over the same shingle sets."""
+    from mqtt2sql_spark.plans.dedup import (
+        _PP_T_DEN,
+        _PP_T_NUM,
+        ppjoin_prefix_pairs,
+        shingles,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_n, r.union_n)
+        for r in ppjoin_prefix_pairs(spark, SF_DIR).collect()
+    }
+    sets = {}
+    for r in shingles(spark, SF_DIR).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and _PP_T_DEN * c >= _PP_T_NUM * u:
+                want[(a, b)] = (c, u)
+    assert got == want

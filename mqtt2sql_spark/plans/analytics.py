@@ -5882,6 +5882,7 @@ def rfm_banded_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "item_item_cosine_topk",
+    bench=True,
     oracle="""
     , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     supp AS (
@@ -6452,4 +6453,79 @@ def supplier_latency_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("var_days2", "suppkey")
         .limit(10)
+    )
+
+
+_CVM_SPLIT = "1998-07-01"  # fixture midpoint: orders span 1995..2001
+
+
+@register(
+    "customer_value_migration",
+    oracle=f"""
+    , halves AS (
+        SELECT o_custkey,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_CVM_SPLIT}'
+                    THEN 1 ELSE 2 END AS half,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               sum(CASE WHEN half = 1 THEN cents ELSE 0 END) AS c1,
+               sum(CASE WHEN half = 2 THEN cents ELSE 0 END) AS c2
+        FROM halves GROUP BY o_custkey
+    ),
+    tiers AS (
+        SELECT CASE WHEN c1 = 0 THEN 0
+                    WHEN c1 >= 20000000 THEN 3
+                    WHEN c1 >= 5000000 THEN 2 ELSE 1 END AS tier_h1,
+               CASE WHEN c2 = 0 THEN 0
+                    WHEN c2 >= 20000000 THEN 3
+                    WHEN c2 >= 5000000 THEN 2 ELSE 1 END AS tier_h2,
+               c2
+        FROM per_cust
+    )
+    SELECT CAST(tier_h1 AS INTEGER) AS tier_h1,
+           CAST(tier_h2 AS INTEGER) AS tier_h2,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(c2) AS BIGINT) AS h2_cents
+    FROM tiers GROUP BY 1, 2
+    """,
+    doc="Customer value-tier migration matrix: spend tiers (absent/low/"
+    "mid/high, fixed exact-cents bands) computed independently for "
+    "the two halves of the order history and cross-tabulated — the "
+    "lifecycle view behind churn/upsell planning (who moved up, who "
+    "lapsed).  One per-customer aggregate with conditional sums "
+    "(single fact shuffle), then a 16-cell rollup; all-integer "
+    "surface, split date is a fixed literal at the fixture midpoint.",
+    tags=("analytics", "crm"),
+)
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    h1 = F.col("o_orderdate").cast("date") < F.lit(_CVM_SPLIT).cast("date")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(h1, cents).otherwise(0)).alias("c1"),
+        F.sum(F.when(~h1, cents).otherwise(0)).alias("c2"),
+    )
+
+    def tier(c):
+        return (
+            F.when(F.col(c) == 0, 0)
+            .when(F.col(c) >= 20000000, 3)
+            .when(F.col(c) >= 5000000, 2)
+            .otherwise(1)
+        )
+
+    return (
+        per_cust.select(
+            tier("c1").cast("int").alias("tier_h1"),
+            tier("c2").cast("int").alias("tier_h2"),
+            "c2",
+        )
+        .groupBy("tier_h1", "tier_h2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("c2").cast("long").alias("h2_cents"),
+        )
     )

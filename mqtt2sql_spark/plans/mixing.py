@@ -409,3 +409,113 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack(6, {stages}) AS (stage_idx, stage, n_docs)"
     )
+
+
+# --- point-in-time-correct feature join ------------------------------------
+
+
+@register(
+    "pit_training_features",
+    oracle="""
+    , da AS (
+        SELECT user_id, datediff('day', DATE '1990-01-01',
+                                 CAST(ts AS DATE)) AS dday,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS views
+        FROM events GROUP BY 1, 2
+    ),
+    feat AS (
+        SELECT user_id, dday,
+               CAST(sum(clicks) OVER w AS BIGINT) AS clicks7,
+               CAST(sum(views) OVER w AS BIGINT) AS views7
+        FROM da
+        WINDOW w AS (PARTITION BY user_id ORDER BY dday
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    labels AS (
+        SELECT event_id, user_id,
+               datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS lday
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(l.lday AS BIGINT) AS label_day,
+           CAST(f.dday AS BIGINT) AS feature_day,
+           coalesce(f.clicks7, 0) AS clicks7,
+           coalesce(f.views7, 0) AS views7,
+           CAST(CASE WHEN f.dday IS NULL OR f.dday < l.lday
+                     THEN 1 ELSE 0 END AS INTEGER) AS leak_free
+    FROM labels l ASOF LEFT JOIN feat f
+      ON l.user_id = f.user_id AND l.lday - 1 >= f.dday
+    """,
+    doc="Point-in-time-correct feature join (the feature-store "
+    "primitive): every purchase label is joined to the freshest "
+    "rolling-7-day activity features computed at most one day BEFORE "
+    "the label — an as-of join against the feature timeline, never "
+    "an equi-join on the label day, which is how label leakage "
+    "happens.  Features use a per-user RANGE window over integer day "
+    "numbers (gap-correct, unlike a rows-frame); the as-of is the "
+    "union+ignore-nulls-last single-shuffle form (operators/asof.py), "
+    "DuckDB's native ASOF LEFT JOIN is the oracle.  leak_free is "
+    "asserted =1 for every row in tests.  All-integer surface.",
+    tags=("ml", "asof"),
+)
+def pit_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.asof import asof_join_window
+
+    ev = load_table(spark, sf_dir, "events")
+    dday = F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01").cast("date"))
+    da = ev.groupBy("user_id", dday.alias("dday")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("views"),
+    )
+    wf = (
+        W.partitionBy("user_id").orderBy("dday").rangeBetween(-6, 0)
+    )
+    feat = da.select(
+        "user_id",
+        "dday",
+        F.sum("clicks").over(wf).cast("long").alias("clicks7"),
+        F.sum("views").over(wf).cast("long").alias("views7"),
+    )
+    labels = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", dday.alias("lday"))
+        .withColumn("k", F.col("lday") - 1)
+    )
+    out = asof_join_window(
+        labels,
+        feat.select(
+            "user_id",
+            F.col("dday").alias("k"),
+            F.col("dday").alias("feature_day"),
+            "clicks7",
+            "views7",
+        ),
+        on="k",
+        by="user_id",
+        right_cols=["feature_day", "clicks7", "views7"],
+        suffix="",
+        allow_exact=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("lday").cast("long").alias("label_day"),
+        F.col("feature_day").cast("long").alias("feature_day"),
+        F.coalesce(F.col("clicks7"), F.lit(0).cast("long")).alias("clicks7"),
+        F.coalesce(F.col("views7"), F.lit(0).cast("long")).alias("views7"),
+        F.when(
+            F.col("feature_day").isNull()
+            | (F.col("feature_day") < F.col("label_day")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("leak_free"),
+    )

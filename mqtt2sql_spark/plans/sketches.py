@@ -615,6 +615,7 @@ def _kmv_est_sql(alias: str) -> str:
 
 @register(
     "kmv_theta_sketch_pairs",
+    bench=True,
     oracle=f"""
     , kh AS (
         SELECT DISTINCT event_type,
@@ -981,3 +982,71 @@ def bitmap_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+_PK_CANDIDATES = (
+    ("event_type", "event_type"),
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+    ("day", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
+    ("hour_of_day", "CAST(hour(ts) AS VARCHAR)"),
+)
+
+
+@register(
+    "partition_key_advisor",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(c) // count(*) AS BIGINT) AS avg_rows_per_key,
+           CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
+           CAST(CASE WHEN max(c) * count(*) <= 2 * sum(c)
+                     THEN 1 ELSE 0 END AS INTEGER) AS balanced
+    FROM (SELECT {expr} AS k, count(*) AS c FROM events GROUP BY 1)"""
+        for name, expr in _PK_CANDIDATES
+    ),
+    doc="Partition-key advisor: for each candidate layout key of the "
+    "events table (type, user, day, hour-of-day) the statistics that "
+    "decide a 100 TB physical design — key cardinality, rows per "
+    "key, the heaviest key's share (skew) in ppm, and a balanced "
+    "flag (max <= 2x mean): too few keys underparallelizes, too "
+    "many makes small files, a hot key makes stragglers.  Each "
+    "candidate is one partial-agg'd groupBy; candidates union at the "
+    "4-row summary level.  All-integer surface.",
+    tags=("sketch", "layout"),
+)
+def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for name, _expr in _PK_CANDIDATES:
+        if name == "event_type":
+            k = F.col("event_type")
+        elif name == "user_id":
+            k = F.col("user_id").cast("string")
+        elif name == "day":
+            k = F.col("ts").cast("date").cast("string")
+        else:
+            k = F.hour("ts").cast("string")
+        g = ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("candidate"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.expr("CAST(sum(c) div count(*) AS BIGINT)").alias(
+                    "avg_rows_per_key"
+                ),
+                F.expr(
+                    "CAST(max(c) * 1000000 div sum(c) AS BIGINT)"
+                ).alias("top_share_ppm"),
+                F.expr(
+                    "CAST(CASE WHEN max(c) * count(*) <= 2 * sum(c)"
+                    " THEN 1 ELSE 0 END AS INT)"
+                ).alias("balanced"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -112,3 +112,40 @@ def test_funnel_is_monotone_and_single_digest_shuffle(spark):
     plan = _plan(df)
     # the digest aggregate+join is the only wide shuffle of corpus data
     assert "hashpartitioning(digest" in plan
+
+
+def test_pit_features_never_leak(spark):
+    """Every label row's feature_day is strictly before the label day,
+    and the features equal a brute-force window recount for a probe."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.mixing import pit_training_features
+    from tests.conftest import SF_DIR
+
+    rows = pit_training_features(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.leak_free == 1 for r in rows)
+    probe = next(r for r in rows if r.feature_day is not None)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("user_id") == probe.user_id)
+        .select(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1990-01-01").cast("date")
+            ).alias("d"),
+            "event_type",
+        )
+        .collect()
+    )
+    fd = probe.feature_day
+    clicks = sum(
+        1 for e in ev if e.event_type == "click" and fd - 6 <= e.d <= fd
+    )
+    views = sum(
+        1 for e in ev if e.event_type == "view" and fd - 6 <= e.d <= fd
+    )
+    assert (clicks, views) == (probe.clicks7, probe.views7)
+    # the chosen feature day is the latest activity day <= label_day - 1
+    latest = max((e.d for e in ev if e.d <= probe.label_day - 1), default=None)
+    assert fd == latest

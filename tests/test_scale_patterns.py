@@ -429,3 +429,41 @@ def test_backlog_counts_intervals_covering_month_start(spark):
     probe = sorted(out)[len(out) // 2]
     n = sum(1 for s in spans if s.placed <= probe < s.last_ship)
     assert out[probe] == n
+
+
+def test_value_migration_partitions_customers(spark):
+    """Every customer lands in exactly one matrix cell and the matrix
+    row/col marginals are consistent with per-half presence counts."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import (
+        _CVM_SPLIT,
+        customer_value_migration,
+    )
+
+    rows = customer_value_migration(spark, SF_DIR).collect()
+    assert rows
+    n_total = sum(r.n_customers for r in rows)
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n_total == n_cust
+    # nobody can be absent in both halves (they ordered at least once)
+    assert not any(r.tier_h1 == 0 and r.tier_h2 == 0 for r in rows)
+
+
+def test_partition_advisor_flags_skew_sanely(spark):
+    from mqtt2sql_spark.plans.sketches import partition_key_advisor
+
+    rows = {r.candidate: r for r in partition_key_advisor(spark, SF_DIR).collect()}
+    assert set(rows) == {"event_type", "user_id", "day", "hour_of_day"}
+    for r in rows.values():
+        assert r.n_keys > 0 and r.n_rows > 0
+        assert r.avg_rows_per_key == r.n_rows // r.n_keys
+        assert 0 < r.top_share_ppm <= 1_000_000
+        assert r.balanced in (0, 1)
+    assert rows["user_id"].n_keys > rows["event_type"].n_keys

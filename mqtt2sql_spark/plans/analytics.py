@@ -6529,3 +6529,99 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c2").cast("long").alias("h2_cents"),
         )
     )
+
+
+# Time-decay attribution weights: 2^(-age_days/7) in integer micros,
+# precomputed in Python (LIBM/CONSTANTS rule) for ages 0..29.
+_TDA_W = [int(1_000_000 * 2 ** (-d / 7)) for d in range(30)]
+_TDA_W_SQL = "[" + ", ".join(str(w) for w in _TDA_W) + "]"
+_TDA_CH = ("view", "click", "signup")
+
+
+@register(
+    "time_decay_attribution",
+    oracle=f"""
+    , purch AS (
+        SELECT event_id, user_id, epoch_us(ts) AS p_us,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+        FROM events WHERE event_type IN {_TDA_CH!r}
+    ),
+    cred AS (
+        SELECT p.event_id, p.cents, t.channel,
+               ({_TDA_W_SQL})[CAST((p.p_us - t.t_us) // 86400000000
+                                   AS INTEGER) + 1] AS w
+        FROM purch p
+        JOIN touch t ON t.user_id = p.user_id
+                    AND t.t_us < p.p_us
+                    AND p.p_us - t.t_us < 2592000000000
+    ),
+    shared AS (
+        SELECT channel, cents * w // sum(w) OVER (PARTITION BY event_id)
+                   AS credit_cents
+        FROM cred
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(credit_cents) AS BIGINT) AS attributed_cents
+    FROM shared GROUP BY channel
+    """,
+    doc="Time-decay multi-touch attribution: every touch (view/click/"
+    "signup) in a 30-day lookback shares each purchase's value, "
+    "weighted 2^(-age_days/7) from a Python-precomputed integer "
+    "micro-weight table (LIBM rule — no pow() at query time), "
+    "normalized per purchase by integer division so credits are "
+    "exact and deterministic.  The purchase-touch join shuffles on "
+    "user_id with the age predicate applied in-join (per-user "
+    "fan-out bounded by a user's 30-day touch count); the per-"
+    "purchase normalizing sum is a window over that join output.  "
+    "Complements last-touch (winner-take-all) and linear (equal "
+    "split) attribution already in the registry.",
+    tags=("analytics", "attribution"),
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    touch = ev.where(F.col("event_type").isin(list(_TDA_CH))).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    w_arr = F.array(*[F.lit(w) for w in _TDA_W])
+    cred = (
+        purch.join(
+            touch,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") < 2592000000000),
+        )
+        .select(
+            "event_id",
+            "cents",
+            "channel",
+            F.element_at(
+                w_arr,
+                F.expr(
+                    "CAST((p_us - t_us) div 86400000000 AS INT) + 1"
+                ),
+            ).alias("w"),
+        )
+    )
+    wp = W.partitionBy("event_id")
+    shared = cred.select(
+        "channel",
+        F.expr("cents * w").alias("num"),
+        F.sum("w").over(wp).alias("sum_w"),
+    ).select("channel", F.expr("num div sum_w").alias("credit_cents"))
+    return shared.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("credit_cents").cast("long").alias("attributed_cents"),
+    )

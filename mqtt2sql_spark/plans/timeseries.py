@@ -1072,3 +1072,97 @@ def peak_load_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").cast("long").alias("peak_bucket"),
         )
     )
+
+
+FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "window_funnel_levels",
+    oracle=f"""
+    , v AS (SELECT user_id, epoch_us(ts) AS v_us FROM events
+            WHERE event_type = 'view'),
+    c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+          WHERE event_type = 'purchase'),
+    s2 AS (
+        SELECT v.user_id, v.v_us, min(c.c_us) AS c_us
+        FROM v LEFT JOIN c
+          ON c.user_id = v.user_id AND c.c_us > v.v_us
+         AND c.c_us <= v.v_us + {FUNNEL_WINDOW_US}
+        GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.v_us, s2.c_us, min(p.p_us) AS p_us
+        FROM s2 LEFT JOIN p
+          ON s2.c_us IS NOT NULL AND p.user_id = s2.user_id
+         AND p.p_us > s2.c_us AND p.p_us <= s2.v_us + {FUNNEL_WINDOW_US}
+        GROUP BY 1, 2, 3
+    ),
+    lvl AS (
+        SELECT user_id,
+               max(CASE WHEN p_us IS NOT NULL THEN 3
+                        WHEN c_us IS NOT NULL THEN 2
+                        ELSE 1 END) AS level
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(level AS INTEGER) AS level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY level
+    """,
+    doc="Window funnel (the ClickHouse windowFunnel operator): the "
+    "deepest view->click->purchase prefix each user completes with "
+    "ALL steps inside one hour of the entry view — strictly ordered "
+    "steps, each matched to the EARLIEST qualifying successor "
+    "(min aggregate, deterministic).  Relational form: two bounded "
+    "range joins per user (fan-out limited to a user's events inside "
+    "the window) instead of a per-user sequence scan, so the plan is "
+    "three user-keyed shuffles that AQE can balance, and the level "
+    "histogram is dimension-sized.  Complements cep_triple_pattern "
+    "(strict adjacency) — windowFunnel allows gaps between steps.",
+    tags=("timeseries", "funnel"),
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def typed(t, alias):
+        return ev.where(F.col("event_type") == t).select(
+            F.col("user_id").alias(f"{alias}_user"),
+            F.unix_micros("ts").alias(f"{alias}_us"),
+        )
+
+    v, c, p = typed("view", "v"), typed("click", "c"), typed("purchase", "p")
+    s2 = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("c_us") > F.col("v_us"))
+            & (F.col("c_us") <= F.col("v_us") + FUNNEL_WINDOW_US),
+            "left",
+        )
+        .groupBy("v_user", "v_us")
+        .agg(F.min("c_us").alias("c_us"))
+    )
+    s3 = (
+        s2.join(
+            p,
+            F.col("c_us").isNotNull()
+            & (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("v_us") + FUNNEL_WINDOW_US),
+            "left",
+        )
+        .groupBy("v_user", "v_us", "c_us")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    lvl = s3.select(
+        "v_user",
+        F.when(F.col("p_us").isNotNull(), 3)
+        .when(F.col("c_us").isNotNull(), 2)
+        .otherwise(1)
+        .alias("level"),
+    ).groupBy("v_user").agg(F.max("level").alias("level"))
+    return lvl.groupBy(F.col("level").cast("int").alias("level")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -208,3 +208,70 @@ def test_peak_load_is_daily_max(spark):
             best[r.day] = (r.n, r.bucket)
     for day, row in out.items():
         assert (row.peak_events, row.peak_bucket) == best[day]
+
+
+def test_window_funnel_level_for_probe_user(spark):
+    """Recompute one user's deepest funnel level with a plain scan."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import (
+        FUNNEL_WINDOW_US,
+        window_funnel_levels,
+    )
+
+    hist = {r.level: r.n_users for r in window_funnel_levels(spark, SF_DIR).collect()}
+    assert hist and sum(hist.values()) > 0
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+        .collect()
+    )
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append((e.us, e.event_type))
+    # recompute the full histogram
+    want = {}
+    for u, evs in by_user.items():
+        views = [t for t, k in evs if k == "view"]
+        clicks = sorted(t for t, k in evs if k == "click")
+        purchases = sorted(t for t, k in evs if k == "purchase")
+        if not views:
+            continue
+        best = 1
+        for v in views:
+            c = next(
+                (t for t in clicks if v < t <= v + FUNNEL_WINDOW_US), None
+            )
+            if c is None:
+                continue
+            best = max(best, 2)
+            pp = next(
+                (t for t in purchases if c < t <= v + FUNNEL_WINDOW_US), None
+            )
+            if pp is not None:
+                best = 3
+                break
+        want[best] = want.get(best, 0) + 1
+    assert hist == want
+
+
+def test_time_decay_credits_sum_within_purchase_totals(spark):
+    """Total credited cents never exceeds total purchase value in the
+    attributable population (integer-division remainders are dropped)."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import time_decay_attribution
+
+    rows = time_decay_attribution(spark, SF_DIR).collect()
+    assert rows
+    credited = sum(r.attributed_cents for r in rows)
+    total = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert 0 < credited <= total

@@ -1676,3 +1676,106 @@ def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_x10000"
         ),
     )
+
+
+@register(
+    "blocking_quality_eval",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , lsh_long AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    lsh_cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM lsh_long x JOIN lsh_long y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    tok AS (SELECT doc_id, shingle AS w FROM sh),
+    df AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+    ordered AS (
+        SELECT t.doc_id, t.w,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.w) AS pos,
+               count(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM tok t JOIN df d USING (w)
+    ),
+    prefix AS (
+        SELECT doc_id, w FROM ordered
+        WHERE pos <= n - ((6 * n + 9) // 10) + 1
+    ),
+    pp_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.w = b.w AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS c
+        FROM pp_cand c
+        JOIN tok x ON x.doc_id = c.doc_a
+        JOIN tok y ON y.doc_id = c.doc_b AND y.w = x.w
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE {_PP_T_DEN} * i.c >= {_PP_T_NUM} * (na.n + nb.n - i.c)
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM lsh_cand) AS n_candidates,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM truth t
+                JOIN lsh_cand c ON c.doc_a = t.doc_a
+                              AND c.doc_b = t.doc_b) AS n_found
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_found * 1000000 // greatest(n_truth, 1) AS BIGINT)
+               AS pairs_completeness_ppm,
+           CAST((n_docs * (n_docs - 1) // 2 - n_candidates) * 1000000
+                // (n_docs * (n_docs - 1) // 2) AS BIGINT)
+               AS reduction_ratio_ppm
+    FROM counts
+    """,
+    doc="Entity-resolution blocking evaluation (Christen 2012's pairs "
+    "completeness / reduction ratio): the MinHash-LSH band blocker "
+    "scored against EXACT Jaccard>=0.6 ground truth from the "
+    "prefix-filtered ppjoin — recall of true pairs (completeness) "
+    "vs the fraction of the O(n²) comparison space pruned "
+    "(reduction), the two numbers every blocking scheme trades "
+    "off.  Pure composition of two registered pipelines plus "
+    "dimension-sized set arithmetic; both metrics in integer ppm.",
+    tags=("dedup", "eval"),
+)
+def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    truth = ppjoin_prefix_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    found = truth.join(cand, ["doc_a", "doc_b"]).count()
+    n_truth = truth.count()
+    n_cand = cand.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    row = [
+        (
+            n_docs,
+            all_pairs,
+            n_cand,
+            n_truth,
+            found,
+            found * 1_000_000 // max(n_truth, 1),
+            (all_pairs - n_cand) * 1_000_000 // all_pairs,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_docs BIGINT, n_all_pairs BIGINT, n_candidates BIGINT,"
+        " n_truth BIGINT, n_found BIGINT, pairs_completeness_ppm BIGINT,"
+        " reduction_ratio_ppm BIGINT",
+    )

@@ -2094,3 +2094,68 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_weighted"), "pair")
         .limit(20)
     )
+
+
+VOCAB_K = 1000  # fixed vocabulary size for OOV-rate evaluation
+
+
+@register(
+    "oov_rate_fixed_vocab",
+    oracle=f"""
+    , tok AS (
+        SELECT lang, unnest({duck_tokens()}) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM tok GROUP BY w
+        ) WHERE rk <= {VOCAB_K}
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm,
+           CAST(count(DISTINCT CASE WHEN v.w IS NULL THEN t.w END)
+                AS BIGINT) AS n_oov_types
+    FROM tok t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.lang
+    """,
+    doc=f"Out-of-vocabulary rate per language under a fixed top-"
+    f"{VOCAB_K} corpus vocabulary (freq desc, token asc — total "
+    "order): the tokenizer-coverage dashboard that decides whether a "
+    "vocab trained on the majority language starves the others.  The "
+    "vocabulary is dimension-sized and broadcasts into the token "
+    "stream (map-side membership test, no second fact shuffle); OOV "
+    "mass and distinct OOV types per language in exact integers.",
+    tags=("text", "vocab"),
+)
+def oov_rate_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("lang", F.explode(tokens("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "w", "left")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("oov_ppm"),
+        F.countDistinct(
+            F.when(F.col("in_vocab").isNull(), F.col("w"))
+        )
+        .cast("long")
+        .alias("n_oov_types"),
+    )

@@ -162,3 +162,15 @@ def test_ppjoin_equals_bruteforce_jaccard(spark):
             if u and _PP_T_DEN * c >= _PP_T_NUM * u:
                 want[(a, b)] = (c, u)
     assert got == want
+
+
+def test_blocking_eval_metrics_are_consistent(spark):
+    from mqtt2sql_spark.plans.dedup import blocking_quality_eval
+
+    r = blocking_quality_eval(spark, SF_DIR).collect()[0]
+    assert r.n_all_pairs == r.n_docs * (r.n_docs - 1) // 2
+    assert r.n_found <= min(r.n_truth, r.n_candidates)
+    assert r.pairs_completeness_ppm == r.n_found * 1_000_000 // max(r.n_truth, 1)
+    assert 0 <= r.reduction_ratio_ppm <= 1_000_000
+    # the LSH blocker must prune the vast majority of the pair space
+    assert r.reduction_ratio_ppm > 900_000

@@ -98,3 +98,14 @@ def test_bpe_pairs_recount_against_python(spark):
                 counts[w[i : i + 2]] = counts.get(w[i : i + 2], 0) + 1
     for r in rows[:5]:
         assert counts.get(r.pair) == r.n_weighted, r.pair
+
+
+def test_oov_rate_consistency(spark):
+    from mqtt2sql_spark.plans.text import oov_rate_fixed_vocab
+
+    rows = oov_rate_fixed_vocab(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
+        assert r.n_oov_types <= r.n_oov or r.n_oov == 0

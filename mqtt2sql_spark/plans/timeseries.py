@@ -1166,3 +1166,159 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl.groupBy(F.col("level").cast("int").alias("level")).agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "lerp_hourly_by_type",
+    oracle=f"""
+    , obs0 AS (
+        SELECT event_type AS et, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    ),
+    obs AS (SELECT et, us, cents FROM obs0 WHERE rn = 1),
+    bounds AS (
+        SELECT et, CAST(ceil(min(us) / {HOUR_US}.0) AS BIGINT) AS h0,
+               CAST(floor(max(us) / {HOUR_US}.0) AS BIGINT) AS h1
+        FROM obs GROUP BY et
+    ),
+    grid AS (
+        SELECT et, h * {HOUR_US} AS us
+        FROM bounds, unnest(generate_series(h0, h1)) AS t(h)
+    ),
+    stream AS (
+        SELECT et, us, cents, us AS ous, 0 AS sk FROM obs
+        UNION ALL
+        SELECT et, us, NULL, NULL, 1 FROM grid
+    ),
+    prevpass AS (
+        SELECT et, us, cents, sk,
+               last_value(cents IGNORE NULLS) OVER w AS prev_c,
+               last_value(ous IGNORE NULLS) OVER w AS prev_us
+        FROM stream
+        WINDOW w AS (PARTITION BY et ORDER BY us, sk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    nextpass AS (
+        SELECT et, us, sk, prev_c, prev_us,
+               first_value(cents IGNORE NULLS) OVER w2 AS next_c,
+               first_value(CASE WHEN sk = 0 THEN us END IGNORE NULLS)
+                   OVER w2 AS next_us
+        FROM prevpass
+        WINDOW w2 AS (PARTITION BY et ORDER BY us, 1 - sk
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT et AS event_type, CAST(us AS BIGINT) AS grid_us,
+           CAST(prev_us AS BIGINT) AS prev_us,
+           CAST(next_us AS BIGINT) AS next_us,
+           CAST(CASE WHEN next_us = prev_us THEN prev_c * 1000
+                     ELSE prev_c * 1000
+                          + CAST((next_c - prev_c) * 1000 AS HUGEINT)
+                            * (us - prev_us) // (next_us - prev_us)
+                END AS BIGINT) AS lerp_cents_x1000
+    FROM nextpass
+    WHERE sk = 1 AND prev_us IS NOT NULL AND next_us IS NOT NULL
+    """,
+    doc="Linear interpolation onto an hourly grid per series "
+    "(TimescaleDB's interpolate(), Flink temporal-table lookups): "
+    "each grid instant finds its surrounding observations with ONE "
+    "shuffle — the union+window encoding run twice over the same "
+    "exchange (backward ignore-nulls last for prev, forward "
+    "ignore-nulls first for next; tags order observations before "
+    "grid points at equal timestamps on the backward pass and after "
+    "on the forward pass, so exact hits interpolate to themselves).  "
+    "Values are exact cents, the lerp numerator is HUGEINT/"
+    "DECIMAL(38,0) and one integral division lands on x1000 fixed "
+    "point — bit-identical cross-engine.  Observations deduped per "
+    "(series, instant) by max event_id for a total order.",
+    tags=("timeseries", "interpolation"),
+)
+def lerp_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wdup = W.partitionBy("et", "us").orderBy(F.desc("event_id"))
+    obs = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.unix_micros("ts").alias("us"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select("et", "us", "cents")
+    )
+    bounds = obs.groupBy("et").agg(
+        F.expr(f"CAST(ceil(min(us) / {HOUR_US}.0) AS BIGINT)").alias("h0"),
+        F.expr(f"CAST(floor(max(us) / {HOUR_US}.0) AS BIGINT)").alias("h1"),
+    )
+    grid = bounds.select(
+        "et", F.explode(F.sequence("h0", "h1")).alias("h")
+    ).select("et", (F.col("h") * HOUR_US).alias("us"))
+    stream = obs.select(
+        "et",
+        "us",
+        "cents",
+        F.col("us").alias("ous"),
+        F.lit(0).alias("sk"),
+    ).unionAll(
+        grid.select(
+            "et",
+            "us",
+            F.lit(None).cast("long").alias("cents"),
+            F.lit(None).cast("long").alias("ous"),
+            F.lit(1).alias("sk"),
+        )
+    )
+    wb = (
+        W.partitionBy("et")
+        .orderBy("us", "sk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prevpass = stream.select(
+        "et",
+        "us",
+        "cents",
+        "sk",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last("ous", ignorenulls=True).over(wb).alias("prev_us"),
+    )
+    wf = (
+        W.partitionBy("et")
+        .orderBy("us", (F.lit(1) - F.col("sk")))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    nextpass = prevpass.select(
+        "et",
+        "us",
+        "sk",
+        "prev_c",
+        "prev_us",
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(
+            F.when(F.col("sk") == 0, F.col("us")), ignorenulls=True
+        )
+        .over(wf)
+        .alias("next_us"),
+    )
+    return nextpass.where(
+        (F.col("sk") == 1)
+        & F.col("prev_us").isNotNull()
+        & F.col("next_us").isNotNull()
+    ).select(
+        F.col("et").alias("event_type"),
+        F.col("us").cast("long").alias("grid_us"),
+        F.col("prev_us").cast("long").alias("prev_us"),
+        F.col("next_us").cast("long").alias("next_us"),
+        F.expr(
+            "CAST(CASE WHEN next_us = prev_us THEN prev_c * 1000"
+            " ELSE prev_c * 1000"
+            " + CAST((next_c - prev_c) * 1000 AS DECIMAL(38,0))"
+            " * (us - prev_us) div (next_us - prev_us)"
+            " END AS BIGINT)"
+        ).alias("lerp_cents_x1000"),
+    )

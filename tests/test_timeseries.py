@@ -275,3 +275,37 @@ def test_time_decay_credits_sum_within_purchase_totals(spark):
         .collect()[0][0]
     )
     assert 0 < credited <= total
+
+
+def test_lerp_values_lie_between_endpoints(spark):
+    """Interpolated values must lie in [min(prev,next), max(prev,next)]
+    and exact grid hits must equal the observation itself."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import lerp_hourly_by_type
+
+    rows = lerp_hourly_by_type(spark, SF_DIR).collect()
+    assert rows
+    obs = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            F.col("event_type").alias("et"),
+            F.unix_micros("ts").alias("us"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("c"),
+            "event_id",
+        )
+        .collect()
+    ):
+        key = (r.et, r.us)
+        if key not in obs or r.event_id > obs[key][1]:
+            obs[key] = (r.c, r.event_id)
+    for r in rows:
+        assert r.prev_us <= r.grid_us <= r.next_us
+        pc = obs[(r.event_type, r.prev_us)][0] * 1000
+        nc = obs[(r.event_type, r.next_us)][0] * 1000
+        lo, hi = min(pc, nc), max(pc, nc)
+        assert lo - 1000 <= r.lerp_cents_x1000 <= hi + 1000
+        if r.prev_us == r.grid_us:
+            assert r.lerp_cents_x1000 == pc

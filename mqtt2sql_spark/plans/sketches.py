@@ -1050,3 +1050,135 @@ def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+ROLL_DAYS = 30
+
+
+@register(
+    "hll_rolling_30d_distinct",
+    oracle=f"""
+    , h AS (
+        SELECT CAST(ts AS DATE) AS day,
+               md5(CAST(user_id AS VARCHAR)) AS hh
+        FROM events
+    ),
+    nib AS (
+        SELECT day, (16 * {_nib_sql(1)} + {_nib_sql(2)}) % {M} AS bucket,
+               {_w_sql()} AS w
+        FROM h
+    ),
+    day_reg AS (
+        SELECT day, bucket,
+               max(CASE WHEN w = 0 THEN {W_BITS + 1}
+                        ELSE {W_BITS + 1} - length(bin(w)) END) AS rho
+        FROM nib GROUP BY day, bucket
+    ),
+    days AS (SELECT DISTINCT day FROM day_reg),
+    win AS (
+        SELECT a.day AS day, r.bucket, max(r.rho) AS rho
+        FROM days a
+        JOIN day_reg r ON r.day <= a.day
+                      AND r.day > a.day - {ROLL_DAYS}
+        GROUP BY a.day, r.bucket
+    ),
+    tot AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS registers_hit,
+               sum(CAST((1::BIGINT << ({W_BITS + 1} - rho)) AS HUGEINT))
+                   + CAST({M} - count(*) AS HUGEINT) * {_POW61} AS total
+        FROM win GROUP BY day
+    ),
+    du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    ex AS (
+        SELECT a.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_exact
+        FROM days a
+        JOIN du d ON d.day <= a.day AND d.day > a.day - {ROLL_DAYS}
+        GROUP BY a.day
+    )
+    SELECT t.day, registers_hit,
+           CASE WHEN {_NUMER!r} / CAST(total AS DOUBLE) <= {_RAW_MAX!r}
+                     AND registers_hit < {M}
+                THEN ({_LC_SQL})[{M} - registers_hit]
+                ELSE round({_NUMER!r} / CAST(total AS DOUBLE), 2)
+           END AS est_rolling,
+           n_exact
+    FROM tot t JOIN ex USING (day)
+    """,
+    doc=f"Rolling {ROLL_DAYS}-day distinct users per day by MERGING "
+    "daily HLL register sets (max per bucket over the window) — the "
+    "sliding-window distinct count that is intractable exactly at "
+    "100 TB but O(days x m) from retained daily sketches: the "
+    "register relation is <= 64 rows per day, so a year of state is "
+    "~23k rows regardless of traffic, and re-aggregation is a max() "
+    "— the same mergeability hll_daily_merge proves, applied to "
+    "overlapping windows.  Exact rolling distinct joined alongside "
+    "for error measurement (fixture-scale only).  Estimate "
+    "arithmetic identical to hll_distinct_users (integer register "
+    "sum, one double division, lookup-table linear counting).",
+    tags=("sketch", "window"),
+)
+def hll_rolling_30d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("hh"),
+    )
+    nib = h.select(
+        "day",
+        ((_nib_col(1) * 16 + _nib_col(2)) % M).alias("bucket"),
+        _w_col().alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(W_BITS + 1)).otherwise(
+        F.lit(W_BITS + 1) - F.length(F.bin("w"))
+    )
+    day_reg = nib.groupBy("day", "bucket").agg(F.max(rho).alias("rho"))
+    days = day_reg.select("day").distinct().select(
+        F.col("day").alias("tday")
+    )
+    win = (
+        F.broadcast(days)
+        .join(
+            day_reg,
+            (F.col("day") <= F.col("tday"))
+            & (F.col("day") > F.date_sub(F.col("tday"), ROLL_DAYS)),
+        )
+        .groupBy("tday", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {W_BITS + 1} - rho)")
+    tot = win.groupBy("tday").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_hit"),
+        (
+            F.sum(term.cast("decimal(38,0)"))
+            + (F.lit(M) - F.count(F.lit(1)))
+            * F.lit(_POW61).cast("decimal(38,0)")
+        ).alias("total"),
+    )
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    ex = (
+        F.broadcast(days)
+        .join(
+            du,
+            (F.col("day") <= F.col("tday"))
+            & (F.col("day") > F.date_sub(F.col("tday"), ROLL_DAYS)),
+        )
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    raw = F.lit(_NUMER) / F.col("total").cast("double")
+    vacancy = (F.lit(M) - F.col("registers_hit")).cast("int")
+    est = F.when(
+        (raw <= F.lit(_RAW_MAX)) & (F.col("registers_hit") < M),
+        F.element_at(F.array(*[F.lit(x) for x in _LC]), vacancy),
+    ).otherwise(F.round(raw, 2))
+    return (
+        tot.join(ex, "tday")
+        .select(
+            F.col("tday").alias("day"),
+            "registers_hit",
+            est.alias("est_rolling"),
+            "n_exact",
+        )
+    )

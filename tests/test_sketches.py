@@ -212,3 +212,13 @@ def test_bitmap_overlap_is_exact(spark):
         assert r.n_a == len(a) and r.n_b == len(b)
         assert r.co_users == len(a & b)
         assert r.jaccard_ppm == len(a & b) * 1_000_000 // len(a | b)
+
+
+def test_rolling_hll_tracks_exact_within_error(spark):
+    from mqtt2sql_spark.plans.sketches import hll_rolling_30d_distinct
+
+    rows = hll_rolling_30d_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.est_rolling - r.n_exact) / max(r.n_exact, 1)
+        assert rel < 0.25, (r.day, r.est_rolling, r.n_exact)

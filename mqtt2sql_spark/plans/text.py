@@ -2159,3 +2159,71 @@ def oov_rate_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_oov_types"),
     )
+
+
+@register(
+    "phrase_kwic_context",
+    oracle=f"""
+    , tok AS (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) - 1 AS pos
+        FROM (SELECT doc_id, {duck_tokens()} AS t FROM documents)
+    ),
+    p1 AS (SELECT doc_id, pos FROM tok WHERE w = '{PHRASE[0]}'),
+    p2 AS (SELECT doc_id, pos FROM tok WHERE w = '{PHRASE[1]}'),
+    first_hit AS (
+        SELECT a.doc_id, CAST(min(a.pos) AS BIGINT) AS hit_pos
+        FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id
+    ),
+    ctx AS (
+        SELECT f.doc_id, f.hit_pos,
+               array_to_string(
+                   t[greatest(f.hit_pos - 2, 0) + 1 :
+                     least(f.hit_pos + 3, len(t) - 1) + 1], ' ') AS kwic
+        FROM first_hit f
+        JOIN (SELECT doc_id, {duck_tokens()} AS t FROM documents) d
+          USING (doc_id)
+    )
+    SELECT doc_id, hit_pos, kwic
+    FROM ctx ORDER BY doc_id LIMIT 50
+    """,
+    doc=f"KWIC (keyword-in-context) concordance for the phrase "
+    f"'{' '.join(PHRASE)}': the first hit per document rendered with "
+    "±2 tokens of context — the snippet view layered on the "
+    "positional phrase index, demonstrating array-slice text "
+    "reconstruction without a second corpus scan per hit (the "
+    "context comes from the already-tokenized array via slice + "
+    "join).  Deterministic: first occurrence by position, docs "
+    "ordered by id, string surface identical across engines.",
+    tags=("text", "search"),
+)
+def phrase_kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    p1 = tok.where(F.col("w") == PHRASE[0]).select("doc_id", "pos")
+    p2 = tok.where(F.col("w") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    first_hit = (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.min("pos").cast("long").alias("hit_pos"))
+    )
+    arrs = docs.select("doc_id", tokens("text").alias("t"))
+    ctx = first_hit.join(arrs, "doc_id").select(
+        "doc_id",
+        "hit_pos",
+        F.array_join(
+            F.expr(
+                "slice(t, greatest(hit_pos - 2, 0) + 1,"
+                " least(hit_pos + 3, size(t) - 1)"
+                " - greatest(hit_pos - 2, 0) + 1)"
+            ),
+            " ",
+        ).alias("kwic"),
+    )
+    return ctx.orderBy("doc_id").limit(50)

@@ -1322,3 +1322,82 @@ def lerp_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("lerp_cents_x1000"),
     )
+
+
+SESSION_GAPS_MIN = (5, 15, 30, 60)
+
+
+@register(
+    "session_gap_sensitivity",
+    oracle=f"""
+    , g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us
+        FROM events
+    ),
+    u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events)
+    SELECT gap_min, n_sessions,
+           CAST((SELECT n_events FROM e) * 1000
+                // n_sessions AS BIGINT) AS events_per_session_x1000
+    FROM (
+        {" UNION ALL ".join(
+            f'''SELECT CAST({gm} AS INTEGER) AS gap_min,
+               (SELECT n_users FROM u)
+               + CAST(sum(CASE WHEN gap_us > {gm * 60_000_000}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM g WHERE gap_us IS NOT NULL'''
+            for gm in SESSION_GAPS_MIN
+        )}
+    )
+    """,
+    doc="Sessionization-parameter sensitivity: session counts and mean "
+    "session length under four idle-gap thresholds (5/15/30/60 min) "
+    "from ONE pass — a session count is just #users + #gaps above "
+    "the threshold, so all four variants are conditional sums over "
+    "the same lag-window output instead of four sessionization "
+    "runs.  The analysis every team does before freezing the "
+    "30-minute default.  One user-keyed shuffle; integer surface "
+    "(mean length as x1000 fixed point via integral division).",
+    tags=("timeseries", "session"),
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        )
+    ).where(F.col("gap_us").isNotNull())
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    rows = []
+    for gm in SESSION_GAPS_MIN:
+        rows.append(
+            g.agg(
+                F.lit(gm).cast("int").alias("gap_min"),
+                (
+                    F.lit(n_users)
+                    + F.sum(
+                        F.when(
+                            F.col("gap_us") > gm * 60_000_000, 1
+                        ).otherwise(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_sessions"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "gap_min",
+        "n_sessions",
+        F.expr(f"CAST({n_events} * 1000 div n_sessions AS BIGINT)").alias(
+            "events_per_session_x1000"
+        ),
+    )

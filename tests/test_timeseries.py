@@ -309,3 +309,19 @@ def test_lerp_values_lie_between_endpoints(spark):
         assert lo - 1000 <= r.lerp_cents_x1000 <= hi + 1000
         if r.prev_us == r.grid_us:
             assert r.lerp_cents_x1000 == pc
+
+
+def test_session_counts_decrease_with_larger_gaps(spark):
+    """Monotonicity: a larger idle gap can only merge sessions, and the
+    30-minute variant must agree with events_sessionize's count."""
+    from mqtt2sql_spark.plans.timeseries import session_gap_sensitivity
+
+    rows = sorted(
+        session_gap_sensitivity(spark, SF_DIR).collect(),
+        key=lambda r: r.gap_min,
+    )
+    assert [r.gap_min for r in rows] == [5, 15, 30, 60]
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.events_per_session_x1000 >= 1000

@@ -109,3 +109,14 @@ def test_oov_rate_consistency(spark):
         assert 0 <= r.n_oov <= r.n_tokens
         assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
         assert r.n_oov_types <= r.n_oov or r.n_oov == 0
+
+
+def test_kwic_contains_phrase_and_context_bounds(spark):
+    from mqtt2sql_spark.plans.text import PHRASE, phrase_kwic_context
+
+    rows = phrase_kwic_context(spark, SF_DIR).collect()
+    assert rows
+    phrase = " ".join(PHRASE)
+    for r in rows:
+        assert phrase in r.kwic
+        assert len(r.kwic.split()) <= 6  # ±2 context + 2 phrase tokens

@@ -6625,3 +6625,80 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_credits"),
         F.sum("credit_cents").cast("long").alias("attributed_cents"),
     )
+
+
+@register(
+    "exposure_conversion_lift",
+    oracle="""
+    , per_user AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS exposed,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    g AS (
+        SELECT exposed,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
+                   AS conv_ppm
+        FROM per_user GROUP BY exposed
+    )
+    SELECT CAST(e.exposed AS INTEGER) AS exposed,
+           e.n_users, e.n_converted, e.conv_ppm,
+           CAST(e.conv_ppm * 1000000
+                // greatest(b.base_ppm, 1) AS BIGINT) AS lift_vs_unexposed_ppm
+    FROM g e CROSS JOIN (
+        SELECT coalesce(min(CASE WHEN exposed = 0 THEN conv_ppm END), 0)
+                   AS base_ppm
+        FROM g) b
+    """,
+    doc="Exposure-conversion readout at user-day granularity: same-day "
+    "purchase rate on days the user clicked vs days they did not "
+    "(per-user lifetime exposure is degenerate in this fixture - "
+    "every user eventually clicks), with the exposed/unexposed "
+    "lift ratio in ppm — the observational cut product teams read "
+    "before any experiment (NOT causal: exposure is self-selected; "
+    "the lift quantifies association only, which the column name "
+    "makes explicit).  One per-user aggregate (two conditional "
+    "maxes over user-days), a 2-row rollup, and a broadcast of the "
+    "always-present baseline row (0 when no unexposed stratum).  "
+    "All-integer surface.",
+    tags=("analytics", "product"),
+)
+def exposure_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("exposed"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    g = per_user.groupBy("exposed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(sum(converted) * 1000000 div count(*) AS BIGINT)"
+        ).alias("conv_ppm"),
+    )
+    base = g.agg(
+        F.coalesce(
+            F.min(F.when(F.col("exposed") == 0, F.col("conv_ppm"))),
+            F.lit(0),
+        ).alias("base_ppm")
+    )
+    return g.crossJoin(F.broadcast(base)).select(
+        F.col("exposed").cast("int").alias("exposed"),
+        "n_users",
+        "n_converted",
+        "conv_ppm",
+        F.expr(
+            "CAST(conv_ppm * 1000000 div greatest(base_ppm, 1) AS BIGINT)"
+        ).alias("lift_vs_unexposed_ppm"),
+    )

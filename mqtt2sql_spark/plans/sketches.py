@@ -1182,3 +1182,82 @@ def hll_rolling_30d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+_ENC_COLS = (
+    ("event_type", "event_type"),
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+    ("value", "CAST(value AS VARCHAR)"),
+    ("props", "props"),
+)
+
+
+@register(
+    "encoding_advisor_events",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           CAST(count(DISTINCT v) * 1000000 // count(*) AS BIGINT)
+               AS dict_ratio_ppm,
+           CAST(count(*) - sum(chg) AS BIGINT) AS n_run_continuations
+    FROM (
+        SELECT v, CASE WHEN v = lag(v) OVER (PARTITION BY day
+                                             ORDER BY event_id)
+                       THEN 0 ELSE 1 END AS chg
+        FROM (SELECT CAST(ts AS DATE) AS day, event_id, {expr} AS v
+              FROM events)
+    )"""
+        for name, expr in _ENC_COLS
+    ),
+    doc="Column-encoding advisor for the events table: per column the "
+    "dictionary ratio (ndv/rows in ppm — low means dictionary "
+    "encoding wins) and the run-length signal (adjacent equal "
+    "values within each day partition in event_id order — high "
+    "continuation count means RLE wins), the two statistics parquet "
+    "writers use to pick encodings.  Runs are measured inside day "
+    "partitions so the window parallelizes by day at any scale; "
+    "each column is one partial-agg'd pass, unioned at the 4-row "
+    "summary level.  Completes the physical-design trio with "
+    "zonemap_pruning_audit and partition_key_advisor.",
+    tags=("sketch", "layout"),
+)
+def encoding_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for name, _ in _ENC_COLS:
+        if name == "user_id":
+            v = F.col("user_id").cast("string")
+        elif name == "value":
+            v = F.col("value").cast("string")
+        else:
+            v = F.col(name)
+        base = ev.select(
+            F.col("ts").cast("date").alias("day"), "event_id", v.alias("v")
+        )
+        w = W.partitionBy("day").orderBy("event_id")
+        chg = base.select(
+            "v",
+            F.when(F.col("v") == F.lag("v").over(w), 0)
+            .otherwise(1)
+            .alias("chg"),
+        )
+        outs.append(
+            chg.agg(
+                F.lit(name).alias("col"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("v").cast("long").alias("ndv"),
+                F.expr(
+                    "CAST(count(DISTINCT v) * 1000000 div count(*)"
+                    " AS BIGINT)"
+                ).alias("dict_ratio_ppm"),
+                (F.count(F.lit(1)) - F.sum("chg"))
+                .cast("long")
+                .alias("n_run_continuations"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

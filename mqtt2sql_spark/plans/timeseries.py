@@ -1401,3 +1401,70 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_session_x1000"
         ),
     )
+
+
+@register(
+    "late_arrival_depth",
+    oracle="""
+    , l AS (
+        SELECT event_type,
+               max(epoch_us(ts)) OVER (PARTITION BY event_type
+                                       ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+               - epoch_us(ts) AS late_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_1m,
+           CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_5m,
+           CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_1h
+    FROM l GROUP BY event_type
+    """,
+    doc="Late-data audit for watermark sizing: treating event_id as the "
+    "arrival order, each event's lateness is the running event-time "
+    "high-water mark minus its own timestamp — exactly the quantity "
+    "a Structured Streaming withWatermark() bound must exceed to "
+    "avoid dropping the row.  Reports out-of-order mass beyond "
+    "1min/5min/1h per stream plus the worst regression, so the "
+    "watermark is chosen from measured disorder instead of folklore.  "
+    "One shuffle per stream key; the running max is a cumulative "
+    "window (partial order maintained per partition at scale).",
+    tags=("timeseries", "streaming"),
+)
+def late_arrival_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    l = ev.select(
+        "event_type",
+        (
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("late_us"),
+    )
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+        F.sum(F.when(F.col("late_us") > 60_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_1m"),
+        F.sum(F.when(F.col("late_us") > 300_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_5m"),
+        F.sum(F.when(F.col("late_us") > 3_600_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_1h"),
+    )

@@ -467,3 +467,34 @@ def test_partition_advisor_flags_skew_sanely(spark):
         assert 0 < r.top_share_ppm <= 1_000_000
         assert r.balanced in (0, 1)
     assert rows["user_id"].n_keys > rows["event_type"].n_keys
+
+
+def test_encoding_advisor_stats_consistent(spark):
+    from mqtt2sql_spark.plans.sketches import encoding_advisor_events
+
+    rows = {r.col: r for r in encoding_advisor_events(spark, SF_DIR).collect()}
+    assert set(rows) == {"event_type", "user_id", "value", "props"}
+    for r in rows.values():
+        assert 0 < r.ndv <= r.n_rows
+        assert r.dict_ratio_ppm == r.ndv * 1_000_000 // r.n_rows
+        assert 0 <= r.n_run_continuations < r.n_rows
+    # five event types must dictionary-encode far better than values
+    assert rows["event_type"].dict_ratio_ppm < rows["value"].dict_ratio_ppm
+
+
+def test_exposure_lift_groups_partition_user_days(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import exposure_conversion_lift
+
+    rows = {r.exposed: r for r in exposure_conversion_lift(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    n_user_days = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_users + rows[1].n_users == n_user_days
+    assert rows[1].lift_vs_unexposed_ppm > 0

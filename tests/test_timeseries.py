@@ -325,3 +325,15 @@ def test_session_counts_decrease_with_larger_gaps(spark):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert r.events_per_session_x1000 >= 1000
+
+
+def test_late_arrival_thresholds_are_nested(spark):
+    from mqtt2sql_spark.plans.timeseries import late_arrival_depth
+
+    rows = late_arrival_depth(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_late_1h <= r.n_late_5m <= r.n_late_1m <= r.n_late
+        assert r.n_late <= r.n_events
+        if r.n_late_1h:
+            assert r.max_late_us > 3_600_000_000

@@ -6702,3 +6702,90 @@ def exposure_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv_ppm * 1000000 div greatest(base_ppm, 1) AS BIGINT)"
         ).alias("lift_vs_unexposed_ppm"),
     )
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle="""
+    , firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+                   AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT f.cohort,
+               (year(o.o_orderdate) - year(f.cohort)) * 12
+               + month(o.o_orderdate) - month(f.cohort) AS age_m,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+        FROM firsts GROUP BY cohort
+    ),
+    monthly AS (
+        SELECT cohort, CAST(age_m AS INTEGER) AS age_m,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM rev GROUP BY cohort, age_m
+    )
+    SELECT m.cohort, m.age_m, s.n_customers, m.rev_cents,
+           CAST(sum(m.rev_cents) OVER (PARTITION BY m.cohort
+                                       ORDER BY m.age_m) AS BIGINT)
+               AS cum_cents,
+           CAST(sum(m.rev_cents) OVER (PARTITION BY m.cohort
+                                       ORDER BY m.age_m)
+                // s.n_customers AS BIGINT) AS ltv_per_cust_cents
+    FROM monthly m JOIN sizes s USING (cohort)
+    WHERE m.age_m <= 24
+    """,
+    doc="Cohort lifetime-value curves: customers cohorted by first-"
+    "order month, cumulative revenue by month-age (0..24) and LTV "
+    "per cohort member — the payback-period table subscription and "
+    "retail finance teams live in.  Month-age is pure integer "
+    "calendar arithmetic, revenue is exact cents, the cumulative is "
+    "a per-cohort ordered window over the small (cohort, age) "
+    "rollup.  Two fact shuffles total (first-order derivation, "
+    "cohort-age rollup); the cohort-sizes dim broadcasts.",
+    tags=("analytics", "crm"),
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias(
+            "cohort"
+        )
+    )
+    rev = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + F.month("o_orderdate")
+            - F.month("cohort")
+        ).alias("age_m"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    monthly = rev.groupBy(
+        "cohort", F.col("age_m").cast("int").alias("age_m")
+    ).agg(F.sum("cents").cast("long").alias("rev_cents"))
+    w = W.partitionBy("cohort").orderBy("age_m")
+    return (
+        monthly.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_m",
+            "n_customers",
+            "rev_cents",
+            F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
+        )
+        .withColumn(
+            "ltv_per_cust_cents",
+            F.expr("CAST(cum_cents div n_customers AS BIGINT)"),
+        )
+        .where(F.col("age_m") <= 24)
+    )

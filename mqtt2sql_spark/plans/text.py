@@ -2227,3 +2227,91 @@ def phrase_kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kwic"),
     )
     return ctx.orderBy("doc_id").limit(50)
+
+
+KEYNESS_SOURCE = "src0"  # focus corpus; reference = all other sources
+
+
+@register(
+    "source_token_keyness",
+    oracle=f"""
+    , tok AS (
+        SELECT CASE WHEN source = '{KEYNESS_SOURCE}' THEN 1 ELSE 0 END
+                   AS focus,
+               unnest({duck_tokens()}) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT w,
+               CAST(sum(focus) AS BIGINT) AS a,
+               CAST(sum(1 - focus) AS BIGINT) AS b
+        FROM tok GROUP BY w
+    ),
+    tots AS (
+        SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+        FROM counts
+    ),
+    scored AS (
+        SELECT c.w, c.a, c.b,
+               CAST((CAST(c.a AS HUGEINT) * t.nb - CAST(c.b AS HUGEINT)
+                     * t.na) * (CAST(c.a AS HUGEINT) * t.nb
+                     - CAST(c.b AS HUGEINT) * t.na) * 1000000
+                    // (CAST(c.a + c.b AS HUGEINT) * t.na * t.nb
+                        * (t.na + t.nb - c.a - c.b)
+                        // (t.na + t.nb)) AS BIGINT) AS chi2_ppm
+        FROM counts c CROSS JOIN tots t
+    )
+    SELECT w, a AS n_focus, b AS n_reference, chi2_ppm
+    FROM scored ORDER BY chi2_ppm DESC, w LIMIT 20
+    """,
+    doc=f"Corpus keyness ({KEYNESS_SOURCE} vs all other sources): the "
+    "20 most over/under-represented tokens by 2x2 chi-square — the "
+    "contrastive-corpus keyword extraction used to characterize what "
+    "makes one crawl slice different.  The statistic "
+    "N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) is kept in HUGEINT/"
+    "DECIMAL(38,0) with a two-step integral division (denominator "
+    "pre-reduced by N) so the x1e6 surface is exact cross-engine.  "
+    "One token-count shuffle; totals broadcast; distributed "
+    "TakeOrdered(20) with total-order tie-break.",
+    tags=("text", "stats"),
+)
+def source_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        F.when(F.col("source") == KEYNESS_SOURCE, 1)
+        .otherwise(0)
+        .alias("focus"),
+        F.explode(tokens("text")).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum("focus").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("focus")).cast("long").alias("b"),
+    )
+    tots = counts.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    scored = counts.crossJoin(F.broadcast(tots)).select(
+        "w",
+        "a",
+        "b",
+        F.expr(
+            "CAST((CAST(a AS DECIMAL(38,0)) * nb - CAST(b AS"
+            " DECIMAL(38,0)) * na) * (CAST(a AS DECIMAL(38,0)) * nb"
+            " - CAST(b AS DECIMAL(38,0)) * na) * 1000000"
+            " div (CAST(a + b AS DECIMAL(38,0)) * na * nb"
+            " * (na + nb - a - b) div (na + nb)) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+    return (
+        scored.select(
+            "w",
+            F.col("a").alias("n_focus"),
+            F.col("b").alias("n_reference"),
+            "chi2_ppm",
+        )
+        .orderBy(F.desc("chi2_ppm"), "w")
+        .limit(20)
+    )

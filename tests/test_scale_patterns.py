@@ -498,3 +498,54 @@ def test_exposure_lift_groups_partition_user_days(spark):
     )
     assert rows[0].n_users + rows[1].n_users == n_user_days
     assert rows[1].lift_vs_unexposed_ppm > 0
+
+
+def test_ltv_curves_are_monotone_and_consistent(spark):
+    from mqtt2sql_spark.plans.analytics import cohort_ltv_curves
+
+    rows = cohort_ltv_curves(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_m)
+        cum = 0
+        for r in rs:
+            cum += r.rev_cents
+            assert r.cum_cents == cum
+            assert r.ltv_per_cust_cents == cum // r.n_customers
+        # age 0 always exists: the first order itself
+        assert rs[0].age_m == 0
+
+
+def test_keyness_recomputed_for_top_token(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.text import (
+        KEYNESS_SOURCE,
+        source_token_keyness,
+    )
+
+    rows = source_token_keyness(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    import re
+
+    a_tot = b_tot = 0
+    counts = {}
+    for r in load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect():
+        focus = 1 if r.source == KEYNESS_SOURCE else 0
+        for w in re.findall(r"[a-z0-9]+", r.text.lower()):
+            c = counts.setdefault(w, [0, 0])
+            c[focus] += 1
+    a_tot = sum(v[1] for v in counts.values())
+    b_tot = sum(v[0] for v in counts.values())
+    top = rows[0]
+    b, a = counts[top.w]
+    assert (a, b) == (top.n_focus, top.n_reference)
+    num = (a * b_tot - b * a_tot) ** 2 * 1_000_000
+    den = (a + b) * a_tot * b_tot * (a_tot + b_tot - a - b) // (a_tot + b_tot)
+    assert top.chi2_ppm == num // den

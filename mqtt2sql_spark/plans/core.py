@@ -716,3 +716,62 @@ def diffonly_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_messages - n_changes) * 1000000 DIV n_messages"
         ).alias("savings_ppm"),
     )
+
+
+SCD2_ASOF = "2024-01-15 00:00:00"  # mid-range instant of the fixture stream
+
+
+@register(
+    "scd2_asof_snapshot",
+    oracle=f"""
+    , versions AS (
+        SELECT h.topicid, d.topic, h.value_str,
+               h.ts AS valid_from,
+               lead(h.ts) OVER (PARTITION BY h.topicid
+                                ORDER BY h.ts, h.id) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY h.topicid
+                                       ORDER BY h.ts, h.id) AS BIGINT)
+                   AS version
+        FROM mqtt_history h JOIN topic_dim d ON d.id = h.topicid
+    )
+    SELECT topicid, topic, value_str, valid_from, version
+    FROM versions
+    WHERE valid_from <= TIMESTAMP '{SCD2_ASOF}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SCD2_ASOF}')
+    """,
+    doc="Time travel over the SCD2 dimension: reconstruct every "
+    "topic's state as of a fixed instant by selecting the version "
+    "whose [valid_from, valid_to) range covers it — the read side "
+    "of scd2_topic_versions, proving the two-timestamp contract "
+    "answers 'value as of any t' (reference README.md:228-235 only "
+    "answers 'value now').  Topics first seen after the instant "
+    "drop out naturally.  Same single topicid-partitioned window "
+    "as the SCD2 build; the as-of predicate is a range filter that "
+    "partition-prunes when the table is laid out by "
+    "date(valid_from).",
+    tags=("core", "scd2"),
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.fixtures import mqtt_history, topic_dim
+
+    h = mqtt_history(spark, sf_dir)
+    dim = topic_dim(spark, sf_dir).select(
+        F.col("id").alias("_did"), "topic"
+    )
+    w = W.partitionBy("topicid").orderBy("ts", "id")
+    versions = (
+        h.join(F.broadcast(dim), h["topicid"] == F.col("_did"))
+        .select(
+            "topicid",
+            "topic",
+            "value_str",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+        )
+    )
+    t = F.lit(SCD2_ASOF).cast("timestamp")
+    return versions.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("topicid", "topic", "value_str", "valid_from", "version")

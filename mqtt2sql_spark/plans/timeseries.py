@@ -1468,3 +1468,85 @@ def late_arrival_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_late_1h"),
     )
+
+
+@register(
+    "freshness_audit",
+    oracle="""
+    , gm AS (SELECT max(epoch_us(ts)) AS g FROM events),
+    st AS (
+        SELECT event_type,
+               max(epoch_us(ts)) AS last_us,
+               CAST(sum(CASE WHEN epoch_us(ts)
+                             > (SELECT g FROM gm) - 86400000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h,
+               CAST(sum(CASE WHEN epoch_us(ts)
+                             <= (SELECT g FROM gm) - 86400000000
+                             AND epoch_us(ts)
+                             > (SELECT g FROM gm) - 172800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_prior_24h
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST((SELECT g FROM gm) - last_us AS BIGINT) AS staleness_us,
+           n_last_24h, n_prior_24h,
+           CAST(CASE WHEN n_last_24h >= n_prior_24h
+                     THEN (n_last_24h - n_prior_24h) * 1000000
+                          // greatest(n_prior_24h, 1)
+                     ELSE -((n_prior_24h - n_last_24h) * 1000000
+                            // greatest(n_prior_24h, 1))
+                END AS BIGINT) AS volume_delta_ppm
+    FROM st
+    """,
+    doc="Pipeline freshness audit: per stream, how far its newest "
+    "event lags the table's global high-water mark (a silently "
+    "stalled upstream shows up as growing staleness long before "
+    "anyone looks at a dashboard), plus day-over-day volume delta "
+    "in ppm (last 24h vs the 24h before, anchored to the data's own "
+    "max — a sudden drop flags a broken producer even when the "
+    "stream is fresh; the delta uses symmetric truncation written "
+    "out as sign * (abs//n) on BOTH engines because Spark div "
+    "truncates where DuckDB // floors on negatives).  "
+    "One partial-agg'd pass; the global "
+    "anchor is a broadcast scalar.  All-integer surface.",
+    tags=("timeseries", "dq"),
+)
+def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gm = ev.agg(F.max(F.unix_micros("ts")).alias("g"))
+    us = F.unix_micros("ts")
+    st = (
+        ev.crossJoin(F.broadcast(gm))
+        .groupBy("event_type")
+        .agg(
+            F.max(us).alias("last_us"),
+            F.max("g").alias("g"),
+            F.sum(
+                F.when(us > F.col("g") - 86_400_000_000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_24h"),
+            F.sum(
+                F.when(
+                    (us <= F.col("g") - 86_400_000_000)
+                    & (us > F.col("g") - 172_800_000_000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_prior_24h"),
+        )
+    )
+    return st.select(
+        "event_type",
+        (F.col("g") - F.col("last_us")).cast("long").alias("staleness_us"),
+        "n_last_24h",
+        "n_prior_24h",
+        F.expr(
+            "CAST(CASE WHEN n_last_24h >= n_prior_24h"
+            " THEN (n_last_24h - n_prior_24h) * 1000000"
+            " div greatest(n_prior_24h, 1)"
+            " ELSE -((n_prior_24h - n_last_24h) * 1000000"
+            " div greatest(n_prior_24h, 1)) END AS BIGINT)"
+        ).alias("volume_delta_ppm"),
+    )

@@ -290,3 +290,32 @@ def test_pagerank_int_matches_python_reference(spark):
     df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
     got = {r.v: r.s for r in pagerank_int(df, n_iter=8).collect()}
     assert got == score
+
+
+def test_scd2_asof_snapshot_consistent_with_versions(spark):
+    """The as-of snapshot is exactly the version row covering the
+    instant, one row per topic first seen before it."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.plans.core import (
+        SCD2_ASOF,
+        scd2_asof_snapshot,
+        scd2_topic_versions,
+    )
+    from tests.conftest import SF_DIR
+
+    snap = {r.topicid: r for r in scd2_asof_snapshot(spark, SF_DIR).collect()}
+    assert snap
+    import datetime as dt
+
+    t = dt.datetime.fromisoformat(SCD2_ASOF)
+    vers = scd2_topic_versions(spark, SF_DIR).collect()
+    want = {}
+    for v in vers:
+        if v.valid_from <= t and (v.valid_to is None or v.valid_to > t):
+            assert v.topicid not in want  # ranges are disjoint
+            want[v.topicid] = v
+    assert set(snap) == set(want)
+    for tid, s in snap.items():
+        assert s.value_str == want[tid].value_str
+        assert s.version == want[tid].version

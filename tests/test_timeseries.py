@@ -337,3 +337,14 @@ def test_late_arrival_thresholds_are_nested(spark):
         assert r.n_late <= r.n_events
         if r.n_late_1h:
             assert r.max_late_us > 3_600_000_000
+
+
+def test_freshness_audit_consistency(spark):
+    from mqtt2sql_spark.plans.timeseries import freshness_audit
+
+    rows = freshness_audit(spark, SF_DIR).collect()
+    assert rows
+    assert min(r.staleness_us for r in rows) == 0  # some stream holds the max
+    for r in rows:
+        assert r.staleness_us >= 0
+        assert r.n_last_24h >= 0 and r.n_prior_24h >= 0

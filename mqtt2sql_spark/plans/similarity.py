@@ -1753,3 +1753,120 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(count(*) AS DECIMAL(38,0)) * count(*)) AS BIGINT)"
         ).alias("var_q2"),
     )
+
+
+TRIPLET_MARGIN_X1E6 = 200_000  # satisfied when cos(a,p) - cos(a,n) > 0.2
+
+
+@register(
+    "triplet_mining_margin",
+    oracle=f"""
+    , emb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               c.vec_id AS vec_id,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS same,
+               {_DUCK_COS} AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id,
+                                CASE WHEN c.label = q.label
+                                     THEN 1 ELSE 0 END
+                   ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+               ) AS rn
+        FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    best AS (
+        SELECT query_id, CAST(min(qlabel) AS INTEGER) AS label,
+               CAST(max(CASE WHEN same = 1 THEN vec_id END) AS BIGINT)
+                   AS pos_id,
+               CAST(max(CASE WHEN same = 0 THEN vec_id END) AS BIGINT)
+                   AS neg_id,
+               max(CASE WHEN same = 1 THEN cos END) AS pos_cos,
+               max(CASE WHEN same = 0 THEN cos END) AS neg_cos
+        FROM scored WHERE rn = 1 GROUP BY query_id
+    )
+    SELECT query_id, label, pos_id, neg_id,
+           CAST(floor((pos_cos - neg_cos) * 1000000) AS BIGINT)
+               AS margin_x1e6,
+           CAST(CASE WHEN floor((pos_cos - neg_cos) * 1000000)
+                          > {TRIPLET_MARGIN_X1E6}
+                     THEN 1 ELSE 0 END AS INTEGER) AS satisfied
+    FROM best
+    """,
+    doc="Contrastive-training triplet mining: for each anchor in the "
+    "query set, the hardest positive is its nearest same-label "
+    "vector and the hardest negative its nearest other-label vector "
+    "(one scored join, ranked within (anchor, same-label) strata — "
+    "no second pass), with the triplet margin cos(a,p)-cos(a,n) as "
+    "floor fixed-point x1e6 and a satisfied flag at margin 0.2.  "
+    "The dataset-construction step for metric-learning pipelines; "
+    "unsatisfied triplets are exactly the ones worth training on.  "
+    "Same broadcast-query scale shape as ann_cosine_topk (the LSH "
+    "bucket join is the drop-in scale path).",
+    tags=("similarity", "ml"),
+)
+def triplet_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    scored = joined.select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias(
+            "same"
+        ),
+        cos.alias("cos"),
+    )
+    w = W.partitionBy("query_id", "same").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("vec_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("query_id")
+        .agg(
+            F.min("qlabel").cast("int").alias("label"),
+            F.max(F.when(F.col("same") == 1, F.col("vec_id")))
+            .cast("long")
+            .alias("pos_id"),
+            F.max(F.when(F.col("same") == 0, F.col("vec_id")))
+            .cast("long")
+            .alias("neg_id"),
+            F.max(F.when(F.col("same") == 1, F.col("cos"))).alias(
+                "pos_cos"
+            ),
+            F.max(F.when(F.col("same") == 0, F.col("cos"))).alias(
+                "neg_cos"
+            ),
+        )
+    )
+    margin = F.expr("CAST(floor((pos_cos - neg_cos) * 1000000) AS BIGINT)")
+    return best.select(
+        "query_id",
+        "label",
+        "pos_id",
+        "neg_id",
+        margin.alias("margin_x1e6"),
+        F.expr(
+            f"CAST(CASE WHEN floor((pos_cos - neg_cos) * 1000000)"
+            f" > {TRIPLET_MARGIN_X1E6} THEN 1 ELSE 0 END AS INT)"
+        ).alias("satisfied"),
+    )

@@ -245,3 +245,36 @@ def test_ndcg_bounds_and_perfect_ranking_sanity(spark):
             v for v, _ in sorted(exact[r.query_id].items(), key=lambda x: x[1])
         ]:
             assert r.ndcg_ppm == 1_000_000
+
+
+def test_triplets_pick_true_extremes(spark):
+    """pos/neg are the true nearest same/other-label vectors, verified
+    by numpy brute force for every anchor."""
+    import numpy as np
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.similarity import (
+        QUERY_MOD,
+        triplet_mining_margin,
+    )
+
+    rows = {r.query_id: r for r in triplet_mining_margin(spark, SF_DIR).collect()}
+    assert rows
+    data = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+            for r in data}
+    for qid, row in rows.items():
+        qv, qlab = vecs[qid]
+        best = {1: (-2.0, None), 0: (-2.0, None)}
+        for vid, (v, lab) in vecs.items():
+            if vid == qid:
+                continue
+            cos = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            key = round(cos, 6)
+            same = 1 if lab == qlab else 0
+            cur = best[same]
+            if key > cur[0] or (key == cur[0] and (cur[1] is None or vid < cur[1])):
+                best[same] = (key, vid)
+        assert row.pos_id == best[1][1]
+        assert row.neg_id == best[0][1]
+        assert row.satisfied == (1 if row.margin_x1e6 > 200_000 else 0)

@@ -6789,3 +6789,142 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("age_m") <= 24)
     )
+
+
+@register(
+    "next_order_backtest",
+    oracle="""
+    , seq AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey, n, rn,
+               datediff('day',
+                        lag(d) OVER (PARTITION BY o_custkey
+                                     ORDER BY rn), d) AS gap
+        FROM seq
+    ),
+    train AS (  -- gaps between consecutive TRAIN orders (exclude final gap)
+        SELECT o_custkey, gap FROM gaps
+        WHERE gap IS NOT NULL AND rn < n AND n >= 3
+    ),
+    ranked AS (
+        SELECT o_custkey, gap,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY gap, gap) AS gr,
+               count(*) OVER (PARTITION BY o_custkey) AS gn
+        FROM train
+    ),
+    med AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN gn % 2 = 1 THEN 2 * gap ELSE gap END)
+                    AS BIGINT) AS med2
+        FROM ranked
+        WHERE (gn % 2 = 1 AND gr = (gn + 1) // 2)
+           OR (gn % 2 = 0 AND gr IN (gn // 2, gn // 2 + 1))
+        GROUP BY o_custkey
+    ),
+    final_gap AS (
+        SELECT o_custkey, CAST(gap AS BIGINT) AS fgap
+        FROM gaps WHERE rn = n AND n >= 3
+    ),
+    scored AS (
+        SELECT c.c_mktsegment, abs(2 * f.fgap - m.med2) AS err2
+        FROM final_gap f
+        JOIN med m USING (o_custkey)
+        JOIN customer c ON c.c_custkey = f.o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(err2) AS BIGINT) AS total_err_x2_days,
+           CAST(sum(err2) * 1000000 // (2 * count(*)) AS BIGINT)
+               AS mae_days_ppm
+    FROM scored GROUP BY c_mktsegment
+    """,
+    doc="Next-order-date backtest: predict each customer's final "
+    "reorder interval with the median of their earlier intervals "
+    "(leave-last-out), scored as MAE days per market segment.  The "
+    "per-customer median is exact integer median-times-two (sum of "
+    "the one or two middle ranked gaps), so no floats exist "
+    "anywhere; customers need >= 3 orders.  Everything runs in two "
+    "customer-keyed window passes over the orders fact plus a "
+    "broadcast customer-dim join — the simplest defensible reorder "
+    "model and the baseline any fancier one must beat.",
+    tags=("analytics", "forecast"),
+)
+def next_order_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    wseq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(wseq).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_custkey"))
+        .alias("n"),
+    )
+    wg = W.partitionBy("o_custkey").orderBy("rn")
+    gaps = seq.select(
+        "o_custkey",
+        "n",
+        "rn",
+        F.datediff("d", F.lag("d").over(wg)).alias("gap"),
+    )
+    train = gaps.where(
+        F.col("gap").isNotNull() & (F.col("rn") < F.col("n")) & (F.col("n") >= 3)
+    ).select("o_custkey", "gap")
+    wr = W.partitionBy("o_custkey").orderBy("gap", "gap")
+    ranked = train.select(
+        "o_custkey",
+        "gap",
+        F.row_number().over(wr).alias("gr"),
+        F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("gn"),
+    )
+    is_mid_odd = (F.col("gn") % 2 == 1) & (
+        F.col("gr") == F.expr("(gn + 1) div 2")
+    )
+    is_mid_even = (F.col("gn") % 2 == 0) & (
+        (F.col("gr") == F.expr("gn div 2"))
+        | (F.col("gr") == F.expr("gn div 2 + 1"))
+    )
+    med = (
+        ranked.where(is_mid_odd | is_mid_even)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("gn") % 2 == 1, 2 * F.col("gap")).otherwise(
+                    F.col("gap")
+                )
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    final_gap = gaps.where(
+        (F.col("rn") == F.col("n")) & (F.col("n") >= 3)
+    ).select("o_custkey", F.col("gap").cast("long").alias("fgap"))
+    scored = (
+        final_gap.join(med, "o_custkey")
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.abs(2 * F.col("fgap") - F.col("med2")).alias("err2"),
+        )
+    )
+    return scored.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("err2").cast("long").alias("total_err_x2_days"),
+        F.expr(
+            "CAST(sum(err2) * 1000000 div (2 * count(*)) AS BIGINT)"
+        ).alias("mae_days_ppm"),
+    )

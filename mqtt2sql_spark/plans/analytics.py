@@ -7016,3 +7016,178 @@ def single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share_ppm"),
         )
     )
+
+
+@register(
+    "repeat_revenue_share",
+    oracle="""
+    , seq AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    cust AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN s.rn = 1 THEN s.cents ELSE 0 END)
+                AS BIGINT) AS first_order_cents,
+           CAST(sum(CASE WHEN s.rn > 1 THEN s.cents ELSE 0 END)
+                AS BIGINT) AS repeat_cents,
+           CAST(sum(CASE WHEN s.rn > 1 THEN s.cents ELSE 0 END) * 1000000
+                // sum(s.cents) AS BIGINT) AS repeat_share_ppm
+    FROM seq s JOIN cust c ON c.c_custkey = s.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Repeat-revenue split per market segment: each customer's "
+    "first order (total order ts, orderkey) vs everything after — "
+    "the acquisition-vs-retention revenue mix.  One customer-keyed "
+    "ranking window over the orders fact, a broadcast dim join, "
+    "exact cents, repeat share in integer ppm.",
+    tags=("analytics", "crm"),
+)
+def repeat_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        seq.join(F.broadcast(cust), seq.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("rn") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("first_order_cents"),
+            F.sum(F.when(F.col("rn") > 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("repeat_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN rn > 1 THEN cents ELSE 0 END)"
+                " * 1000000 div sum(cents) AS BIGINT)"
+            ).alias("repeat_share_ppm"),
+        )
+    )
+
+
+_RB_Y0, _RB_Y1 = 1996, 1997
+
+
+@register(
+    "revenue_bridge_yoy",
+    oracle=f"""
+    , yr AS (
+        SELECT p.p_brand,
+               year(o.o_orderdate) AS y,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(o.o_orderdate) IN ({_RB_Y0}, {_RB_Y1})
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT p_brand,
+               CAST(sum(CASE WHEN y = {_RB_Y0} THEN cents END) AS BIGINT)
+                   AS rev0,
+               CAST(sum(CASE WHEN y = {_RB_Y0} THEN qty END) AS BIGINT)
+                   AS qty0,
+               CAST(sum(CASE WHEN y = {_RB_Y1} THEN cents END) AS BIGINT)
+                   AS rev1,
+               CAST(sum(CASE WHEN y = {_RB_Y1} THEN qty END) AS BIGINT)
+                   AS qty1
+        FROM yr GROUP BY p_brand
+        HAVING sum(CASE WHEN y = {_RB_Y0} THEN qty END) > 0
+           AND sum(CASE WHEN y = {_RB_Y1} THEN qty END) > 0
+    )
+    SELECT p_brand, rev0, rev1,
+           CAST(rev1 - rev0 AS BIGINT) AS delta_cents,
+           CAST(CASE WHEN qty1 >= qty0
+                     THEN (qty1 - qty0) * rev0 // qty0
+                     ELSE -((qty0 - qty1) * rev0 // qty0)
+                END AS BIGINT) AS volume_effect_cents,
+           CAST((rev1 - rev0)
+                - CASE WHEN qty1 >= qty0
+                       THEN (qty1 - qty0) * rev0 // qty0
+                       ELSE -((qty0 - qty1) * rev0 // qty0)
+                  END AS BIGINT) AS price_mix_effect_cents
+    FROM wide
+    """,
+    doc=f"Year-over-year revenue bridge per brand ({_RB_Y0}->{_RB_Y1}): "
+    "the delta decomposed into a volume effect (quantity change at "
+    "the base year's unit value, symmetric-truncated integer "
+    "division per the signed-div invariant) and a price/mix "
+    "residual defined as the exact remainder — so the two effects "
+    "sum to the delta to the cent BY CONSTRUCTION, the property "
+    "finance bridge charts require and floating-point decompositions "
+    "lose.  One three-way join (two broadcast dims), a brand-year "
+    "rollup, then pure integer arithmetic on the wide form.",
+    tags=("analytics", "finance"),
+)
+def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("y")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    yr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("y").isin(_RB_Y0, _RB_Y1))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "y")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cents"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    wide = (
+        yr.groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("y") == _RB_Y0, F.col("cents")))
+            .cast("long")
+            .alias("rev0"),
+            F.sum(F.when(F.col("y") == _RB_Y0, F.col("qty")))
+            .cast("long")
+            .alias("qty0"),
+            F.sum(F.when(F.col("y") == _RB_Y1, F.col("cents")))
+            .cast("long")
+            .alias("rev1"),
+            F.sum(F.when(F.col("y") == _RB_Y1, F.col("qty")))
+            .cast("long")
+            .alias("qty1"),
+        )
+        .where((F.col("qty0") > 0) & (F.col("qty1") > 0))
+    )
+    vol = (
+        "CASE WHEN qty1 >= qty0 THEN (qty1 - qty0) * rev0 div qty0"
+        " ELSE -((qty0 - qty1) * rev0 div qty0) END"
+    )
+    return wide.select(
+        "p_brand",
+        "rev0",
+        "rev1",
+        (F.col("rev1") - F.col("rev0")).cast("long").alias("delta_cents"),
+        F.expr(f"CAST({vol} AS BIGINT)").alias("volume_effect_cents"),
+        F.expr(f"CAST((rev1 - rev0) - ({vol}) AS BIGINT)").alias(
+            "price_mix_effect_cents"
+        ),
+    )

@@ -610,3 +610,27 @@ def test_single_source_risk_bands_partition_parts(spark):
     )
     assert sum(r.n_parts for r in rows.values()) == n_parts
     assert sum(r.revenue_share_ppm for r in rows.values()) <= 1_000_000
+
+
+def test_revenue_bridge_effects_sum_to_delta(spark):
+    from mqtt2sql_spark.plans.analytics import revenue_bridge_yoy
+
+    rows = revenue_bridge_yoy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_cents == r.rev1 - r.rev0
+        assert (
+            r.volume_effect_cents + r.price_mix_effect_cents
+            == r.delta_cents
+        )
+
+
+def test_repeat_share_bounds(spark):
+    from mqtt2sql_spark.plans.analytics import repeat_revenue_share
+
+    rows = repeat_revenue_share(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        total = r.first_order_cents + r.repeat_cents
+        assert total > 0
+        assert r.repeat_share_ppm == r.repeat_cents * 1_000_000 // total

@@ -7191,3 +7191,67 @@ def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_mix_effect_cents"
         ),
     )
+
+
+@register(
+    "hockey_stick_ratio",
+    oracle="""
+    , m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    agg AS (
+        SELECT mo,
+               CAST(sum(cents) AS BIGINT) AS month_cents,
+               CAST(sum(CASE WHEN d >= (mo + INTERVAL 1 MONTH
+                                        - INTERVAL 7 DAY)
+                             THEN cents ELSE 0 END) AS BIGINT)
+                   AS last7_cents
+        FROM m GROUP BY mo
+    )
+    SELECT mo AS month, month_cents, last7_cents,
+           CAST(last7_cents * 1000000 // month_cents AS BIGINT)
+               AS last7_share_ppm,
+           CAST(CASE WHEN last7_cents * 1000000 // month_cents > 400000
+                     THEN 1 ELSE 0 END AS INTEGER) AS hockey_stick
+    FROM agg
+    """,
+    doc="Month-end loading ('hockey stick') detector: the share of "
+    "each month's order value booked in its final 7 days — a share "
+    "persistently above ~23% (7/30) means quota-driven pull-ins; "
+    "months above 40% are flagged.  Month-end arithmetic is pure "
+    "calendar integer math (month start + 1 month - 7 days), value "
+    "is exact cents, share in integer ppm.  One partial-agg'd "
+    "monthly rollup; the flag threshold is a literal.",
+    tags=("analytics", "finance"),
+)
+def hockey_stick_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mo"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    last7 = F.col("d") >= F.date_sub(F.add_months(F.col("mo"), 1), 7)
+    agg = m.groupBy("mo").agg(
+        F.sum("cents").cast("long").alias("month_cents"),
+        F.sum(F.when(last7, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("last7_cents"),
+    )
+    return agg.select(
+        F.col("mo").alias("month"),
+        "month_cents",
+        "last7_cents",
+        F.expr(
+            "CAST(last7_cents * 1000000 div month_cents AS BIGINT)"
+        ).alias("last7_share_ppm"),
+        F.expr(
+            "CAST(CASE WHEN last7_cents * 1000000 div month_cents"
+            " > 400000 THEN 1 ELSE 0 END AS INT)"
+        ).alias("hockey_stick"),
+    )

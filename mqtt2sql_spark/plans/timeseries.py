@@ -1651,3 +1651,67 @@ def forecast_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "behavior_trigram_novelty",
+    oracle="""
+    , tri AS (
+        SELECT user_id,
+               event_type || '>' ||
+               lead(event_type, 1) OVER w || '>' ||
+               lead(event_type, 2) OVER w AS tg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY lead(event_type, 2) OVER w IS NOT NULL
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(count(DISTINCT tg) AS BIGINT) AS n_distinct
+        FROM tri GROUP BY user_id
+    )
+    SELECT CAST(n_distinct * 10 // n_trigrams AS INTEGER) AS novelty_decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+           CAST(min(n_distinct) AS BIGINT) AS min_distinct,
+           CAST(max(n_distinct) AS BIGINT) AS max_distinct
+    FROM per_user GROUP BY 1
+    """,
+    doc="Behavioral repetitiveness: each user's event-type trigram "
+    "stream (two leads over the per-user total order) scored by "
+    "distinct/total trigram ratio and bucketed into integer deciles "
+    "— bot-like accounts sit in the low-novelty buckets (the same "
+    "loop repeated), exploratory humans higher; the sequence-level "
+    "cousin of the text pipeline's repetition_filter.  One "
+    "user-keyed shuffle serves the window and the per-user rollup; "
+    "the decile histogram is dimension-sized.  All-integer.",
+    tags=("timeseries", "behavior"),
+)
+def behavior_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("tg"),
+        F.lead("event_type", 2).over(w).alias("_g"),
+    ).where(F.col("_g").isNotNull())
+    per_user = tri.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.countDistinct("tg").cast("long").alias("n_distinct"),
+    )
+    return per_user.groupBy(
+        F.expr("CAST(n_distinct * 10 div n_trigrams AS INT)").alias(
+            "novelty_decile"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_trigrams").cast("long").alias("n_trigrams"),
+        F.min("n_distinct").cast("long").alias("min_distinct"),
+        F.max("n_distinct").cast("long").alias("max_distinct"),
+    )

@@ -634,3 +634,17 @@ def test_repeat_share_bounds(spark):
         total = r.first_order_cents + r.repeat_cents
         assert total > 0
         assert r.repeat_share_ppm == r.repeat_cents * 1_000_000 // total
+
+
+def test_hockey_stick_share_is_plausible_and_exact(spark):
+    from mqtt2sql_spark.plans.analytics import hockey_stick_ratio
+
+    rows = hockey_stick_ratio(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.last7_cents <= r.month_cents
+        assert (
+            r.last7_share_ppm
+            == r.last7_cents * 1_000_000 // r.month_cents
+        )
+        assert r.hockey_stick == (1 if r.last7_share_ppm > 400_000 else 0)

@@ -360,3 +360,25 @@ def test_interval_coverage_is_high_and_consistent(spark):
         assert r.coverage_ppm == r.n_covered * 1_000_000 // r.n_test
         # q90 calibration should cover well over half the test days
         assert r.coverage_ppm > 500_000
+
+
+def test_trigram_novelty_histogram_covers_all_users(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import behavior_trigram_novelty
+
+    rows = behavior_trigram_novelty(spark, SF_DIR).collect()
+    assert rows
+    # users with >= 3 events each contribute to exactly one decile
+    n_eligible = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .where(F.col("count") >= 3)
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_eligible
+    for r in rows:
+        assert 0 <= r.novelty_decile <= 10
+        assert r.min_distinct <= r.max_distinct

@@ -7255,3 +7255,113 @@ def hockey_stick_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 400000 THEN 1 ELSE 0 END AS INT)"
         ).alias("hockey_stick"),
     )
+
+
+@register(
+    "degree_assortativity_copurchase",
+    oracle="""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+        SELECT x.l_partkey AS pk1, y.l_partkey AS pk2
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT pk, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT pk1 AS pk FROM pc UNION ALL SELECT pk2 FROM pc
+        ) GROUP BY pk
+    ),
+    ends AS (  -- both orientations of every edge
+        SELECT da.d AS x, db.d AS y
+        FROM pc JOIN deg da ON da.pk = pc.pk1
+                JOIN deg db ON db.pk = pc.pk2
+        UNION ALL
+        SELECT db.d, da.d
+        FROM pc JOIN deg da ON da.pk = pc.pk1
+                JOIN deg db ON db.pk = pc.pk2
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+        FROM ends
+    )
+    SELECT n AS n_edge_ends, sx AS sum_deg,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
+                AS BIGINT) AS assortativity_x1e6
+    FROM s
+    """,
+    doc="Degree assortativity of the co-purchase graph (Newman 2002): "
+    "Pearson correlation of endpoint degrees over both edge "
+    "orientations — positive means popular parts co-sell with other "
+    "popular parts (hub-hub structure), negative means hub-spoke.  "
+    "All sums are exact integers; the final statistic is one "
+    "IEEE-exact sqrt and division surfaced as floor fixed-point "
+    "x1e6 with the identical expression on both engines.  Edges "
+    "come from the bounded-basket pair shape (support >= 2); "
+    "degrees join back as a broadcast dim.",
+    tags=("analytics", "graph"),
+)
+def degree_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = basket.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    pc = (
+        e1.select("i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .groupBy("pk1", "pk2")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+        .select("pk1", "pk2")
+    )
+    deg = (
+        pc.select(F.col("pk1").alias("pk"))
+        .unionAll(pc.select(F.col("pk2").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("pk").alias("pk1"), F.col("d").alias("dx"))
+    db = deg.select(F.col("pk").alias("pk2"), F.col("d").alias("dy"))
+    joined = pc.join(F.broadcast(da), "pk1").join(F.broadcast(db), "pk2")
+    ends = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("long")
+        .alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        F.col("sx").alias("sum_deg"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("assortativity_x1e6"),
+    )

@@ -1715,3 +1715,60 @@ def behavior_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_distinct").cast("long").alias("min_distinct"),
         F.max("n_distinct").cast("long").alias("max_distinct"),
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    , du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    wau AS (
+        SELECT a.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+        FROM days a
+        JOIN du d ON d.day <= a.day AND d.day > a.day - 7
+        GROUP BY a.day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN wau w USING (day)
+    """,
+    doc="DAU/WAU stickiness per day — the engagement ratio product "
+    "teams track (1e6 ppm = everyone active weekly shows up daily).  "
+    "The trailing-7-day distinct join reuses the rolling-window "
+    "shape of hll_rolling_30d_distinct's exact branch (broadcast day "
+    "grid against the (day, user) distinct relation; at 100 TB the "
+    "WAU side swaps to merged HLL registers — the query pair "
+    "documents both the exact and sketch paths).  All-integer.",
+    tags=("timeseries", "product"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("tday"))
+    dau = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wau = (
+        F.broadcast(days)
+        .join(
+            du,
+            (F.col("day") <= F.col("tday"))
+            & (F.col("day") > F.date_sub(F.col("tday"), 7)),
+        )
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .select(F.col("tday").alias("day"), "wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("CAST(dau * 1000000 div wau AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    )

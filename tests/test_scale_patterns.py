@@ -648,3 +648,13 @@ def test_hockey_stick_share_is_plausible_and_exact(spark):
             == r.last7_cents * 1_000_000 // r.month_cents
         )
         assert r.hockey_stick == (1 if r.last7_share_ppm > 400_000 else 0)
+
+
+def test_assortativity_in_valid_range(spark):
+    from mqtt2sql_spark.plans.analytics import (
+        degree_assortativity_copurchase,
+    )
+
+    r = degree_assortativity_copurchase(spark, SF_DIR).collect()[0]
+    assert -1_000_000 <= r.assortativity_x1e6 <= 1_000_000
+    assert r.n_edge_ends % 2 == 0  # both orientations counted

@@ -382,3 +382,14 @@ def test_trigram_novelty_histogram_covers_all_users(spark):
     for r in rows:
         assert 0 <= r.novelty_decile <= 10
         assert r.min_distinct <= r.max_distinct
+
+
+def test_stickiness_bounds_and_dau_le_wau(spark):
+    from mqtt2sql_spark.plans.timeseries import dau_wau_stickiness
+
+    rows = dau_wau_stickiness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness_ppm <= 1_000_000
+        assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau

@@ -7365,3 +7365,65 @@ def degree_assortativity_copurchase(
             " AS BIGINT)"
         ).alias("assortativity_x1e6"),
     )
+
+
+_BA_SNAP = "1998-07-01"  # backlog snapshot instant (fixture midpoint)
+
+
+@register(
+    "backlog_age_histogram",
+    oracle=f"""
+    , spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS placed,
+               CAST(max(l.l_shipdate) AS DATE) AS last_ship
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    open_o AS (
+        SELECT datediff('day', placed, DATE '{_BA_SNAP}') AS age_days
+        FROM spans
+        WHERE placed <= DATE '{_BA_SNAP}' AND last_ship > DATE '{_BA_SNAP}'
+    )
+    SELECT CAST(length(bin(age_days + 1)) - 1 AS INTEGER) AS age_octave,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(age_days) AS BIGINT) AS min_age_days,
+           CAST(max(age_days) AS BIGINT) AS max_age_days
+    FROM open_o GROUP BY 1
+    """,
+    doc=f"Backlog aging at the {_BA_SNAP} snapshot: open orders (placed "
+    "on or before, last lineitem ships strictly after) bucketed by "
+    "age octave (integer bit-length of age+1 — the no-libm log2 "
+    "bucketing token_freq_spectrum uses), the WIP-aging view that "
+    "complements open_orders_backlog_monthly's time series: that "
+    "query says how many are open, this one says how LONG they've "
+    "been open.  One fact-fact shuffle for spans, then a "
+    "dimension-sized histogram.  All-integer.",
+    tags=("analytics", "interval"),
+)
+def backlog_age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    snap = F.lit(_BA_SNAP).cast("date")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("placed"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+    )
+    open_o = spans.where(
+        (F.col("placed") <= snap) & (F.col("last_ship") > snap)
+    ).select(F.datediff(snap, F.col("placed")).alias("age_days"))
+    return open_o.groupBy(
+        (F.length(F.bin(F.col("age_days") + 1)) - 1)
+        .cast("int")
+        .alias("age_octave")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("age_days").cast("long").alias("min_age_days"),
+        F.max("age_days").cast("long").alias("max_age_days"),
+    )

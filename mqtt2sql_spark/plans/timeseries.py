@@ -1772,3 +1772,72 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_ppm"
         ),
     )
+
+
+@register(
+    "user_hour_concentration",
+    oracle="""
+    , uh AS (
+        SELECT user_id, hour(ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, h) AS rk,
+               CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS total
+        FROM uh
+    ),
+    per_user AS (
+        SELECT user_id, total,
+               CAST(sum(CASE WHEN rk <= 3 THEN n ELSE 0 END) * 1000000
+                    // total AS BIGINT) AS top3_share_ppm
+        FROM ranked GROUP BY user_id, total
+    )
+    SELECT CAST(top3_share_ppm * 10 // 1000001 AS INTEGER) AS share_decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(total) AS BIGINT) AS n_events,
+           CAST(min(top3_share_ppm) AS BIGINT) AS min_share_ppm,
+           CAST(max(top3_share_ppm) AS BIGINT) AS max_share_ppm
+    FROM per_user GROUP BY 1
+    """,
+    doc="Hour-of-day concentration per user: the share of each user's "
+    "events inside their personal top-3 hours (ranked with a total "
+    "order), bucketed into deciles — schedule-driven automation "
+    "concentrates near 1e6 ppm while organic humans spread out; an "
+    "entropy-free behavioral fingerprint (no libm) that complements "
+    "behavior_trigram_novelty's sequence view with a clock view.  "
+    "One user-keyed shuffle serves the (user, hour) rollup, ranking "
+    "and share; the decile histogram is dimension-sized.",
+    tags=("timeseries", "behavior"),
+)
+def user_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("h"))
+    wt = W.partitionBy("user_id")
+    ranked = uh.select(
+        "user_id",
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n").over(wt).cast("long").alias("total"),
+    )
+    per_user = ranked.groupBy("user_id", "total").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rk <= 3 THEN n ELSE 0 END) * 1000000"
+            " div total AS BIGINT)"
+        ).alias("top3_share_ppm")
+    )
+    return per_user.groupBy(
+        F.expr("CAST(top3_share_ppm * 10 div 1000001 AS INT)").alias(
+            "share_decile"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("total").cast("long").alias("n_events"),
+        F.min("top3_share_ppm").cast("long").alias("min_share_ppm"),
+        F.max("top3_share_ppm").cast("long").alias("max_share_ppm"),
+    )

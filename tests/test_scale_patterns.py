@@ -658,3 +658,22 @@ def test_assortativity_in_valid_range(spark):
     r = degree_assortativity_copurchase(spark, SF_DIR).collect()[0]
     assert -1_000_000 <= r.assortativity_x1e6 <= 1_000_000
     assert r.n_edge_ends % 2 == 0  # both orientations counted
+
+
+def test_backlog_ages_bucket_all_open_orders(spark):
+    from mqtt2sql_spark.plans.analytics import (
+        backlog_age_histogram,
+        open_orders_backlog_monthly,
+    )
+
+    rows = backlog_age_histogram(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        lo, hi = (1 << r.age_octave) - 1, (1 << (r.age_octave + 1)) - 2
+        assert lo <= r.min_age_days <= r.max_age_days <= hi
+    # snapshot total equals the monthly backlog count for that month
+    monthly = {
+        str(r.month): r.n_open
+        for r in open_orders_backlog_monthly(spark, SF_DIR).collect()
+    }
+    assert sum(r.n_orders for r in rows) == monthly["1998-07-01"]

@@ -393,3 +393,23 @@ def test_stickiness_bounds_and_dau_le_wau(spark):
         assert r.dau <= r.wau
         assert 0 < r.stickiness_ppm <= 1_000_000
         assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau
+
+
+def test_hour_concentration_partitions_users(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import user_hour_concentration
+
+    rows = user_hour_concentration(spark, SF_DIR).collect()
+    assert rows
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.share_decile <= 9
+        assert r.min_share_ppm <= r.max_share_ppm <= 1_000_000

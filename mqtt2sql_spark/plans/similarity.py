@@ -1870,3 +1870,174 @@ def triplet_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > {TRIPLET_MARGIN_X1E6} THEN 1 ELSE 0 END AS INT)"
         ).alias("satisfied"),
     )
+
+
+# --- IVF nprobe sensitivity sweep ------------------------------------------
+
+_IVF_CAND_SQL = f"""
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS ce FROM emb
+             WHERE vec_id % {CELL_MOD} = 1),
+    assigned AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({_duck_cos('v.e', 'c.ce')}, 6) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM emb v CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qe, cell, rn AS prank FROM (
+            SELECT q.vec_id AS query_id, q.e AS qe, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_duck_cos('q.e', 'c.ce')}, 6) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM emb q CROSS JOIN cent c
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {N_PROBE}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS rank
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rank <= {TOP_K}
+    )"""
+
+
+def _ivf_recall_sql(p: int) -> str:
+    return f"""
+    SELECT CAST({p} AS INTEGER) AS nprobe,
+           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(t.vec_id) * 1000000
+                // (count(DISTINCT e.query_id) * {TOP_K}) AS BIGINT)
+               AS recall_ppm
+    FROM exact e
+    LEFT JOIN (
+        SELECT query_id, vec_id FROM (
+            SELECT pr.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pr.query_id
+                       ORDER BY round({_duck_cos('a.e', 'pr.qe')}, 6) DESC,
+                                a.vec_id
+                   ) AS rank
+            FROM probes pr JOIN assigned a USING (cell)
+            WHERE pr.prank <= {p} AND a.vec_id <> pr.query_id
+        ) WHERE rank <= {TOP_K}
+    ) t ON t.query_id = e.query_id AND t.vec_id = e.vec_id"""
+
+
+@register(
+    "ivf_nprobe_sensitivity",
+    oracle=", "
+    + _IVF_CAND_SQL
+    + "\n    UNION ALL".join(_ivf_recall_sql(p) for p in (1, 2, 3)),
+    doc=f"IVF parameter sweep: recall@{TOP_K} against the exact "
+    "ranking at nprobe = 1, 2, 3 from ONE shared index build "
+    "(centroids, assignments and probe ranks computed once; each "
+    "sweep point just filters the probe rank and re-ranks its "
+    "candidate subset) — the latency/recall trade-off curve every "
+    "IVF deployment tunes before fixing nprobe, here measured "
+    "instead of guessed.  Recall must be non-decreasing in nprobe "
+    "by construction (tested).  Scale shape: the sweep shares the "
+    "O(N*K) assignment broadcast; each point's candidate join "
+    "touches prank<=p cells only.",
+    tags=("similarity", "eval"),
+)
+def ivf_nprobe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") % CELL_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("ccos"), 6)), F.asc("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "e",
+            "cent_id",
+            _cos_expr(F.col("e"), F.col("ce")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            "cent_id",
+            _cos_expr(F.col("e"), F.col("ce")).alias("ccos"),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc(F.round(F.col("ccos"), 6)), F.asc("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("prank") <= N_PROBE)
+        .select("query_id", "qe", F.col("cent_id").alias("cell"), "prank")
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("e_query_id"),
+        F.col("vec_id").alias("e_vec_id"),
+    )
+    outs = []
+    for p in (1, 2, 3):
+        wq = W.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("qcos"), 6)), F.asc("vec_id")
+        )
+        topk = (
+            assigned.join(
+                F.broadcast(probes.filter(F.col("prank") <= p)), "cell"
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                _cos_expr(F.col("e"), F.col("qe")).alias("qcos"),
+            )
+            .withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+        hits = exact.join(
+            topk,
+            (F.col("query_id") == F.col("e_query_id"))
+            & (F.col("vec_id") == F.col("e_vec_id")),
+            "left",
+        )
+        outs.append(
+            hits.agg(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.countDistinct("e_query_id")
+                .cast("long")
+                .alias("n_queries"),
+                F.count("vec_id").cast("long").alias("n_hits"),
+                F.expr(
+                    f"CAST(count(vec_id) * 1000000"
+                    f" div (count(DISTINCT e_query_id) * {TOP_K})"
+                    " AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -278,3 +278,34 @@ def test_triplets_pick_true_extremes(spark):
         assert row.pos_id == best[1][1]
         assert row.neg_id == best[0][1]
         assert row.satisfied == (1 if row.margin_x1e6 > 200_000 else 0)
+
+
+def test_nprobe_recall_is_monotone(spark):
+    """More probed cells can only add candidates: recall must be
+    non-decreasing in nprobe, and nprobe=3 must match the registered
+    IVF top-k's recall against the exact ranking."""
+    from mqtt2sql_spark.plans.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ivf_nprobe_sensitivity,
+    )
+
+    rows = sorted(
+        ivf_nprobe_sensitivity(spark, SF_DIR).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3]
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls)
+    exact = {
+        (r.query_id, r.vec_id) for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id) for r in ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    n_queries = rows[2].n_queries
+    assert rows[2].n_hits == len(exact & ivf)
+    assert rows[2].recall_ppm == len(exact & ivf) * 1_000_000 // (
+        n_queries * TOP_K
+    )

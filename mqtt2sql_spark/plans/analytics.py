@@ -7427,3 +7427,69 @@ def backlog_age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("age_days").cast("long").alias("min_age_days"),
         F.max("age_days").cast("long").alias("max_age_days"),
     )
+
+
+@register(
+    "suspected_duplicate_orders",
+    oracle="""
+    , o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           CAST(abs(datediff('day', a.d, b.d)) AS BIGINT) AS day_gap
+ 
+    FROM o a
+    JOIN o b ON b.o_custkey = a.o_custkey
+            AND a.o_orderkey < b.o_orderkey
+            AND abs(datediff('day', a.d, b.d)) <= 7
+            AND abs(a.cents - b.cents) * 100 <= least(a.cents, b.cents)
+    """,
+    doc="Duplicate-submission screen: order pairs from the same "
+    "customer within 7 days whose totals agree to 1% (integer "
+    "cross-multiplied: |a-b|*100 <= min(a,b), exact cents - the "
+    "fixture has zero exact-amount collisions, so the realistic "
+    "retry signature is near-identical value) — the double-click/"
+    "retry pathology every order pipeline audits for.  The "
+    "customer equi-join carries the band predicates in-join; "
+    "per-customer fan-out is bounded by a customer's 7-day order "
+    "count.  All-integer, deterministic orientation (a < b).",
+    tags=("analytics", "dq"),
+)
+def suspected_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(F.datediff(F.col("a.d"), F.col("b.d"))) <= 7)
+            & (
+                F.abs(F.col("a.cents") - F.col("b.cents")) * 100
+                <= F.least(F.col("a.cents"), F.col("b.cents"))
+            ),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+            .cast("long")
+            .alias("day_gap"),
+        )
+    )

@@ -2041,3 +2041,86 @@ def ivf_nprobe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@register(
+    "label_cosine_separation",
+    oracle=f"""
+    , emb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.label AS label,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS same,
+               CAST(floor({_DUCK_COS} * 1000000) AS BIGINT) AS q
+        FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same,
+           CAST(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_other,
+           CAST(CASE WHEN sum(CASE WHEN same = 1 THEN q ELSE 0 END) >= 0
+                     THEN sum(CASE WHEN same = 1 THEN q ELSE 0 END)
+                          // greatest(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END), 1)
+                     ELSE -((-sum(CASE WHEN same = 1 THEN q ELSE 0 END))
+                            // greatest(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END), 1))
+                END AS BIGINT) AS mean_same_x1e6,
+           CAST(CASE WHEN sum(CASE WHEN same = 0 THEN q ELSE 0 END) >= 0
+                     THEN sum(CASE WHEN same = 0 THEN q ELSE 0 END)
+                          // greatest(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END), 1)
+                     ELSE -((-sum(CASE WHEN same = 0 THEN q ELSE 0 END))
+                            // greatest(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END), 1))
+                END AS BIGINT) AS mean_other_x1e6
+    FROM scored GROUP BY label
+    """,
+    doc="Embedding-space label separation (sampled silhouette "
+    "precursor): mean cosine from each sampled anchor to same-label "
+    "vs other-label vectors, per label — positive separation means "
+    "labels form geometric clusters worth a classifier; near-zero "
+    "means the labels are not in the geometry.  Each pairwise "
+    "cosine quantizes to floor x1e6 BEFORE aggregation so the sums "
+    "are exact integers (cross-engine float-sum order can never "
+    "bite), means via symmetric-truncated integral division (the "
+    "sums can be negative - signed div/floor trap).  Same broadcast-anchor "
+    "join shape as the ANN baseline.",
+    tags=("similarity", "eval"),
+)
+def label_cosine_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("qlabel").alias("label"),
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("same"),
+            F.floor(cos * 1000000).cast("long").alias("q"),
+        )
+    )
+    return scored.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.sum(F.when(F.col("same") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_same"),
+        F.sum(F.when(F.col("same") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_other"),
+        F.expr('CAST(CASE WHEN sum(CASE WHEN same = 1 THEN q ELSE 0 END) >= 0 THEN sum(CASE WHEN same = 1 THEN q ELSE 0 END) div greatest(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END), 1) ELSE -((-sum(CASE WHEN same = 1 THEN q ELSE 0 END)) div greatest(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END), 1)) END AS BIGINT)').alias("mean_same_x1e6"),
+        F.expr('CAST(CASE WHEN sum(CASE WHEN same = 0 THEN q ELSE 0 END) >= 0 THEN sum(CASE WHEN same = 0 THEN q ELSE 0 END) div greatest(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END), 1) ELSE -((-sum(CASE WHEN same = 0 THEN q ELSE 0 END)) div greatest(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END), 1)) END AS BIGINT)').alias("mean_other_x1e6"),
+    )

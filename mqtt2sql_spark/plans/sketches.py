@@ -1261,3 +1261,51 @@ def encoding_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+_UPSET_TYPES = ("click", "error", "purchase", "signup", "view")
+_UPSET_BIT = {t: 1 << i for i, t in enumerate(_UPSET_TYPES)}
+_UPSET_BIT_SQL = " ".join(
+    f"WHEN '{t}' THEN {b}" for t, b in _UPSET_BIT.items()
+)
+
+
+@register(
+    "event_type_upset_combos",
+    oracle=f"""
+    , um AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               bit_or(CASE event_type {_UPSET_BIT_SQL} ELSE 0 END) AS mask
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT CAST(mask AS INTEGER) AS mask,
+           CAST(bit_count(mask) AS INTEGER) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM um GROUP BY mask
+    """,
+    doc="UpSet-plot source data: user-DAYS bucketed by the exact "
+    "combination of event types emitted that day (lifetime masks "
+    "are degenerate in this fixture - every user eventually does "
+    "everything), encoded as a "
+    "5-bit mask (bit_or aggregate — one partial-agg'd shuffle, the "
+    "combination lattice never materializes) with the combination "
+    "size via bit_count.  Venn diagrams stop at 3 sets; the mask "
+    "histogram is the standard answer for 5+.  All-integer.",
+    tags=("sketch", "bitmap"),
+)
+def event_type_upset_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bit = F.lit(0)
+    expr = "CASE event_type " + _UPSET_BIT_SQL + " ELSE 0 END"
+    um = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.expr(f"bit_or({expr})").alias("mask"))
+    return (
+        um.groupBy(F.col("mask").cast("int").alias("mask"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "mask",
+            F.bit_count("mask").cast("int").alias("n_types"),
+            "n_users",
+        )
+    )

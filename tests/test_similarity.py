@@ -309,3 +309,17 @@ def test_nprobe_recall_is_monotone(spark):
     assert rows[2].recall_ppm == len(exact & ivf) * 1_000_000 // (
         n_queries * TOP_K
     )
+
+
+def test_label_separation_positive_when_labels_cluster(spark):
+    from mqtt2sql_spark.plans.similarity import label_cosine_separation
+
+    rows = label_cosine_separation(spark, SF_DIR).collect()
+    assert rows
+    # the measurement must at least find SOME geometric signal; how
+    # many labels separate is a data property (weak at tiny scale)
+    better = sum(1 for r in rows if r.mean_same_x1e6 > r.mean_other_x1e6)
+    assert better >= 1
+    for r in rows:
+        assert -1_000_000 <= r.mean_same_x1e6 <= 1_000_000
+        assert -1_000_000 <= r.mean_other_x1e6 <= 1_000_000

@@ -222,3 +222,23 @@ def test_rolling_hll_tracks_exact_within_error(spark):
     for r in rows:
         rel = abs(r.est_rolling - r.n_exact) / max(r.n_exact, 1)
         assert rel < 0.25, (r.day, r.est_rolling, r.n_exact)
+
+
+def test_upset_masks_partition_user_days(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.sketches import event_type_upset_combos
+
+    rows = event_type_upset_combos(spark, SF_DIR).collect()
+    assert rows
+    n_user_days = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_user_days
+    for r in rows:
+        assert 1 <= r.mask <= 31
+        assert r.n_types == bin(r.mask).count("1")

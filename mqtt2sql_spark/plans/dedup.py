@@ -1779,3 +1779,138 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_truth BIGINT, n_found BIGINT, pairs_completeness_ppm BIGINT,"
         " reduction_ratio_ppm BIGINT",
     )
+
+
+# --- b-bit minwise hashing accuracy audit ----------------------------------
+
+_EQ16_A_B = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+)
+_BIT16_A_B = " + ".join(
+    f"CASE WHEN a.h{i} % 2 = b.h{i} % 2 THEN 1 ELSE 0 END"
+    for i in range(N_MINHASH)
+)
+
+
+@register(
+    "bbit_minhash_accuracy",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({_EQ16_A_B} AS BIGINT) AS eq16,
+               CAST({_BIT16_A_B} AS BIGINT) AS bit16
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.doc_a
+        JOIN mh b ON b.doc_id = c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, e.eq16, e.bit16,
+           CAST(e.eq16 * 1000000 // {N_MINHASH} AS BIGINT)
+               AS est_full_ppm,
+           CAST(greatest(2 * e.bit16 - {N_MINHASH}, 0) * 1000000
+                // {N_MINHASH} AS BIGINT) AS est_1bit_ppm,
+           CAST(coalesce(i.i, 0) * 1000000
+                // (na.n + nb.n - coalesce(i.i, 0)) AS BIGINT)
+               AS exact_ppm
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes na ON na.doc_id = e.doc_a
+    JOIN sizes nb ON nb.doc_id = e.doc_b
+    """,
+    doc="b-bit minwise hashing audit (Li & Koenig 2010): for every "
+    "LSH candidate pair, the Jaccard estimate from the full 16x"
+    "64-bit signature (match fraction) vs the 1-bit variant (lowest "
+    "bit only: J = 2*agreement - 1, clamped at 0), with the exact "
+    "shingle Jaccard alongside — the storage/accuracy trade every "
+    "petabyte dedup index makes (1-bit stores 64x less at ~2x the "
+    "variance).  Signatures join per pair (16 ints, never "
+    "shingles); the exact column restricts the shingle join to the "
+    "candidate pairs.  All-integer ppm surface.",
+    tags=("dedup", "sketch"),
+)
+def bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    mh = minhash_sigs(spark, sf_dir)
+    a = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    eq16 = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    bit16 = sum(
+        F.when(F.col(f"a{i}") % 2 == F.col(f"b{i}") % 2, 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            eq16.cast("long").alias("eq16"),
+            bit16.cast("long").alias("bit16"),
+        )
+    )
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "eq16",
+            "bit16",
+            F.expr(
+                f"CAST(eq16 * 1000000 div {N_MINHASH} AS BIGINT)"
+            ).alias("est_full_ppm"),
+            F.expr(
+                f"CAST(greatest(2 * bit16 - {N_MINHASH}, 0) * 1000000"
+                f" div {N_MINHASH} AS BIGINT)"
+            ).alias("est_1bit_ppm"),
+            F.expr(
+                "CAST(coalesce(i, 0) * 1000000"
+                " div (na + nb - coalesce(i, 0)) AS BIGINT)"
+            ).alias("exact_ppm"),
+        )
+    )

@@ -174,3 +174,21 @@ def test_blocking_eval_metrics_are_consistent(spark):
     assert 0 <= r.reduction_ratio_ppm <= 1_000_000
     # the LSH blocker must prune the vast majority of the pair space
     assert r.reduction_ratio_ppm > 900_000
+
+
+def test_bbit_estimates_track_exact_jaccard(spark):
+    """Full-signature estimate must be closer to (or as close to) exact
+    jaccard than the 1-bit estimate on average, and both live in ppm."""
+    from mqtt2sql_spark.plans.dedup import bbit_minhash_accuracy
+
+    rows = bbit_minhash_accuracy(spark, SF_DIR).collect()
+    assert rows
+    err_full = err_1bit = 0
+    for r in rows:
+        assert 0 <= r.est_full_ppm <= 1_000_000
+        assert 0 <= r.est_1bit_ppm <= 1_000_000
+        assert 0 <= r.exact_ppm <= 1_000_000
+        err_full += abs(r.est_full_ppm - r.exact_ppm)
+        err_1bit += abs(r.est_1bit_ppm - r.exact_ppm)
+    # 1-bit has ~2x the variance of the full signature at the same k
+    assert err_full <= 2 * err_1bit + 1_000_000

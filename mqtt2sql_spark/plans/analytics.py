@@ -7493,3 +7493,154 @@ def suspected_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_gap"),
         )
     )
+
+
+@register(
+    "order_count_dispersion",
+    oracle="""
+    , pc AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS mean_ppm,
+           CAST((count(*) * sum(CAST(n AS HUGEINT) * n)
+                 - CAST(sum(n) AS HUGEINT) * sum(n)) * 1000000
+                // (CAST(count(*) AS HUGEINT) * sum(n)) AS BIGINT)
+               AS dispersion_ppm
+    FROM pc GROUP BY c_mktsegment
+    """,
+    doc="Overdispersion index (variance/mean, Fisher) of per-customer "
+    "order counts by market segment: 1e6 ppm = Poisson-like "
+    "ordering, far above = bursty/heterogeneous demand (negative-"
+    "binomial territory), the first distributional check before "
+    "demand modeling.  Variance from the exact integer identity "
+    "(n*sum(x^2)-(sum x)^2)/n^2 folded against the mean into ONE "
+    "integral division (var/mean = (n*Sxx - Sx^2)/(n*Sx)), all in "
+    "HUGEINT/DECIMAL(38,0).  One join + two partial-agg'd rollups.",
+    tags=("analytics", "stats"),
+)
+def order_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pc = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pc.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n").cast("long").alias("n_orders"),
+        F.expr("CAST(sum(n) * 1000000 div count(*) AS BIGINT)").alias(
+            "mean_ppm"
+        ),
+        F.expr(
+            "CAST((count(*) * sum(CAST(n AS DECIMAL(38,0)) * n)"
+            " - CAST(sum(n) AS DECIMAL(38,0)) * sum(n)) * 1000000"
+            " div (CAST(count(*) AS DECIMAL(38,0)) * sum(n)) AS BIGINT)"
+        ).alias("dispersion_ppm"),
+    )
+
+
+@register(
+    "trade_flow_matrix",
+    oracle="""
+    , flows AS (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    ),
+    agg AS (
+        SELECT supp_nation, cust_nation,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM flows GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM agg)
+    SELECT supp_nation, cust_nation, n_lineitems, cents,
+           CAST(cents * 1000000 // (SELECT t FROM tot) AS BIGINT)
+               AS share_ppm,
+           CAST(CASE WHEN supp_nation = cust_nation THEN 1 ELSE 0 END
+                AS INTEGER) AS domestic
+    FROM agg
+    """,
+    doc="Trade-flow origin-destination matrix: revenue by (supplier "
+    "nation, customer nation) with global share and a domestic flag "
+    "— the full OD table behind TPC-H Q7's two-nation slice, the "
+    "gravity-model input for network trade analysis.  Plan shape: "
+    "the two fact-fact joins (lineitem-orders) shuffle once on the "
+    "order key; supplier, customer and both nation hops broadcast "
+    "(dims); one partial-agg'd rollup to the <=|nations|^2 matrix.  "
+    "Exact cents, integer ppm.",
+    tags=("analytics", "join"),
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("supp_nation", "cust_nation", "cents")
+    )
+    agg = flows.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = agg.agg(F.sum("cents").cast("long").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "supp_nation",
+        "cust_nation",
+        "n_lineitems",
+        "cents",
+        F.expr("CAST(cents * 1000000 div t AS BIGINT)").alias("share_ppm"),
+        F.when(F.col("supp_nation") == F.col("cust_nation"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("domestic"),
+    )

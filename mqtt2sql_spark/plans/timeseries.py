@@ -1841,3 +1841,89 @@ def user_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("top3_share_ppm").cast("long").alias("min_share_ppm"),
         F.max("top3_share_ppm").cast("long").alias("max_share_ppm"),
     )
+
+
+@register(
+    "growth_accounting_weekly",
+    oracle="""
+    , uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, wk,
+               lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM uw
+    ),
+    classified AS (
+        SELECT wk,
+               CASE WHEN prev_wk IS NULL THEN 'new'
+                    WHEN prev_wk = wk - 7 THEN 'retained'
+                    ELSE 'resurrected' END AS status,
+               CASE WHEN next_wk IS NULL OR next_wk > wk + 7
+                    THEN 1 ELSE 0 END AS churns_after
+        FROM seq
+    )
+    SELECT wk AS week,
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(count(*) AS BIGINT) AS wau,
+           CAST(sum(churns_after) AS BIGINT) AS n_churning_after
+    FROM classified GROUP BY wk
+    """,
+    doc="Weekly growth accounting (the Social-Capital framework): "
+    "every active user classified as new (first week ever), "
+    "retained (active the prior week) or resurrected (dormant >= 2 "
+    "weeks) — the three always sum to WAU — plus how many of this "
+    "week's actives churn after it (no activity next week).  One "
+    "user-keyed window over the distinct (user, week) relation "
+    "serves both lag and lead; week arithmetic is date_trunc + "
+    "integer day offsets, identical cross-engine.  The "
+    "decomposition that tells you WHY the WAU curve moved.",
+    tags=("timeseries", "product"),
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    classified = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+        F.when(
+            F.col("next_wk").isNull()
+            | (F.col("next_wk") > F.date_add("wk", 7)),
+            1,
+        )
+        .otherwise(0)
+        .alias("churns_after"),
+    )
+    return classified.groupBy(F.col("wk").alias("week")).agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.count(F.lit(1)).cast("long").alias("wau"),
+        F.sum("churns_after").cast("long").alias("n_churning_after"),
+    )

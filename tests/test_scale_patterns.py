@@ -677,3 +677,22 @@ def test_backlog_ages_bucket_all_open_orders(spark):
         for r in open_orders_backlog_monthly(spark, SF_DIR).collect()
     }
     assert sum(r.n_orders for r in rows) == monthly["1998-07-01"]
+
+
+def test_trade_flow_shares_and_dispersion_consistency(spark):
+    from mqtt2sql_spark.plans.analytics import (
+        order_count_dispersion,
+        trade_flow_matrix,
+    )
+
+    flows = trade_flow_matrix(spark, SF_DIR).collect()
+    assert flows
+    total = sum(r.cents for r in flows)
+    for r in flows:
+        assert r.share_ppm == r.cents * 1_000_000 // total
+        assert r.domestic == (1 if r.supp_nation == r.cust_nation else 0)
+    disp = order_count_dispersion(spark, SF_DIR).collect()
+    assert disp
+    for r in disp:
+        assert r.mean_ppm == r.n_orders * 1_000_000 // r.n_customers
+        assert r.dispersion_ppm >= 0

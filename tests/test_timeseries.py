@@ -413,3 +413,23 @@ def test_hour_concentration_partitions_users(spark):
     for r in rows:
         assert 0 <= r.share_decile <= 9
         assert r.min_share_ppm <= r.max_share_ppm <= 1_000_000
+
+
+def test_growth_accounting_sums_to_wau(spark):
+    from mqtt2sql_spark.plans.timeseries import growth_accounting_weekly
+
+    rows = sorted(
+        growth_accounting_weekly(spark, SF_DIR).collect(),
+        key=lambda r: r.week,
+    )
+    assert rows
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == r.wau
+    # the first week is all-new by definition
+    assert rows[0].n_new == rows[0].wau
+    # retained in week i+1 <= wau of week i
+    for a, b in zip(rows, rows[1:]):
+        if (b.week - a.week).days == 7:
+            assert b.n_retained <= a.wau
+            # churners after week a = wau_a - retained_b (when contiguous)
+            assert a.n_churning_after == a.wau - b.n_retained

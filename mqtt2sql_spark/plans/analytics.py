@@ -7644,3 +7644,76 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("domestic"),
     )
+
+
+# 4-4-5 fiscal calendar anchored at Monday 1993-01-04: periods repeat
+# 4+4+5 weeks per quarter; week index is pure integer day arithmetic.
+_F445_EPOCH = "1993-01-04"  # a Monday before every fixture order date
+
+
+@register(
+    "fiscal_445_revenue",
+    oracle=f"""
+    , wk AS (
+        SELECT datediff('day', DATE '{_F445_EPOCH}',
+                        CAST(o_orderdate AS DATE)) // 7 AS w,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '{_F445_EPOCH}'
+    ),
+    mapped AS (
+        SELECT w // 52 AS fy,
+               (w % 52) // 13 AS fq,
+               CASE WHEN (w % 52) % 13 < 4 THEN 1
+                    WHEN (w % 52) % 13 < 8 THEN 2
+                    ELSE 3 END AS fp,
+               cents
+        FROM wk
+    )
+    SELECT CAST(fy AS INTEGER) AS fiscal_year,
+           CAST(fq + 1 AS INTEGER) AS fiscal_quarter,
+           CAST(fp AS INTEGER) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS rev_cents
+    FROM mapped GROUP BY 1, 2, 3
+    """,
+    doc="Revenue on a 4-4-5 fiscal calendar (the retail-standard "
+    "calendar where every period has a whole number of weeks so "
+    "period-over-period comparisons aren't distorted by weekday "
+    "mix): week index = days-since-Monday-epoch div 7, then pure "
+    "integer div/mod maps weeks into 52-week fiscal years, 13-week "
+    "quarters and 4/4/5-week periods — no calendar UDF, the whole "
+    "mapping stays inside codegen and is identical cross-engine.  "
+    "One partial-agg'd rollup.",
+    tags=("analytics", "calendar"),
+)
+def fiscal_445_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wk = orders.where(
+        F.col("o_orderdate").cast("date") >= F.lit(_F445_EPOCH).cast("date")
+    ).select(
+        F.expr(
+            f"datediff(CAST(o_orderdate AS DATE), DATE '{_F445_EPOCH}')"
+            " div 7"
+        ).alias("w"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    mapped = wk.select(
+        F.expr("w div 52").alias("fy"),
+        F.expr("(w % 52) div 13").alias("fq"),
+        F.expr(
+            "CASE WHEN (w % 52) % 13 < 4 THEN 1"
+            " WHEN (w % 52) % 13 < 8 THEN 2 ELSE 3 END"
+        ).alias("fp"),
+        "cents",
+    )
+    return mapped.groupBy(
+        F.col("fy").cast("int").alias("fiscal_year"),
+        (F.col("fq") + 1).cast("int").alias("fiscal_quarter"),
+        F.col("fp").cast("int").alias("fiscal_period"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )

@@ -1927,3 +1927,106 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("wau"),
         F.sum("churns_after").cast("long").alias("n_churning_after"),
     )
+
+
+_TD_SPLIT = "2024-01-15 00:00:00"  # event-stream midpoint
+
+
+@register(
+    "transition_drift_chi2",
+    oracle=f"""
+    , pairs AS (
+        SELECT CASE WHEN ts < TIMESTAMP '{_TD_SPLIT}' THEN 1 ELSE 2 END
+                   AS half,
+               event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nts
+        FROM events
+    ),
+    cells AS (
+        SELECT cur, nxt, half, CAST(count(*) AS BIGINT) AS o
+        FROM pairs
+        WHERE nxt IS NOT NULL
+          AND (half = 1) = (nts < TIMESTAMP '{_TD_SPLIT}')
+        GROUP BY 1, 2, 3
+    ),
+    margins AS (
+        SELECT cur, nxt, CAST(sum(o) AS BIGINT) AS rc
+        FROM cells GROUP BY 1, 2
+    ),
+    halves AS (
+        SELECT cur, half, CAST(sum(o) AS BIGINT) AS hc
+        FROM cells GROUP BY 1, 2
+    ),
+    tots AS (SELECT cur, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY 1),
+    contrib AS (
+        SELECT c.cur,
+               CAST((CAST(c.o AS HUGEINT) * t.n - CAST(m.rc AS HUGEINT)
+                     * h.hc) * (CAST(c.o AS HUGEINT) * t.n
+                     - CAST(m.rc AS HUGEINT) * h.hc) * 1000000
+                    // (CAST(m.rc AS HUGEINT) * h.hc * t.n) AS BIGINT)
+                   AS chi2_cell_ppm
+        FROM cells c
+        JOIN margins m ON m.cur = c.cur AND m.nxt = c.nxt
+        JOIN halves h ON h.cur = c.cur AND h.half = c.half
+        JOIN tots t ON t.cur = c.cur
+    )
+    SELECT cur AS event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(chi2_cell_ppm) AS BIGINT) AS chi2_ppm
+    FROM contrib GROUP BY cur
+    """,
+    doc="Transition-matrix drift monitor: chi-square homogeneity of "
+    "each state's next-event distribution between the first and "
+    "second half of the stream — the stationarity check that "
+    "decides whether markov_next_event_accuracy's model has gone "
+    "stale (high chi2_ppm = the behavior changed; retrain).  "
+    "Transitions whose two events straddle the split are excluded "
+    "from both halves (no mixed cells).  Same exact-integer "
+    "HUGEINT/DECIMAL cell statistic as chi_square_type_dow; one "
+    "user-keyed window shuffle, then dimension-sized tables.",
+    tags=("timeseries", "ml-eval"),
+)
+def transition_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_TD_SPLIT).cast("timestamp")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.when(F.col("ts") < split, 1).otherwise(2).alias("half"),
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("ts").over(w).alias("nts"),
+    ).where(
+        F.col("nxt").isNotNull()
+        & ((F.col("half") == 1) == (F.col("nts") < split))
+    )
+    cells = pairs.groupBy("cur", "nxt", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    margins = cells.groupBy("cur", "nxt").agg(
+        F.sum("o").cast("long").alias("rc")
+    )
+    halves = cells.groupBy("cur", "half").agg(
+        F.sum("o").cast("long").alias("hc")
+    )
+    tots = cells.groupBy("cur").agg(F.sum("o").cast("long").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(margins), ["cur", "nxt"])
+        .join(F.broadcast(halves), ["cur", "half"])
+        .join(F.broadcast(tots), "cur")
+        .select(
+            "cur",
+            F.expr(
+                "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rc AS"
+                " DECIMAL(38,0)) * hc) * (CAST(o AS DECIMAL(38,0)) * n"
+                " - CAST(rc AS DECIMAL(38,0)) * hc) * 1000000"
+                " div (CAST(rc AS DECIMAL(38,0)) * hc * n) AS BIGINT)"
+            ).alias("chi2_cell_ppm"),
+        )
+    )
+    return contrib.groupBy(F.col("cur").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("chi2_cell_ppm").cast("long").alias("chi2_ppm"),
+    )

@@ -696,3 +696,31 @@ def test_trade_flow_shares_and_dispersion_consistency(spark):
     for r in disp:
         assert r.mean_ppm == r.n_orders * 1_000_000 // r.n_customers
         assert r.dispersion_ppm >= 0
+
+
+def test_fiscal_445_preserves_totals_and_period_lengths(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import (
+        _F445_EPOCH,
+        fiscal_445_revenue,
+    )
+
+    rows = fiscal_445_revenue(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.fiscal_quarter <= 4
+        assert 1 <= r.fiscal_period <= 3
+    total = (
+        load_table(spark, SF_DIR, "orders")
+        .where(
+            F.col("o_orderdate").cast("date")
+            >= F.lit(_F445_EPOCH).cast("date")
+        )
+        .select(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .groupBy()
+        .sum()
+        .collect()[0][0]
+    )
+    assert sum(r.rev_cents for r in rows) == total

@@ -433,3 +433,13 @@ def test_growth_accounting_sums_to_wau(spark):
             assert b.n_retained <= a.wau
             # churners after week a = wau_a - retained_b (when contiguous)
             assert a.n_churning_after == a.wau - b.n_retained
+
+
+def test_transition_drift_is_nonnegative_and_cellwise(spark):
+    from mqtt2sql_spark.plans.timeseries import transition_drift_chi2
+
+    rows = transition_drift_chi2(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.chi2_ppm >= 0
+        assert r.n_cells >= 2  # at least one nxt state in both halves

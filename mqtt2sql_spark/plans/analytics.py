@@ -7717,3 +7717,83 @@ def fiscal_445_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("rev_cents"),
     )
+
+
+# Wilson score interval constants, precomputed in Python and embedded
+# as identical repr() literals on both engines (LIBM/CONSTANTS rule).
+_WILSON_Z = 1.96
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
+
+
+@register(
+    "return_rate_wilson_rank",
+    oracle=f"""
+    , br AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    scored AS (
+        SELECT p_brand, n, r,
+               CAST(r * 1000000 // n AS BIGINT) AS raw_rate_ppm,
+               CAST(floor(
+                   ((CAST(r AS DOUBLE) / n) + {_WILSON_Z2!r} / (2 * n)
+                    - {_WILSON_Z!r} * sqrt(
+                        (CAST(r AS DOUBLE) / n)
+                        * (1 - CAST(r AS DOUBLE) / n) / n
+                        + {_WILSON_Z2!r} / (4 * CAST(n AS DOUBLE) * n)))
+                   / (1 + {_WILSON_Z2!r} / n) * 1000000) AS BIGINT)
+                   AS wilson_lb_ppm
+        FROM br
+    )
+    SELECT p_brand, n, r, raw_rate_ppm, wilson_lb_ppm
+    FROM scored ORDER BY wilson_lb_ppm DESC, p_brand LIMIT 10
+    """,
+    doc="Return-rate ranking by Wilson score lower bound (z=1.96): "
+    "the statistically honest way to rank proportions — a brand "
+    "with 3/4 returns must not outrank one with 300/1000, which raw "
+    "rates get wrong.  The bound's arithmetic is a fixed sequence "
+    "of IEEE-exact ops (divisions, one sqrt) over exact integer "
+    "(r, n) with z and z² embedded as identical Python-repr "
+    "literals, surfaced as floor fixed-point ppm — bit-identical "
+    "cross-engine, per the LIBM/CONSTANTS and ROUND-OF-RAW-DOUBLE "
+    "invariants.  One broadcast dim join + brand rollup, "
+    "distributed TakeOrdered(10).",
+    tags=("analytics", "stats"),
+)
+def return_rate_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    br = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    scored = br.select(
+        "p_brand",
+        "n",
+        "r",
+        F.expr("CAST(r * 1000000 div n AS BIGINT)").alias("raw_rate_ppm"),
+        F.expr(
+            f"CAST(floor("
+            f"((CAST(r AS DOUBLE) / n) + {_WILSON_Z2!r} / (2 * n)"
+            f" - {_WILSON_Z!r} * sqrt("
+            f"(CAST(r AS DOUBLE) / n)"
+            f" * (1 - CAST(r AS DOUBLE) / n) / n"
+            f" + {_WILSON_Z2!r} / (4 * CAST(n AS DOUBLE) * n)))"
+            f" / (1 + {_WILSON_Z2!r} / n) * 1000000) AS BIGINT)"
+        ).alias("wilson_lb_ppm"),
+    )
+    return scored.orderBy(F.desc("wilson_lb_ppm"), "p_brand").limit(10)

@@ -724,3 +724,27 @@ def test_fiscal_445_preserves_totals_and_period_lengths(spark):
         .collect()[0][0]
     )
     assert sum(r.rev_cents for r in rows) == total
+
+
+def test_wilson_bound_below_raw_rate_and_matches_python(spark):
+    import math
+
+    from mqtt2sql_spark.plans.analytics import (
+        _WILSON_Z,
+        _WILSON_Z2,
+        return_rate_wilson_rank,
+    )
+
+    rows = return_rate_wilson_rank(spark, SF_DIR).collect()
+    assert rows
+    for row in rows:
+        assert row.wilson_lb_ppm <= row.raw_rate_ppm
+        p = row.r / row.n
+        lb = (
+            p
+            + _WILSON_Z2 / (2 * row.n)
+            - _WILSON_Z
+            * math.sqrt(p * (1 - p) / row.n + _WILSON_Z2 / (4 * row.n**2))
+        ) / (1 + _WILSON_Z2 / row.n)
+        # same formula in Python floats: agree within 1 fixed-point ulp
+        assert abs(row.wilson_lb_ppm - math.floor(lb * 1_000_000)) <= 1

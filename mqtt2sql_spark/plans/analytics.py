@@ -7797,3 +7797,69 @@ def return_rate_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wilson_lb_ppm"),
     )
     return scored.orderBy(F.desc("wilson_lb_ppm"), "p_brand").limit(10)
+
+
+@register(
+    "frequent_triples_topk",
+    oracle="""
+    , basket AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey HAVING count(DISTINCT l_partkey) >= 3
+    ),
+    triples AS (
+        SELECT parts[i] AS a, parts[j] AS b, parts[k] AS c
+        FROM basket,
+             unnest(generate_series(1, len(parts))) AS ti(i),
+             unnest(generate_series(1, len(parts))) AS tj(j),
+             unnest(generate_series(1, len(parts))) AS tk(k)
+        WHERE i < j AND j < k
+    )
+    SELECT CAST(a AS BIGINT) AS pk1, CAST(b AS BIGINT) AS pk2,
+           CAST(c AS BIGINT) AS pk3,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM triples GROUP BY 1, 2, 3
+    ORDER BY n_orders DESC, pk1, pk2, pk3 LIMIT 15
+    """,
+    doc="Frequent 3-itemsets from order baskets — one level past the "
+    "pair analysis (copurchase/association rules), the bundle "
+    "question pairs cannot answer.  Same bounded-basket array shape: "
+    "orders hold <= 7 distinct parts, so the C(|basket|,3) <= 35 "
+    "triple expansion happens map-side from the grouped row (ONE "
+    "fact shuffle), then a distributive count and TakeOrdered(15) "
+    "with a 4-column total order.  At 100 TB the a-priori pruning "
+    "path (filter triples through frequent pairs) bolts onto the "
+    "same relation; the fixture's baskets are small enough that "
+    "direct expansion is the faster plan.",
+    tags=("analytics", "basket"),
+)
+def frequent_triples_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 3)
+    )
+    t = (
+        basket.select("parts", F.posexplode("parts").alias("i", "pk1"))
+        .select("parts", "i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .select(
+            "parts", "i", "j", "pk1", "pk2",
+            F.posexplode("parts").alias("k", "pk3"),
+        )
+        .filter(F.col("k") > F.col("j"))
+    )
+    return (
+        t.groupBy("pk1", "pk2", "pk3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            F.col("pk1").cast("long").alias("pk1"),
+            F.col("pk2").cast("long").alias("pk2"),
+            F.col("pk3").cast("long").alias("pk3"),
+            "n_orders",
+        )
+        .orderBy(F.desc("n_orders"), "pk1", "pk2", "pk3")
+        .limit(15)
+    )

@@ -2030,3 +2030,103 @@ def transition_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("chi2_cell_ppm").cast("long").alias("chi2_ppm"),
     )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    , q AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY event_type
+    ),
+    dev AS (  -- n * (x_i - mean) kept integral: n*x_i - s
+        SELECT q.event_type, q.ts, q.event_id,
+               CAST(m.n AS HUGEINT) * q.cents - m.s AS d,
+               m.n
+        FROM q JOIN m USING (event_type)
+    ),
+    cs AS (
+        SELECT event_type, ts, event_id, n,
+               sum(d) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+        FROM dev
+    ),
+    peak AS (
+        SELECT event_type, ts AS peak_ts, n,
+               CAST(abs(c) // n AS BIGINT) AS peak_cusum_cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(c) DESC, ts, event_id)
+                   AS rk
+        FROM cs
+    )
+    SELECT event_type, peak_ts, peak_cusum_cents,
+           CAST(n AS BIGINT) AS n_events
+    FROM peak WHERE rk = 1
+    """,
+    doc="CUSUM changepoint locator (Page 1954): per stream, the "
+    "cumulative sum of deviations from the stream's own mean peaks "
+    "exactly where the level shifts — the argmax |CUSUM| is the "
+    "classic single-changepoint estimate.  Deviations are kept "
+    "integral by scaling through n (n*x_i - sum instead of "
+    "x_i - mean), so the running sum is exact HUGEINT/DECIMAL and "
+    "the peak is unambiguous with a (|c|, ts, event_id) total "
+    "order; the reported magnitude divides back to cents.  One "
+    "stream-keyed window shuffle.",
+    tags=("timeseries", "anomaly"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = q.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(n AS DECIMAL(38,0)) * cents - s").alias("d"),
+        "n",
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cs = dev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.sum("d").over(wc).alias("c"),
+    )
+    wr = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.asc("ts"), F.asc("event_id")
+    )
+    peak = cs.select(
+        "event_type",
+        F.col("ts").alias("peak_ts"),
+        "n",
+        F.expr("CAST(abs(c) div n AS BIGINT)").alias("peak_cusum_cents"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    return peak.where(F.col("rk") == 1).select(
+        "event_type",
+        "peak_ts",
+        "peak_cusum_cents",
+        F.col("n").cast("long").alias("n_events"),
+    )

@@ -443,3 +443,31 @@ def test_transition_drift_is_nonnegative_and_cellwise(spark):
     for r in rows:
         assert r.chi2_ppm >= 0
         assert r.n_cells >= 2  # at least one nxt state in both halves
+
+
+def test_cusum_peak_matches_python_scan(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import cusum_changepoint
+
+    out = {r.event_type: r for r in cusum_changepoint(spark, SF_DIR).collect()}
+    assert out
+    probe = sorted(out)[0]
+    ev = sorted(
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == probe)
+        .select("ts", "event_id", F.expr(
+            "CAST(round(value * 100, 0) AS BIGINT)").alias("c"))
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    s = sum(r.c for r in ev)
+    n = len(ev)
+    run, best, best_ts = 0, -1, None
+    for r in ev:
+        run += n * r.c - s
+        if abs(run) > best:
+            best, best_ts = abs(run), r.ts
+    assert out[probe].peak_ts == best_ts
+    assert out[probe].peak_cusum_cents == best // n

@@ -7863,3 +7863,115 @@ def frequent_triples_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "pk1", "pk2", "pk3")
         .limit(15)
     )
+
+
+_TC_BUCKET = 25  # quasi-identifier: user_id div 25 cohorts
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+    , g AS (
+        SELECT user_id // {_TC_BUCKET} AS qi, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    gdist AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS gc FROM g GROUP BY 1
+    ),
+    gn AS (SELECT qi, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY qi),
+    tot AS (SELECT CAST(sum(gc) AS BIGINT) AS big_n FROM gdist),
+    cells AS (  -- cross-multiplied share diff: c*N - gc*n (exact)
+        SELECT gn.qi, gl.event_type, gn.n, t.big_n,
+               CAST(coalesce(g.c, 0) AS HUGEINT) * t.big_n
+                   - CAST(gl.gc AS HUGEINT) * gn.n AS diff
+        FROM gn
+        CROSS JOIN gdist gl
+        CROSS JOIN tot t
+        LEFT JOIN g ON g.qi = gn.qi AND g.event_type = gl.event_type
+    ),
+    emd AS (
+        SELECT qi, n,
+               CAST(sum(abs(cum)) * 1000000
+                    // (CAST(max(big_n) AS HUGEINT) * max(n)) AS BIGINT)
+                   AS emd_ppm
+        FROM (
+            SELECT qi, n, big_n,
+                   sum(diff) OVER (PARTITION BY qi
+                                   ORDER BY event_type
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+            FROM cells
+        ) GROUP BY qi, n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(max(emd_ppm) AS BIGINT) AS max_emd_ppm,
+           CAST(sum(CASE WHEN emd_ppm > 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating
+    FROM emd
+    """,
+    doc="t-closeness audit (Li et al., ICDE 2007) for a user-cohort "
+    "quasi-identifier: the earth-mover's distance between each "
+    "cohort's event_type distribution and the global one, computed "
+    "EXACTLY by cross-multiplying shares to integers (c*N - g*n) "
+    "and summing |cumulative| over the ordered categories in "
+    "HUGEINT/DECIMAL — cohorts whose activity profile deviates "
+    "beyond t=0.15 would let an attacker infer behavior from cohort "
+    "membership alone, the distributional leak k-anonymity and "
+    "l-diversity (already registered) cannot see.  One rollup plus "
+    "dimension-sized cells; the category order is fixed so the EMD "
+    "prefix sum is deterministic.",
+    tags=("analytics", "privacy"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr(f"user_id div {_TC_BUCKET}").alias("qi"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    glob = g.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("gc")
+    )
+    gn = g.groupBy("qi").agg(F.sum("c").cast("long").alias("n"))
+    tot = glob.agg(F.sum("gc").cast("long").alias("big_n"))
+    cells = (
+        gn.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(g, ["qi", "event_type"], "left")
+        .select(
+            "qi",
+            "event_type",
+            "n",
+            "big_n",
+            F.expr(
+                "CAST(coalesce(c, 0) AS DECIMAL(38,0)) * big_n"
+                " - CAST(gc AS DECIMAL(38,0)) * n"
+            ).alias("diff"),
+        )
+    )
+    wc = (
+        W.partitionBy("qi")
+        .orderBy("event_type")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    emd = (
+        cells.select(
+            "qi", "n", "big_n", F.sum("diff").over(wc).alias("cum")
+        )
+        .groupBy("qi", "n")
+        .agg(
+            F.expr(
+                "CAST(sum(abs(cum)) * 1000000"
+                " div (CAST(max(big_n) AS DECIMAL(38,0)) * max(n))"
+                " AS BIGINT)"
+            ).alias("emd_ppm")
+        )
+    )
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.max("emd_ppm").cast("long").alias("max_emd_ppm"),
+        F.sum(F.when(F.col("emd_ppm") > 150000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+    )

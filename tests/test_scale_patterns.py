@@ -748,3 +748,34 @@ def test_wilson_bound_below_raw_rate_and_matches_python(spark):
         ) / (1 + _WILSON_Z2 / row.n)
         # same formula in Python floats: agree within 1 fixed-point ulp
         assert abs(row.wilson_lb_ppm - math.floor(lb * 1_000_000)) <= 1
+
+
+def test_t_closeness_emd_for_probe_cohort(spark):
+    """Recompute one cohort's EMD in exact Python integers."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import _TC_BUCKET, t_closeness_audit
+
+    row = t_closeness_audit(spark, SF_DIR).collect()[0]
+    assert row.n_groups > 0
+    assert 0 <= row.max_emd_ppm <= 2_000_000  # EMD over shares <= 2
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.expr(f"user_id div {_TC_BUCKET}").alias("qi"), "event_type")
+        .collect()
+    )
+    types = sorted({e.event_type for e in ev})
+    big_n = len(ev)
+    gcount = {t: sum(1 for e in ev if e.event_type == t) for t in types}
+    best = -1
+    for qi in {e.qi for e in ev}:
+        grp = [e for e in ev if e.qi == qi]
+        n = len(grp)
+        cum = emd = 0
+        for t in types:
+            c = sum(1 for e in grp if e.event_type == t)
+            cum += c * big_n - gcount[t] * n
+            emd += abs(cum)
+        best = max(best, emd * 1_000_000 // (big_n * n))
+    assert row.max_emd_ppm == best

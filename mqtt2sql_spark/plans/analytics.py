@@ -7975,3 +7975,62 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_violating"),
     )
+
+
+@register(
+    "part_price_spread",
+    oracle="""
+    , pp AS (
+        SELECT l_partkey AS pk,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(CAST(floor(l_extendedprice / l_quantity * 100)
+                             AS BIGINT)) AS BIGINT) AS min_unit_cents,
+               CAST(max(CAST(floor(l_extendedprice / l_quantity * 100)
+                             AS BIGINT)) AS BIGINT) AS max_unit_cents
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey HAVING count(*) >= 5
+    )
+    SELECT CAST(pk AS BIGINT) AS pk, n, min_unit_cents, max_unit_cents,
+           CAST((max_unit_cents - min_unit_cents) * 1000000
+                // greatest(min_unit_cents, 1) AS BIGINT) AS spread_ppm
+    FROM pp ORDER BY spread_ppm DESC, pk LIMIT 15
+    """,
+    doc="Pricing-governance screen: the 15 parts with the widest "
+    "realized unit-price spread ((max-min)/min over their lineitems, "
+    "min support 5) — wide spread means discount policy is leaking "
+    "or the same part sells at wildly different effective prices.  "
+    "Unit price quantizes to floor fixed-point cents at the row "
+    "level (the ratio is NOT a 2-decimal money value, so round() "
+    "would hit half-even-vs-half-up boundaries — the ROUND-OF-RAW-"
+    "DOUBLE invariant applies), so min/max/spread are "
+    "pure integer.  One partial-agg'd rollup + TakeOrdered(15).",
+    tags=("analytics", "dq"),
+)
+def part_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    unit = F.expr(
+        "CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT)"
+    )
+    pp = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(unit).cast("long").alias("min_unit_cents"),
+            F.max(unit).cast("long").alias("max_unit_cents"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    return (
+        pp.select(
+            F.col("pk").cast("long").alias("pk"),
+            "n",
+            "min_unit_cents",
+            "max_unit_cents",
+            F.expr(
+                "CAST((max_unit_cents - min_unit_cents) * 1000000"
+                " div greatest(min_unit_cents, 1) AS BIGINT)"
+            ).alias("spread_ppm"),
+        )
+        .orderBy(F.desc("spread_ppm"), "pk")
+        .limit(15)
+    )

@@ -2130,3 +2130,112 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_cusum_cents",
         F.col("n").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "coactivity_user_pairs",
+    oracle="""
+    , ub AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 300000000 AS bucket
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ub a JOIN ub b ON a.bucket = b.bucket
+                           AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, n_shared
+    FROM pairs ORDER BY n_shared DESC, user_a, user_b LIMIT 20
+    """,
+    doc="Co-activity inference: user pairs most often active in the "
+    "same 5-minute bucket — the time-locality signal behind "
+    "shared-account and coordination detection.  The bucket "
+    "equi-join bounds pair fan-out by per-bucket occupancy (a "
+    "bucketed join, never an all-pairs timestamp comparison — the "
+    "same move range_join_bucketed makes); distinct (user, bucket) "
+    "first so dense users don't quadratically inflate the join.  "
+    "Top-20 with a 3-column total order.",
+    tags=("timeseries", "graph"),
+)
+def coactivity_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ub = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 300000000").alias("bucket"),
+    ).distinct()
+    a = ub.select(F.col("user_id").alias("user_a"), "bucket")
+    b = ub.select(F.col("user_id").alias("user_b"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "user_a", "user_b")
+        .limit(20)
+    )
+
+
+@register(
+    "daily_kpi_snapshot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS revenue_cents,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT)
+               AS n_buyers,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) * 1000000
+                // count(DISTINCT user_id) AS BIGINT)
+               AS buyer_conversion_ppm,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS error_rate_ppm
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    doc="One-pass daily KPI snapshot: events, actives, purchases, "
+    "exact-cents revenue, distinct buyers, buyer conversion and "
+    "error rate — eight metrics from a SINGLE groupBy with "
+    "conditional aggregates (one shuffle), the dashboard fact table "
+    "teams otherwise assemble from five separate queries.  "
+    "Conditional count-distincts (buyers) expand to the same "
+    "partial-agg plan as plain distincts; everything downstream of "
+    "the scan is integer.",
+    tags=("timeseries", "product"),
+    bench=True,
+)
+def daily_kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias(
+            "n_purchases"
+        ),
+        F.sum(
+            F.when(
+                is_p, F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.countDistinct(F.when(is_p, F.col("user_id")))
+        .cast("long")
+        .alias("n_buyers"),
+        F.expr(
+            "CAST(count(DISTINCT CASE WHEN event_type = 'purchase'"
+            " THEN user_id END) * 1000000"
+            " div count(DISTINCT user_id) AS BIGINT)"
+        ).alias("buyer_conversion_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("error_rate_ppm"),
+    )

@@ -471,3 +471,18 @@ def test_cusum_peak_matches_python_scan(spark):
             best, best_ts = abs(run), r.ts
     assert out[probe].peak_ts == best_ts
     assert out[probe].peak_cusum_cents == best // n
+
+
+def test_daily_kpi_identities(spark):
+    from mqtt2sql_spark.plans.timeseries import daily_kpi_snapshot
+
+    rows = daily_kpi_snapshot(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_buyers <= min(r.n_users, r.n_purchases)
+        assert (
+            r.buyer_conversion_ppm
+            == r.n_buyers * 1_000_000 // r.n_users
+        )
+        assert 0 <= r.error_rate_ppm <= 1_000_000
+        assert (r.revenue_cents > 0) == (r.n_purchases > 0)

@@ -8034,3 +8034,98 @@ def part_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("spread_ppm"), "pk")
         .limit(15)
     )
+
+
+@register(
+    "revenue_reconciliation_sources",
+    oracle="""
+    , ev_rev AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS ev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    ord_rev AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS ord_cents
+        FROM orders GROUP BY 1
+    ),
+    rec AS (
+        SELECT coalesce(e.day, o.day) AS day,
+               coalesce(e.ev_cents, 0) AS ev_cents,
+               coalesce(o.ord_cents, 0) AS ord_cents
+        FROM ev_rev e FULL OUTER JOIN ord_rev o ON o.day = e.day
+    )
+    SELECT CAST(sum(CASE WHEN ev_cents > 0 AND ord_cents = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS days_events_only,
+           CAST(sum(CASE WHEN ord_cents > 0 AND ev_cents = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS days_orders_only,
+           CAST(sum(CASE WHEN ev_cents > 0 AND ord_cents > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS days_both,
+           CAST(sum(ev_cents) AS BIGINT) AS total_ev_cents,
+           CAST(sum(ord_cents) AS BIGINT) AS total_ord_cents
+    FROM rec
+    """,
+    doc="Cross-source revenue reconciliation: the event stream's "
+    "purchase value vs the order system's totals, full-outer-joined "
+    "by day so days present in only one source surface instead of "
+    "silently dropping (the inner-join trap reconciliation reports "
+    "fall into) — in this fixture the two sources cover DISJOINT "
+    "eras (events 2024, orders 1995-2001), which is exactly the "
+    "pathology the days_*_only columns are built to expose.  Two "
+    "partial-agg'd rollups, a dimension-sized full-outer join, "
+    "exact cents.",
+    tags=("analytics", "dq"),
+)
+def revenue_reconciliation_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ev_rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("ev_cents")
+        )
+    )
+    ord_rev = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long")
+        .alias("ord_cents")
+    )
+    rec = (
+        ev_rev.join(ord_rev, "day", "full_outer")
+        .select(
+            F.coalesce("ev_cents", F.lit(0)).alias("ev_cents"),
+            F.coalesce("ord_cents", F.lit(0)).alias("ord_cents"),
+        )
+    )
+    return rec.agg(
+        F.sum(
+            F.when((F.col("ev_cents") > 0) & (F.col("ord_cents") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("days_events_only"),
+        F.sum(
+            F.when((F.col("ord_cents") > 0) & (F.col("ev_cents") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("days_orders_only"),
+        F.sum(
+            F.when((F.col("ev_cents") > 0) & (F.col("ord_cents") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("days_both"),
+        F.sum("ev_cents").cast("long").alias("total_ev_cents"),
+        F.sum("ord_cents").cast("long").alias("total_ord_cents"),
+    )

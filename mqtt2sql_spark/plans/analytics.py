@@ -8129,3 +8129,64 @@ def revenue_reconciliation_sources(
         F.sum("ev_cents").cast("long").alias("total_ev_cents"),
         F.sum("ord_cents").cast("long").alias("total_ord_cents"),
     )
+
+
+@register(
+    "dom_order_profile",
+    oracle="""
+    , d AS (
+        SELECT day(o_orderdate) AS dom,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS c FROM d)
+    SELECT CAST(dom AS INTEGER) AS day_of_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS rev_cents,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS order_share_ppm,
+           CAST(sum(cents) * 1000000 // (SELECT c FROM tot) AS BIGINT)
+               AS rev_share_ppm
+    FROM d GROUP BY dom
+    """,
+    doc="Day-of-month ordering profile: order count and revenue share "
+    "per calendar day 1..31 — the payday/billing-cycle fingerprint "
+    "(spikes at 1/15/month-end) that capacity planning and fraud "
+    "baselines both read.  Note days 29-31 exist in fewer months, "
+    "so raw shares dip there by construction — the honest reading "
+    "compares against days-available, which the n_orders column "
+    "supports.  One partial-agg'd rollup plus a broadcast scalar.",
+    tags=("analytics", "calendar"),
+)
+def dom_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    )
+    return (
+        d.groupBy(F.col("dom").cast("int").alias("day_of_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day_of_month",
+            "n_orders",
+            "rev_cents",
+            F.expr("CAST(n_orders * 1000000 div n AS BIGINT)").alias(
+                "order_share_ppm"
+            ),
+            F.expr("CAST(rev_cents * 1000000 div c AS BIGINT)").alias(
+                "rev_share_ppm"
+            ),
+        )
+    )

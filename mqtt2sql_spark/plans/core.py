@@ -775,3 +775,48 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("topicid", "topic", "value_str", "valid_from", "version")
+
+
+@register(
+    "payload_size_profile",
+    oracle="""
+    , sz AS (
+        SELECT split_part(topic, '/', 1) AS root,
+               length(value_str) AS len
+        FROM messages
+    )
+    SELECT root,
+           CAST(length(bin(len + 1)) - 1 AS INTEGER) AS size_octave,
+           CAST(count(*) AS BIGINT) AS n_messages,
+           CAST(sum(len) AS BIGINT) AS total_bytes,
+           CAST(max(len) AS BIGINT) AS max_bytes
+    FROM sz GROUP BY 1, 2
+    """,
+    doc="Payload-size profile per topic root: message payload lengths "
+    "bucketed by bit-length octave (the no-libm log2 histogram), "
+    "with byte totals — the broker/storage capacity view the "
+    "reference's operators eyeball from MQTT dashboards "
+    "(mqtt2sql.py stores the raw payload per row; size skew decides "
+    "VARCHAR vs TEXT columns and row-group sizing downstream).  "
+    "One partial-agg'd rollup over the message stream; topic root "
+    "via split_part, identical cross-engine.  All-integer.",
+    tags=("core", "ops"),
+)
+def payload_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    sz = msg.select(
+        F.split_part(F.col("topic"), F.lit("/"), F.lit(1)).alias("root"),
+        # Spark messages() carries the payload as BINARY; byte length
+        # equals the oracle's char length (ASCII JSON payloads)
+        F.length("value").alias("len"),
+    )
+    return sz.groupBy(
+        "root",
+        (F.length(F.bin(F.col("len") + 1)) - 1)
+        .cast("int")
+        .alias("size_octave"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_messages"),
+        F.sum("len").cast("long").alias("total_bytes"),
+        F.max("len").cast("long").alias("max_bytes"),
+    )

@@ -2124,3 +2124,71 @@ def label_cosine_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr('CAST(CASE WHEN sum(CASE WHEN same = 1 THEN q ELSE 0 END) >= 0 THEN sum(CASE WHEN same = 1 THEN q ELSE 0 END) div greatest(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END), 1) ELSE -((-sum(CASE WHEN same = 1 THEN q ELSE 0 END)) div greatest(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END), 1)) END AS BIGINT)').alias("mean_same_x1e6"),
         F.expr('CAST(CASE WHEN sum(CASE WHEN same = 0 THEN q ELSE 0 END) >= 0 THEN sum(CASE WHEN same = 0 THEN q ELSE 0 END) div greatest(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END), 1) ELSE -((-sum(CASE WHEN same = 0 THEN q ELSE 0 END)) div greatest(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END), 1)) END AS BIGINT)').alias("mean_other_x1e6"),
     )
+
+
+@register(
+    "duplicate_vectors_exact",
+    oracle="""
+    , keyed AS (
+        SELECT vec_id,
+               md5(array_to_string(list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                             AS VARCHAR)), ',')) AS vkey
+        FROM embeddings
+    ),
+    grp AS (
+        SELECT vkey, CAST(count(*) AS BIGINT) AS sz,
+               CAST(min(vec_id) AS BIGINT) AS canonical
+        FROM keyed GROUP BY vkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_vectors,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+               AS n_redundant_rows,
+           CAST(max(sz) AS BIGINT) AS max_group_size
+    FROM grp
+    """,
+    doc="Exact-duplicate vector detection: embeddings keyed by the md5 "
+    "of their 1e-6-quantized component string (floor(x*1e6+0.5) per "
+    "dim, identical both engines — raw float-to-string rendering "
+    "differs cross-engine, quantized integers do not), grouped to "
+    "find identical vectors — the embedding-table DQ check run "
+    "before ANN indexing, since exact dupes waste index space and "
+    "corrupt k-NN label votes.  The hash key reduces the shuffle to "
+    "32 bytes per row regardless of dimension.  The per-element "
+    "lambda is single-parameter (the two-parameter form binds the "
+    "index — CLAUDE.md lambda trap).",
+    tags=("similarity", "dq"),
+)
+def duplicate_vectors_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    keyed = emb.select(
+        "vec_id",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.floor(x * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vkey"),
+    )
+    grp = keyed.groupBy("vkey").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.min("vec_id").cast("long").alias("canonical"),
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_vectors"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_redundant_rows"),
+        F.max("sz").cast("long").alias("max_group_size"),
+    )

@@ -779,3 +779,30 @@ def test_t_closeness_emd_for_probe_cohort(spark):
             emd += abs(cum)
         best = max(best, emd * 1_000_000 // (big_n * n))
     assert row.max_emd_ppm == best
+
+
+def test_payload_octaves_and_dom_shares(spark):
+    from mqtt2sql_spark.plans.analytics import dom_order_profile
+    from mqtt2sql_spark.plans.core import payload_size_profile
+
+    prof = payload_size_profile(spark, SF_DIR).collect()
+    assert prof
+    for r in prof:
+        lo, hi = (1 << r.size_octave) - 1, (1 << (r.size_octave + 1)) - 2
+        assert lo <= r.max_bytes <= hi or r.max_bytes >= lo
+        assert r.total_bytes >= r.n_messages  # payloads are non-empty
+    dom = dom_order_profile(spark, SF_DIR).collect()
+    assert 28 <= len(dom) <= 31
+    assert sum(r.order_share_ppm for r in dom) <= 1_000_000
+    # days 1..28 exist in every month, so none of them can be empty
+    assert {r.day_of_month for r in dom} >= set(range(1, 29))
+
+
+def test_duplicate_vector_counts_reconcile(spark):
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.similarity import duplicate_vectors_exact
+
+    r = duplicate_vectors_exact(spark, SF_DIR).collect()[0]
+    n_rows = load_table(spark, SF_DIR, "embeddings").count()
+    assert r.n_distinct_vectors + r.n_redundant_rows == n_rows
+    assert (r.n_dup_groups == 0) == (r.max_group_size == 1)

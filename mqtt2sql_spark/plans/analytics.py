@@ -8190,3 +8190,102 @@ def dom_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "priority_inversion_audit",
+    oracle="""
+    , ord AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS placed,
+               CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS prio,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(min(l.l_shipdate) AS DATE)) AS lat
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+        GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT a.prio AS prio_urgent, b.prio AS prio_casual,
+               CASE WHEN a.lat > b.lat THEN 1 ELSE 0 END AS inverted
+        FROM ord a JOIN ord b ON b.placed = a.placed
+                            AND a.prio < b.prio
+    )
+    SELECT CAST(prio_urgent AS INTEGER) AS prio_urgent,
+           CAST(prio_casual AS INTEGER) AS prio_casual,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(inverted) AS BIGINT) AS n_inversions,
+           CAST(sum(inverted) * 1000000 // count(*) AS BIGINT)
+               AS inversion_ppm
+    FROM pairs GROUP BY 1, 2
+    """,
+    doc="Priority-inversion audit: among order pairs placed the SAME "
+    "day, how often does the more urgent priority ship its first "
+    "lineitem slower than the less urgent one — near 500000 ppm "
+    "means the priority field is decorative (the fixture's "
+    "independently drawn dates make exactly that null result, which "
+    "is the point of auditing), well below means fulfillment honors "
+    "it.  Same-day pairing keys the self-join on the date (fan-out "
+    "bounded by daily order volume, never a global cross join).  "
+    "First-ship latency from one fact-fact rollup; ship-before-"
+    "order fixture artifacts excluded.",
+    tags=("analytics", "ops"),
+)
+def priority_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    ord_ = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(
+            F.col("l_shipdate").cast("date")
+            >= F.col("o_orderdate").cast("date")
+        )
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("placed"),
+            F.substring("o_orderpriority", 1, 1)
+            .cast("int")
+            .alias("prio"),
+        )
+        .agg(
+            F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+        )
+        .select(
+            "o_orderkey",
+            "placed",
+            "prio",
+            F.datediff("first_ship", "placed").alias("lat"),
+        )
+    )
+    a = ord_.select(
+        F.col("placed").alias("pa"),
+        F.col("prio").alias("prio_urgent"),
+        F.col("lat").alias("lat_a"),
+    )
+    b = ord_.select(
+        F.col("placed").alias("pb"),
+        F.col("prio").alias("prio_casual"),
+        F.col("lat").alias("lat_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("pb") == F.col("pa"))
+        & (F.col("prio_urgent") < F.col("prio_casual")),
+    ).select(
+        "prio_urgent",
+        "prio_casual",
+        F.when(F.col("lat_a") > F.col("lat_b"), 1).otherwise(0).alias(
+            "inverted"
+        ),
+    )
+    return pairs.groupBy(
+        F.col("prio_urgent").cast("int").alias("prio_urgent"),
+        F.col("prio_casual").cast("int").alias("prio_casual"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("inverted").cast("long").alias("n_inversions"),
+        F.expr(
+            "CAST(sum(inverted) * 1000000 div count(*) AS BIGINT)"
+        ).alias("inversion_ppm"),
+    )

@@ -806,3 +806,19 @@ def test_duplicate_vector_counts_reconcile(spark):
     n_rows = load_table(spark, SF_DIR, "embeddings").count()
     assert r.n_distinct_vectors + r.n_redundant_rows == n_rows
     assert (r.n_dup_groups == 0) == (r.max_group_size == 1)
+
+
+def test_priority_inversion_near_null_in_fixture(spark):
+    """Fixture dates are independent of priority, so inversion rates
+    should hover near the null 50% (binomial band), and pair counts
+    must cover all 10 ordered priority pairs."""
+    from mqtt2sql_spark.plans.analytics import priority_inversion_audit
+
+    rows = priority_inversion_audit(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.prio_urgent < r.prio_casual
+        assert r.inversion_ppm == r.n_inversions * 1_000_000 // r.n_pairs
+        # ties (equal latency) count as non-inversions, so the null
+        # rate sits at or below 50%; allow a generous band
+        assert 200_000 < r.inversion_ppm < 600_000

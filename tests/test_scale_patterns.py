@@ -820,5 +820,6 @@ def test_priority_inversion_near_null_in_fixture(spark):
         assert r.prio_urgent < r.prio_casual
         assert r.inversion_ppm == r.n_inversions * 1_000_000 // r.n_pairs
         # ties (equal latency) count as non-inversions, so the null
-        # rate sits at or below 50%; allow a generous band
-        assert 200_000 < r.inversion_ppm < 600_000
+        # rate sits at or just below 50%; allow 4-sigma binomial noise
+        sigma_ppm = int((0.25 / r.n_pairs) ** 0.5 * 1_000_000)
+        assert abs(r.inversion_ppm - 500_000) < 4 * sigma_ppm + 20_000

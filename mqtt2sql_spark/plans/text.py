@@ -2315,3 +2315,74 @@ def source_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2_ppm"), "w")
         .limit(20)
     )
+
+
+CHUNK_SIZES = (128, 256, 512)
+
+
+@register(
+    "chunk_size_sweep",
+    oracle=f"""
+    , nt AS (
+        SELECT doc_id, CAST(len({duck_tokens()}) AS BIGINT) AS t
+        FROM documents
+    )
+    SELECT chunk_size, n_docs, n_chunks, total_tokens,
+           CAST((n_chunks * chunk_size - total_tokens) * 1000000
+                // (n_chunks * chunk_size) AS BIGINT) AS padding_waste_ppm
+    FROM (
+        {" UNION ALL ".join(
+            f'''SELECT CAST({c} AS INTEGER) AS chunk_size,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum((t + {c} - 1) // {c}) AS BIGINT) AS n_chunks,
+               CAST(sum(t) AS BIGINT) AS total_tokens
+        FROM nt WHERE t > 0'''
+            for c in CHUNK_SIZES
+        )}
+    )
+    """,
+    doc=f"Chunk-size sweep for context packing: for chunk sizes "
+    f"{CHUNK_SIZES}, the chunk count (ceil(tokens/size) per doc) and "
+    "the padding waste a pad-to-size loader would burn — the "
+    "fraction of every batch that is padding tokens, the number that "
+    "decides between small chunks (less padding, more boundary "
+    "loss) and large ones before committing a tokenization run.  "
+    "All three sweep points are conditional aggregates over ONE "
+    "token-count scan (the session_gap_sensitivity pattern applied "
+    "to the text pipeline); concat-and-chunk packing "
+    "(pack_sequences_greedy) is the zero-padding alternative the "
+    "waste column argues for.  All-integer.",
+    tags=("text", "packing"),
+)
+def chunk_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    nt = docs.select(
+        F.size(tokens("text")).cast("long").alias("t")
+    ).where(F.col("t") > 0)
+    outs = []
+    for c in CHUNK_SIZES:
+        outs.append(
+            nt.agg(
+                F.lit(c).cast("int").alias("chunk_size"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.expr(f"(t + {c} - 1) div {c}"))
+                .cast("long")
+                .alias("n_chunks"),
+                F.sum("t").cast("long").alias("total_tokens"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.select(
+        "chunk_size",
+        "n_docs",
+        "n_chunks",
+        "total_tokens",
+        F.expr(
+            "CAST((n_chunks * chunk_size - total_tokens) * 1000000"
+            " div (n_chunks * chunk_size) AS BIGINT)"
+        ).alias("padding_waste_ppm"),
+    )

@@ -120,3 +120,19 @@ def test_kwic_contains_phrase_and_context_bounds(spark):
     for r in rows:
         assert phrase in r.kwic
         assert len(r.kwic.split()) <= 6  # ±2 context + 2 phrase tokens
+
+
+def test_chunk_sweep_waste_decreases_with_smaller_chunks(spark):
+    from mqtt2sql_spark.plans.text import chunk_size_sweep
+
+    rows = sorted(
+        chunk_size_sweep(spark, SF_DIR).collect(),
+        key=lambda r: r.chunk_size,
+    )
+    assert [r.chunk_size for r in rows] == [128, 256, 512]
+    # identical doc population at every sweep point
+    assert len({(r.n_docs, r.total_tokens) for r in rows}) == 1
+    wastes = [r.padding_waste_ppm for r in rows]
+    assert wastes == sorted(wastes)  # smaller chunks waste less padding
+    for r in rows:
+        assert r.n_chunks * r.chunk_size >= r.total_tokens

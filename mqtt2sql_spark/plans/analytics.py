@@ -8289,3 +8289,105 @@ def priority_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(inverted) * 1000000 div count(*) AS BIGINT)"
         ).alias("inversion_ppm"),
     )
+
+
+# fixture event types are stable; each gets its own KS block in the sweep
+_KS_TYPES = ("click", "error", "purchase", "signup", "view")
+_KS_SPLIT = "2024-01-15 00:00:00"
+
+
+def _ks_drift_sql(t: str) -> str:
+    return f"""
+    SELECT '{t}' AS event_type,
+           CAST((SELECT na FROM tot_{t}) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM tot_{t}) AS BIGINT) AS n_b,
+           CAST(max(dnum) AS BIGINT) AS d_num,
+           CAST((SELECT na FROM tot_{t}) * (SELECT nb FROM tot_{t})
+                AS BIGINT) AS d_den,
+           CAST(max(dnum) * 1000000
+                // ((SELECT na FROM tot_{t}) * (SELECT nb FROM tot_{t}))
+                AS BIGINT) AS d_ppm
+    FROM diffs_{t}"""
+
+
+def _ks_drift_ctes(t: str) -> str:
+    return f"""
+    base_{t} AS (
+        SELECT value,
+               sum(CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}'
+                        THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN ts >= TIMESTAMP '{_KS_SPLIT}'
+                        THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type = '{t}'
+        GROUP BY value
+    ),
+    cum_{t} AS (
+        SELECT value,
+               sum(ca) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cca,
+               sum(cb) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ccb
+        FROM base_{t}
+    ),
+    tot_{t} AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM base_{t}),
+    diffs_{t} AS (
+        SELECT abs(cca * (SELECT nb FROM tot_{t})
+                   - ccb * (SELECT na FROM tot_{t})) AS dnum
+        FROM cum_{t}
+    )"""
+
+
+@register(
+    "value_drift_ks_by_type",
+    oracle=", "
+    + ",".join(_ks_drift_ctes(t) for t in _KS_TYPES)
+    + "\n    UNION ALL".join(_ks_drift_sql(t) for t in _KS_TYPES),
+    doc="Per-stream temporal drift: the exact two-sample KS statistic "
+    "between each event type's value distribution before and after "
+    "the stream midpoint — the numeric-column complement to "
+    "transition_drift_chi2's categorical check, together covering "
+    "the two ways a model's inputs go stale.  Reuses the "
+    "operators/stats.ks_statistic two-phase prefix-sum skeleton per "
+    "type (bucketed cumulative windows + broadcast offsets, exact "
+    "cross-multiplied rationals); D surfaces as both the exact "
+    "d_num/d_den pair and integer ppm.",
+    tags=("analytics", "drift"),
+)
+def value_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.stats import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_KS_SPLIT).cast("timestamp")
+    outs = []
+    for t in _KS_TYPES:
+        base = (
+            ev.where(F.col("event_type") == t)
+            .groupBy("value")
+            .agg(
+                F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias(
+                    "ca"
+                ),
+                F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias(
+                    "cb"
+                ),
+            )
+        )
+        ks = ks_statistic(base, F.expr("CAST(floor(value) AS BIGINT) div 50"))
+        outs.append(
+            ks.select(
+                F.lit(t).alias("event_type"),
+                "n_a",
+                "n_b",
+                "d_num",
+                "d_den",
+                F.expr("CAST(d_num * 1000000 div d_den AS BIGINT)").alias(
+                    "d_ppm"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -823,3 +823,41 @@ def test_priority_inversion_near_null_in_fixture(spark):
         # rate sits at or just below 50%; allow 4-sigma binomial noise
         sigma_ppm = int((0.25 / r.n_pairs) ** 0.5 * 1_000_000)
         assert abs(r.inversion_ppm - 500_000) < 4 * sigma_ppm + 20_000
+
+
+def test_ks_drift_matches_scipy_free_recount(spark):
+    """Recompute one type's KS D exactly in Python."""
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import (
+        _KS_SPLIT,
+        value_drift_ks_by_type,
+    )
+
+    out = {r.event_type: r for r in value_drift_ks_by_type(spark, SF_DIR).collect()}
+    assert out
+    import datetime as dt
+
+    split = dt.datetime.fromisoformat(_KS_SPLIT)
+    probe = sorted(out)[0]
+    vals = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == probe)
+        .select("ts", "value")
+        .collect()
+    )
+    a = sorted(v.value for v in vals if v.ts < split)
+    b = sorted(v.value for v in vals if v.ts >= split)
+    na, nb = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        for v in grid
+    )
+    r = out[probe]
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.d_num == d
+    assert r.d_ppm == d * 1_000_000 // (na * nb)

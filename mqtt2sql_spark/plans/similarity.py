@@ -2192,3 +2192,48 @@ def duplicate_vectors_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redundant_rows"),
         F.max("sz").cast("long").alias("max_group_size"),
     )
+
+
+@register(
+    "label_balance_effective_classes",
+    oracle="""
+    , lc AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_labels,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(min(n) AS BIGINT) AS min_label_n,
+           CAST(max(n) AS BIGINT) AS max_label_n,
+           CAST(CAST(sum(n) AS HUGEINT) * sum(n) * 100
+                // sum(CAST(n AS HUGEINT) * n) AS BIGINT)
+               AS effective_classes_x100
+    FROM lc
+    """,
+    doc="Label-balance report: the effective number of classes "
+    "(inverse Simpson index, (Sum n)^2 / Sum n^2 — equals the label "
+    "count iff perfectly balanced, collapses toward 1 under "
+    "imbalance) as an exact x100 integer via HUGEINT/DECIMAL cross-"
+    "multiplication — the one number that says whether stratified "
+    "sampling or loss re-weighting is needed before training on "
+    "this label column.  One partial-agg'd rollup over the "
+    "dimension-sized label counts.",
+    tags=("similarity", "stats"),
+)
+def label_balance_effective_classes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    lc = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return lc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_label_n"),
+        F.max("n").cast("long").alias("max_label_n"),
+        F.expr(
+            "CAST(CAST(sum(n) AS DECIMAL(38,0)) * sum(n) * 100"
+            " div sum(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("effective_classes_x100"),
+    )

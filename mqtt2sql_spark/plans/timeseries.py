@@ -2239,3 +2239,60 @@ def daily_kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*) AS BIGINT)"
         ).alias("error_rate_ppm"),
     )
+
+
+@register(
+    "user_burstiness_topk",
+    oracle="""
+    , ub AS (
+        SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS peak_5min,
+               CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS active_buckets
+        FROM ub GROUP BY user_id
+    )
+    SELECT user_id, peak_5min, total, active_buckets,
+           CAST(peak_5min * 1000000 // total AS BIGINT)
+               AS peak_share_ppm
+    FROM per_user
+    ORDER BY peak_5min DESC, user_id LIMIT 20
+    """,
+    doc="Burstiness screen: the 20 users with the highest single-"
+    "5-minute-bucket event count, with their lifetime total and the "
+    "peak bucket's share of it — scripted clients concentrate whole "
+    "sessions into one burst (peak share near 1e6 ppm), humans "
+    "spread out; the rate-limiting complement to "
+    "throttle_events_5min (which drops excess, this names the "
+    "offenders).  Two partial-agg'd rollups, TakeOrdered(20) with a "
+    "total order.  All-integer.",
+    tags=("timeseries", "behavior"),
+)
+def user_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ub = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 300000000").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_user = ub.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("peak_5min"),
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("active_buckets"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "peak_5min",
+            "total",
+            "active_buckets",
+            F.expr("CAST(peak_5min * 1000000 div total AS BIGINT)").alias(
+                "peak_share_ppm"
+            ),
+        )
+        .orderBy(F.desc("peak_5min"), "user_id")
+        .limit(20)
+    )

@@ -323,3 +323,16 @@ def test_label_separation_positive_when_labels_cluster(spark):
     for r in rows:
         assert -1_000_000 <= r.mean_same_x1e6 <= 1_000_000
         assert -1_000_000 <= r.mean_other_x1e6 <= 1_000_000
+
+
+def test_effective_classes_bounds(spark):
+    from mqtt2sql_spark.plans.similarity import (
+        label_balance_effective_classes,
+    )
+
+    r = label_balance_effective_classes(spark, SF_DIR).collect()[0]
+    # 1 <= effective classes <= n_labels, equality iff balanced
+    assert 100 <= r.effective_classes_x100 <= r.n_labels * 100
+    assert r.min_label_n <= r.max_label_n
+    if r.min_label_n == r.max_label_n:
+        assert r.effective_classes_x100 == r.n_labels * 100

@@ -8391,3 +8391,58 @@ def value_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@register(
+    "price_ending_profile",
+    oracle="""
+    , e AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100
+                   AS ending
+        FROM orders
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+    SELECT CASE WHEN ending = 0 THEN 'round_00'
+                WHEN ending = 99 THEN 'charm_99'
+                WHEN ending % 10 = 0 THEN 'round_x0'
+                ELSE 'other' END AS ending_class,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM e GROUP BY 1
+    """,
+    doc="Price-ending profile: the cents endings of order totals "
+    "bucketed into round-dollar (.00), charm (.99), tens (.x0) and "
+    "other — forensic accounting reads excess .00 mass as manual "
+    "price entry or fabrication (round-number bias), merchandisers "
+    "read .99 mass as charm-pricing penetration; a uniform fixture "
+    "should spread ~1%/ending.  Pure integer modulo on exact "
+    "cents; one partial-agg'd rollup plus a broadcast scalar.",
+    tags=("analytics", "dq"),
+)
+def price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    e = orders.select(
+        (
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)") % 100
+        ).alias("ending")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        e.groupBy(
+            F.when(F.col("ending") == 0, "round_00")
+            .when(F.col("ending") == 99, "charm_99")
+            .when(F.col("ending") % 10 == 0, "round_x0")
+            .otherwise("other")
+            .alias("ending_class")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ending_class",
+            "n_orders",
+            F.expr("CAST(n_orders * 1000000 div n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

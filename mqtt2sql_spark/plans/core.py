@@ -820,3 +820,48 @@ def payload_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("long").alias("total_bytes"),
         F.max("len").cast("long").alias("max_bytes"),
     )
+
+
+@register(
+    "sequence_gap_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(max(event_id) - min(event_id) + 1
+                - count(DISTINCT event_id) AS BIGINT) AS n_missing,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS n_duplicate_rows
+    FROM events
+    """,
+    doc="Ingestion-completeness audit over the event_id sequence: "
+    "missing ids (holes in [min, max] — dropped messages upstream) "
+    "and duplicate rows (at-least-once redelivery) in one pass — "
+    "the two numbers that distinguish lossy from duplicating "
+    "transport, checked before trusting any downstream count.  The "
+    "reference's autoincrement ids (mysql.sql:35) make the same "
+    "audit possible on its history table.  Single distributive + "
+    "count-distinct aggregate, no shuffle beyond the partial-agg "
+    "combine.",
+    tags=("core", "dq"),
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct_ids"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+        (
+            F.max("event_id")
+            - F.min("event_id")
+            + 1
+            - F.countDistinct("event_id")
+        )
+        .cast("long")
+        .alias("n_missing"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("n_duplicate_rows"),
+    )

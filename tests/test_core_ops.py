@@ -319,3 +319,14 @@ def test_scd2_asof_snapshot_consistent_with_versions(spark):
     for tid, s in snap.items():
         assert s.value_str == want[tid].value_str
         assert s.version == want[tid].version
+
+
+def test_sequence_audit_identities(spark):
+    from mqtt2sql_spark.plans.core import sequence_gap_audit
+    from tests.conftest import SF_DIR
+
+    r = sequence_gap_audit(spark, SF_DIR).collect()[0]
+    assert r.n_distinct_ids <= r.n_rows
+    assert r.max_id - r.min_id + 1 >= r.n_distinct_ids
+    assert r.n_missing == r.max_id - r.min_id + 1 - r.n_distinct_ids
+    assert r.n_duplicate_rows == r.n_rows - r.n_distinct_ids

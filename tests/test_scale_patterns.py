@@ -861,3 +861,16 @@ def test_ks_drift_matches_scipy_free_recount(spark):
     assert (r.n_a, r.n_b) == (na, nb)
     assert r.d_num == d
     assert r.d_ppm == d * 1_000_000 // (na * nb)
+
+
+def test_price_endings_cover_population(spark):
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.analytics import price_ending_profile
+
+    rows = price_ending_profile(spark, SF_DIR).collect()
+    assert rows
+    n = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n_orders for r in rows) == n
+    assert {r.ending_class for r in rows} <= {
+        "round_00", "charm_99", "round_x0", "other"
+    }

@@ -8446,3 +8446,125 @@ def price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TABLE_PKS = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+@register(
+    "tables_row_audit",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({pk}) AS BIGINT) AS n_null_pk,
+           CAST(count({pk}) - count(DISTINCT {pk}) AS BIGINT)
+               AS n_dup_pk
+    FROM {tbl}"""
+        for tbl, pk in _TABLE_PKS
+    ),
+    doc="Warehouse-wide primary-key health dashboard: row count, null "
+    "keys and duplicate keys for every keyed table in one result — "
+    "the first page of any data-contract report, asserting the "
+    "uniqueness assumption every broadcast dim join in this registry "
+    "silently relies on (a dup in a broadcast dim silently FANS OUT "
+    "fact rows — this query is the guard).  Nine independent "
+    "partial-agg'd scans unioned at the summary level; lineitem is "
+    "excluded because its key is composite (covered by "
+    "referential_integrity_audit).",
+    tags=("analytics", "dq"),
+)
+def tables_row_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, pk in _TABLE_PKS:
+        t = load_table(spark, sf_dir, tbl)
+        outs.append(
+            t.agg(
+                F.lit(tbl).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(pk))
+                .cast("long")
+                .alias("n_null_pk"),
+                (F.count(pk) - F.countDistinct(pk))
+                .cast("long")
+                .alias("n_dup_pk"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@register(
+    "z_chart_weekly_revenue",
+    oracle="""
+    , wk AS (
+        SELECT datediff('day', DATE '1993-01-04',
+                        CAST(o_orderdate AS DATE)) // 7 AS w,
+               year(o_orderdate) AS yr,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1993-01-04'
+    ),
+    weekly AS (
+        SELECT w, min(yr) AS yr, CAST(sum(cents) AS BIGINT) AS rev
+        FROM wk GROUP BY w
+    )
+    SELECT CAST(w AS BIGINT) AS week_idx, CAST(yr AS INTEGER) AS yr, rev,
+           CAST(sum(rev) OVER (PARTITION BY yr ORDER BY w) AS BIGINT)
+               AS cum_ytd,
+           CAST(sum(rev) OVER (ORDER BY w
+                               RANGE BETWEEN 51 PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
+               AS moving_annual_total
+    FROM weekly
+    """,
+    doc="Z-chart feed: weekly revenue, year-to-date cumulative, and "
+    "the 52-week moving annual total — the three lines of the "
+    "classic Z-chart that separates seasonality (weekly line) from "
+    "trend (MAT line).  The MAT uses a RANGE frame over the integer "
+    "week index so week gaps cannot silently shrink the window (a "
+    "ROWS frame would — the gap-correctness lesson from "
+    "pit_training_features), and the YTD window partitions by "
+    "calendar year.  Exact cents; the weekly rollup is the only "
+    "fact shuffle and the windows run over |weeks| rows.  A week "
+    "straddling New Year counts toward the year of its first "
+    "order (min(yr)) — documented tie-break.",
+    tags=("analytics", "finance"),
+)
+def z_chart_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wk = orders.where(
+        F.col("o_orderdate").cast("date") >= F.lit("1993-01-04").cast("date")
+    ).select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1993-01-04') div 7"
+        ).alias("w"),
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    weekly = wk.groupBy("w").agg(
+        F.min("yr").alias("yr"), F.sum("cents").cast("long").alias("rev")
+    )
+    w_ytd = W.partitionBy("yr").orderBy("w")
+    w_mat = W.orderBy("w").rangeBetween(-51, 0)
+    return weekly.select(
+        F.col("w").cast("long").alias("week_idx"),
+        F.col("yr").cast("int").alias("yr"),
+        "rev",
+        F.sum("rev").over(w_ytd).cast("long").alias("cum_ytd"),
+        F.sum("rev").over(w_mat).cast("long").alias("moving_annual_total"),
+    )

@@ -874,3 +874,35 @@ def test_price_endings_cover_population(spark):
     assert {r.ending_class for r in rows} <= {
         "round_00", "charm_99", "round_x0", "other"
     }
+
+
+def test_tables_audit_is_clean_and_z_chart_reconciles(spark):
+    from mqtt2sql_spark.plans.analytics import (
+        tables_row_audit,
+        z_chart_weekly_revenue,
+    )
+
+    audit = {r.table_name: r for r in tables_row_audit(spark, SF_DIR).collect()}
+    assert len(audit) == 9
+    for r in audit.values():
+        assert r.n_null_pk == 0 and r.n_dup_pk == 0  # fixture PKs are clean
+        assert r.n_rows > 0
+    z = sorted(
+        z_chart_weekly_revenue(spark, SF_DIR).collect(),
+        key=lambda r: r.week_idx,
+    )
+    assert z
+    # MAT at any week equals the sum of weekly rev over the window
+    by_idx = {r.week_idx: r.rev for r in z}
+    probe = z[len(z) // 2]
+    mat = sum(
+        v for k, v in by_idx.items()
+        if probe.week_idx - 51 <= k <= probe.week_idx
+    )
+    assert probe.moving_annual_total == mat
+    # YTD resets: first week of each year equals its own revenue
+    first_of_year = {}
+    for r in z:
+        first_of_year.setdefault(r.yr, r)
+    for r in first_of_year.values():
+        assert r.cum_ytd == r.rev

@@ -2237,3 +2237,86 @@ def label_balance_effective_classes(
             " div sum(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("effective_classes_x100"),
     )
+
+
+@register(
+    "norm_anova_by_label",
+    oracle="""
+    , q AS (
+        SELECT label,
+               CAST(floor(sqrt(list_inner_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[]))) * 1000000 + 0.5)
+                    AS BIGINT) AS v
+        FROM embeddings
+    ),
+    per AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+        FROM q GROUP BY label
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(s) AS BIGINT) AS big_s,
+               CAST(sum(ss) AS HUGEINT) AS big_ss,
+               CAST(sum(CAST(s AS HUGEINT) * s // n) AS HUGEINT) AS sq
+        FROM per
+    )
+    SELECT CAST(k AS BIGINT) AS n_labels,
+           CAST(big_n AS BIGINT) AS n_vectors,
+           CAST(sq - CAST(big_s AS HUGEINT) * big_s // big_n AS BIGINT)
+               AS ssb_fp,
+           CAST(big_ss - sq AS BIGINT) AS ssw_fp,
+           CAST((sq - CAST(big_s AS HUGEINT) * big_s // big_n) * (big_n - k)
+                * 100 // greatest((big_ss - sq) * (k - 1), 1) AS BIGINT)
+               AS f_stat_x100
+    FROM tot
+    """,
+    doc="One-way ANOVA of embedding L2 norms across labels: between- "
+    "and within-group sums of squares from the integer identities "
+    "(Sum S_j^2/n_j - S^2/N and SS - Sum S_j^2/n_j), with norms "
+    "quantized to exact 1e-6 integers first (sqrt is IEEE-exact, "
+    "the quantized value identical cross-engine) and the per-group "
+    "S_j^2/n_j floored identically on both sides — the F statistic "
+    "(x100) answers whether labels differ in vector MAGNITUDE, a "
+    "normalization smell (cosine similarity silently hides it, "
+    "dot-product retrieval does not).  One partial-agg'd label "
+    "rollup, then scalar arithmetic.",
+    tags=("similarity", "stats"),
+)
+def norm_anova_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.expr(
+        "CAST(floor(sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) * 1000000"
+        " + 0.5) AS BIGINT)"
+    )
+    q = emb.select("label", v.alias("v"))
+    per = q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ss"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("s").cast("long").alias("big_s"),
+        F.sum("ss").alias("big_ss"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s div n")).alias("sq"),
+    )
+    return tot.select(
+        F.col("k").alias("n_labels"),
+        F.col("big_n").alias("n_vectors"),
+        F.expr(
+            "CAST(sq - CAST(big_s AS DECIMAL(38,0)) * big_s div big_n"
+            " AS BIGINT)"
+        ).alias("ssb_fp"),
+        F.expr("CAST(big_ss - sq AS BIGINT)").alias("ssw_fp"),
+        F.expr(
+            "CAST((sq - CAST(big_s AS DECIMAL(38,0)) * big_s div big_n)"
+            " * (big_n - k) * 100"
+            " div greatest((big_ss - sq) * (k - 1), 1) AS BIGINT)"
+        ).alias("f_stat_x100"),
+    )

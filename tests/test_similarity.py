@@ -336,3 +336,22 @@ def test_effective_classes_bounds(spark):
     assert r.min_label_n <= r.max_label_n
     if r.min_label_n == r.max_label_n:
         assert r.effective_classes_x100 == r.n_labels * 100
+
+
+def test_anova_decomposition_reconciles(spark):
+    """SSB + SSW must equal total SS (up to per-group floor slack of
+    at most one unit per label)."""
+    import numpy as np
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.similarity import norm_anova_by_label
+
+    r = norm_anova_by_label(spark, SF_DIR).collect()[0]
+    assert r.ssb_fp >= 0 and r.ssw_fp >= 0
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    vs = [
+        int(np.floor(np.sqrt(np.dot(e.embedding, e.embedding)) * 1e6 + 0.5))
+        for e in rows
+    ]
+    total_ss = sum(v * v for v in vs) - sum(vs) ** 2 // len(vs)
+    assert abs((r.ssb_fp + r.ssw_fp) - total_ss) <= r.n_labels + 1

@@ -519,3 +519,80 @@ def pit_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("leak_free"),
     )
+
+
+# --- temperature-scaled source sampling ------------------------------------
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle="""
+    , sc AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    scaled AS (
+        SELECT source, n_docs, n_chars,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS s
+        FROM sc
+    ),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+                   CAST(sum(n_docs) AS BIGINT) AS nt FROM scaled)
+    SELECT source, n_docs,
+           CAST(n_docs * 1000000 // (SELECT nt FROM tot) AS BIGINT)
+               AS natural_share_ppm,
+           CAST(s * 1000000 // (SELECT st FROM tot) AS BIGINT)
+               AS sampled_share_ppm,
+           CAST(s * 1000000 // (SELECT st FROM tot) * 1000000
+                // greatest(n_docs * 1000000 // (SELECT nt FROM tot), 1)
+                AS BIGINT) AS upsample_x1e6
+    FROM scaled
+    """,
+    doc="Temperature-scaled source sampling (the multilingual-LM "
+    "recipe: sample p_i proportional to n_i^alpha; alpha=1/2 here "
+    "because sqrt is the one power both engines compute "
+    "IEEE-exactly — fractional pow() is libm and banned by the "
+    "LIBM/CONSTANTS rule): per source the natural share, the "
+    "temperature-flattened sampled share, and the upsampling factor "
+    "a data loader must apply — small sources gain, dominant ones "
+    "shrink, the mitigation for low-resource starvation.  Each "
+    "sqrt quantizes to integer micros BEFORE the normalizing sum so "
+    "no float accumulation exists.  One dimension-sized rollup.",
+    tags=("mixing", "sampling"),
+)
+def temperature_sampling_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    scaled = sc.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("s"),
+    )
+    tot = scaled.agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n_docs").cast("long").alias("nt"),
+    )
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("CAST(n_docs * 1000000 div nt AS BIGINT)").alias(
+            "natural_share_ppm"
+        ),
+        F.expr("CAST(s * 1000000 div st AS BIGINT)").alias(
+            "sampled_share_ppm"
+        ),
+        F.expr(
+            "CAST(s * 1000000 div st * 1000000"
+            " div greatest(n_docs * 1000000 div nt, 1) AS BIGINT)"
+        ).alias("upsample_x1e6"),
+    )

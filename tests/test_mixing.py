@@ -149,3 +149,20 @@ def test_pit_features_never_leak(spark):
     # the chosen feature day is the latest activity day <= label_day - 1
     latest = max((e.d for e in ev if e.d <= probe.label_day - 1), default=None)
     assert fd == latest
+
+
+def test_temperature_weights_flatten_the_distribution(spark):
+    from mqtt2sql_spark.plans.mixing import temperature_sampling_weights
+    from tests.conftest import SF_DIR
+
+    rows = temperature_sampling_weights(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.sampled_share_ppm for r in rows) <= 1_000_000
+    for r in rows:
+        # alpha<1 moves every share toward uniform: below-average
+        # sources upsample (>=1e6), above-average ones downsample
+        uniform = 1_000_000 // len(rows)
+        if r.natural_share_ppm < uniform:
+            assert r.upsample_x1e6 >= 1_000_000
+        elif r.natural_share_ppm > uniform + 1:
+            assert r.upsample_x1e6 <= 1_000_000

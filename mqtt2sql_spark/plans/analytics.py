@@ -8568,3 +8568,54 @@ def z_chart_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(w_ytd).cast("long").alias("cum_ytd"),
         F.sum("rev").over(w_mat).cast("long").alias("moving_annual_total"),
     )
+
+
+@register(
+    "discount_cost_by_year",
+    oracle="""
+    , li AS (
+        SELECT year(l_shipdate) AS yr,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CAST(round(l_discount * 10000, 0) AS BIGINT) AS disc_bp
+        FROM lineitem
+    )
+    SELECT CAST(yr AS INTEGER) AS yr,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(cents) AS BIGINT) AS gross_cents,
+           CAST(sum(cents * disc_bp // 10000) AS BIGINT)
+               AS forgone_cents,
+           CAST(sum(cents * disc_bp // 10000) * 1000000
+                // sum(cents) AS BIGINT) AS discount_load_ppm
+    FROM li GROUP BY yr
+    """,
+    doc="Discount cost by ship year: revenue forgone to discounting "
+    "and its share of gross.  The money product is computed as exact "
+    "integers — price to cents, discount to basis points (both are "
+    "2-decimal fixture values so the round() is exact), then "
+    "cents*bp//10000 floored identically per row BEFORE summation — "
+    "because the naive round(price*discount*100) sits on rounding "
+    "boundaries (a 4-decimal product) and the FLOAT-SUM-ORDER rule "
+    "forbids summing raw doubles.  One partial-agg'd rollup.",
+    tags=("analytics", "finance"),
+)
+def discount_cost_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("yr"),
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr("CAST(round(l_discount * 10000, 0) AS BIGINT)").alias(
+            "disc_bp"
+        ),
+    )
+    return li.groupBy(F.col("yr").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum("cents").cast("long").alias("gross_cents"),
+        F.sum(F.expr("cents * disc_bp div 10000"))
+        .cast("long")
+        .alias("forgone_cents"),
+        F.expr(
+            "CAST(sum(cents * disc_bp div 10000) * 1000000"
+            " div sum(cents) AS BIGINT)"
+        ).alias("discount_load_ppm"),
+    )

@@ -2320,3 +2320,63 @@ def norm_anova_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest((big_ss - sq) * (k - 1), 1) AS BIGINT)"
         ).alias("f_stat_x100"),
     )
+
+
+@register(
+    "cosine_histogram_sampled",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+        SELECT CAST(floor(({_DUCK_COS} + 1) * 10) AS INTEGER) AS band
+        FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs)
+    SELECT CAST(least(band, 19) AS INTEGER) AS cos_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM pairs GROUP BY least(band, 19)
+    """,
+    doc="Sampled pairwise-cosine histogram: anchor-to-corpus cosines "
+    "bucketed into 20 bands of width 0.1 over [-1, 1] (floor fixed-"
+    "point banding of the IEEE-exact cosine; the cos=1.0 edge folds "
+    "into the top band) — the distance-concentration diagnostic: a "
+    "spike in one narrow band is the curse of dimensionality "
+    "telling you metric contrast is gone and ANN pruning will "
+    "degrade, the first thing to check when recall drops after an "
+    "embedding-model swap.  Same broadcast-anchor join as the ANN "
+    "baseline; output is 20 rows.",
+    tags=("similarity", "eval"),
+)
+def cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.floor((cos + 1) * 10).cast("int").alias("band")
+        )
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        pairs.groupBy(
+            F.least(F.col("band"), F.lit(19)).cast("int").alias("cos_band")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cos_band",
+            "n_pairs",
+            F.expr("CAST(n_pairs * 1000000 div n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -2296,3 +2296,90 @@ def user_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_5min"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "session_depth_conversion",
+    oracle="""
+    , g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800000000
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               CAST(count(*) AS BIGINT) AS depth,
+               max(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(length(bin(depth)) - 1 AS INTEGER) AS depth_octave,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
+               AS conversion_ppm
+    FROM sess GROUP BY 1
+    """,
+    doc="Session depth vs conversion: 30-minute-gap sessions bucketed "
+    "by depth octave (bit-length, no libm) with the share containing "
+    "a purchase — the engagement-depth funnel that says whether "
+    "deeper sessions actually convert or just wander.  The "
+    "sessionizer is the standard gap-flag + running-count encoding "
+    "over ONE user-keyed shuffle (same exchange serves the lag, the "
+    "session-id prefix sum and the per-session rollup).  "
+    "All-integer.",
+    tags=("timeseries", "product"),
+)
+def session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = g.select(
+        "user_id",
+        "event_type",
+        F.sum("new_s").over(wc).alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return sess.groupBy(
+        (F.length(F.bin("depth")) - 1).cast("int").alias("depth_octave")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(sum(converted) * 1000000 div count(*) AS BIGINT)"
+        ).alias("conversion_ppm"),
+    )

@@ -355,3 +355,25 @@ def test_anova_decomposition_reconciles(spark):
     ]
     total_ss = sum(v * v for v in vs) - sum(vs) ** 2 // len(vs)
     assert abs((r.ssb_fp + r.ssw_fp) - total_ss) <= r.n_labels + 1
+
+
+def test_cosine_histogram_sums_to_population(spark):
+    from mqtt2sql_spark.plans.similarity import (
+        QUERY_MOD,
+        cosine_histogram_sampled,
+    )
+    from mqtt2sql_spark.fixtures import load_table
+
+    rows = cosine_histogram_sampled(spark, SF_DIR).collect()
+    assert rows
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    n_q = sum(
+        1
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id")
+        .collect()
+        if r.vec_id % QUERY_MOD == 0
+    )
+    assert sum(r.n_pairs for r in rows) == n_q * (n - 1)
+    for r in rows:
+        assert 0 <= r.cos_band <= 19

@@ -486,3 +486,30 @@ def test_daily_kpi_identities(spark):
         )
         assert 0 <= r.error_rate_ppm <= 1_000_000
         assert (r.revenue_cents > 0) == (r.n_purchases > 0)
+
+
+def test_session_depth_octaves_cover_all_sessions(spark):
+    from pyspark.sql import functions as F
+
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.plans.timeseries import session_depth_conversion
+
+    rows = session_depth_conversion(spark, SF_DIR).collect()
+    assert rows
+    # session count must match an independent sessionization count:
+    # sessions = users + gaps > 30min
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    by_user = {}
+    for e in sorted(ev, key=lambda x: (x.user_id, x.us, x.event_id)):
+        by_user.setdefault(e.user_id, []).append(e.us)
+    n_sessions = sum(
+        1 + sum(1 for a, b in zip(us, us[1:]) if b - a > 1_800_000_000)
+        for us in by_user.values()
+    )
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert r.conversion_ppm == r.n_converted * 1_000_000 // r.n_sessions

@@ -8619,3 +8619,52 @@ def discount_cost_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(cents) AS BIGINT)"
         ).alias("discount_load_ppm"),
     )
+
+
+@register(
+    "negative_balance_by_nation",
+    oracle="""
+    , c AS (
+        SELECT n.n_name AS nation,
+               CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END AS neg,
+               CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(neg) AS BIGINT) AS n_negative,
+           CAST(sum(neg) * 1000000 // count(*) AS BIGINT)
+               AS negative_share_ppm,
+           CAST(sum(CASE WHEN neg = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS negative_exposure_cents
+    FROM c GROUP BY nation
+    """,
+    doc="Credit-risk screen by nation: share of customers in negative "
+    "account balance and the total negative exposure in exact cents "
+    "— the receivables-risk geography cut.  One broadcast dim join "
+    "+ partial-agg'd rollup; all-integer surface (balances are "
+    "2-decimal money, so cents quantization is exact).",
+    tags=("analytics", "risk"),
+)
+def negative_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    c = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        "nation",
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("neg"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return c.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("neg").cast("long").alias("n_negative"),
+        F.expr(
+            "CAST(sum(neg) * 1000000 div count(*) AS BIGINT)"
+        ).alias("negative_share_ppm"),
+        F.sum(F.when(F.col("neg") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("negative_exposure_cents"),
+    )

@@ -2383,3 +2383,75 @@ def session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(converted) * 1000000 div count(*) AS BIGINT)"
         ).alias("conversion_ppm"),
     )
+
+
+@register(
+    "error_load_correlation",
+    oracle="""
+    , b AS (
+        SELECT epoch_us(ts) // 300000000 AS bucket,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+        FROM b
+    )
+    SELECT n AS n_buckets, sx AS n_events, sy AS n_errors,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
+                AS BIGINT) AS pearson_x1e6
+    FROM s
+    """,
+    doc="Error-vs-load correlation over 5-minute buckets: Pearson r "
+    "between total event volume and error count per bucket — near "
+    "the errors' base-rate correlation means failures scale with "
+    "traffic (capacity problem), near zero means they don't "
+    "(functional bug), the first triage split in an incident "
+    "review.  Exact integer sums, one IEEE sqrt + division as floor "
+    "fixed-point x1e6 (the assortativity arithmetic pattern).  One "
+    "partial-agg'd bucket rollup.",
+    tags=("timeseries", "ops"),
+)
+def error_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.expr("unix_micros(ts) div 300000000").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("long")
+        .alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_buckets"),
+        F.col("sx").alias("n_events"),
+        F.col("sy").alias("n_errors"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("pearson_x1e6"),
+    )

@@ -906,3 +906,21 @@ def test_tables_audit_is_clean_and_z_chart_reconciles(spark):
         first_of_year.setdefault(r.yr, r)
     for r in first_of_year.values():
         assert r.cum_ytd == r.rev
+
+
+def test_negative_balance_and_error_corr_bounds(spark):
+    from mqtt2sql_spark.plans.analytics import negative_balance_by_nation
+    from mqtt2sql_spark.plans.timeseries import error_load_correlation
+
+    rows = negative_balance_by_nation(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_negative <= r.n_customers
+        assert r.negative_exposure_cents <= 0
+        assert (
+            r.negative_share_ppm
+            == r.n_negative * 1_000_000 // r.n_customers
+        )
+    c = error_load_correlation(spark, SF_DIR).collect()[0]
+    assert -1_000_000 <= c.pearson_x1e6 <= 1_000_000
+    assert c.n_errors <= c.n_events

@@ -8668,3 +8668,157 @@ def negative_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("negative_exposure_cents"),
     )
+
+
+# --- ABC inventory classification of parts by revenue -----------------------
+
+# band width for the two-phase distributed cumulative sum over per-part
+# revenue (e6 units = cents x discount-basis-points); parts cluster around
+# ~30 lineitems x ~1e11 e6-units, so DIV 1e12 yields a few hundred
+# deterministic, data-derived bands at any scale factor.
+_ABC_BAND = 10**12
+
+
+@register(
+    "abc_parts_classification",
+    oracle="""
+    , pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pr
+    ),
+    g AS (SELECT sum(rev) AS tot FROM pr)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) // 10000 AS BIGINT) AS revenue_cents,
+           CAST((sum(rev) // 10000) * 1000000 // max(tot // 10000) AS BIGINT)
+               AS share_ppm
+    FROM (
+        SELECT rev, tot,
+               CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r CROSS JOIN g
+    ) GROUP BY abc_class
+    """,
+    doc="ABC (80/15/5) inventory classification: rank parts by exact "
+    "discounted revenue and bucket them A (first 80% of cumulative "
+    "revenue), B (next 15%), C (tail) — the stock-policy segmentation "
+    "cut.  Revenue is the exact integer product cents x (10000 - "
+    "discount-bp), so no float ever enters the ranking; the global "
+    "cumulative sum is the two-phase banded prefix sum (per-band "
+    "window in parallel + broadcast band offsets, revenue_pareto_"
+    "deciles model) — the oracle's single-partition OVER () is "
+    "exactly what this plan avoids at 100 TB, where the per-part "
+    "rollup still has ~2e7 rows.",
+    tags=("analytics", "inventory"),
+)
+def abc_parts_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e6 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (10000 - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum(e6).cast("long").alias("rev"))
+    base = pr.select(
+        "l_partkey",
+        "rev",
+        (-F.col("rev")).alias("sk"),
+    ).withColumn("_bkt", F.expr(f"-(rev DIV {_ABC_BAND})"))
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy("sk", "l_partkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = base.withColumn(
+        "_cum_in", F.sum("rev").over(w_in)
+    ).localCheckpoint(eager=False)
+    totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    grand = totals.agg(F.sum("_tot").alias("tot"))
+    ranked = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .select("rev", (F.col("_off") + F.col("_cum_in")).alias("cum"))
+        .crossJoin(F.broadcast(grand))
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.expr(
+            "CASE WHEN cum * 5 <= tot * 4 THEN 'A' "
+            "WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END"
+        ),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.expr("CAST(sum(rev) DIV 10000 AS BIGINT)").alias("revenue_cents"),
+        F.expr(
+            "CAST((sum(rev) DIV 10000) * 1000000"
+            " DIV max(tot DIV 10000) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+# --- l-diversity privacy audit ---------------------------------------------
+
+_LDIV_MIN = 3  # groups with fewer distinct sensitive values are flagged
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    , qi AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               c.c_custkey, o.o_orderpriority
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT nation, segment,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS k_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+           CASE WHEN count(DISTINCT o_orderpriority) < {_LDIV_MIN}
+                THEN 1 ELSE 0 END AS violates_l{_LDIV_MIN}
+    FROM qi GROUP BY nation, segment
+    """,
+    doc="Distinct l-diversity audit (Machanavajjhala et al.): for each "
+    "quasi-identifier group (nation x market segment) count the "
+    "distinct sensitive values (order priority) observed — a group an "
+    "attacker can isolate learns the sensitive attribute whenever "
+    "l < {_LDIV_MIN}, even if k-anonymity holds.  Companion to the "
+    "k_anonymity_audit / t_closeness_audit pair.  One broadcast dim "
+    "join + a two-distinct-measure hash aggregate (Spark plans "
+    "count(DISTINCT) via expand + partial aggregation, no extra "
+    "shuffle beyond the group keys); all-integer surface.",
+    tags=("analytics", "privacy"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    qi = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .select("nation", F.col("c_mktsegment").alias("segment"),
+                "c_custkey", "o_orderpriority")
+    )
+    return qi.groupBy("nation", "segment").agg(
+        F.countDistinct("c_custkey").cast("long").alias("k_customers"),
+        F.countDistinct("o_orderpriority").cast("long").alias("l_distinct"),
+        F.when(
+            F.countDistinct("o_orderpriority") < _LDIV_MIN, 1
+        ).otherwise(0).alias(f"violates_l{_LDIV_MIN}"),
+    )

@@ -2455,3 +2455,87 @@ def error_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("pearson_x1e6"),
     )
+
+
+# --- Bollinger-band breach screen over daily event volume -------------------
+
+# 7-day trailing baseline, +/- 2 sigma band; all-integer breach test:
+# (n*x - S)^2 > 4 * (n*S2 - S^2)  <=>  |x - mean| > 2 * stddev_pop
+_BOLL_N = 7
+
+
+@register(
+    "bollinger_breach_days",
+    oracle=f"""
+    , daily AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, d, c,
+               count(*) OVER fr AS n,
+               sum(c) OVER fr AS s,
+               sum(c * c) OVER fr AS s2
+        FROM daily
+        WINDOW fr AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN {_BOLL_N} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_watched,
+           CAST(sum(CASE WHEN ({_BOLL_N} * c - s)
+                              * ({_BOLL_N} * c - s)
+                              > 4 * ({_BOLL_N} * s2 - s * s)
+                         AND {_BOLL_N} * c > s THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_breach_up,
+           CAST(sum(CASE WHEN ({_BOLL_N} * c - s)
+                              * ({_BOLL_N} * c - s)
+                              > 4 * ({_BOLL_N} * s2 - s * s)
+                         AND {_BOLL_N} * c < s THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_breach_down
+    FROM w WHERE n = {_BOLL_N}
+    GROUP BY event_type
+    """,
+    doc="Bollinger-band anomaly screen on daily event volume: a day "
+    "breaches when its count leaves the trailing-7-day mean +/- 2 "
+    "population-sigma band (baseline excludes the current day, the "
+    "control-chart convention).  The +/-2-sigma test is rearranged to "
+    "the exact integer inequality (n*x - S)^2 > 4*(n*S2 - S^2), so no "
+    "sqrt and no float ever crosses the engine boundary.  Dataflow: "
+    "daily rollup (partial-agg'd), then one window pass partitioned "
+    "by event_type — per-series state, never a global sort; at 100 TB "
+    "the window input is |types| x |days| rows, not events.",
+    tags=("timeseries", "anomaly"),
+)
+def bollinger_breach_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) DIV 86400000000"
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    fr = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-_BOLL_N, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "c",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("c").over(fr).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(fr).alias("s2"),
+    ).filter(F.col("n") == _BOLL_N)
+    dev = _BOLL_N * F.col("c") - F.col("s")
+    var4 = 4 * (_BOLL_N * F.col("s2") - F.col("s") * F.col("s"))
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_watched"),
+        F.sum(
+            F.when((dev * dev > var4) & (dev > 0), 1).otherwise(0)
+        ).cast("long").alias("n_breach_up"),
+        F.sum(
+            F.when((dev * dev > var4) & (dev < 0), 1).otherwise(0)
+        ).cast("long").alias("n_breach_down"),
+    )

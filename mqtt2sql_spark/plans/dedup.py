@@ -1914,3 +1914,86 @@ def bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_ppm"),
         )
     )
+
+
+# --- train/eval n-gram contamination audit ----------------------------------
+
+# benchmark-decontamination screen: eval split = doc_id % 10 == 9, train =
+# the rest; an eval doc is contaminated when >= 30% of its distinct 3-word
+# shingles already appear anywhere in the train split.
+_CONTAM_PPM = 300_000
+
+
+@register(
+    "eval_contamination_ngram",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 < 9),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 9),
+    per AS (
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matched
+        FROM ev e LEFT JOIN tr t ON t.shingle = e.shingle
+        GROUP BY e.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_eval_docs,
+           CAST(sum(CASE WHEN matched * 1000000 // total >= {_CONTAM_PPM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(matched) AS BIGINT) AS matched_shingles,
+           CAST(sum(total) AS BIGINT) AS total_shingles,
+           CAST(sum(matched * 1000000 // total) // count(*) AS BIGINT)
+               AS mean_containment_ppm
+    FROM per JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Benchmark-decontamination audit (GPT-3 appendix C / Dodge et al. "
+    "C4 study): split the corpus into train (doc_id%10<9) and held-out "
+    "eval (doc_id%10=9), and measure per eval document what fraction "
+    "of its distinct 3-word shingles already occur anywhere in train — "
+    "docs over 30% containment are flagged contaminated, rolled up by "
+    "source.  Scale shape: the train side collapses to DISTINCT "
+    "shingles (map-side partial dedup before the shuffle), the probe "
+    "is one hash equi-join on the shingle string, per-doc ratios are "
+    "exact integer ppm, and the rollup re-joins only doc_id->source "
+    "(dimension-sized).  At 100 TB this is the standard "
+    "shingle-inverted-index contamination pass, one shuffle each side.",
+    tags=("dedup", "llm-pipeline"),
+)
+def eval_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir)
+    tr = sh.filter(F.col("doc_id") % 10 < 9).select("shingle").distinct()
+    ev = sh.filter(F.col("doc_id") % 10 == 9)
+    per = (
+        ev.alias("e")
+        .join(tr.alias("t"), F.col("t.shingle") == F.col("e.shingle"), "left")
+        .groupBy("e.doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(
+                F.when(F.col("t.shingle").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("matched"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            F.sum(
+                F.when(
+                    F.expr(f"matched * 1000000 DIV total >= {_CONTAM_PPM}"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_contaminated"),
+            F.sum("matched").cast("long").alias("matched_shingles"),
+            F.sum("total").cast("long").alias("total_shingles"),
+            F.expr(
+                "CAST(sum(matched * 1000000 DIV total) DIV count(*)"
+                " AS BIGINT)"
+            ).alias("mean_containment_ppm"),
+        )
+    )

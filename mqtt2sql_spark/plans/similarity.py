@@ -2380,3 +2380,140 @@ def cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- link prediction on the co-purchase graph (resource allocation) ---------
+
+# hub cap: wedges only route through bottom-quartile-degree center parts —
+# hubs dominate wedge fan-out (deg^2) while contributing the least evidence
+# (weight 1/deg); a FIXED cap is wrong because co-purchase density depends
+# on the part:order ratio (at sf0.01 every part already has deg >= 42), so
+# the cap is the exact 25th-percentile degree derived from the degree
+# HISTOGRAM (distinct degree values — a tiny table on any corpus), computed
+# identically on both engines: smallest dg with 4 * cum_count >= n_nodes.
+# 1e9 // deg keeps the score an exact BIGINT.
+_RA_PREC = 10**9
+_RA_TOPK = 20
+
+
+@register(
+    "link_prediction_ra_topk",
+    oracle=f"""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    adj AS (SELECT a AS z, b AS nb FROM e UNION ALL SELECT b AS z, a AS nb FROM e),
+    deg AS (SELECT z, count(*) AS dg FROM adj GROUP BY z),
+    dh AS (SELECT dg, count(*) AS cnt FROM deg GROUP BY dg),
+    dc AS (
+        SELECT dg,
+               sum(cnt) OVER (ORDER BY dg ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dh
+    ),
+    thr AS (
+        SELECT min(dg) AS cap FROM dc
+        WHERE 4 * cum >= (SELECT count(*) FROM deg)
+    ),
+    wedge AS (
+        SELECT p.nb AS i, q.nb AS j, {_RA_PREC} // d.dg AS w
+        FROM adj p
+        JOIN adj q ON p.z = q.z AND p.nb < q.nb
+        JOIN deg d ON d.z = p.z
+        WHERE d.dg <= (SELECT cap FROM thr)
+    ),
+    ra AS (
+        SELECT i, j, CAST(sum(w) AS BIGINT) AS ra_e9,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM wedge GROUP BY i, j
+    ),
+    cand AS (
+        SELECT r.i, r.j, r.n_common, r.ra_e9
+        FROM ra r LEFT JOIN e ON e.a = r.i AND e.b = r.j
+        WHERE e.a IS NULL
+    )
+    SELECT CAST(i AS BIGINT) AS pk1, CAST(j AS BIGINT) AS pk2,
+           n_common, ra_e9
+    FROM cand ORDER BY ra_e9 DESC, pk1, pk2 LIMIT {_RA_TOPK}
+    """,
+    doc="Link prediction on the co-purchase part graph via the "
+    "resource-allocation index (Zhou/Lu/Zhang 2009): for part pairs "
+    "NOT yet co-purchased, RA(i,j) = sum over common neighbors z of "
+    "1/deg(z) — like Adamic-Adar but log-free, so the score is the "
+    "exact integer sum of 1e9 div deg(z) and ranks identically "
+    "cross-engine.  Scale shape: edges explode map-side from per-order "
+    "sorted part arrays (one fact shuffle), wedges are an equi-join on "
+    "the center vertex restricted to bottom-quartile-degree centers "
+    "(exact threshold off the tiny degree histogram, so the deg^2 "
+    "fan-out self-bounds at any corpus density), existing edges leave "
+    "via a broadcast-able "
+    "anti-join, and the top-20 is TakeOrdered with a total-order "
+    "tie-break — no global sort, no window.",
+    tags=("similarity", "graph"),
+)
+def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "a"))
+    edges = (
+        e1.select("i", "a", F.posexplode("parts").alias("j", "b"))
+        .filter(F.col("j") > F.col("i"))
+        .select("a", "b")
+        .distinct()
+    )
+    adj = edges.select(F.col("a").alias("z"), F.col("b").alias("nb")).unionAll(
+        edges.select(F.col("b").alias("z"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("dg"))
+    # exact 25th-percentile degree from the degree histogram: the histogram
+    # has one row per DISTINCT degree value (tiny on any corpus), so the
+    # global cumulative window runs over a dimension-sized input.
+    dh = deg.groupBy("dg").agg(F.count(F.lit(1)).alias("cnt"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    w_cum = W.orderBy("dg").rowsBetween(W.unboundedPreceding, 0)
+    thr = (
+        dh.withColumn("cum", F.sum("cnt").over(w_cum))
+        .crossJoin(F.broadcast(n_nodes))
+        .filter(4 * F.col("cum") >= F.col("n"))
+        .agg(F.min("dg").alias("cap"))
+    )
+    small = deg.crossJoin(F.broadcast(thr)).filter(
+        F.col("dg") <= F.col("cap")
+    )
+    wedge = (
+        adj.alias("p")
+        .join(adj.alias("q"), F.expr("p.z = q.z AND p.nb < q.nb"))
+        .join(small.alias("d"), F.expr("d.z = p.z"))
+        .select(
+            F.col("p.nb").alias("i"),
+            F.col("q.nb").alias("j"),
+            F.expr(f"{_RA_PREC} DIV d.dg").alias("w"),
+        )
+    )
+    ra = wedge.groupBy("i", "j").agg(
+        F.sum("w").cast("long").alias("ra_e9"),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+    )
+    cand = ra.alias("r").join(
+        edges.alias("e"),
+        F.expr("e.a = r.i AND e.b = r.j"),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("i").cast("long").alias("pk1"),
+            F.col("j").cast("long").alias("pk2"),
+            "n_common",
+            "ra_e9",
+        )
+        .orderBy(F.desc("ra_e9"), "pk1", "pk2")
+        .limit(_RA_TOPK)
+    )

@@ -2539,3 +2539,95 @@ def bollinger_breach_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((dev * dev > var4) & (dev < 0), 1).otherwise(0)
         ).cast("long").alias("n_breach_down"),
     )
+
+
+# --- exact-integer EWMA of daily event volume -------------------------------
+
+# alpha = 1/4 EWMA, kernel truncated at 20 days; weights are the exact
+# integers 3^k * 4^(19-k) over the common denominator 4^20 - 3^20 (the
+# truncated-kernel normalizer), so the smoothed value is one integer
+# division — no pow(), no float recursion, bit-identical cross-engine.
+_EWMA_K = 20
+_EWMA_W = [3**k * 4 ** (_EWMA_K - 1 - k) for k in range(_EWMA_K)]
+_EWMA_TOT = sum(_EWMA_W)  # = 4^20 - 3^20
+
+
+@register(
+    "ewma_event_volume",
+    oracle=f"""
+    , daily AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    wt AS (
+        SELECT * FROM (VALUES {", ".join(f"({k}, {w})" for k, w in enumerate(_EWMA_W))})
+        AS t(k, w)
+    ),
+    contrib AS (
+        SELECT s.event_type, s.d + wt.k AS td, s.c * wt.w AS cw
+        FROM daily s CROSS JOIN wt
+    ),
+    sm AS (
+        SELECT event_type, td, sum(cw) AS num
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.td AS d, b.c AS cnt,
+           CAST(a.num * 100 // {_EWMA_TOT} AS BIGINT) AS ewma_e2
+    FROM sm a JOIN daily b ON b.event_type = a.event_type AND b.d = a.td
+    """,
+    doc="Exponentially-weighted moving average (alpha=1/4) of daily "
+    "event volume — the smoothed-trend feed behind alerting "
+    "dashboards.  The kernel is truncated at 20 days and expressed "
+    "over the common denominator 4^20, so every weight 3^k*4^(19-k) "
+    "is an exact BIGINT and the whole smoother is integer "
+    "multiply-add + one division (missing calendar days correctly "
+    "contribute zero because contributions are scattered forward "
+    "from observed days).  Dataflow: daily rollup, a 20-way map-side "
+    "fan-out against a broadcast weight table, one hash re-aggregate "
+    "on (series, day) — no window, no per-series sort; at 100 TB the "
+    "fan-out input is |types| x |days|, not raw events.",
+    tags=("timeseries", "smoothing"),
+)
+def ewma_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) DIV 86400000000"
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    kw = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"), F.lit(w).cast("long").alias("w")
+                )
+                for k, w in enumerate(_EWMA_W)
+            ]
+        )
+    ).alias("kw")
+    contrib = daily.select(
+        "event_type", "d", "c", kw
+    ).select(
+        "event_type",
+        (F.col("d") + F.col("kw.k")).alias("td"),
+        (F.col("c") * F.col("kw.w")).alias("cw"),
+    )
+    sm = contrib.groupBy("event_type", "td").agg(F.sum("cw").alias("num"))
+    return (
+        sm.alias("a")
+        .join(
+            daily.alias("b"),
+            F.expr("b.event_type = a.event_type AND b.d = a.td"),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.td").alias("d"),
+            F.col("b.c").alias("cnt"),
+            F.expr(f"CAST(a.num * 100 DIV {_EWMA_TOT} AS BIGINT)").alias(
+                "ewma_e2"
+            ),
+        )
+    )

@@ -596,3 +596,78 @@ def temperature_sampling_weights(
             " div greatest(n_docs * 1000000 div nt, 1) AS BIGINT)"
         ).alias("upsample_x1e6"),
     )
+
+
+# --- Neyman allocation of a stratified sample budget ------------------------
+
+# total sample budget to allocate across the order-priority strata
+_NEYMAN_T = 10_000
+
+# N_h * S_h = sqrt(n*sum(x^2) - sum(x)^2) for the POPULATION stddev — the
+# allocation weight needs no division, so it stays one sqrt over an exact
+# integer (int128/decimal on both engines; cents^2 sums overflow BIGINT).
+_NEYMAN_W_DUCK = (
+    "CAST(floor(sqrt(CAST(n * s2 - s * s AS DOUBLE))) AS BIGINT)"
+)
+_NEYMAN_W_SPARK = (
+    "CAST(floor(sqrt(CAST(n * s2 - CAST(s AS DECIMAL(38,0)) * s"
+    " AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "neyman_allocation_sample_sizes",
+    oracle=f"""
+    , st AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s2
+        FROM orders GROUP BY o_orderpriority
+    ),
+    wts AS (
+        SELECT o_orderpriority, n, s, {_NEYMAN_W_DUCK} AS w
+        FROM st
+    ),
+    tot AS (SELECT sum(w) AS wsum FROM wts)
+    SELECT o_orderpriority,
+           n AS n_pop,
+           CAST(s // n AS BIGINT) AS mean_cents,
+           CAST(w // n AS BIGINT) AS sd_cents,
+           CAST({_NEYMAN_T} * w // wsum AS BIGINT) AS alloc_n
+    FROM wts CROSS JOIN tot
+    """,
+    doc="Neyman-optimal allocation of a {_NEYMAN_T}-row sample budget "
+    "across order-priority strata: n_h proportional to N_h*S_h, the "
+    "variance-minimizing design for stratified estimation of mean "
+    "order value.  N_h*S_h collapses to sqrt(n*sum(x^2)-sum(x)^2) "
+    "over exact integer cents (sums carried in int128/decimal — "
+    "cents^2 overflows BIGINT at sf>=0.1), so the only float op is "
+    "one correctly-rounded sqrt shared textually by both engines.  "
+    "Dataflow: one map-side-partial aggregate to 5 stratum rows, a "
+    "broadcast total, integer division for the final allocation — "
+    "fact data is touched exactly once at any scale.",
+    tags=("mixing", "sampling"),
+)
+def neyman_allocation_sample_sizes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    st = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
+    )
+    wts = st.select(
+        "o_orderpriority", "n", "s", F.expr(_NEYMAN_W_SPARK).alias("w")
+    )
+    tot = wts.agg(F.sum("w").alias("wsum"))
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        F.col("n").alias("n_pop"),
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_cents"),
+        F.expr("CAST(w DIV n AS BIGINT)").alias("sd_cents"),
+        F.expr(f"CAST({_NEYMAN_T} * w DIV wsum AS BIGINT)").alias("alloc_n"),
+    )

@@ -2631,3 +2631,85 @@ def ewma_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- diurnal (24 h) first-harmonic power per event type ---------------------
+
+# cos/sin(2*pi*h/24) scaled by 1e6 and rounded in Python — embedding the
+# identical integer literals on both engines sidesteps cross-engine libm
+# (the plans/sketches.py constants pattern); the harmonic sums are then
+# exact BIGINT dot products and only the final sqrt/divide is float, in
+# one textually-identical expression.
+_DIURNAL_COS = [round(__import__("math").cos(2 * __import__("math").pi * h / 24) * 10**6) for h in range(24)]
+_DIURNAL_SIN = [round(__import__("math").sin(2 * __import__("math").pi * h / 24) * 10**6) for h in range(24)]
+_DIURNAL_FORMULA = (
+    "CAST(floor(2.0 * sqrt(CAST(sc_e6 AS DOUBLE) * CAST(sc_e6 AS DOUBLE)"
+    " + CAST(ss_e6 AS DOUBLE) * CAST(ss_e6 AS DOUBLE))"
+    " / CAST(n_events AS DOUBLE)) AS BIGINT)"
+)
+
+
+@register(
+    "diurnal_dft_power",
+    oracle=f"""
+    , hh AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type,
+               sum(c) AS n_events,
+               sum(c * list_extract({_DIURNAL_COS}, CAST(h + 1 AS INTEGER)))
+                   AS sc_e6,
+               sum(c * list_extract({_DIURNAL_SIN}, CAST(h + 1 AS INTEGER)))
+                   AS ss_e6
+        FROM hh GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sc_e6 AS BIGINT) AS sc_e6,
+           CAST(ss_e6 AS BIGINT) AS ss_e6,
+           {_DIURNAL_FORMULA} AS diurnal_ppm
+    FROM agg
+    """,
+    doc="Single-bin DFT (Goertzel) at the 24-hour frequency per event "
+    "type: the normalized first-harmonic amplitude 2*|X_1|/n is the "
+    "classic diurnality index — near 0 for flat traffic, near 1e6 "
+    "(ppm) for fully day-night periodic streams.  The cos/sin basis "
+    "is a Python-precomputed integer table shared verbatim by both "
+    "engines, so the harmonic accumulation is an exact BIGINT dot "
+    "product folded into the same hash aggregate as the hour rollup "
+    "(hour-of-day from pure integer epoch math, no tz functions); "
+    "floats appear only in the final one-expression amplitude.  At "
+    "100 TB the aggregate is map-side partial over (type, hour) — 24 "
+    "rows per series reach the shuffle.",
+    tags=("timeseries", "spectral"),
+)
+def diurnal_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cos_arr = F.array(*[F.lit(v).cast("long") for v in _DIURNAL_COS])
+    sin_arr = F.array(*[F.lit(v).cast("long") for v in _DIURNAL_SIN])
+    hh = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) DIV 3600000000 % 24 AS BIGINT)").alias(
+            "h"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    agg = hh.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(
+            F.col("c") * F.element_at(cos_arr, (F.col("h") + 1).cast("int"))
+        ).alias("sc_e6"),
+        F.sum(
+            F.col("c") * F.element_at(sin_arr, (F.col("h") + 1).cast("int"))
+        ).alias("ss_e6"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sc_e6").cast("long").alias("sc_e6"),
+        F.col("ss_e6").cast("long").alias("ss_e6"),
+        F.expr(_DIURNAL_FORMULA).alias("diurnal_ppm"),
+    )

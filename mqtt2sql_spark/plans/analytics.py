@@ -8822,3 +8822,108 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority") < _LDIV_MIN, 1
         ).otherwise(0).alias(f"violates_l{_LDIV_MIN}"),
     )
+
+
+# --- Simpson's-paradox screen: discount vs quantity, per nation vs pooled ---
+
+_SIMPSON_CORR = (
+    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    "        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "simpson_reversal_screen",
+    oracle=f"""
+    , pts AS (
+        SELECT n.n_name AS nation,
+               CAST(round(l.l_discount * 10000, 0) AS BIGINT) AS x,
+               CAST(round(l.l_quantity, 0) AS BIGINT) AS y
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    per AS (
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+        FROM pts GROUP BY nation
+    ),
+    pool AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+        FROM pts
+    ),
+    pc AS (SELECT {_SIMPSON_CORR} AS pooled_corr_x1e6 FROM pool)
+    SELECT nation, n AS n_lineitems,
+           {_SIMPSON_CORR} AS nation_corr_x1e6,
+           pooled_corr_x1e6,
+           CASE WHEN ({_SIMPSON_CORR}) * pooled_corr_x1e6 < 0
+                THEN 1 ELSE 0 END AS reversed
+    FROM per CROSS JOIN pc
+    """,
+    doc="Simpson's-paradox screen: Pearson correlation of discount "
+    "(basis points) vs quantity computed per customer nation AND "
+    "pooled, flagging nations whose within-group sign contradicts the "
+    "pooled sign — the aggregation-bias trap every analytics review "
+    "checks before trusting a pooled trend.  Correlations use the "
+    "exact-integer moment sums (int128 products folded back to "
+    "BIGINT) with one textually-shared float expression, the "
+    "error_load_correlation model.  Dataflow: one fact-fact shuffle "
+    "join (lineitem x orders on orderkey), customer->nation broadcast "
+    "dims, then a single map-side-partial moment aggregate serving "
+    "both the 25 per-nation rows and the pooled row.",
+    tags=("analytics", "statistics"),
+)
+def simpson_reversal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("y"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    pts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("nation", "x", "y")
+    )
+    moments = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("long").alias("syy"),
+    ]
+    per = pts.groupBy("nation").agg(*moments)
+    pool = pts.agg(*moments).select(
+        F.expr(_SIMPSON_CORR).alias("pooled_corr_x1e6")
+    )
+    return per.crossJoin(F.broadcast(pool)).select(
+        "nation",
+        F.col("n").alias("n_lineitems"),
+        F.expr(_SIMPSON_CORR).alias("nation_corr_x1e6"),
+        "pooled_corr_x1e6",
+        F.expr(
+            f"CASE WHEN ({_SIMPSON_CORR}) * pooled_corr_x1e6 < 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("reversed"),
+    )

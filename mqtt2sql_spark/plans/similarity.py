@@ -2517,3 +2517,122 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_e9"), "pk1", "pk2")
         .limit(_RA_TOPK)
     )
+
+
+# --- simplified silhouette of the k-means clustering ------------------------
+
+
+@register(
+    "kmeans_silhouette_by_cluster",
+    oracle=f"""
+    , e AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+           FROM embeddings),
+    {_km_duck_iter("a0", 1)},
+    {_km_duck_iter("a1", 2)},
+    top2 AS (
+        SELECT vec_id, cluster, dist_fp,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist_fp, cluster) AS rn
+        FROM d2
+    ),
+    sil AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+               max(CASE WHEN rn = 1 THEN dist_fp END) AS a_fp,
+               max(CASE WHEN rn = 2 THEN dist_fp END) AS b_fp
+        FROM top2 WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum((b_fp - a_fp) * 1000000
+                    // greatest(greatest(a_fp, b_fp), 1))
+                // count(*) AS BIGINT) AS mean_silhouette_ppm,
+           CAST(min((b_fp - a_fp) * 1000000
+                    // greatest(greatest(a_fp, b_fp), 1))
+               AS BIGINT) AS min_silhouette_ppm
+    FROM sil GROUP BY cluster
+    """,
+    doc="Simplified (centroid-based) silhouette per k-means cluster on "
+    "integer-quantized squared distances: a = distance to the "
+    "assigned (nearest) centroid, b = distance to the second-nearest, "
+    "s = (b-a)/max(a,b) in exact integer ppm — the per-cluster mean "
+    "and worst member grade clustering quality (near 1e6 = tight and "
+    "well-separated, near 0 = boundary) without the O(n^2) pairwise "
+    "silhouette.  Shares the embedding_kmeans_assign contract "
+    "verbatim (same init, same quantized Lloyd iterations, same "
+    "tie-breaks), so it audits exactly the clustering the IVF and "
+    "SemDeDup passes consume; the only additions are keeping rank 2 "
+    "of the per-vector distance argmin (same WindowGroupLimit pass) "
+    "and one 8-group rollup.",
+    tags=("similarity", "evaluation"),
+)
+def kmeans_silhouette_by_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    assign = emb.select(
+        "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
+    )
+    d = None
+    w = W.partitionBy("vec_id").orderBy("dist_fp", "cluster")
+    for _ in range(KM_ITERS):
+        cent = (
+            e.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * _Q_VAL + F.lit(0.5)).cast("long")
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "dim",
+                (
+                    F.col("sq").cast("double")
+                    / F.col("n").cast("double")
+                    / F.lit(_Q_VAL)
+                ).alias("c"),
+            )
+        )
+        diff = F.col("val") - F.col("c")
+        d = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    F.floor(diff * diff * _Q_DIST).cast("long")
+                ).alias("dist_fp")
+            )
+        )
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist_fp")
+        )
+    top2 = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    sil = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cluster"))).alias("cluster"),
+        F.max(F.when(F.col("rn") == 1, F.col("dist_fp"))).alias("a_fp"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist_fp"))).alias("b_fp"),
+    )
+    term = (
+        "(b_fp - a_fp) * 1000000 DIV greatest(greatest(a_fp, b_fp), 1)"
+    )
+    return sil.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.expr(
+            f"CAST(sum({term}) DIV count(*) AS BIGINT)"
+        ).alias("mean_silhouette_ppm"),
+        F.expr(f"CAST(min({term}) AS BIGINT)").alias("min_silhouette_ppm"),
+    )

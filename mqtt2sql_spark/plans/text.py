@@ -2386,3 +2386,73 @@ def chunk_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_chunks * chunk_size) AS BIGINT)"
         ).alias("padding_waste_ppm"),
     )
+
+
+# --- reliability diagram for the stopword-density language signal -----------
+
+# bins of 20 ppk cover the observed 0..200+ stopword-per-1000-token range
+_CALIB_BIN_PPK = 20
+_CALIB_NBINS = 10
+
+
+@register(
+    "quality_score_calibration",
+    oracle=f"""
+    , sc AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(toks,
+                        x -> x IN ({", ".join(repr(w) for w in STOPWORDS)})))
+                    AS BIGINT) * 1000 // len(toks) AS score_ppk
+        FROM (SELECT doc_id, lang, {duck_tokens()} AS toks FROM documents)
+        WHERE len(toks) > 0
+    )
+    SELECT CAST(least({_CALIB_NBINS - 1}, score_ppk // {_CALIB_BIN_PPK})
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS en_ppm,
+           CAST(sum(score_ppk) // count(*) AS BIGINT) AS mean_score_ppk
+    FROM sc
+    GROUP BY least({_CALIB_NBINS - 1}, score_ppk // {_CALIB_BIN_PPK})
+    """,
+    doc="Reliability diagram (calibration curve) for a heuristic "
+    "classifier: English-stopword density per 1000 tokens as a "
+    "language-ID score, binned into {_CALIB_NBINS} fixed-width "
+    "buckets, with the empirical P(lang=en) per bucket — the "
+    "monotone-increasing en_ppm column is exactly the calibration "
+    "evidence a corpus pipeline checks before trusting a cheap "
+    "filter as a sampling signal.  Per-doc scoring is one codegen'd "
+    "projection (no shuffle), the curve is a 10-group hash "
+    "aggregate; all ratios are exact integer ppk/ppm.",
+    tags=("text", "llm-pipeline"),
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sc = docs.select(
+        "lang",
+        F.size(toks).alias("_nt"),
+        count_in_list(toks, STOPWORDS).cast("long").alias("_hits"),
+    ).filter(F.col("_nt") > 0).select(
+        "lang",
+        F.expr("_hits * 1000 DIV _nt").alias("score_ppk"),
+    )
+    bin_col = F.expr(
+        f"CAST(least({_CALIB_NBINS - 1},"
+        f" score_ppk DIV {_CALIB_BIN_PPK}) AS BIGINT)"
+    )
+    return sc.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.expr(
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("en_ppm"),
+        F.expr("CAST(sum(score_ppk) DIV count(*) AS BIGINT)").alias(
+            "mean_score_ppk"
+        ),
+    )

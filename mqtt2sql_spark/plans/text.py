@@ -2456,3 +2456,185 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_score_ppk"
         ),
     )
+
+
+# --- hashing-trick collision audit over the token vocabulary ----------------
+
+# 16-bit feature space: first 4 md5 nibbles (the hv16 below) — small enough
+# that the fixture vocabulary actually collides, mirroring the regime a
+# hashed bag-of-words model runs in when vocab >> buckets.
+_FH_NIBBLES = "0123456789abcdef"
+_FH_DUCK_HV16 = " + ".join(
+    f"CAST(instr('{_FH_NIBBLES}', substr(hh, {i}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (4 - i)}"
+    for i in range(1, 5)
+)
+
+
+@register(
+    "feature_hash_collision_stats",
+    oracle=f"""
+    , vocab AS (
+        SELECT DISTINCT unnest({duck_tokens()}) AS tok FROM documents
+    ),
+    b AS (
+        SELECT tok, {_FH_DUCK_HV16} AS bucket
+        FROM (SELECT tok, md5(tok) AS hh FROM vocab)
+    ),
+    load AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+    SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+               AS n_collided_tokens,
+           CAST(max(n) AS BIGINT) AS max_bucket_load,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1000000
+                // sum(n) AS BIGINT) AS collision_ppm
+    FROM load
+    """,
+    doc="Hashing-trick audit: map every distinct token to a 16-bit "
+    "feature bucket (first 4 md5 nibbles) and measure how much of the "
+    "vocabulary shares a bucket — the collision_ppm/max-load numbers "
+    "that decide whether a hashed feature space is big enough before "
+    "training a linear model on it.  Vocabulary-sized dataflow: "
+    "distinct tokens (map-side partial dedup), one md5 + integer "
+    "nibble fold per token, a bucket-load hash aggregate, and a "
+    "single-row summary — the corpus scan dominates at any scale.",
+    tags=("text", "llm-pipeline"),
+)
+def feature_hash_collision_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok")).distinct()
+    )
+    b = vocab.select(
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10)
+        .cast("long")
+        .alias("bucket")
+    )
+    load = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return load.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_collided_tokens"),
+        F.max("n").cast("long").alias("max_bucket_load"),
+        F.expr(
+            "CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1000000"
+            " DIV sum(n) AS BIGINT)"
+        ).alias("collision_ppm"),
+    )
+
+
+# --- bigram language-model next-token accuracy ------------------------------
+
+
+@register(
+    "bigram_lm_next_token_accuracy",
+    oracle=f"""
+    , tk AS (SELECT doc_id, {duck_tokens()} AS l FROM documents),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(l) - 1), i -> l[i])) AS x,
+               unnest(list_transform(
+                   generate_series(1, len(l) - 1), i -> l[i + 1])) AS y
+        FROM tk
+    ),
+    trn AS (
+        SELECT x, y, count(*) AS c FROM big WHERE doc_id % 10 < 9
+        GROUP BY x, y
+    ),
+    pred AS (
+        SELECT x, y AS y_hat FROM (
+            SELECT x, y,
+                   row_number() OVER (PARTITION BY x
+                                      ORDER BY c DESC, y) AS rn
+            FROM trn
+        ) WHERE rn = 1
+    ),
+    ev AS (
+        SELECT b.doc_id, b.x, b.y, p.y_hat
+        FROM big b LEFT JOIN pred p ON p.x = b.x
+        WHERE b.doc_id % 10 = 9
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN y_hat = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(sum(CASE WHEN y_hat IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov_context,
+           CAST(sum(CASE WHEN y_hat = y THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS acc_ppm
+    FROM ev JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Held-out next-token accuracy of a count-based bigram language "
+    "model: train argmax-successor tables on doc_id%10<9, score every "
+    "position of the doc_id%10=9 split, roll up accuracy (and "
+    "unseen-context rate) per source — the cheapest end-to-end "
+    "train/eval loop a data pipeline can run to compare corpus "
+    "slices, and the deterministic stand-in for perplexity (argmax "
+    "needs no log-probs; ties break lexicographically so the model "
+    "itself is bit-stable).  Scale shape: one bigram rollup, the "
+    "per-context argmax is a WindowGroupLimit over the "
+    "vocabulary-bounded successor table, eval probes it with a hash "
+    "equi-join on the context token, source rollup re-joins only the "
+    "doc dimension.",
+    tags=("text", "llm-pipeline"),
+)
+def bigram_lm_next_token_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        pos.select(
+            "doc_id",
+            F.col("tok").alias("x"),
+            F.lead("tok", 1).over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    trn = (
+        big.filter(F.col("doc_id") % 10 < 9)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = W.partitionBy("x").orderBy(F.desc("c"), F.asc("y"))
+    pred = (
+        trn.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("x", F.col("y").alias("y_hat"))
+    )
+    ev = (
+        big.filter(F.col("doc_id") % 10 == 9)
+        .join(pred, "x", "left")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        ev.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum(F.when(F.col("y_hat") == F.col("y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.sum(F.when(F.col("y_hat").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_context"),
+            F.expr(
+                "CAST(sum(CASE WHEN y_hat = y THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+    )

@@ -8989,3 +8989,78 @@ def fuzzy_part_name_pairs_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _LEV_MAX)
     )
     return cand.orderBy("dist", "pk1", "pk2").limit(_LEV_TOPK)
+
+
+# --- XYZ demand-variability classification (companion to ABC) ---------------
+
+# coefficient-of-variation thresholds in ppm: X < 0.25, Y < 0.5, else Z
+_XYZ_X_PPM = 250_000
+_XYZ_Y_PPM = 500_000
+
+# cv_ppm = floor(sqrt(n*s2 - s^2) * 1e6 / s): population-sd/mean over the
+# exact integer quantity sums, one textually-shared float expression.
+_XYZ_CV = (
+    "CAST(floor(sqrt(CAST(n * s2 - s * s AS DOUBLE))"
+    " * 1000000.0 / CAST(s AS DOUBLE)) AS BIGINT)"
+)
+
+
+@register(
+    "demand_variability_xyz",
+    oracle=f"""
+    , pq AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)
+                        * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS s2
+        FROM lineitem GROUP BY l_partkey
+    ),
+    cv AS (
+        SELECT l_partkey, n, s, {_XYZ_CV} AS cv_ppm FROM pq
+    )
+    SELECT CASE WHEN cv_ppm < {_XYZ_X_PPM} THEN 'X'
+                WHEN cv_ppm < {_XYZ_Y_PPM} THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n) AS BIGINT) AS n_lineitems,
+           CAST(sum(s) AS BIGINT) AS total_qty,
+           CAST(sum(cv_ppm) // count(*) AS BIGINT) AS mean_cv_ppm
+    FROM cv
+    GROUP BY CASE WHEN cv_ppm < {_XYZ_X_PPM} THEN 'X'
+                  WHEN cv_ppm < {_XYZ_Y_PPM} THEN 'Y'
+                  ELSE 'Z' END
+    """,
+    doc="XYZ demand-variability classification — the companion axis to "
+    "abc_parts_classification in inventory policy (ABC = value, XYZ = "
+    "predictability): parts bucket by the coefficient of variation of "
+    "their ordered quantities (X steady < 0.25, Y < 0.5, Z erratic).  "
+    "cv collapses to sqrt(n*sum(q^2)-sum(q)^2)/sum(q) over exact "
+    "integer quantities, so the only float is one correctly-rounded "
+    "sqrt/divide shared textually by both engines.  One map-side "
+    "partial aggregate per part, then a 3-group rollup — a single "
+    "fact pass at any scale.",
+    tags=("analytics", "inventory"),
+)
+def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    pq = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s"),
+        F.sum(q * q).cast("long").alias("s2"),
+    )
+    cv = pq.select("n", "s", F.expr(_XYZ_CV).alias("cv_ppm"))
+    cls = F.expr(
+        f"CASE WHEN cv_ppm < {_XYZ_X_PPM} THEN 'X'"
+        f" WHEN cv_ppm < {_XYZ_Y_PPM} THEN 'Y' ELSE 'Z' END"
+    )
+    return cv.groupBy(cls.alias("xyz_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("n").cast("long").alias("n_lineitems"),
+        F.sum("s").cast("long").alias("total_qty"),
+        F.expr("CAST(sum(cv_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_cv_ppm"
+        ),
+    )

@@ -2636,3 +2636,88 @@ def kmeans_silhouette_by_cluster(
         ).alias("mean_silhouette_ppm"),
         F.expr(f"CAST(min({term}) AS BIGINT)").alias("min_silhouette_ppm"),
     )
+
+
+# --- int8 scalar-quantization error audit -----------------------------------
+
+# symmetric per-vector int8 quantization: q = floor(127*v/maxabs + 0.5)
+# (floor(x+0.5), never round() — DuckDB rounds half-even, Spark half-up);
+# the reconstruction error is floor-quantized to exact 1e-12 units per
+# dimension, so the error sums are order-free BIGINTs on both engines.
+_SQ_ERR = (
+    "({v} - floor(127.0 * {v} / {s} + 0.5) * {s} / 127.0)"
+)
+
+
+def _sq_err_fp(v: str, s: str) -> str:
+    e = _SQ_ERR.format(v=v, s=s)
+    return f"CAST(floor({e} * {e} * 1000000000000.0) AS BIGINT)"
+
+
+@register(
+    "int8_quantization_error",
+    oracle=f"""
+    , e AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    sc AS (SELECT vec_id, max(abs(val)) AS scale FROM e GROUP BY vec_id),
+    er AS (
+        SELECT e.vec_id,
+               sum({_sq_err_fp("e.val", "s.scale")}) AS se_fp,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM e JOIN sc s USING (vec_id)
+        WHERE s.scale > 0
+        GROUP BY e.vec_id
+    )
+    SELECT CAST(m.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(se_fp // nd) // count(*) AS BIGINT) AS mean_mse_e12,
+           CAST(max(se_fp // nd) AS BIGINT) AS max_mse_e12
+    FROM er JOIN embeddings m USING (vec_id)
+    GROUP BY m.label
+    """,
+    doc="Scalar (symmetric per-vector max-abs) int8 quantization audit "
+    "for the embedding store: quantize every component to 127 levels, "
+    "reconstruct, and report per-label mean/worst MSE in exact 1e-12 "
+    "units — the go/no-go number before shipping an int8 ANN index "
+    "(4x memory cut vs the fp32 store the PQ queries already model).  "
+    "Quantize/reconstruct/error is one codegen'd expression per "
+    "dimension with floor(x+0.5) rounding (cross-engine-safe, unlike "
+    "round()); per-dim squared errors floor-quantize to BIGINT before "
+    "summing, so no float accumulation order leaks.  Dataflow: "
+    "posexplode long format, per-vector max-abs aggregate joined "
+    "back, one (vec) partial agg, label rollup — two shuffles keyed "
+    "on vec_id, label dim broadcast-sized.",
+    tags=("similarity", "quantization"),
+)
+def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", F.col("fval").cast("double").alias("val"))
+    sc = e.groupBy("vec_id").agg(F.max(F.abs("val")).alias("scale"))
+    er = (
+        e.join(sc, "vec_id")
+        .filter(F.col("scale") > 0)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.expr(_sq_err_fp("val", "scale"))).alias("se_fp"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+    )
+    lab = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    return (
+        er.join(lab, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.expr(
+                "CAST(sum(se_fp DIV nd) DIV count(*) AS BIGINT)"
+            ).alias("mean_mse_e12"),
+            F.expr("CAST(max(se_fp DIV nd) AS BIGINT)").alias("max_mse_e12"),
+        )
+    )

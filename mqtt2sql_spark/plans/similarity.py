@@ -2721,3 +2721,137 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(max(se_fp DIV nd) AS BIGINT)").alias("max_mse_e12"),
         )
     )
+
+
+# --- k-core peeling of the co-purchase graph --------------------------------
+
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "kcore_peeling_rounds",
+    oracle=f"""
+    , basket AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    adj0 AS MATERIALIZED (SELECT a AS z, b AS nb FROM e0
+             UNION ALL SELECT b AS z, a AS nb FROM e0),
+    deg0 AS MATERIALIZED (SELECT z, count(*) AS dg FROM adj0 GROUP BY z),
+    dh AS (SELECT dg, count(*) AS cnt FROM deg0 GROUP BY dg),
+    dc AS (SELECT dg, sum(cnt) OVER (ORDER BY dg
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM dh),
+    kk AS (SELECT min(dg) AS k FROM dc
+           WHERE 2 * cum >= (SELECT count(*) FROM deg0)),
+    s1 AS (SELECT z FROM deg0 WHERE dg >= (SELECT k FROM kk)),
+    e1 AS MATERIALIZED (SELECT a, b FROM e0
+           JOIN s1 sa ON sa.z = e0.a JOIN s1 sb ON sb.z = e0.b),
+    deg1 AS MATERIALIZED (SELECT z, count(*) AS dg FROM (
+                 SELECT a AS z FROM e1 UNION ALL SELECT b FROM e1
+             ) GROUP BY z),
+    s2 AS (SELECT z FROM deg1 WHERE dg >= (SELECT k FROM kk)),
+    e2 AS MATERIALIZED (SELECT a, b FROM e1
+           JOIN s2 sa ON sa.z = e1.a JOIN s2 sb ON sb.z = e1.b),
+    deg2 AS MATERIALIZED (SELECT z, count(*) AS dg FROM (
+                 SELECT a AS z FROM e2 UNION ALL SELECT b FROM e2
+             ) GROUP BY z),
+    s3 AS (SELECT z FROM deg2 WHERE dg >= (SELECT k FROM kk)),
+    e3 AS MATERIALIZED (SELECT a, b FROM e2
+           JOIN s3 sa ON sa.z = e2.a JOIN s3 sb ON sb.z = e2.b)
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS kcore_round,
+               (SELECT CAST(count(*) AS BIGINT) FROM deg0) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+               (SELECT CAST(k AS BIGINT) FROM kk) AS k
+        UNION ALL SELECT 1, (SELECT count(*) FROM s1),
+                  (SELECT count(*) FROM e1), (SELECT k FROM kk)
+        UNION ALL SELECT 2, (SELECT count(*) FROM s2),
+                  (SELECT count(*) FROM e2), (SELECT k FROM kk)
+        UNION ALL SELECT 3, (SELECT count(*) FROM s3),
+                  (SELECT count(*) FROM e3), (SELECT k FROM kk)
+    )
+    """,
+    doc="k-core peeling of the co-purchase part graph, k = exact median "
+    "degree (from the tiny degree histogram), {_KCORE_ROUNDS} unrolled "
+    "peel rounds: each round drops nodes whose INDUCED degree fell "
+    "below k and the edges touching them — the node/edge decay per "
+    "round shows how much of the graph is a cohesive core vs "
+    "periphery (dense-subgraph mining's first cut, and the standard "
+    "preprocessing before community detection).  Unrolled iterations "
+    "keep the whole computation one declarative plan (the "
+    "embedding_kmeans_assign model): per round one semi-join-shaped "
+    "edge filter + one degree re-aggregate, all keyed on part ids — "
+    "no driver loop state, no collect.",
+    tags=("similarity", "graph"),
+)
+def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "a"))
+    edges = (
+        e1.select("i", "a", F.posexplode("parts").alias("j", "b"))
+        .filter(F.col("j") > F.col("i"))
+        .select("a", "b")
+        .distinct()
+    )
+    def degrees(ed: DataFrame) -> DataFrame:
+        adj = ed.select(F.col("a").alias("z")).unionAll(
+            ed.select(F.col("b").alias("z"))
+        )
+        return adj.groupBy("z").agg(F.count(F.lit(1)).alias("dg"))
+    deg0 = degrees(edges)
+    dh = deg0.groupBy("dg").agg(F.count(F.lit(1)).alias("cnt"))
+    n_nodes0 = deg0.agg(F.count(F.lit(1)).alias("n"))
+    w_cum = W.orderBy("dg").rowsBetween(W.unboundedPreceding, 0)
+    kk = (
+        dh.withColumn("cum", F.sum("cnt").over(w_cum))
+        .crossJoin(F.broadcast(n_nodes0))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("dg").alias("k"))
+    )
+    rounds = []
+    ed, dg = edges, deg0
+    rounds.append((dg, ed))
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            dg.crossJoin(F.broadcast(kk))
+            .filter(F.col("dg") >= F.col("k"))
+            .select("z")
+        )
+        ed = (
+            ed.join(surv.select(F.col("z").alias("a")), "a", "left_semi")
+            .join(surv.select(F.col("z").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        dg = surv.select("z").join(
+            degrees(ed).select(F.col("z").alias("_dz"), "dg"),
+            F.col("z") == F.col("_dz"),
+            "left",
+        ).select("z", F.coalesce("dg", F.lit(0)).alias("dg"))
+        rounds.append((dg, ed))
+    out = None
+    for r, (dg_r, ed_r) in enumerate(rounds):
+        row = (
+            dg_r.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                ed_r.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+            .crossJoin(F.broadcast(kk))
+            .select(
+                F.lit(r).cast("long").alias("kcore_round"),
+                "n_nodes",
+                "n_edges",
+                F.col("k").cast("long").alias("k"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

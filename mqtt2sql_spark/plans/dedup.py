@@ -1997,3 +1997,202 @@ def eval_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_containment_ppm"),
         )
     )
+
+
+# --- LSH banding-geometry sensitivity sweep ---------------------------------
+
+# all (bands, rows) factorizations of the 16-hash signature; one shared
+# signature build serves every configuration (the ivf_nprobe_sensitivity
+# shape, applied to the dedup side).
+_LSH_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]
+
+
+def _duck_lsh_bands(b: int, r: int) -> str:
+    sels = []
+    for i in range(b):
+        key = " || '|' || ".join(
+            f"CAST(h{i * r + j} AS VARCHAR)" for j in range(r)
+        )
+        sels.append(
+            f"SELECT doc_id, {i} AS band_idx, md5({key}) AS band_key FROM mh"
+        )
+    return " UNION ALL ".join(sels)
+
+
+_LSH_SENS_ORACLE = (
+    _DUCK_SHINGLES.replace("sh AS (", "sh AS MATERIALIZED (")
+    + ", shv AS MATERIALIZED (SELECT doc_id, "
+    + _DUCK_HV
+    + " AS hv FROM (SELECT doc_id, md5(shingle) AS hh FROM sh))"
+    + ", mh AS MATERIALIZED (SELECT doc_id, "
+    + ", ".join(
+        f"min(({_MH_A[i]} * hv + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    + " FROM shv GROUP BY doc_id)"
+    + "".join(
+        f"""
+    , cand{b}x{r} AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM ({_duck_lsh_bands(b, r)}) x
+        JOIN ({_duck_lsh_bands(b, r)}) y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    )"""
+        for b, r in _LSH_CONFIGS
+    )
+    + f"""
+    , allc AS MATERIALIZED (
+        SELECT DISTINCT d1, d2 FROM (
+            {" UNION ALL ".join(f"SELECT d1, d2 FROM cand{b}x{r}" for b, r in _LSH_CONFIGS)}
+        )
+    ),
+    sz AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    pj AS MATERIALIZED (
+        SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS inter
+        FROM allc c
+        JOIN sh a ON a.doc_id = c.d1
+        JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY c.d1, c.d2
+    ),
+    v AS MATERIALIZED (
+        SELECT ac.d1, ac.d2,
+               CASE WHEN 3 * coalesce(p.inter, 0) >= za.n + zb.n
+                    THEN 1 ELSE 0 END AS is_true
+        FROM allc ac
+        LEFT JOIN pj p ON p.d1 = ac.d1 AND p.d2 = ac.d2
+        JOIN sz za ON za.doc_id = ac.d1
+        JOIN sz zb ON zb.doc_id = ac.d2
+    )
+    {" UNION ALL ".join(
+        f'''SELECT 'b{b}r{r}' AS config,
+               CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(is_true) AS BIGINT) AS n_true,
+               CAST(sum(is_true) * 1000000 // greatest(count(*), 1)
+                   AS BIGINT) AS precision_ppm
+        FROM cand{b}x{r} c JOIN v ON v.d1 = c.d1 AND v.d2 = c.d2'''
+        for b, r in _LSH_CONFIGS
+    )}
+    """
+)
+
+
+@register(
+    "lsh_band_sensitivity",
+    oracle=_LSH_SENS_ORACLE,
+    doc="Banding-geometry tuning sweep for MinHash-LSH: every (bands x "
+    "rows) factorization of the 16-hash signature — (16,1), (8,2), "
+    "(4,4), (2,8) — evaluated from ONE shared signature build, "
+    "reporting candidate volume and exact-Jaccard precision "
+    "(tau = 1/2, tested as the exact integer 3*inter >= |A|+|B|) per "
+    "configuration.  This is the S-curve trade every dedup deployment "
+    "tunes: more rows per band = higher precision, fewer candidates.  "
+    "Scale shape: the signature aggregate runs once (shuffle carries "
+    "16 BIGINTs per doc), each config is a band-bucket equi-join in "
+    "long layout, the union of candidates is verified once against "
+    "the shingle sets (two hash joins) and every config reuses those "
+    "verdicts — candidates are never re-scored per config.",
+    tags=("dedup", "llm-pipeline"),
+)
+def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)
+    hv = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    shv = sh.select("doc_id", hv.alias("hv"))
+    mh = shv.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_MH_A[i]) * F.col("hv") + F.lit(_MH_B[i]))
+                % F.lit(_MH_P)
+            ).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    ).localCheckpoint(eager=False)
+    cands = {}
+    for b, r in _LSH_CONFIGS:
+        band_cols = ", ".join(
+            f"{i}, md5(concat_ws('|', "
+            + ", ".join(f"CAST(h{i * r + j} AS STRING)" for j in range(r))
+            + "))"
+            for i in range(b)
+        )
+        lb = mh.select(
+            "doc_id",
+            F.expr(f"stack({b}, {band_cols}) AS (band_idx, band_key)"),
+        )
+        cands[(b, r)] = (
+            lb.alias("x")
+            .join(
+                lb.alias("y"),
+                F.expr(
+                    "x.band_idx = y.band_idx AND x.band_key = y.band_key"
+                    " AND x.doc_id < y.doc_id"
+                ),
+            )
+            .select(
+                F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    allc = None
+    for c in cands.values():
+        allc = c if allc is None else allc.unionAll(c)
+    allc = allc.distinct().localCheckpoint(eager=False)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        allc.alias("c")
+        .join(sh.alias("a"), F.expr("a.doc_id = c.d1"))
+        .join(sh.alias("b"), F.expr("b.doc_id = c.d2 AND b.shingle = a.shingle"))
+        .groupBy("c.d1", "c.d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    v = (
+        allc.alias("ac")
+        .join(
+            inter.alias("p"),
+            F.expr("p.d1 = ac.d1 AND p.d2 = ac.d2"),
+            "left",
+        )
+        .join(F.broadcast(sz.alias("za")), F.expr("za.doc_id = ac.d1"))
+        .join(F.broadcast(sz.alias("zb")), F.expr("zb.doc_id = ac.d2"))
+        .select(
+            F.col("ac.d1").alias("d1"),
+            F.col("ac.d2").alias("d2"),
+            F.when(
+                3 * F.coalesce(F.col("p.inter"), F.lit(0))
+                >= F.col("za.n") + F.col("zb.n"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_true"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for b, r in _LSH_CONFIGS:
+        row = (
+            cands[(b, r)]
+            .join(v, ["d1", "d2"])
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum("is_true").cast("long").alias("n_true"),
+                F.expr(
+                    "CAST(sum(is_true) * 1000000"
+                    " DIV greatest(count(*), 1) AS BIGINT)"
+                ).alias("precision_ppm"),
+            )
+            .select(
+                F.lit(f"b{b}r{r}").alias("config"),
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                "precision_ppm",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

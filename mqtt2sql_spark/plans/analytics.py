@@ -9064,3 +9064,126 @@ def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cv_ppm"
         ),
     )
+
+
+# --- leave-one-out hit-rate@K of the co-purchase recommender ----------------
+
+_HITRATE_K = 10
+
+
+@register(
+    "copurchase_hitrate_at_k",
+    oracle=f"""
+    , basket AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pr AS MATERIALIZED (
+        SELECT x.l_orderkey, x.l_partkey AS xp, y.l_partkey AS yp
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey <> y.l_partkey
+    ),
+    cnt AS MATERIALIZED (
+        SELECT xp, yp, count(*) AS c FROM pr GROUP BY xp, yp
+    ),
+    rec AS MATERIALIZED (
+        SELECT xp AS src, yp AS rec FROM (
+            SELECT xp, yp, row_number() OVER (PARTITION BY xp
+                                              ORDER BY c DESC, yp) AS rn
+            FROM cnt
+        ) WHERE rn <= {_HITRATE_K}
+    ),
+    bs AS MATERIALIZED (
+        SELECT l_orderkey, count(*) AS bsize FROM basket
+        GROUP BY l_orderkey HAVING count(*) >= 2
+    ),
+    hit AS MATERIALIZED (
+        SELECT DISTINCT p.l_orderkey, p.yp
+        FROM pr p JOIN rec r ON r.src = p.xp AND r.rec = p.yp
+    ),
+    cases AS (
+        SELECT b.l_orderkey, b.l_partkey AS yp, s.bsize,
+               CASE WHEN h.yp IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+        FROM basket b
+        JOIN bs s ON s.l_orderkey = b.l_orderkey
+        LEFT JOIN hit h ON h.l_orderkey = b.l_orderkey
+                       AND h.yp = b.l_partkey
+    )
+    SELECT CAST(bsize AS BIGINT) AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_cases,
+           CAST(sum(is_hit) AS BIGINT) AS n_hits,
+           CAST(sum(is_hit) * 1000000 // count(*) AS BIGINT)
+               AS hitrate_ppm
+    FROM cases GROUP BY bsize
+    """,
+    doc="Offline leave-one-out evaluation of the item-item co-purchase "
+    "recommender: for every order and every held-out part, count a "
+    "hit when the part appears in the top-{_HITRATE_K} co-occurrence "
+    "neighbor list of ANY other part in the same order — "
+    "hit-rate@K by basket size, the standard recsys offline metric "
+    "(and the eval loop item_item_cosine_topk feeds in production).  "
+    "Determinism: neighbor lists tie-break on (count DESC, part id); "
+    "everything else is counting.  Scale shape: pair counts are one "
+    "fact-derived rollup, top-K per item is a WindowGroupLimit over "
+    "the item-keyed neighbor table, the eval probe joins in-order "
+    "pairs against the (src, rec) list — all equi-joins keyed on "
+    "part ids, fan-out bounded by basket size x K.",
+    tags=("analytics", "recsys"),
+)
+def copurchase_hitrate_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct().localCheckpoint(eager=False)
+    baskets = basket.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    e1 = baskets.select(
+        "l_orderkey", "parts", F.posexplode("parts").alias("i", "xp")
+    )
+    pr = (
+        e1.select(
+            "l_orderkey", "i", "xp", F.posexplode("parts").alias("j", "yp")
+        )
+        .filter(F.col("j") != F.col("i"))
+        .select("l_orderkey", "xp", "yp")
+        .localCheckpoint(eager=False)
+    )
+    cnt = pr.groupBy("xp", "yp").agg(F.count(F.lit(1)).alias("c"))
+    wr = W.partitionBy("xp").orderBy(F.desc("c"), F.asc("yp"))
+    rec = (
+        cnt.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _HITRATE_K)
+        .select(F.col("xp").alias("src"), F.col("yp").alias("rec"))
+    )
+    bs = (
+        basket.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") >= 2)
+    )
+    hit = (
+        pr.alias("p")
+        .join(rec.alias("r"), F.expr("r.src = p.xp AND r.rec = p.yp"))
+        .select("p.l_orderkey", "p.yp")
+        .distinct()
+    )
+    cases = (
+        basket.alias("b")
+        .join(bs.alias("s"), "l_orderkey")
+        .join(
+            hit.alias("h"),
+            F.expr("h.l_orderkey = b.l_orderkey AND h.yp = b.l_partkey"),
+            "left",
+        )
+        .select(
+            F.col("s.bsize").alias("bsize"),
+            F.when(F.col("h.yp").isNotNull(), 1).otherwise(0).alias("is_hit"),
+        )
+    )
+    return cases.groupBy(
+        F.col("bsize").cast("long").alias("basket_size")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cases"),
+        F.sum("is_hit").cast("long").alias("n_hits"),
+        F.expr(
+            "CAST(sum(is_hit) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("hitrate_ppm"),
+    )

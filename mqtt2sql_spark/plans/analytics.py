@@ -9187,3 +9187,85 @@ def copurchase_hitrate_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(is_hit) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("hitrate_ppm"),
     )
+
+
+# --- time-to-Nth-order adoption latency per part ----------------------------
+
+_ADOPT_N = 5  # the "adopted" threshold: 5th lineitem
+_ADOPT_BUCKET_DAYS = 30
+_ADOPT_MAX_BUCKET = 12
+
+
+@register(
+    "part_adoption_latency_histogram",
+    oracle=f"""
+    , r AS (
+        SELECT l_partkey,
+               epoch_us(l_shipdate) // 86400000000 AS d,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_shipdate, l_orderkey,
+                                           l_linenumber) AS rn
+        FROM lineitem
+    ),
+    lat AS (
+        SELECT l_partkey,
+               max(CASE WHEN rn = 1 THEN d END) AS d1,
+               max(CASE WHEN rn = {_ADOPT_N} THEN d END) AS dn
+        FROM r WHERE rn = 1 OR rn = {_ADOPT_N}
+        GROUP BY l_partkey
+    )
+    SELECT CAST(CASE WHEN dn IS NULL THEN -1
+                ELSE least({_ADOPT_MAX_BUCKET},
+                           (dn - d1) // {_ADOPT_BUCKET_DAYS}) END
+               AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(CASE WHEN dn IS NOT NULL THEN dn - d1 END) AS BIGINT)
+               AS min_days,
+           CAST(max(CASE WHEN dn IS NOT NULL THEN dn - d1 END) AS BIGINT)
+               AS max_days
+    FROM lat
+    GROUP BY CASE WHEN dn IS NULL THEN -1
+             ELSE least({_ADOPT_MAX_BUCKET},
+                        (dn - d1) // {_ADOPT_BUCKET_DAYS}) END
+    """,
+    doc="Adoption-latency histogram: for every part, days from its "
+    "first shipment to its {_ADOPT_N}th (the time-to-Nth-event metric "
+    "product analytics uses for feature adoption and supply planning "
+    "uses for ramp-up), bucketed in {_ADOPT_BUCKET_DAYS}-day bands "
+    "with parts that never reach {_ADOPT_N} shipments reported as "
+    "the censored bucket -1.  The rank pass is one window partitioned "
+    "by part (high-cardinality key — no global sort) with a total "
+    "order (shipdate, orderkey, linenumber); first/Nth dates collapse "
+    "via conditional max, the histogram is a final small rollup.",
+    tags=("analytics", "adoption"),
+)
+def part_adoption_latency_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        "l_partkey",
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter((F.col("rn") == 1) | (F.col("rn") == _ADOPT_N))
+    lat = r.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("rn") == _ADOPT_N, F.col("d"))).alias("dn"),
+    )
+    bucket = F.expr(
+        f"CAST(CASE WHEN dn IS NULL THEN -1"
+        f" ELSE least({_ADOPT_MAX_BUCKET},"
+        f" (dn - d1) DIV {_ADOPT_BUCKET_DAYS}) END AS BIGINT)"
+    )
+    return lat.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min(F.when(F.col("dn").isNotNull(), F.col("dn") - F.col("d1")))
+        .cast("long")
+        .alias("min_days"),
+        F.max(F.when(F.col("dn").isNotNull(), F.col("dn") - F.col("d1")))
+        .cast("long")
+        .alias("max_days"),
+    )

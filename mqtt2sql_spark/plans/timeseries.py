@@ -2814,3 +2814,114 @@ def haar_energy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_ppm"
         ),
     )
+
+
+# --- Hellinger drift between the two halves of each series ------------------
+
+# value bins: cents DIV 1000 capped to 10 bins; probabilities scaled to
+# exact 1e12 integers, sqrt'd per bin (1e6 scale), per-bin contributions
+# floor-quantized back to BIGINT before summing — no float accumulation.
+_HELL_BINS = 10
+
+
+@register(
+    "hellinger_half_drift",
+    oracle=f"""
+    , ev AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS d,
+               least({_HELL_BINS - 1},
+                     greatest(CAST(round(value * 100, 0) AS BIGINT), 0)
+                     // 1000) AS bin
+        FROM events
+    ),
+    sp AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ev),
+    cnts AS (
+        SELECT event_type, bin,
+               CAST(sum(CASE WHEN d < mid THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM ev CROSS JOIN sp GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type, sum(a) AS na, sum(b) AS nb FROM cnts
+        GROUP BY event_type
+    ),
+    contrib AS (
+        SELECT c.event_type,
+               CAST(floor(
+                   (sqrt(CAST(c.a * 1000000000000 // t.na AS DOUBLE))
+                    - sqrt(CAST(c.b * 1000000000000 // t.nb AS DOUBLE)))
+                   * (sqrt(CAST(c.a * 1000000000000 // t.na AS DOUBLE))
+                      - sqrt(CAST(c.b * 1000000000000 // t.nb AS DOUBLE)))
+               ) AS BIGINT) AS h_fp,
+               c.a + c.b AS n_bin
+        FROM cnts c JOIN tot t ON t.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_bin) AS BIGINT) AS n_events,
+           CAST(sum(h_fp) AS BIGINT) AS hell_e12,
+           CAST(sum(h_fp) // 2000000 AS BIGINT) AS h2_ppm
+    FROM contrib GROUP BY event_type
+    """,
+    doc="Hellinger-distance drift monitor: split each event series at "
+    "its calendar midpoint and compare the value distributions of the "
+    "two halves with the squared Hellinger distance "
+    "H^2 = 1/2 * sum_bins (sqrt(p)-sqrt(q))^2 — the bounded-in-[0,1] "
+    "f-divergence that complements the KS (value_drift_ks_by_type) "
+    "and chi-square (transition_drift_chi2) monitors and stays "
+    "defined when bins empty out.  Bin probabilities are exact "
+    "1e12-scaled integers; sqrt is correctly rounded on both "
+    "engines; each bin's contribution floor-quantizes to BIGINT "
+    "before the sum, so no float summation order leaks.  One pass: "
+    "(type, bin) rollup with CASE-split half counts, a per-type "
+    "total join, a 10-bin fold.",
+    tags=("timeseries", "drift"),
+)
+def hellinger_half_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+        F.expr(
+            f"least({_HELL_BINS - 1},"
+            " greatest(CAST(round(value * 100, 0) AS BIGINT), 0)"
+            " DIV 1000)"
+        ).alias("bin"),
+    )
+    sp = ev.agg(
+        F.expr("(min(d) + max(d) + 1) DIV 2").alias("mid")
+    )
+    cnts = (
+        ev.crossJoin(F.broadcast(sp))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("d") >= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    tot = cnts.groupBy("event_type").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    sq = (
+        "(sqrt(CAST(a * 1000000000000 DIV na AS DOUBLE))"
+        " - sqrt(CAST(b * 1000000000000 DIV nb AS DOUBLE)))"
+    )
+    contrib = (
+        cnts.alias("c")
+        .join(F.broadcast(tot).alias("t"), "event_type")
+        .select(
+            "event_type",
+            F.expr(f"CAST(floor({sq} * {sq}) AS BIGINT)").alias("h_fp"),
+            (F.col("a") + F.col("b")).alias("n_bin"),
+        )
+    )
+    return contrib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_bin").cast("long").alias("n_events"),
+        F.sum("h_fp").cast("long").alias("hell_e12"),
+        F.expr("CAST(sum(h_fp) DIV 2000000 AS BIGINT)").alias("h2_ppm"),
+    )

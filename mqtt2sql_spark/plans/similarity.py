@@ -2855,3 +2855,247 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- kNN label purity of the embedding space (sampled probes) ---------------
+
+
+@register(
+    "knn_label_purity_sampled",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    nn AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {TOP_K}
+    ),
+    pur AS (
+        SELECT n.query_id, ql.label,
+               CAST(sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS matches
+        FROM nn n
+        JOIN embeddings ql ON ql.vec_id = n.query_id
+        JOIN embeddings cl ON cl.vec_id = n.vec_id
+        GROUP BY n.query_id, ql.label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(matches) AS BIGINT) AS n_matches,
+           CAST(sum(matches) * 1000000 // (count(*) * {TOP_K}) AS BIGINT)
+               AS purity_ppm
+    FROM pur GROUP BY label
+    """,
+    doc="kNN label consistency of the embedding space: for sampled "
+    "probes (vec_id % {QUERY_MOD} = 0), the fraction of their "
+    "top-{TOP_K} exact-cosine neighbors sharing the probe's label, "
+    "rolled up per label — the local complement to the global "
+    "label_cosine_separation centroid view, and the metric that "
+    "predicts weak-supervision/classifier transfer quality before "
+    "training anything.  Ranking reuses the ann_cosine_topk contract "
+    "verbatim (round(cos,6) DESC, vec_id tie-break, broadcast query "
+    "set), so the purity readout audits exactly the neighbors the "
+    "ANN stack serves; label joins are dimension-sized.",
+    tags=("similarity", "eval"),
+)
+def knn_label_purity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(cos, 6)), F.asc("vec_id")
+    )
+    nn = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pur = (
+        nn.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(lab), "vec_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("matches")
+        )
+    )
+    return pur.groupBy(
+        F.col("qlabel").cast("long").alias("label")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("matches").cast("long").alias("n_matches"),
+        F.expr(
+            f"CAST(sum(matches) * 1000000 DIV (count(*) * {TOP_K})"
+            " AS BIGINT)"
+        ).alias("purity_ppm"),
+    )
+
+
+# --- rich-club coefficient of the co-purchase graph -------------------------
+
+
+@register(
+    "rich_club_coefficient",
+    oracle="""
+    , basket AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS MATERIALIZED (
+        SELECT z, count(*) AS dg FROM (
+            SELECT a AS z FROM e0 UNION ALL SELECT b FROM e0
+        ) GROUP BY z
+    ),
+    dh AS (SELECT dg, count(*) AS cnt FROM deg GROUP BY dg),
+    dc AS (SELECT dg, sum(cnt) OVER (ORDER BY dg
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM dh),
+    nn AS (SELECT count(*) AS n FROM deg),
+    thr AS MATERIALIZED (
+        SELECT q, min(dg) AS k FROM dc CROSS JOIN (
+            SELECT * FROM (VALUES (1), (2), (3)) AS t(q)
+        ) CROSS JOIN nn
+        WHERE 4 * cum >= q * n GROUP BY q
+    ),
+    club AS MATERIALIZED (
+        SELECT t.q, t.k, d.z
+        FROM thr t JOIN deg d ON d.dg > t.k
+    ),
+    within AS (
+        SELECT c1.q, CAST(count(*) AS BIGINT) AS m
+        FROM e0
+        JOIN club c1 ON c1.z = e0.a
+        JOIN club c2 ON c2.z = e0.b AND c2.q = c1.q
+        GROUP BY c1.q
+    ),
+    sizes AS (
+        SELECT q, max(k) AS k, CAST(count(*) AS BIGINT) AS n_club
+        FROM club GROUP BY q
+    )
+    SELECT CAST(s.q * 25 AS BIGINT) AS degree_percentile,
+           CAST(s.k AS BIGINT) AS k,
+           s.n_club,
+           CAST(coalesce(w.m, 0) AS BIGINT) AS n_edges_within,
+           CAST(coalesce(w.m, 0) * 2000000
+                // greatest(s.n_club * (s.n_club - 1), 1) AS BIGINT)
+               AS phi_ppm
+    FROM sizes s LEFT JOIN within w ON w.q = s.q
+    """,
+    doc="Rich-club coefficient of the co-purchase part graph at the "
+    "25th/50th/75th-percentile degree thresholds: phi(k) = fraction "
+    "of possible edges actually present among nodes with degree > k "
+    "(exact ppm, 2m/(n(n-1))) — rising phi with k means the hubs "
+    "form their own densely-wired club, the structural signature "
+    "behind hub-and-spoke catalogs (and the complement of "
+    "degree_assortativity_copurchase, which only sees edge "
+    "endpoints' correlation).  Thresholds come off the tiny degree "
+    "histogram (exact quantiles, no sort of the node table); club "
+    "membership is one theta-free join deg.dg > k per threshold, "
+    "and the within-club edge count joins the edge list against the "
+    "club twice on part id — all equi-joins after the one basket "
+    "rollup.",
+    tags=("similarity", "graph"),
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "a"))
+    edges = (
+        e1.select("i", "a", F.posexplode("parts").alias("j", "b"))
+        .filter(F.col("j") > F.col("i"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("a").alias("z"))
+        .unionAll(edges.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .localCheckpoint(eager=False)
+    )
+    dh = deg.groupBy("dg").agg(F.count(F.lit(1)).alias("cnt"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    w_cum = W.orderBy("dg").rowsBetween(W.unboundedPreceding, 0)
+    qs = spark.range(1, 4).select(F.col("id").cast("int").alias("q"))
+    thr = (
+        dh.withColumn("cum", F.sum("cnt").over(w_cum))
+        .crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(nn))
+        .filter(4 * F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("dg").alias("k"))
+    )
+    club = (
+        thr.alias("t")
+        .join(deg.alias("d"), F.expr("d.dg > t.k"))
+        .select("t.q", "t.k", "d.z")
+        .localCheckpoint(eager=False)
+    )
+    within = (
+        edges.join(
+            club.select(F.col("q").alias("q1"), F.col("z").alias("a")),
+            "a",
+        )
+        .join(
+            club.select(F.col("q").alias("q2"), F.col("z").alias("b")),
+            "b",
+        )
+        .filter(F.col("q1") == F.col("q2"))
+        .groupBy(F.col("q1").alias("q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    sizes = club.groupBy("q").agg(
+        F.max("k").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_club"),
+    )
+    return (
+        sizes.alias("s")
+        .join(within.alias("w"), "q", "left")
+        .select(
+            F.expr("CAST(q * 25 AS BIGINT)").alias("degree_percentile"),
+            F.col("k").cast("long").alias("k"),
+            "n_club",
+            F.coalesce(F.col("m"), F.lit(0))
+            .cast("long")
+            .alias("n_edges_within"),
+            F.expr(
+                "CAST(coalesce(m, 0) * 2000000"
+                " DIV greatest(n_club * (n_club - 1), 1) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+    )

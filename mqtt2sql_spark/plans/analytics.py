@@ -9269,3 +9269,259 @@ def part_adoption_latency_histogram(
         .cast("long")
         .alias("max_days"),
     )
+
+
+# --- difference-in-differences conversion estimator -------------------------
+
+
+@register(
+    "diff_in_diff_conversion",
+    oracle="""
+    , ev AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) // 86400000000 AS d
+        FROM events
+    ),
+    sp AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ev),
+    cohort AS (
+        SELECT DISTINCT user_id FROM ev CROSS JOIN sp WHERE d < mid
+    ),
+    treated AS (
+        SELECT DISTINCT user_id FROM ev CROSS JOIN sp
+        WHERE d < mid AND event_type = 'error'
+    ),
+    conv AS (
+        SELECT c.user_id,
+               CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treat,
+               max(CASE WHEN e.d < e.mid AND e.event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS pre_conv,
+               max(CASE WHEN e.d >= e.mid AND e.event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS post_conv
+        FROM cohort c
+        LEFT JOIN treated t ON t.user_id = c.user_id
+        LEFT JOIN (SELECT user_id, event_type, d, mid
+                   FROM ev CROSS JOIN sp) e ON e.user_id = c.user_id
+        GROUP BY c.user_id, CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END
+    ),
+    cell AS (
+        SELECT CAST(sum(treat) AS BIGINT) AS n_treated,
+               CAST(sum(1 - treat) AS BIGINT) AS n_control,
+               CAST(sum(pre_conv * treat) * 1000000
+                    // greatest(sum(treat), 1) AS BIGINT)
+                   AS pre_treated_ppm,
+               CAST(sum(post_conv * treat) * 1000000
+                    // greatest(sum(treat), 1) AS BIGINT)
+                   AS post_treated_ppm,
+               CAST(sum(pre_conv * (1 - treat)) * 1000000
+                    // greatest(sum(1 - treat), 1) AS BIGINT)
+                   AS pre_control_ppm,
+               CAST(sum(post_conv * (1 - treat)) * 1000000
+                    // greatest(sum(1 - treat), 1) AS BIGINT)
+                   AS post_control_ppm
+        FROM conv
+    )
+    SELECT n_treated, n_control,
+           pre_treated_ppm, post_treated_ppm,
+           pre_control_ppm, post_control_ppm,
+           CAST((post_treated_ppm - pre_treated_ppm)
+                - (post_control_ppm - pre_control_ppm) AS BIGINT)
+               AS did_ppm
+    FROM cell
+    """,
+    doc="Difference-in-differences estimator on the event stream: "
+    "cohort = users active in the first calendar half, treatment = "
+    "experienced an error event in that half, outcome = converted "
+    "(any purchase) per half; DiD = (post-pre) gap of treated minus "
+    "the same gap for controls, the standard quasi-experimental "
+    "correction for secular trends when no randomized flag exists.  "
+    "All rates are exact integer ppm over user counts, so the "
+    "estimate is bit-stable.  Dataflow: one pass builds per-user "
+    "pre/post conversion flags (user-keyed aggregate), cohort and "
+    "treatment sets are semi-join-shaped, the 2x2 cell table is "
+    "4 rows.",
+    tags=("analytics", "causal"),
+)
+def diff_in_diff_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    )
+    sp = ev.agg(F.expr("(min(d) + max(d) + 1) DIV 2").alias("mid"))
+    evm = ev.crossJoin(F.broadcast(sp))
+    cohort = evm.filter(F.col("d") < F.col("mid")).select("user_id").distinct()
+    treated = (
+        evm.filter(
+            (F.col("d") < F.col("mid")) & (F.col("event_type") == "error")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("treat", F.lit(1))
+    )
+    conv = (
+        cohort.join(treated, "user_id", "left")
+        .na.fill({"treat": 0})
+        .join(evm, "user_id", "left")
+        .groupBy("user_id", "treat")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("d") < F.col("mid"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("pre_conv"),
+            F.max(
+                F.when(
+                    (F.col("d") >= F.col("mid"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("post_conv"),
+        )
+    )
+    cell = conv.agg(
+        F.sum("treat").cast("long").alias("n_treated"),
+        F.sum(1 - F.col("treat")).cast("long").alias("n_control"),
+        F.expr(
+            "CAST(sum(pre_conv * treat) * 1000000"
+            " DIV greatest(sum(treat), 1) AS BIGINT)"
+        ).alias("pre_treated_ppm"),
+        F.expr(
+            "CAST(sum(post_conv * treat) * 1000000"
+            " DIV greatest(sum(treat), 1) AS BIGINT)"
+        ).alias("post_treated_ppm"),
+        F.expr(
+            "CAST(sum(pre_conv * (1 - treat)) * 1000000"
+            " DIV greatest(sum(1 - treat), 1) AS BIGINT)"
+        ).alias("pre_control_ppm"),
+        F.expr(
+            "CAST(sum(post_conv * (1 - treat)) * 1000000"
+            " DIV greatest(sum(1 - treat), 1) AS BIGINT)"
+        ).alias("post_control_ppm"),
+    )
+    return cell.select(
+        "n_treated",
+        "n_control",
+        "pre_treated_ppm",
+        "post_treated_ppm",
+        "pre_control_ppm",
+        "post_control_ppm",
+        F.expr(
+            "CAST((post_treated_ppm - pre_treated_ppm)"
+            " - (post_control_ppm - pre_control_ppm) AS BIGINT)"
+        ).alias("did_ppm"),
+    )
+
+
+# --- safety stock by brand (z * sigma_demand * sqrt(lead time)) -------------
+
+# z = 1.65 (~95% service level) carried as the exact rational 165/100 so
+# both engines fold the same literals; all inputs to the float expression
+# are exact integer sums.
+_SS_Z_NUM = 165
+_SS_Z_DEN = 100
+
+_SS_EXPR = (
+    "CAST(floor({z_num} * sqrt(CAST(nd * s2 - s * s AS DOUBLE))"
+    " * sqrt(CAST(lt_sum AS DOUBLE) / CAST(lt_n AS DOUBLE))"
+    " / ({z_den} * CAST(nd AS DOUBLE))) AS BIGINT)"
+).format(z_num=_SS_Z_NUM, z_den=_SS_Z_DEN)
+
+
+@register(
+    "safety_stock_by_brand",
+    oracle=f"""
+    , dd AS (
+        SELECT p.p_brand,
+               epoch_us(l.l_shipdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    ds AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q * q) AS BIGINT) AS s2
+        FROM dd GROUP BY p_brand
+    ),
+    lt AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS lt_n,
+               CAST(sum(greatest(epoch_us(l.l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000, 0))
+                   AS BIGINT) AS lt_sum
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT ds.p_brand,
+           nd AS n_days,
+           CAST(s // nd AS BIGINT) AS mean_daily_qty,
+           CAST(lt_sum * 100 // lt_n AS BIGINT) AS mean_lead_days_x100,
+           {_SS_EXPR} AS safety_stock_units
+    FROM ds JOIN lt ON lt.p_brand = ds.p_brand
+    """,
+    doc="Classic safety-stock sizing per brand: z * sigma(daily demand) "
+    "* sqrt(mean lead time), z = 1.65 (~95% service) carried as the "
+    "exact rational 165/100 — the reorder-point buffer formula from "
+    "inventory theory, fed entirely by exact integer sums (daily "
+    "demand variance via n*S2-S^2, lead time as summed whole days clamped at zero — the synthetic fixture ships before ordering on some lines) "
+    "so the one float expression is textually identical on both "
+    "engines.  Dataflow: a (brand, day) demand rollup then a "
+    "25-brand moment aggregate, plus one fact-fact join "
+    "(lineitem x orders) for lead times partial-aggregated straight "
+    "to brand level — two fact passes, dimension-sized outputs.",
+    tags=("analytics", "inventory"),
+)
+def safety_stock_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    dd = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("d"),
+        )
+        .agg(F.sum(q).cast("long").alias("q"))
+    )
+    ds = dd.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    lt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("lt_n"),
+            F.sum(
+                F.expr(
+                    "greatest(unix_micros(l_shipdate) DIV 86400000000"
+                    " - unix_micros(o_orderdate) DIV 86400000000, 0)"
+                )
+            )
+            .cast("long")
+            .alias("lt_sum"),
+        )
+    )
+    return (
+        ds.join(lt, "p_brand")
+        .select(
+            "p_brand",
+            F.col("nd").alias("n_days"),
+            F.expr("CAST(s DIV nd AS BIGINT)").alias("mean_daily_qty"),
+            F.expr("CAST(lt_sum * 100 DIV lt_n AS BIGINT)").alias(
+                "mean_lead_days_x100"
+            ),
+            F.expr(_SS_EXPR).alias("safety_stock_units"),
+        )
+    )

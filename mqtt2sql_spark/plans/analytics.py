@@ -9525,3 +9525,97 @@ def safety_stock_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_SS_EXPR).alias("safety_stock_units"),
         )
     )
+
+
+# --- k-anonymity across a generalization ladder -----------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "generalization_ladder_kanon",
+    oracle=f"""
+    , qi AS (
+        SELECT r.r_name AS region, n.n_name AS nation, c.c_mktsegment AS seg
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    lv AS (
+        SELECT 0 AS lvl, nation || '/' || seg AS grp FROM qi
+        UNION ALL SELECT 1, region || '/' || seg FROM qi
+        UNION ALL SELECT 2, region FROM qi
+    ),
+    gs AS (
+        SELECT lvl, grp, CAST(count(*) AS BIGINT) AS k
+        FROM lv GROUP BY lvl, grp
+    )
+    SELECT CAST(lvl AS BIGINT) AS level,
+           CASE lvl WHEN 0 THEN 'nation+segment'
+                    WHEN 1 THEN 'region+segment'
+                    ELSE 'region' END AS quasi_identifier,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_k,
+           CAST(sum(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) * 1000000
+                // sum(k) AS BIGINT) AS exposed_customers_ppm
+    FROM gs GROUP BY lvl
+    """,
+    doc="k-anonymity across a generalization ladder: the same customer "
+    "table evaluated at three quasi-identifier granularities "
+    "(nation+segment -> region+segment -> region), reporting group "
+    "counts, the smallest group, and the exact ppm of customers "
+    "sitting in groups below k={_KANON_K} — the ladder view shows "
+    "how much generalization buys re-identification safety, the "
+    "decision k_anonymity_audit (single level) cannot express.  One "
+    "pass: broadcast dim joins, a 3-way level fan-out (map-side "
+    "literal union), one (level, group) rollup and a 3-row summary.",
+    tags=("analytics", "privacy"),
+)
+def generalization_ladder_kanon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    qi = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("region", "nation", F.col("c_mktsegment").alias("seg"))
+    )
+    lv = qi.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("lvl"),
+                    F.concat_ws("/", "nation", "seg").alias("grp"),
+                ),
+                F.struct(
+                    F.lit(1).alias("lvl"),
+                    F.concat_ws("/", "region", "seg").alias("grp"),
+                ),
+                F.struct(F.lit(2).alias("lvl"), F.col("region").alias("grp")),
+            )
+        ).alias("x")
+    ).select("x.lvl", "x.grp")
+    gs = lv.groupBy("lvl", "grp").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    return gs.groupBy(F.col("lvl").cast("long").alias("level")).agg(
+        F.expr(
+            "CASE min(lvl) WHEN 0 THEN 'nation+segment'"
+            " WHEN 1 THEN 'region+segment' ELSE 'region' END"
+        ).alias("quasi_identifier"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.expr(
+            f"CAST(sum(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END)"
+            " * 1000000 DIV sum(k) AS BIGINT)"
+        ).alias("exposed_customers_ppm"),
+    )

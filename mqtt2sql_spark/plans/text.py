@@ -2638,3 +2638,63 @@ def bigram_lm_next_token_accuracy(
             ).alias("acc_ppm"),
         )
     )
+
+
+# --- confusion matrix of the marker-word language classifier ----------------
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    , pred AS (
+        SELECT lang,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN es >= en AND es >= fr THEN 'es'
+                    WHEN fr >= en THEN 'fr'
+                    ELSE 'en' END AS lang_pred
+        FROM (
+            SELECT lang,
+                   {_duck_marker_count(LANG_MARKERS["en"])} AS en,
+                   {_duck_marker_count(LANG_MARKERS["de"])} AS de,
+                   {_duck_marker_count(LANG_MARKERS["es"])} AS es,
+                   {_duck_marker_count(LANG_MARKERS["fr"])} AS fr,
+                   len(regexp_extract_all(text, '{CJK_RE_DUCK}')) AS cjk
+            FROM (SELECT lang, text, {duck_tokens()} AS toks FROM documents)
+        )
+    ),
+    gold AS (SELECT lang, count(*) AS n_gold FROM pred GROUP BY lang)
+    SELECT p.lang AS gold_lang, p.lang_pred AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 1000000 // max(g.n_gold) AS BIGINT)
+               AS share_of_gold_ppm
+    FROM pred p JOIN gold g ON g.lang = p.lang
+    GROUP BY p.lang, p.lang_pred
+    """,
+    doc="Confusion matrix of the lang_id_ngram marker-word classifier "
+    "against the gold lang column: per (gold, predicted) cell the doc "
+    "count and its share of the gold class in exact ppm — the "
+    "diagonal is per-class recall, off-diagonal cells name the "
+    "specific confusions (the eval artifact a pipeline reviews "
+    "before trusting heuristic language routing; complements "
+    "quality_score_calibration, which grades a score, not an "
+    "argmax).  Scoring is the identical single-pass codegen'd "
+    "projection as lang_id_ngram; the matrix is one hash aggregate "
+    "plus a broadcast per-class total join.",
+    tags=("text", "evaluation"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id_ngram(spark, sf_dir).select(
+        F.col("lang").alias("gold_lang"), "lang_pred"
+    )
+    gold = pred.groupBy("gold_lang").agg(F.count(F.lit(1)).alias("n_gold"))
+    return (
+        pred.join(F.broadcast(gold), "gold_lang")
+        .groupBy("gold_lang", F.col("lang_pred").alias("pred_lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(count(*) * 1000000 DIV max(n_gold) AS BIGINT)"
+            ).alias("share_of_gold_ppm"),
+        )
+    )

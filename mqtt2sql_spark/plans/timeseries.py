@@ -2925,3 +2925,175 @@ def hellinger_half_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h_fp").cast("long").alias("hell_e12"),
         F.expr("CAST(sum(h_fp) DIV 2000000 AS BIGINT)").alias("h2_ppm"),
     )
+
+
+# --- STL-lite variance decomposition of daily volume ------------------------
+
+# All components live on the 7x integer scale (T = 7-day centered window
+# SUM, dt7 = 7c - T, seasonal = per-dow mean of dt7 via SYMMETRIC integer
+# division — Spark div truncates, DuckDB // floors, identical only with
+# the explicit CASE — residual = dt7 - s7); component energies are the
+# exact integers n*sum(v^2) - sum(v)^2, so shares are pure ppm ratios.
+_STL_SYMDIV = (
+    "CASE WHEN {x} >= 0 THEN {x} {div} {n}"
+    " ELSE -((-({x})) {div} {n}) END"
+)
+
+
+@register(
+    "volume_decomposition_shares",
+    oracle=f"""
+    , daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(d) AS mind, max(d) AS maxd
+        FROM daily GROUP BY event_type
+    ),
+    sct AS (
+        SELECT s.event_type, s.d + k.k AS td, s.c
+        FROM daily s CROSS JOIN (
+            SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+            AS t(k)
+        ) k
+    ),
+    tr AS (
+        SELECT event_type, td AS d, CAST(sum(c) AS BIGINT) AS t7
+        FROM sct GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT y.event_type, y.d, y.c, t.t7,
+               7 * y.c - t.t7 AS dt7, y.d % 7 AS dow
+        FROM daily y
+        JOIN tr t ON t.event_type = y.event_type AND t.d = y.d
+        JOIN bounds b ON b.event_type = y.event_type
+        WHERE y.d >= b.mind + 3 AND y.d <= b.maxd - 3
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(sum(dt7) AS BIGINT) AS ssum,
+               CAST(count(*) AS BIGINT) AS scnt
+        FROM base GROUP BY 1, 2
+    ),
+    comp AS (
+        SELECT b.event_type, b.t7,
+               {_STL_SYMDIV.format(x="s.ssum", div="//", n="s.scnt")} AS s7,
+               b.dt7 - ({_STL_SYMDIV.format(x="s.ssum", div="//", n="s.scnt")})
+                   AS r7
+        FROM base b
+        JOIN seas s ON s.event_type = b.event_type AND s.dow = b.dow
+    ),
+    en AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(*) * sum(t7 * t7) - sum(t7) * sum(t7) AS BIGINT)
+                   AS e_t,
+               CAST(count(*) * sum(s7 * s7) - sum(s7) * sum(s7) AS BIGINT)
+                   AS e_s,
+               CAST(count(*) * sum(r7 * r7) - sum(r7) * sum(r7) AS BIGINT)
+                   AS e_r
+        FROM comp GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(e_t * 1000000 // greatest(e_t + e_s + e_r, 1) AS BIGINT)
+               AS trend_share_ppm,
+           CAST(e_s * 1000000 // greatest(e_t + e_s + e_r, 1) AS BIGINT)
+               AS seasonal_share_ppm,
+           CAST(e_r * 1000000 // greatest(e_t + e_s + e_r, 1) AS BIGINT)
+               AS residual_share_ppm
+    FROM en
+    """,
+    doc="STL-lite variance decomposition of each series' daily volume "
+    "into trend (7-day centered moving window), day-of-week seasonal "
+    "(per-dow mean of the detrended series), and residual — the "
+    "variance-share readout ('how much of this metric is weekday "
+    "rhythm vs drift vs noise') that decides whether forecasting or "
+    "anomaly thresholds need deseasonalizing.  Everything stays on "
+    "the exact 7x integer scale; component energies are "
+    "n*sum(v^2)-sum(v)^2 so the ppm shares never touch a float; the "
+    "per-dow mean uses explicit symmetric integer division (Spark "
+    "div truncates toward zero, DuckDB // floors — they agree only "
+    "through the shared CASE).  Dataflow: daily rollup, a 7-way "
+    "scatter re-aggregate for the centered window (no window "
+    "function, missing days contribute zero exactly), one dow "
+    "aggregate, one moment rollup.",
+    tags=("timeseries", "decomposition"),
+)
+def volume_decomposition_shares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(-3, 4)])).alias("k")
+    sct = daily.select("event_type", "d", "c", ks).select(
+        "event_type", (F.col("d") + F.col("k")).alias("td"), "c"
+    )
+    tr = sct.groupBy("event_type", "td").agg(
+        F.sum("c").cast("long").alias("t7")
+    )
+    base = (
+        daily.alias("y")
+        .join(
+            tr.alias("t"),
+            F.expr("t.event_type = y.event_type AND t.td = y.d"),
+        )
+        .join(F.broadcast(bounds).alias("b"), F.expr("b.event_type = y.event_type"))
+        .filter(F.expr("y.d >= b.mind + 3 AND y.d <= b.maxd - 3"))
+        .select(
+            F.col("y.event_type").alias("event_type"),
+            "y.d",
+            "y.c",
+            "t.t7",
+            F.expr("7 * y.c - t.t7").alias("dt7"),
+            F.expr("y.d % 7").alias("dow"),
+        )
+    )
+    seas = base.groupBy("event_type", "dow").agg(
+        F.sum("dt7").cast("long").alias("ssum"),
+        F.count(F.lit(1)).cast("long").alias("scnt"),
+    )
+    s7 = _STL_SYMDIV.format(x="ssum", div="DIV", n="scnt")
+    comp = (
+        base.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "t7",
+            F.expr(s7).alias("s7"),
+            F.expr(f"dt7 - ({s7})").alias("r7"),
+        )
+    )
+    en = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "CAST(count(*) * sum(t7 * t7) - sum(t7) * sum(t7) AS BIGINT)"
+        ).alias("e_t"),
+        F.expr(
+            "CAST(count(*) * sum(s7 * s7) - sum(s7) * sum(s7) AS BIGINT)"
+        ).alias("e_s"),
+        F.expr(
+            "CAST(count(*) * sum(r7 * r7) - sum(r7) * sum(r7) AS BIGINT)"
+        ).alias("e_r"),
+    )
+    tot = "greatest(e_t + e_s + e_r, 1)"
+    return en.select(
+        "event_type",
+        "n_days",
+        F.expr(f"CAST(e_t * 1000000 DIV {tot} AS BIGINT)").alias(
+            "trend_share_ppm"
+        ),
+        F.expr(f"CAST(e_s * 1000000 DIV {tot} AS BIGINT)").alias(
+            "seasonal_share_ppm"
+        ),
+        F.expr(f"CAST(e_r * 1000000 DIV {tot} AS BIGINT)").alias(
+            "residual_share_ppm"
+        ),
+    )

@@ -3099,3 +3099,99 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi_ppm"),
         )
     )
+
+
+# --- two-NN distance-ratio histogram (intrinsic-dimension diagnostic) -------
+
+
+@register(
+    "twonn_ratio_histogram",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    nn2 AS (
+        SELECT query_id,
+               max(CASE WHEN rn = 1 THEN d END) AS d1,
+               max(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM (
+            SELECT q.vec_id AS query_id,
+                   1.0 - round({_DUCK_COS}, 6) AS d,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= 2 GROUP BY query_id
+    ),
+    band AS (
+        SELECT CAST(least(9, greatest(CAST(floor(
+                   (d2 - d1) * 10.0 / greatest(d1, 1e-12)
+               ) AS BIGINT), 0)) AS BIGINT) AS ratio_band
+        FROM nn2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM band)
+    SELECT ratio_band,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM band GROUP BY ratio_band
+    """,
+    doc="Two-NN distance-ratio histogram (Facco et al.'s intrinsic- "
+    "dimension diagnostic, banded instead of MLE-fitted to stay "
+    "log-free): per sampled probe the ratio of its 2nd- to 1st- "
+    "nearest cosine distance, banded by floor(10*(d2-d1)/d1) — mass "
+    "piled in band 0 (mu near 1) is the high-intrinsic-dimension "
+    "signature that predicts weak ANN pruning, a heavy tail means "
+    "low-dimensional cluster structure ANN exploits.  Distances "
+    "derive from the SAME round(cos,6) the ranking uses, so "
+    "d2 >= d1 by construction and every band is bit-stable; the "
+    "probe join is the shared broadcast-anchor pattern with a "
+    "rank-2 WindowGroupLimit.",
+    tags=("similarity", "eval"),
+)
+def twonn_ratio_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos_r = F.round(
+        _dot(F.col("qe"), F.col("e"))
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(_dot(F.col("e"), F.col("e")))
+        ),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    top2 = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos_r.alias("cos_r"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "rn", (F.lit(1.0) - F.col("cos_r")).alias("d"))
+    )
+    nn2 = top2.groupBy("query_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    band = nn2.select(
+        F.expr(
+            "CAST(least(9, greatest(CAST(floor("
+            "(d2 - d1) * 10.0 / greatest(d1, 1e-12)"
+            ") AS BIGINT), 0)) AS BIGINT)"
+        ).alias("ratio_band")
+    )
+    tot = band.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        band.groupBy("ratio_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ratio_band",
+            "n_probes",
+            F.expr("CAST(n_probes * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -9619,3 +9619,105 @@ def generalization_ladder_kanon(
             " * 1000000 DIV sum(k) AS BIGINT)"
         ).alias("exposed_customers_ppm"),
     )
+
+
+# --- median-of-medians approximation error audit ----------------------------
+
+_MOM_BUCKETS = 8
+
+
+@register(
+    "median_of_medians_error",
+    oracle=f"""
+    , t AS (
+        SELECT event_type, user_id % {_MOM_BUCKETS} AS bkt,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+        FROM events
+    ),
+    bm AS (
+        SELECT event_type, bkt, cents AS med FROM (
+            SELECT event_type, bkt, cents,
+                   row_number() OVER (PARTITION BY event_type, bkt
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type, bkt) AS n
+            FROM t
+        ) WHERE rn = (n + 1) // 2
+    ),
+    mom AS (
+        SELECT event_type, med AS mom_cents FROM (
+            SELECT event_type, med,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY med, bkt) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM bm
+        ) WHERE rn = (n + 1) // 2
+    ),
+    ex AS (
+        SELECT event_type, cents AS exact_cents FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM t
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT e.event_type, e.exact_cents, m.mom_cents,
+           CAST(abs(m.mom_cents - e.exact_cents) * 1000000
+                // greatest(abs(e.exact_cents), 1) AS BIGINT) AS err_ppm
+    FROM ex e JOIN mom m ON m.event_type = e.event_type
+    """,
+    doc="Median-of-medians accuracy audit: the exact per-type value "
+    "median vs the two-level estimate (nearest-rank median within "
+    "{_MOM_BUCKETS} deterministic user-hash buckets, then the median "
+    "of those bucket medians) — quantifying on real data the error "
+    "of the classic distributed-median shortcut, which at 100 TB "
+    "avoids the full sort the exact median needs (each bucket median "
+    "is an independent partition-local pass; only {_MOM_BUCKETS} "
+    "values cross the wire per group).  All medians use the "
+    "nearest-rank rule with total-order tie-breaks, so both engines "
+    "select the identical element; error is exact integer ppm.",
+    tags=("analytics", "statistics"),
+)
+def median_of_medians_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        (F.col("user_id") % _MOM_BUCKETS).alias("bkt"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    wb = W.partitionBy("event_type", "bkt").orderBy("cents", "event_id")
+    wbn = W.partitionBy("event_type", "bkt")
+    bm = (
+        t.withColumn("rn", F.row_number().over(wb))
+        .withColumn("n", F.count(F.lit(1)).over(wbn))
+        .filter(F.expr("rn = (n + 1) DIV 2"))
+        .select("event_type", "bkt", F.col("cents").alias("med"))
+    )
+    wm = W.partitionBy("event_type").orderBy("med", "bkt")
+    wmn = W.partitionBy("event_type")
+    mom = (
+        bm.withColumn("rn", F.row_number().over(wm))
+        .withColumn("n", F.count(F.lit(1)).over(wmn))
+        .filter(F.expr("rn = (n + 1) DIV 2"))
+        .select("event_type", F.col("med").alias("mom_cents"))
+    )
+    we = W.partitionBy("event_type").orderBy("cents", "event_id")
+    ex = (
+        t.withColumn("rn", F.row_number().over(we))
+        .withColumn("n", F.count(F.lit(1)).over(wmn))
+        .filter(F.expr("rn = (n + 1) DIV 2"))
+        .select("event_type", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        ex.join(mom, "event_type")
+        .select(
+            "event_type",
+            "exact_cents",
+            "mom_cents",
+            F.expr(
+                "CAST(abs(mom_cents - exact_cents) * 1000000"
+                " DIV greatest(abs(exact_cents), 1) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )

@@ -3097,3 +3097,77 @@ def volume_decomposition_shares(
             "residual_share_ppm"
         ),
     )
+
+
+# --- SRE error-budget burn-rate windows -------------------------------------
+
+# SLO 99% => 1% error budget; burn multiple = err_rate / 1% = 100*err/total,
+# carried as the exact integer burn_x100 = 10000*err // total.  Google SRE
+# workbook thresholds: page at 14.4x, ticket at 6x.
+_BURN_PAGE_X100 = 1440
+_BURN_TICKET_X100 = 600
+
+
+@register(
+    "slo_burn_rate_windows",
+    oracle=f"""
+    , hh AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS err
+        FROM events GROUP BY 1
+    ),
+    burn AS (
+        SELECT h // 24 AS d,
+               10000 * err // greatest(total, 1) AS burn_x100
+        FROM hh
+    )
+    SELECT CAST(d AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN burn_x100 >= {_BURN_PAGE_X100}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hours_paging,
+           CAST(sum(CASE WHEN burn_x100 >= {_BURN_TICKET_X100}
+                          AND burn_x100 < {_BURN_PAGE_X100}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hours_ticket,
+           CAST(max(burn_x100) AS BIGINT) AS max_burn_x100
+    FROM burn GROUP BY d
+    """,
+    doc="SRE error-budget burn-rate monitor: hourly error share of all "
+    "events against a 99% SLO, expressed as the exact integer burn "
+    "multiple x100 (10000*err//total), rolled up per day with the "
+    "Google SRE-workbook alert thresholds (page at 14.4x, ticket at "
+    "6x) — the multi-window burn-rate policy that replaces naive "
+    "error-percentage alerts.  One hourly hash rollup (map-side "
+    "partial over (hour)) then a daily fold; at 100 TB only "
+    "|hours| rows survive the first aggregate.",
+    tags=("timeseries", "sre"),
+)
+def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hh = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("err"),
+    )
+    burn = hh.select(
+        F.expr("h DIV 24").alias("d"),
+        F.expr("10000 * err DIV greatest(total, 1)").alias("burn_x100"),
+    )
+    return burn.groupBy(F.col("d").cast("long").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(
+            F.when(F.col("burn_x100") >= _BURN_PAGE_X100, 1).otherwise(0)
+        ).cast("long").alias("hours_paging"),
+        F.sum(
+            F.when(
+                (F.col("burn_x100") >= _BURN_TICKET_X100)
+                & (F.col("burn_x100") < _BURN_PAGE_X100),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("hours_ticket"),
+        F.max("burn_x100").cast("long").alias("max_burn_x100"),
+    )

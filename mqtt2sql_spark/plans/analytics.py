@@ -9721,3 +9721,142 @@ def median_of_medians_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+# --- diversified top-N parts (at most 2 per brand) ---------------------------
+
+_DIV_TOPN = 10
+_DIV_PER_BRAND = 2
+
+
+@register(
+    "diversified_top_parts",
+    oracle=f"""
+    , pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pb AS (
+        SELECT p.p_brand, pr.l_partkey, pr.rev,
+               row_number() OVER (PARTITION BY p.p_brand
+                                  ORDER BY pr.rev DESC, pr.l_partkey)
+                   AS brand_rank
+        FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
+    )
+    SELECT p_brand, CAST(l_partkey AS BIGINT) AS l_partkey, rev,
+           CAST(brand_rank AS BIGINT) AS brand_rank
+    FROM pb WHERE brand_rank <= {_DIV_PER_BRAND}
+    ORDER BY rev DESC, l_partkey LIMIT {_DIV_TOPN}
+    """,
+    doc="Result-diversified top-{_DIV_TOPN}: highest-revenue parts with "
+    "at most {_DIV_PER_BRAND} per brand — the constrained ranking "
+    "every recommendation/merchandising surface applies so one brand "
+    "cannot monopolize the shelf (top-k + per-group quota is not "
+    "expressible as a single window; it is the compose of a "
+    "per-brand WindowGroupLimit and a global TakeOrdered, which is "
+    "exactly the plan here).  Revenue is exact integer cents; both "
+    "ranks break ties on the (rev DESC, partkey) total order.  At "
+    "100 TB: one per-part rollup, brand dim join, a brand-keyed "
+    "window (high-cardinality partitioning), and a distributed "
+    "top-{_DIV_TOPN} — no global sort materialization.",
+    tags=("analytics", "ranking"),
+)
+def diversified_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wb = W.partitionBy("p_brand").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    pb = (
+        pr.join(F.broadcast(part), pr.l_partkey == part.p_partkey)
+        .select("p_brand", "l_partkey", "rev")
+        .withColumn("brand_rank", F.row_number().over(wb))
+        .filter(F.col("brand_rank") <= _DIV_PER_BRAND)
+    )
+    return (
+        pb.select(
+            "p_brand",
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            "rev",
+            F.col("brand_rank").cast("long").alias("brand_rank"),
+        )
+        .orderBy(F.desc("rev"), "l_partkey")
+        .limit(_DIV_TOPN)
+    )
+
+
+# --- substitution candidates: same type+size, cheaper brand ------------------
+
+_SUBST_TOPK = 20
+
+
+@register(
+    "part_substitution_candidates",
+    oracle=f"""
+    , pc AS (
+        SELECT p_partkey, p_brand, p_type, p_size,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT CAST(a.p_partkey AS BIGINT) AS expensive_pk,
+           CAST(b.p_partkey AS BIGINT) AS substitute_pk,
+           a.p_type, CAST(a.p_size AS BIGINT) AS p_size,
+           a.p_brand AS expensive_brand, b.p_brand AS substitute_brand,
+           a.cents - b.cents AS saving_cents
+    FROM pc a
+    JOIN pc b ON b.p_type = a.p_type AND b.p_size = a.p_size
+             AND b.p_brand <> a.p_brand
+             AND b.cents < a.cents
+             AND (a.cents - b.cents) * 20 <= a.cents
+    ORDER BY saving_cents DESC, expensive_pk, substitute_pk
+    LIMIT {_SUBST_TOPK}
+    """,
+    doc="Procurement substitution screen: for parts of the same type "
+    "and size, cheaper same-spec alternatives from a different brand "
+    "within a 5% price corridor (the corridor keeps candidates "
+    "commercially comparable; tested as the exact integer "
+    "20*saving <= price, no percent float).  Blocked self-join on "
+    "the (type, size) spec key — the entity-resolution blocking "
+    "shape again, so pair fan-out is sum of squared block sizes, "
+    "never |part|^2 — and a distributed top-{_SUBST_TOPK} on the "
+    "(saving, keys) total order.",
+    tags=("analytics", "procurement"),
+)
+def part_substitution_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cand = (
+        part.alias("a")
+        .join(
+            part.alias("b"),
+            F.expr(
+                "b.p_type = a.p_type AND b.p_size = a.p_size"
+                " AND b.p_brand <> a.p_brand AND b.cents < a.cents"
+                " AND (a.cents - b.cents) * 20 <= a.cents"
+            ),
+        )
+        .select(
+            F.col("a.p_partkey").cast("long").alias("expensive_pk"),
+            F.col("b.p_partkey").cast("long").alias("substitute_pk"),
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_size").cast("long").alias("p_size"),
+            F.col("a.p_brand").alias("expensive_brand"),
+            F.col("b.p_brand").alias("substitute_brand"),
+            (F.col("a.cents") - F.col("b.cents")).alias("saving_cents"),
+        )
+    )
+    return cand.orderBy(
+        F.desc("saving_cents"), "expensive_pk", "substitute_pk"
+    ).limit(_SUBST_TOPK)

@@ -9860,3 +9860,154 @@ def part_substitution_candidates(
     return cand.orderBy(
         F.desc("saving_cents"), "expensive_pk", "substitute_pk"
     ).limit(_SUBST_TOPK)
+
+
+# --- monthly order-value percentile trend -----------------------------------
+
+
+@register(
+    "order_value_percentile_trend",
+    oracle="""
+    , t AS (
+        SELECT (EXTRACT(year FROM o_orderdate) * 100
+                + EXTRACT(month FROM o_orderdate)) AS ym,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT ym, cents,
+               row_number() OVER (PARTITION BY ym
+                                  ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY ym) AS n
+        FROM t
+    )
+    SELECT CAST(ym AS BIGINT) AS ym,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+               AS p50_cents,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+               AS BIGINT) AS p90_cents,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+               AS BIGINT) AS p99_cents
+    FROM r GROUP BY ym
+    """,
+    doc="Monthly P50/P90/P99 of order value in exact cents — the "
+    "tail-vs-typical revenue trend a pricing dashboard tracks "
+    "(median drifting while P99 explodes = whale concentration).  "
+    "Percentiles use the nearest-rank rule ceil(q*n) with a "
+    "(cents, orderkey) total order, so both engines pick the "
+    "identical element; one month-partitioned window pass (bounded "
+    "partitions), one conditional-max rollup.",
+    tags=("analytics", "pricing"),
+)
+def order_value_percentile_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.expr(
+            "year(o_orderdate) * 100 + month(o_orderdate)"
+        ).alias("ym"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    wr = W.partitionBy("ym").orderBy("cents", "o_orderkey")
+    wn = W.partitionBy("ym")
+    r = t.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.groupBy(F.col("ym").cast("long").alias("ym")).agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("cents"))
+        ).cast("long").alias("p50_cents"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("cents"))
+        ).cast("long").alias("p90_cents"),
+        F.max(
+            F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("cents"))
+        ).cast("long").alias("p99_cents"),
+    )
+
+
+# --- p-chart of brand return rates ------------------------------------------
+
+
+@register(
+    "brand_return_pchart",
+    oracle="""
+    , br AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x_b
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    g AS (SELECT sum(n_b) AS n_all, sum(x_b) AS x_all FROM br)
+    SELECT p_brand, n_b, x_b,
+           CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_ppm,
+           CAST(x_all * 1000000 // n_all AS BIGINT) AS pooled_ppm,
+           CASE WHEN CAST(x_b AS HUGEINT) * n_all - CAST(x_all AS HUGEINT) * n_b > 0
+                 AND (CAST(x_b AS HUGEINT) * n_all - CAST(x_all AS HUGEINT) * n_b)
+                     * (CAST(x_b AS HUGEINT) * n_all - CAST(x_all AS HUGEINT) * n_b)
+                     > 9 * CAST(x_all AS HUGEINT) * (n_all - x_all) * n_b
+                THEN 1 ELSE 0 END AS out_of_control_high,
+           CASE WHEN CAST(x_b AS HUGEINT) * n_all - CAST(x_all AS HUGEINT) * n_b < 0
+                 AND (CAST(x_b AS HUGEINT) * n_all - CAST(x_all AS HUGEINT) * n_b)
+                     * (CAST(x_b AS HUGEINT) * n_all - CAST(x_all AS HUGEINT) * n_b)
+                     > 9 * CAST(x_all AS HUGEINT) * (n_all - x_all) * n_b
+                THEN 1 ELSE 0 END AS out_of_control_low
+    FROM br CROSS JOIN g
+    """,
+    doc="Shewhart p-chart over brand return rates: flag brands whose "
+    "return proportion leaves the pooled-rate 3-sigma binomial band "
+    "— the attribute-control-chart complement to "
+    "return_rate_wilson_rank (which ranks; this one draws control "
+    "limits).  The +/-3-sigma test is cross-multiplied into the "
+    "exact integer inequality (x_b*N - X*n_b)^2 > 9*X*(N-X)*n_b "
+    "(int128/decimal — the products overflow BIGINT at sf0.1), so "
+    "no sqrt and no float anywhere.  One fact rollup with a "
+    "broadcast part dim, a single-row pooled total, 25 output rows.",
+    tags=("analytics", "quality-control"),
+)
+def brand_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    br = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("x_b"),
+        )
+    )
+    g = br.agg(
+        F.sum("n_b").cast("long").alias("n_all"),
+        F.sum("x_b").cast("long").alias("x_all"),
+    )
+    dev = (
+        "CAST(x_b AS DECIMAL(38,0)) * n_all"
+        " - CAST(x_all AS DECIMAL(38,0)) * n_b"
+    )
+    bound = "9 * CAST(x_all AS DECIMAL(38,0)) * (n_all - x_all) * n_b"
+    return br.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n_b",
+        "x_b",
+        F.expr("CAST(x_b * 1000000 DIV n_b AS BIGINT)").alias("rate_ppm"),
+        F.expr("CAST(x_all * 1000000 DIV n_all AS BIGINT)").alias(
+            "pooled_ppm"
+        ),
+        F.expr(
+            f"CASE WHEN {dev} > 0 AND ({dev}) * ({dev}) > {bound}"
+            " THEN 1 ELSE 0 END"
+        ).alias("out_of_control_high"),
+        F.expr(
+            f"CASE WHEN {dev} < 0 AND ({dev}) * ({dev}) > {bound}"
+            " THEN 1 ELSE 0 END"
+        ).alias("out_of_control_low"),
+    )

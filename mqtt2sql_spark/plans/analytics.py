@@ -10011,3 +10011,87 @@ def brand_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("out_of_control_low"),
     )
+
+
+# --- Spearman rank correlation: user activity vs spend ----------------------
+
+_SPEARMAN_CORR = (
+    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    "        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "spearman_activity_value",
+    oracle=f"""
+    , u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS activity,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS spend_cents
+        FROM events GROUP BY user_id
+    ),
+    rk AS (
+        SELECT row_number() OVER (ORDER BY activity, user_id) AS x,
+               row_number() OVER (ORDER BY spend_cents, user_id) AS y
+        FROM u
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+        FROM rk
+    )
+    SELECT n AS n_users, {_SPEARMAN_CORR} AS spearman_x1e6
+    FROM mo
+    """,
+    doc="Spearman rank correlation between a user's total activity "
+    "(event count) and their purchase spend — the monotone- "
+    "association answer to 'do heavier users spend more', robust to "
+    "the heavy-tailed spend distribution that wrecks Pearson.  "
+    "Ranks are exact integers from a (metric, user_id) total order, "
+    "so Spearman reduces to the integer-moment Pearson formula the "
+    "repo already pins cross-engine (error_load_correlation model); "
+    "ties cannot occur (user_id breaks them), so no tie-correction "
+    "term.  The ranked table is user-dimension-sized; the oracle's "
+    "global OVER () would be a two-phase banded prefix rank at "
+    "100 TB (operators/ids model) — the moment fold after it is one "
+    "row.",
+    tags=("analytics", "statistics"),
+)
+def spearman_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("activity"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("spend_cents"),
+    )
+    wx = W.orderBy("activity", "user_id")
+    wy = W.orderBy("spend_cents", "user_id")
+    rk = u.select(
+        F.row_number().over(wx).alias("x"),
+        F.row_number().over(wy).alias("y"),
+    )
+    mo = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("long").alias("syy"),
+    )
+    return mo.select(
+        F.col("n").alias("n_users"),
+        F.expr(_SPEARMAN_CORR).alias("spearman_x1e6"),
+    )

@@ -3195,3 +3195,110 @@ def twonn_ratio_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- centroid drift between embedding cohorts -------------------------------
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    , e AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    hmax AS (SELECT max(vec_id) AS mx FROM embeddings),
+    tagged AS (
+        SELECT m.label, e.dim,
+               CASE WHEN e.vec_id * 2 <= h.mx THEN 0 ELSE 1 END AS half,
+               CAST(floor(e.val * {_Q_VAL} + 0.5) AS BIGINT) AS q
+        FROM e JOIN embeddings m ON m.vec_id = e.vec_id CROSS JOIN hmax h
+    ),
+    cs AS (
+        SELECT label, dim,
+               sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS s1,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS s2,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+        FROM tagged GROUP BY label, dim
+    ),
+    dd AS (
+        SELECT label, n1, n2,
+               CAST(floor(
+                   (CAST(s1 * n2 - s2 * n1 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       * {_Q_VAL}))
+                   * (CAST(s1 * n2 - s2 * n1 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         * {_Q_VAL}))
+                   * {_Q_DIST}) AS BIGINT) AS d_fp
+        FROM cs
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(max(n1) AS BIGINT) AS n_first,
+           CAST(max(n2) AS BIGINT) AS n_second,
+           CAST(sum(d_fp) AS BIGINT) AS drift_sq_fp
+    FROM dd GROUP BY label
+    """,
+    doc="Per-label centroid drift between the first and second half of "
+    "the embedding store (vec_id split at the midpoint — the proxy "
+    "for 'embeddings written before vs after a model swap'): squared "
+    "L2 distance between half-cohort centroids in 1e-9 fixed-point — "
+    "nonzero drift on a label is the re-embedding inconsistency that "
+    "silently breaks ANN recall when two encoder versions share one "
+    "index.  Centroid differences are the exact cross-multiplied "
+    "integers s1*n2 - s2*n1 over quantized components; each "
+    "dimension's squared term floor-quantizes before the sum, so no "
+    "float order leaks.  One posexplode pass, a (label, dim) "
+    "aggregate with CASE-split halves, K*dim rows thereafter.",
+    tags=("similarity", "drift"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    hmax = emb.agg(F.max("vec_id").alias("mx"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "fval"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("fval").cast("double") * _Q_VAL + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    tagged = e.crossJoin(F.broadcast(hmax)).select(
+        "label",
+        "dim",
+        F.when(F.col("vec_id") * 2 <= F.col("mx"), 0).otherwise(1).alias(
+            "half"
+        ),
+        "q",
+    )
+    cs = tagged.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0)).alias("s2"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    diff = (
+        f"(CAST(s1 * n2 - s2 * n1 AS DOUBLE)"
+        f" / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * {_Q_VAL}))"
+    )
+    dd = cs.select(
+        "label",
+        "n1",
+        "n2",
+        F.expr(
+            f"CAST(floor({diff} * {diff} * {_Q_DIST}) AS BIGINT)"
+        ).alias("d_fp"),
+    )
+    return dd.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.max("n1").cast("long").alias("n_first"),
+        F.max("n2").cast("long").alias("n_second"),
+        F.sum("d_fp").cast("long").alias("drift_sq_fp"),
+    )

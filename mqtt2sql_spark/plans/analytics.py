@@ -10095,3 +10095,99 @@ def spearman_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_users"),
         F.expr(_SPEARMAN_CORR).alias("spearman_x1e6"),
     )
+
+
+# --- Kendall tau between two nation rankings --------------------------------
+
+
+@register(
+    "kendall_tau_nation_ranks",
+    oracle="""
+    , nm AS (
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev_cents,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.rev_cents - b.rev_cents)
+                         * (a.n_customers - b.n_customers) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.rev_cents - b.rev_cents)
+                         * (a.n_customers - b.n_customers) < 0
+                    THEN 1 ELSE 0 END AS disc
+        FROM nm a JOIN nm b ON a.nation < b.nation
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(conc) AS BIGINT) AS concordant,
+               CAST(sum(disc) AS BIGINT) AS discordant
+        FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant,
+           CAST((concordant - discordant) * 1000000 // n_pairs AS BIGINT)
+               AS tau_ppm
+    FROM agg
+    """,
+    doc="Kendall tau-a between two rankings of nations — by total order "
+    "revenue vs by customer count: do the two league tables agree?  "
+    "Tau counts concordant minus discordant pairs over all C(25,2) "
+    "pairs, computed directly on the exact integer metrics (no rank "
+    "materialization needed — tau is invariant under monotone maps), "
+    "so the whole statistic is integer sign tests.  The pair "
+    "self-join runs on the 25-row aggregated dimension — the O(n^2) "
+    "lives at nation scale, never fact scale; the fact pass is one "
+    "join-rollup with broadcast dims.",
+    tags=("analytics", "statistics"),
+)
+def kendall_tau_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    nm = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("nation")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        )
+    )
+    pairs = (
+        nm.alias("a")
+        .join(nm.alias("b"), F.expr("a.nation < b.nation"))
+        .select(
+            F.expr(
+                "CASE WHEN (a.rev_cents - b.rev_cents)"
+                " * (a.n_customers - b.n_customers) > 0 THEN 1 ELSE 0 END"
+            ).alias("conc"),
+            F.expr(
+                "CASE WHEN (a.rev_cents - b.rev_cents)"
+                " * (a.n_customers - b.n_customers) < 0 THEN 1 ELSE 0 END"
+            ).alias("disc"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.expr(
+            "CAST((concordant - discordant) * 1000000 DIV n_pairs"
+            " AS BIGINT)"
+        ).alias("tau_ppm"),
+    )

@@ -1475,3 +1475,173 @@ def hll_register_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n_exact AS DOUBLE)) AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+# --- Bloom filter false-positive-rate sweep ---------------------------------
+
+# two filter sizes from one hash pass; k = 3 Carter-Wegman mixes over the
+# 32-bit md5 prefix (the dedup-suite universal-hash family, fixed seeds).
+_BLOOM_MS = [1024, 8192]
+_BLOOM_P = 4294967311
+# a < 2^31 keeps a*h < 2^63 for the 32-bit hv — no BIGINT overflow in
+# either engine (the dedup-suite bound)
+_BLOOM_AB = [(1202734393, 196611197), (1860486313, 904488487),
+             (1299729989, 613651349)]
+
+# first 8 md5 nibbles as a 32-bit integer (instr-based nibble math over a
+# column aliased hh — DuckDB has no hex->int conv())
+_DUCK_HV32 = " + ".join(
+    f"CAST({_nib_sql(i)} AS BIGINT) * {16 ** (8 - i)}" for i in range(1, 9)
+)
+
+
+@register(
+    "bloom_fpr_sweep",
+    oracle=f"""
+    , tp AS (SELECT DISTINCT topic FROM messages),
+    keys AS (
+        SELECT topic AS k, 1 AS is_member FROM tp
+        UNION ALL
+        SELECT topic || '?' AS k, 0 AS is_member FROM tp
+    ),
+    hv AS (
+        SELECT k, is_member, {_DUCK_HV32} AS h
+        FROM (SELECT k, is_member, md5(k) AS hh FROM keys)
+    ),
+    cfg AS (SELECT * FROM (VALUES {", ".join(f"({m})" for m in _BLOOM_MS)}) AS t(m)),
+    pos AS (
+        {" UNION ALL ".join(
+            f"SELECT k, is_member, m, {i} AS i,"
+            f" (({a} * h + {b}) % {_BLOOM_P}) % m AS pos"
+            " FROM hv CROSS JOIN cfg"
+            for i, (a, b) in enumerate(_BLOOM_AB)
+        )}
+    ),
+    mset AS MATERIALIZED (
+        SELECT DISTINCT m, pos FROM pos WHERE is_member = 1
+    ),
+    probe AS (
+        SELECT p.m, p.k,
+               count(DISTINCT p.i) AS k_total,
+               count(DISTINCT CASE WHEN s.pos IS NOT NULL THEN p.i END)
+                   AS k_hit
+        FROM pos p
+        LEFT JOIN mset s ON s.m = p.m AND s.pos = p.pos
+        WHERE p.is_member = 0
+        GROUP BY p.m, p.k
+    ),
+    mem AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_positions_set FROM mset
+        GROUP BY m
+    ),
+    nmem AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_members FROM tp
+    )
+    SELECT CAST(p.m AS BIGINT) AS m,
+           (SELECT n_members FROM nmem) AS n_members,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN k_hit = k_total THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_positives,
+           CAST(sum(CASE WHEN k_hit = k_total THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS fpr_ppm,
+           mem.n_positions_set,
+           CAST(mem.n_positions_set * 1000000 // p.m AS BIGINT)
+               AS fill_ppm
+    FROM probe p JOIN mem ON mem.m = p.m
+    GROUP BY p.m, mem.n_positions_set
+    """,
+    doc="Bloom-filter sizing sweep: build k=3 filters of m=1024 and "
+    "8192 bits over the full topic set, probe with derived keys "
+    "(topic || '?' — guaranteed non-members, since '?' never occurs "
+    "in a topic) and report the observed false-positive rate and "
+    "bit-fill per size — the measured counterpart of the "
+    "(1-e^(-kn/m))^k design formula, and the empirical basis for "
+    "the bloom_pruned_revenue runtime filter.  Hashes are the "
+    "dedup-suite Carter-Wegman mixes over the shared 32-bit md5 "
+    "prefix (a < 2^31 bounds a*h under 2^63 — no overflow either "
+    "engine), so both engines set identical bits; membership is a "
+    "DISTINCT (m, position) set (the filter itself, materialized "
+    "once), probing is one hash left-join counting matched "
+    "positions per key.  Topic-dimension-sized throughout.",
+    tags=("sketches", "eval"),
+)
+def bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    tp = msg.select("topic").distinct()
+    keys = tp.select(
+        F.col("topic").alias("k"), F.lit(1).alias("is_member")
+    ).unionAll(
+        tp.select(
+            F.concat(F.col("topic"), F.lit("?")).alias("k"),
+            F.lit(0).alias("is_member"),
+        )
+    )
+    hv = keys.select(
+        "k",
+        "is_member",
+        F.conv(F.substring(F.md5("k"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    cfg = spark.createDataFrame([(m,) for m in _BLOOM_MS], "m INT")
+    hashed = hv.crossJoin(F.broadcast(cfg))
+    pos = None
+    for i, (a, b) in enumerate(_BLOOM_AB):
+        part = hashed.select(
+            "k",
+            "is_member",
+            "m",
+            F.lit(i).alias("i"),
+            F.expr(f"(({a} * h + {b}) % {_BLOOM_P}) % m").alias("pos"),
+        )
+        pos = part if pos is None else pos.unionAll(part)
+    pos = pos.localCheckpoint(eager=False)
+    mset = (
+        pos.filter(F.col("is_member") == 1).select("m", "pos").distinct()
+    ).localCheckpoint(eager=False)
+    probe = (
+        pos.filter(F.col("is_member") == 0)
+        .alias("p")
+        .join(
+            mset.alias("s"),
+            F.expr("s.m = p.m AND s.pos = p.pos"),
+            "left",
+        )
+        .groupBy("p.m", "p.k")
+        .agg(
+            F.countDistinct("p.i").alias("k_total"),
+            F.countDistinct(
+                F.when(F.col("s.pos").isNotNull(), F.col("p.i"))
+            ).alias("k_hit"),
+        )
+    )
+    mem = mset.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_positions_set")
+    )
+    nmem = tp.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (
+        probe.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(
+                F.when(F.col("k_hit") == F.col("k_total"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .join(F.broadcast(mem), "m")
+        .crossJoin(F.broadcast(nmem))
+        .select(
+            F.col("m").cast("long").alias("m"),
+            "n_members",
+            "n_probes",
+            "n_false_positives",
+            F.expr(
+                "CAST(n_false_positives * 1000000 DIV n_probes AS BIGINT)"
+            ).alias("fpr_ppm"),
+            "n_positions_set",
+            F.expr(
+                "CAST(n_positions_set * 1000000 DIV m AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+    )

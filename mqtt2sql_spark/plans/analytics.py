@@ -10165,7 +10165,7 @@ def kendall_tau_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         nm.alias("a")
-        .join(nm.alias("b"), F.expr("a.nation < b.nation"))
+        .join(F.broadcast(nm.alias("b")), F.expr("a.nation < b.nation"))
         .select(
             F.expr(
                 "CASE WHEN (a.rev_cents - b.rev_cents)"

@@ -3302,3 +3302,92 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n2").cast("long").alias("n_second"),
         F.sum("d_fp").cast("long").alias("drift_sq_fp"),
     )
+
+
+# --- global clustering coefficient of the co-purchase graph -----------------
+
+
+@register(
+    "global_clustering_coefficient",
+    oracle="""
+    , basket AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT a AS z FROM e0 UNION ALL SELECT b FROM e0
+        ) GROUP BY z
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS t
+        FROM e0 ab
+        JOIN e0 bc ON bc.a = ab.b
+        JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    wdg AS (
+        SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS w FROM deg
+    )
+    SELECT t AS n_triangles, w AS n_wedges,
+           CAST(3 * t * 1000000 // greatest(w, 1) AS BIGINT)
+               AS clustering_ppm
+    FROM tri CROSS JOIN wdg
+    """,
+    doc="Global clustering coefficient (transitivity) of the "
+    "co-purchase part graph: 3 * triangles / wedges in exact ppm — "
+    "the one-number 'do my neighbors know each other' summary that "
+    "complements triangle_count_copurchase (raw count) and "
+    "degree_assortativity (endpoint correlation); high transitivity "
+    "justifies neighborhood-based recommendation.  Triangles come "
+    "from the oriented (a<b) edge list joined twice — each edge "
+    "ordered once, so every triangle counts exactly once and the "
+    "join fan-out is edge-degree bounded; wedges are the closed "
+    "form sum C(deg,2) off the degree table.  All equi-joins keyed "
+    "on part ids.",
+    tags=("similarity", "graph"),
+)
+def global_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "a"))
+    edges = (
+        e1.select("i", "a", F.posexplode("parts").alias("j", "b"))
+        .filter(F.col("j") > F.col("i"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("a").alias("z"))
+        .unionAll(edges.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    )
+    tri = (
+        edges.alias("ab")
+        .join(edges.alias("bc"), F.expr("bc.a = ab.b"))
+        .join(edges.alias("ac"), F.expr("ac.a = ab.a AND ac.b = bc.b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    wdg = deg.agg(
+        F.sum(F.expr("dg * (dg - 1) DIV 2")).cast("long").alias("w")
+    )
+    return tri.crossJoin(F.broadcast(wdg)).select(
+        F.col("t").alias("n_triangles"),
+        F.col("w").alias("n_wedges"),
+        F.expr(
+            "CAST(3 * t * 1000000 DIV greatest(w, 1) AS BIGINT)"
+        ).alias("clustering_ppm"),
+    )

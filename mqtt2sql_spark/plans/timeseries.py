@@ -3171,3 +3171,86 @@ def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("hours_ticket"),
         F.max("burn_x100").cast("long").alias("max_burn_x100"),
     )
+
+
+# --- rolling correlation between two event series ---------------------------
+
+_RCORR_N = 14  # window days (fixture spans ~30 days)
+
+_RCORR_EXPR = (
+    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    "        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "rolling_corr_click_purchase",
+    oracle=f"""
+    , daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT d,
+               count(*) OVER fr AS n,
+               sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+               sum(x * y) OVER fr AS sxy,
+               sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy
+        FROM daily
+        WINDOW fr AS (ORDER BY d
+                      ROWS BETWEEN {_RCORR_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(d AS BIGINT) AS d, {_RCORR_EXPR} AS corr_x1e6
+    FROM w WHERE n = {_RCORR_N}
+      AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="14-day rolling Pearson correlation between daily click and "
+    "purchase volumes — the engagement-to-conversion coupling "
+    "monitor; a correlation collapse while both series look healthy "
+    "individually is the earliest funnel-decoupling alarm.  Window "
+    "sums of exact integer counts feed the shared one-expression "
+    "moment formula (error_load_correlation model); degenerate "
+    "windows (zero variance) are excluded identically on both "
+    "engines.  One daily rollup then a single ordered window over "
+    "|days| rows — the global ORDER BY is over the tiny day "
+    "dimension, never events (at 100 TB a year is 365 rows here).",
+    tags=("timeseries", "correlation"),
+)
+def rolling_corr_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    fr = W.orderBy("d").rowsBetween(-(_RCORR_N - 1), 0)
+    w = daily.select(
+        "d",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+    )
+    return w.filter(
+        (F.col("n") == _RCORR_N)
+        & (F.expr("n * sxx - sx * sx > 0"))
+        & (F.expr("n * syy - sy * sy > 0"))
+    ).select(
+        F.col("d").cast("long").alias("d"),
+        F.expr(_RCORR_EXPR).alias("corr_x1e6"),
+    )

@@ -10191,3 +10191,85 @@ def kendall_tau_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("tau_ppm"),
     )
+
+
+# --- order-total vs lineitem-sum reconciliation ------------------------------
+
+_RECON_BUCKETS = [0, 100, 10_000, 1_000_000]  # cents: exact, <$1, <$100, more
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    , ls AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))
+                    * (10000 + CAST(round(l_tax * 10000, 0) AS BIGINT)))
+                   AS HUGEINT) AS line_e8
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    d AS (
+        SELECT o.o_orderkey,
+               abs(CAST(round(o.o_totalprice * 100, 0) AS HUGEINT)
+                   - coalesce(ls.line_e8, 0) // 100000000) AS diff_cents
+        FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(CASE WHEN diff_cents = 0 THEN 0
+                WHEN diff_cents < 100 THEN 1
+                WHEN diff_cents < 10000 THEN 2
+                ELSE 3 END AS BIGINT) AS diff_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
+    FROM d
+    GROUP BY CASE WHEN diff_cents = 0 THEN 0
+                  WHEN diff_cents < 100 THEN 1
+                  WHEN diff_cents < 10000 THEN 2
+                  ELSE 3 END
+    """,
+    doc="Fact-to-fact reconciliation: does o_totalprice equal the sum "
+    "of its lineitems' extendedprice*(1-discount)*(1+tax)?  The "
+    "line-side sum is the exact integer product cents x (10000-bp) x "
+    "(10000+bp) (e8 fixed point, int128 accumulation), floored back "
+    "to cents, so every order's discrepancy is an exact integer — "
+    "bucketed 0 / <$1 / <$100 / more, the standard invoice-audit "
+    "histogram (the synthetic fixture generates order totals "
+    "independently of lines, so expect mass in the top bucket; on "
+    "real TPC-H bucket 0 holds everything).  One per-order rollup, "
+    "one orderkey equi-join (orders lacking lines reconcile against "
+    "0), a 4-row summary.",
+    tags=("analytics", "data-quality"),
+)
+def order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e8 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+        * (10000 - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+        * (10000 + F.round(F.col("l_tax") * 10000, 0).cast("long"))
+    )
+    ls = li.groupBy("l_orderkey").agg(F.sum(e8).alias("line_e8"))
+    d = (
+        orders.join(ls, orders.o_orderkey == ls.l_orderkey, "left")
+        .select(
+            F.abs(
+                F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+                - F.expr(
+                    "coalesce(line_e8, CAST(0 AS DECIMAL(38,0)))"
+                    " div 100000000"
+                )
+            ).alias("diff_cents")
+        )
+    )
+    bucket = F.expr(
+        "CAST(CASE WHEN diff_cents = 0 THEN 0"
+        " WHEN diff_cents < 100 THEN 1"
+        " WHEN diff_cents < 10000 THEN 2"
+        " ELSE 3 END AS BIGINT)"
+    )
+    return d.groupBy(bucket.alias("diff_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("diff_cents").cast("long").alias("max_diff_cents"),
+    )

@@ -3254,3 +3254,76 @@ def rolling_corr_click_purchase(
         F.col("d").cast("long").alias("d"),
         F.expr(_RCORR_EXPR).alias("corr_x1e6"),
     )
+
+
+# --- MASE: seasonal-naive vs naive forecast skill ----------------------------
+
+
+@register(
+    "forecast_mase_comparison",
+    oracle="""
+    , daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.event_type,
+               abs(a.c - n1.c) AS e_naive,
+               abs(a.c - s7.c) AS e_seasonal
+        FROM daily a
+        JOIN daily n1 ON n1.event_type = a.event_type AND n1.d = a.d - 1
+        JOIN daily s7 ON s7.event_type = a.event_type AND s7.d = a.d - 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(e_naive) AS BIGINT) AS sae_naive,
+           CAST(sum(e_seasonal) AS BIGINT) AS sae_seasonal,
+           CAST(sum(e_seasonal) * 1000000 // greatest(sum(e_naive), 1)
+               AS BIGINT) AS mase_x1e6
+    FROM j GROUP BY event_type
+    """,
+    doc="Forecast-skill readout: MASE of the seasonal-naive forecast "
+    "(y-hat = value 7 days ago) against the naive baseline (value "
+    "yesterday) on daily volume per series — MASE < 1e6 (ppm scale) "
+    "means weekly seasonality carries real signal and the "
+    "seasonal_naive_forecast feed is earning its keep; > 1e6 means "
+    "plain persistence wins.  Absolute errors are exact integer "
+    "counts, the ratio exact ppm (days lacking either lag drop from "
+    "BOTH numerator and denominator, so the comparison is paired).  "
+    "Two self-equi-joins on (series, day-offset) over the tiny daily "
+    "rollup — calendar-lag joins, no windows.",
+    tags=("timeseries", "forecasting"),
+)
+def forecast_mase_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    j = (
+        daily.alias("a")
+        .join(
+            daily.alias("n1"),
+            F.expr("n1.event_type = a.event_type AND n1.d = a.d - 1"),
+        )
+        .join(
+            daily.alias("s7"),
+            F.expr("s7.event_type = a.event_type AND s7.d = a.d - 7"),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.abs(F.col("a.c") - F.col("n1.c")).alias("e_naive"),
+            F.abs(F.col("a.c") - F.col("s7.c")).alias("e_seasonal"),
+        )
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.sum("e_naive").cast("long").alias("sae_naive"),
+        F.sum("e_seasonal").cast("long").alias("sae_seasonal"),
+        F.expr(
+            "CAST(sum(e_seasonal) * 1000000"
+            " DIV greatest(sum(e_naive), 1) AS BIGINT)"
+        ).alias("mase_x1e6"),
+    )

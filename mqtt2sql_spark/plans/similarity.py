@@ -3391,3 +3391,113 @@ def global_clustering_coefficient(
             "CAST(3 * t * 1000000 DIV greatest(w, 1) AS BIGINT)"
         ).alias("clustering_ppm"),
     )
+
+
+# --- top principal component share via power iteration ----------------------
+
+# symmetric integer division (Spark div truncates, DuckDB // floors; they
+# agree only for non-negative operands — eigenvector components go negative)
+_PI_SYMDIV = (
+    "CASE WHEN {x} >= 0 THEN ({x}) {div} {n}"
+    " ELSE -((-({x})) {div} {n}) END"
+)
+
+
+@register(
+    "top_pc_variance_share",
+    oracle=f"""
+    , ev AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings
+    ),
+    gm AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(CAST(floor(a.v * b.v * 1000000) AS BIGINT))
+                    AS BIGINT) AS g
+        FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ),
+    w1 AS (SELECT i, CAST(sum(g) * 1000 AS BIGINT) AS w FROM gm GROUP BY i),
+    m1 AS (SELECT max(abs(w)) AS m FROM w1),
+    v1 AS MATERIALIZED (
+        SELECT i, CAST({_PI_SYMDIV.format(x="w * 1000", div="//", n="(SELECT greatest(m, 1) FROM m1)")} AS BIGINT) AS v
+        FROM w1
+    ),
+    w2 AS (
+        SELECT gm.i, CAST(sum(gm.g * v1.v) AS BIGINT) AS w
+        FROM gm JOIN v1 ON v1.i = gm.j GROUP BY gm.i
+    ),
+    ray AS (
+        SELECT CAST(sum(CAST(v1.v AS HUGEINT) * w2.w) AS HUGEINT) AS num,
+               CAST(sum(CAST(v1.v AS HUGEINT) * v1.v) AS HUGEINT) AS den
+        FROM v1 JOIN w2 ON w2.i = v1.i
+    ),
+    tr AS (SELECT CAST(sum(g) AS BIGINT) AS trace_q6 FROM gm WHERE i = j)
+    SELECT CAST(num // greatest(den, 1) AS BIGINT) AS top_eig_q6,
+           trace_q6,
+           CAST(CAST(num // greatest(den, 1) AS HUGEINT) * 1000000
+                // greatest(trace_q6, 1) AS BIGINT) AS top_share_ppm
+    FROM ray CROSS JOIN tr
+    """,
+    doc="Top-principal-component variance share by two unrolled power "
+    "iterations on the integer Gram matrix (the "
+    "embedding_gram_matrix sufficient statistic): lambda_1 via the "
+    "Rayleigh quotient in exact fixed point, reported against "
+    "trace(G) as the explained-variance share in ppm — the "
+    "anisotropy number that says whether embeddings collapse onto "
+    "one dominant direction (a known failure mode that wrecks "
+    "cosine retrieval).  The iteration state is a 64-vector in "
+    "1e3-scale integers normalized by SYMMETRIC division (components "
+    "go negative; Spark div / DuckDB // disagree below zero), every "
+    "matrix-vector product is exact BIGINT multiply-add, and the "
+    "final quotient is one int128 division — bit-identical numerics "
+    "on a d x d matrix that never grows with corpus size.",
+    tags=("similarity", "linalg"),
+)
+def top_pc_variance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gm = embedding_gram_matrix(spark, sf_dir).select(
+        "i", "j", F.col("gram_q6").alias("g")
+    ).localCheckpoint(eager=False)
+    w1 = gm.groupBy("i").agg((F.sum("g") * 1000).cast("long").alias("w"))
+    m1 = w1.agg(F.greatest(F.max(F.abs("w")), F.lit(1)).alias("m"))
+    v1 = (
+        w1.crossJoin(F.broadcast(m1))
+        .select(
+            "i",
+            F.expr(
+                _PI_SYMDIV.format(x="w * 1000", div="DIV", n="m")
+            ).cast("long").alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w2 = (
+        gm.join(
+            v1.select(F.col("i").alias("j"), "v"), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+    )
+    ray = (
+        v1.join(w2, "i")
+        .agg(
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * w")).alias("num"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("den"),
+        )
+    )
+    tr = gm.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g").cast("long").alias("trace_q6")
+    )
+    return ray.crossJoin(F.broadcast(tr)).select(
+        F.expr(
+            "CAST(num div greatest(den, CAST(1 AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("top_eig_q6"),
+        "trace_q6",
+        F.expr(
+            "CAST(CAST(num div greatest(den, CAST(1 AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0)) * 1000000 div greatest(trace_q6, 1)"
+            " AS BIGINT)"
+        ).alias("top_share_ppm"),
+    )

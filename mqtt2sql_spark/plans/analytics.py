@@ -10412,3 +10412,92 @@ def shapley_channel_attribution(
         .join(expo, "channel")
         .select("channel", "exposed_users", "phi_x24_ppm")
     )
+
+
+# --- catalog coverage of the co-purchase recommender ------------------------
+
+
+@register(
+    "recsys_catalog_coverage",
+    oracle=f"""
+    , basket AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pr AS (
+        SELECT x.l_partkey AS xp, y.l_partkey AS yp, count(*) AS c
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey <> y.l_partkey
+        GROUP BY 1, 2
+    ),
+    rec AS MATERIALIZED (
+        SELECT xp AS src, yp AS rec FROM (
+            SELECT xp, yp, row_number() OVER (PARTITION BY xp
+                                              ORDER BY c DESC, yp) AS rn
+            FROM pr
+        ) WHERE rn <= {_HITRATE_K}
+    ),
+    recset AS (SELECT DISTINCT rec FROM rec),
+    pb AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(CASE WHEN r.rec IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_recommended
+        FROM part p LEFT JOIN recset r ON r.rec = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, n_parts, n_recommended,
+           CAST(n_recommended * 1000000 // n_parts AS BIGINT)
+               AS coverage_ppm
+    FROM pb
+    """,
+    doc="Catalog coverage of the top-{_HITRATE_K} co-purchase "
+    "recommender, by brand: what fraction of the catalog ever "
+    "appears in ANY recommendation list — the diversity counterpart "
+    "to copurchase_hitrate_at_k (accuracy): high hit-rate with low "
+    "coverage is the popularity-bias trap that starves the long "
+    "tail.  Same pair-count + WindowGroupLimit recommender build, "
+    "then one DISTINCT over recommended items and a left join "
+    "against the part dimension — the coverage readout costs one "
+    "dimension pass beyond the model build.",
+    tags=("analytics", "recsys"),
+)
+def recsys_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    baskets = basket.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "xp"))
+    pr = (
+        e1.select("i", "xp", F.posexplode("parts").alias("j", "yp"))
+        .filter(F.col("j") != F.col("i"))
+        .groupBy("xp", "yp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = W.partitionBy("xp").orderBy(F.desc("c"), F.asc("yp"))
+    recset = (
+        pr.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _HITRATE_K)
+        .select(F.col("yp").alias("rec"))
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pb = (
+        part.join(recset, part.p_partkey == recset.rec, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("rec").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_recommended"),
+        )
+    )
+    return pb.select(
+        "p_brand",
+        "n_parts",
+        "n_recommended",
+        F.expr(
+            "CAST(n_recommended * 1000000 DIV n_parts AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )

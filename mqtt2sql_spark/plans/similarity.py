@@ -3501,3 +3501,118 @@ def top_pc_variance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("top_share_ppm"),
     )
+
+
+# --- metric sensitivity: cosine vs dot-product rank overlap ------------------
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, len(q.e) + 1),"
+    " k -> q.e[k] * c.e[k]))"
+)
+
+
+@register(
+    "metric_rank_overlap",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cosk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {TOP_K}
+    ),
+    dotk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_DOT}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {TOP_K}
+    ),
+    ov AS (
+        SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM cosk a JOIN dotk b
+          ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+        GROUP BY a.query_id
+    ),
+    per AS (
+        SELECT c.query_id, coalesce(o.n_common, 0) AS n_common
+        FROM (SELECT DISTINCT query_id FROM cosk) c
+        LEFT JOIN ov o ON o.query_id = c.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(n_common) AS BIGINT) AS total_common,
+           CAST(sum(n_common) * 1000000 // (count(*) * {TOP_K}) AS BIGINT)
+               AS overlap_ppm,
+           CAST(min(n_common) AS BIGINT) AS worst_overlap
+    FROM per
+    """,
+    doc="Metric-sensitivity audit: per sampled probe, the overlap "
+    "between its top-{TOP_K} neighbors under cosine vs raw "
+    "dot-product ranking — low overlap means vector norms carry "
+    "enough variance (see norm_anova_by_label) that the choice of "
+    "similarity silently rewrites retrieval results; near-1e6 "
+    "overlap licenses the cheaper un-normalized index.  Both "
+    "rankings share the broadcast-anchor join and the round(. ,6) "
+    "DESC, vec_id rank contract, so the comparison isolates the "
+    "metric — not tie-break noise.  Output is one summary row.",
+    tags=("similarity", "eval"),
+)
+def metric_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = _dot(F.col("qe"), F.col("e"))
+    cos = dot / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+
+    def topk(score):
+        w = W.partitionBy("query_id").orderBy(
+            F.desc(F.round(score, 6)), F.asc("vec_id")
+        )
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    cosk = topk(cos).localCheckpoint(eager=False)
+    dotk = topk(dot)
+    ov = (
+        cosk.alias("a")
+        .join(
+            dotk.alias("b"),
+            F.expr("b.query_id = a.query_id AND b.vec_id = a.vec_id"),
+        )
+        .groupBy("a.query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    per = (
+        cosk.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .select(F.coalesce("n_common", F.lit(0)).alias("n_common"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("n_common").cast("long").alias("total_common"),
+        F.expr(
+            f"CAST(sum(n_common) * 1000000 DIV (count(*) * {TOP_K})"
+            " AS BIGINT)"
+        ).alias("overlap_ppm"),
+        F.min("n_common").cast("long").alias("worst_overlap"),
+    )

@@ -10501,3 +10501,71 @@ def recsys_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_recommended * 1000000 DIV n_parts AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+# --- economic order quantity by brand ---------------------------------------
+
+_EOQ_ORDER_COST_CENTS = 500_000  # S: fixed cost per replenishment order
+
+
+@register(
+    "eoq_by_brand",
+    oracle=f"""
+    , d AS (
+        SELECT p.p_brand,
+               CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS demand_qty,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                    // sum(CAST(round(l.l_quantity, 0) AS BIGINT))
+                   AS BIGINT) AS unit_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, demand_qty, unit_cents,
+           CAST(unit_cents // 5 AS BIGINT) AS holding_cents,
+           CAST(floor(sqrt(
+               CAST(2 * demand_qty * {_EOQ_ORDER_COST_CENTS} AS DOUBLE)
+               / CAST(greatest(unit_cents // 5, 1) AS DOUBLE)
+           )) AS BIGINT) AS eoq_units
+    FROM d
+    """,
+    doc="Economic order quantity per brand — EOQ = sqrt(2DS/H) with "
+    "observed demand D (exact integer quantities), fixed order cost "
+    "S = $5000, and holding cost H = 20% of the observed unit price "
+    "(exact integer cents via integer division) — closing the "
+    "inventory-policy suite alongside abc_parts_classification "
+    "(value), demand_variability_xyz (predictability) and "
+    "safety_stock_by_brand (buffer).  The only float is one "
+    "correctly-rounded sqrt over a ratio of exact integers, "
+    "textually shared; one fact rollup with a broadcast part dim, "
+    "25 rows out.",
+    tags=("analytics", "inventory"),
+)
+def eoq_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(q).cast("long").alias("demand_qty"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))"
+                " DIV sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)"
+            ).alias("unit_cents"),
+        )
+    )
+    return d.select(
+        "p_brand",
+        "demand_qty",
+        "unit_cents",
+        F.expr("CAST(unit_cents DIV 5 AS BIGINT)").alias("holding_cents"),
+        F.expr(
+            f"CAST(floor(sqrt("
+            f"CAST(2 * demand_qty * {_EOQ_ORDER_COST_CENTS} AS DOUBLE)"
+            " / CAST(greatest(unit_cents DIV 5, 1) AS DOUBLE)"
+            ")) AS BIGINT)"
+        ).alias("eoq_units"),
+    )

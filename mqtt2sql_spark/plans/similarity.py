@@ -3616,3 +3616,107 @@ def metric_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overlap_ppm"),
         F.min("n_common").cast("long").alias("worst_overlap"),
     )
+
+
+# --- hubness (k-occurrence skew) of the sampled kNN graph -------------------
+
+_HUB_SKEW = (
+    "CAST(floor("
+    " (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " / greatest((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+    "   * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    "          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    "            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 1e-12)"
+    " * 1000) AS BIGINT)"
+)
+
+
+@register(
+    "ann_hubness_stats",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    nn AS (
+        SELECT vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {TOP_K}
+    ),
+    occ AS (
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS k_occ
+        FROM nn GROUP BY vec_id
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k_occ) AS BIGINT) AS s1,
+               CAST(sum(k_occ * k_occ) AS BIGINT) AS s2,
+               CAST(sum(k_occ * k_occ * k_occ) AS BIGINT) AS s3,
+               CAST(max(k_occ) AS BIGINT) AS max_occ
+        FROM occ
+    )
+    SELECT n AS n_hit_vectors, s1 AS total_occurrences, max_occ,
+           CAST(s1 * 100 // n AS BIGINT) AS mean_occ_x100,
+           {_HUB_SKEW} AS skewness_x1e3
+    FROM mo
+    """,
+    doc="Hubness diagnostic of the embedding space (Radovanovic et "
+    "al.): the k-occurrence distribution — how often each vector "
+    "appears in the sampled probes' top-{TOP_K} lists — summarized "
+    "by its max, mean and SKEWNESS: in high intrinsic dimension a "
+    "few 'hub' vectors occur in almost every neighbor list "
+    "(strongly right-skewed N_k), degrading both kNN classification "
+    "and ANN graph quality; complements twonn_ratio_histogram "
+    "(distances) and knn_label_purity (labels) on the same shared "
+    "neighbor lists.  Raw moments are exact BIGINTs; skewness is "
+    "one textually-shared float expression over them.",
+    tags=("similarity", "eval"),
+)
+def ann_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(cos, 6)), F.asc("vec_id")
+    )
+    nn = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("vec_id")
+    )
+    occ = nn.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_occ")
+    )
+    mo = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k_occ").cast("long").alias("s1"),
+        F.sum(F.col("k_occ") * F.col("k_occ")).cast("long").alias("s2"),
+        F.sum(F.col("k_occ") * F.col("k_occ") * F.col("k_occ"))
+        .cast("long")
+        .alias("s3"),
+        F.max("k_occ").cast("long").alias("max_occ"),
+    )
+    return mo.select(
+        F.col("n").alias("n_hit_vectors"),
+        F.col("s1").alias("total_occurrences"),
+        "max_occ",
+        F.expr("CAST(s1 * 100 DIV n AS BIGINT)").alias("mean_occ_x100"),
+        F.expr(_HUB_SKEW).alias("skewness_x1e3"),
+    )

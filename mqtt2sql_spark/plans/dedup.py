@@ -2196,3 +2196,147 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- token savings from exact dedup, by source ------------------------------
+
+
+@register(
+    "dedup_token_savings",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id, source,
+               md5({duck_normalized()}) AS nh,
+               CAST(len({duck_tokens()}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    keep AS (
+        SELECT doc_id, source, ntok,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY nh)
+                    THEN 1 ELSE 0 END AS kept
+        FROM h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(ntok) AS BIGINT) AS tokens_raw,
+           CAST(sum(kept * ntok) AS BIGINT) AS tokens_kept,
+           CAST((sum(ntok) - sum(kept * ntok)) * 1000000
+                // greatest(sum(ntok), 1) AS BIGINT) AS savings_ppm
+    FROM keep GROUP BY source
+    """,
+    doc="Effective-dataset-size readout: token counts per source "
+    "before vs after exact dedup (md5 over normalized text, keep "
+    "min(doc_id) per group — the dedup_exact contract), with the "
+    "token savings in exact ppm — the number a training-data card "
+    "reports as 'dedup removed X% of tokens' and the input to "
+    "epoch/token-budget planning (tokens, not doc counts, are what "
+    "the budget spends).  One codegen'd hash+tokenize projection, "
+    "one digest-keyed window for survivor flags, one source "
+    "rollup.",
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text("text")).alias("nh"),
+        F.size(tokens("text")).cast("long").alias("ntok"),
+    )
+    w = W.partitionBy("nh")
+    keep = h.select(
+        "source",
+        "ntok",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("ntok").cast("long").alias("tokens_raw"),
+        F.sum(F.col("kept") * F.col("ntok")).cast("long").alias(
+            "tokens_kept"
+        ),
+        F.expr(
+            "CAST((sum(ntok) - sum(kept * ntok)) * 1000000"
+            " DIV greatest(sum(ntok), 1) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
+
+
+# --- cross-source duplication affinity --------------------------------------
+
+
+@register(
+    "source_dedup_affinity",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   list_slice({duck_tokens()}, 1, 20), ' ')) AS nh
+        FROM documents
+    ),
+    g AS (
+        SELECT nh FROM h GROUP BY nh HAVING count(*) >= 2
+    ),
+    dup AS (SELECT h.nh, h.source FROM h JOIN g ON g.nh = h.nh),
+    pairs AS (
+        SELECT a.nh,
+               least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b
+        FROM dup a JOIN dup b
+          ON b.nh = a.nh
+         AND (a.source < b.source
+              OR (a.source = b.source AND TRUE))
+    )
+    SELECT source_a, source_b,
+           CAST(count(DISTINCT nh) AS BIGINT) AS n_dup_groups
+    FROM (
+        SELECT DISTINCT nh, source_a, source_b FROM pairs
+    ) GROUP BY source_a, source_b
+    """,
+    doc="Provenance affinity of prefix duplicates: for every duplicate "
+    "group (20-token prefix fingerprint shared by >= 2 docs — the "
+    "URL/boilerplate-prefix dedup key, which also catches "
+    "truncation variants exact hashing misses), which "
+    "source pairs co-occur in it — the who-copies-whom matrix that "
+    "tells a corpus curator whether dedup is removing intra-source "
+    "boilerplate (diagonal) or cross-source syndication "
+    "(off-diagonal), which changes the keep-policy (keep per source "
+    "vs keep globally).  Group membership joins on the digest key; "
+    "pairs are counted once per (group, source pair) via DISTINCT "
+    "before the rollup.",
+    tags=("dedup", "llm-pipeline"),
+)
+def source_dedup_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 20))).alias("nh"),
+    )
+    g = h.groupBy("nh").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    dup = h.join(g.select("nh"), "nh")
+    pairs = (
+        dup.alias("a")
+        .join(
+            dup.alias("b"),
+            F.expr(
+                "b.nh = a.nh AND (a.source < b.source"
+                " OR (a.source = b.source AND TRUE))"
+            ),
+        )
+        .select(
+            "a.nh",
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.countDistinct("nh").cast("long").alias("n_dup_groups")
+    )

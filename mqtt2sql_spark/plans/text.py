@@ -2698,3 +2698,94 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_gold_ppm"),
         )
     )
+
+
+# --- bigram LM count-pruning sweep ------------------------------------------
+
+_PRUNE_THRESHOLDS = [1, 2, 4, 8]
+
+
+@register(
+    "bigram_prune_sweep",
+    oracle=f"""
+    , tk AS (SELECT doc_id, {duck_tokens()} AS l FROM documents),
+    big AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(l) - 1), i -> l[i])) AS x,
+               unnest(list_transform(
+                   generate_series(1, len(l) - 1), i -> l[i + 1])) AS y
+        FROM tk
+    ),
+    cnt AS MATERIALIZED (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY x, y
+    ),
+    tot AS (SELECT sum(c) AS n_tot, count(*) AS types_tot FROM cnt),
+    th AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in _PRUNE_THRESHOLDS)}) AS t(min_count))
+    SELECT CAST(th.min_count AS BIGINT) AS min_count,
+           CAST(sum(CASE WHEN c >= th.min_count THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_types_kept,
+           CAST(max(types_tot) AS BIGINT) AS n_types_total,
+           CAST(sum(CASE WHEN c >= th.min_count THEN c ELSE 0 END)
+               AS BIGINT) AS occurrences_kept,
+           CAST(sum(CASE WHEN c >= th.min_count THEN c ELSE 0 END)
+                * 1000000 // max(n_tot) AS BIGINT) AS coverage_ppm
+    FROM cnt CROSS JOIN th CROSS JOIN tot
+    GROUP BY th.min_count
+    """,
+    doc="Count-pruning sweep for the bigram table behind "
+    "bigram_lm_next_token_accuracy: for min-count thresholds "
+    "1/2/4/8, the surviving table size (types) vs the share of "
+    "corpus bigram OCCURRENCES still covered, in exact ppm — the "
+    "KenLM-style pruning trade (Zipf guarantees most types are "
+    "singletons carrying little mass; the sweep quantifies exactly "
+    "how much model size a coverage point buys).  One bigram "
+    "rollup (the same lead-window shape as the LM query), then a "
+    "4-way threshold fan-out over the vocabulary-bounded count "
+    "table — the corpus is scanned once.",
+    tags=("text", "llm-pipeline"),
+)
+def bigram_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        pos.select(
+            "doc_id",
+            F.col("tok").alias("x"),
+            F.lead("tok", 1).over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    cnt = big.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    tot = cnt.agg(
+        F.sum("c").alias("n_tot"), F.count(F.lit(1)).alias("types_tot")
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _PRUNE_THRESHOLDS], "min_count INT"
+    )
+    return (
+        cnt.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("min_count").cast("long").alias("min_count"))
+        .agg(
+            F.sum(F.when(F.col("c") >= F.col("min_count"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_types_kept"),
+            F.max("types_tot").cast("long").alias("n_types_total"),
+            F.sum(
+                F.when(F.col("c") >= F.col("min_count"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("occurrences_kept"),
+            F.expr(
+                "CAST(sum(CASE WHEN c >= min_count THEN c ELSE 0 END)"
+                " * 1000000 DIV max(n_tot) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -3327,3 +3327,113 @@ def forecast_mase_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV greatest(sum(e_naive), 1) AS BIGINT)"
         ).alias("mase_x1e6"),
     )
+
+
+# --- best lead-lag between click and purchase volumes -----------------------
+
+_LAG_MAX_DAYS = 7
+
+_LAG_CORR = (
+    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    "        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "best_lag_correlation",
+    oracle=f"""
+    , daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT lg.lag, a.x, b.y
+        FROM (SELECT unnest(range(0, {_LAG_MAX_DAYS + 1})) AS lag) lg
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + lg.lag
+    ),
+    mo AS (
+        SELECT lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY lag
+    ),
+    scored AS (
+        SELECT CAST(lag AS BIGINT) AS lag_days, n AS n_pairs,
+               {_LAG_CORR} AS corr_x1e6
+        FROM mo
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    )
+    SELECT lag_days, n_pairs, corr_x1e6,
+           CASE WHEN row_number() OVER (ORDER BY corr_x1e6 DESC, lag_days)
+                     = 1 THEN 1 ELSE 0 END AS is_best
+    FROM scored
+    """,
+    doc="Lead-lag scan: Pearson correlation between daily click volume "
+    "and purchase volume shifted 0..{_LAG_MAX_DAYS} days ahead — the "
+    "argmax lag is the empirical engagement-to-conversion delay "
+    "(lag 0 high = same-day impulse buying; a later peak = "
+    "consideration window), the cross-correlation analysis behind "
+    "marketing-mix timing.  Each lag is a calendar-offset equi-join "
+    "over the tiny daily rollup; moments are exact integers feeding "
+    "the shared one-expression correlation; is_best breaks ties on "
+    "the (corr DESC, lag) total order.",
+    tags=("timeseries", "correlation"),
+)
+def best_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+    lg = spark.range(0, _LAG_MAX_DAYS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    lagged = (
+        daily.alias("a")
+        .crossJoin(F.broadcast(lg))
+        .join(
+            daily.alias("b"),
+            F.expr("b.d = a.d + lag"),
+        )
+        .select("lag", F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+    )
+    mo = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("long").alias("syy"),
+    )
+    scored = mo.filter(
+        F.expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0")
+    ).select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").alias("n_pairs"),
+        F.expr(_LAG_CORR).alias("corr_x1e6"),
+    )
+    wbest = W.orderBy(F.desc("corr_x1e6"), F.asc("lag_days"))
+    return scored.select(
+        "lag_days",
+        "n_pairs",
+        "corr_x1e6",
+        F.when(F.row_number().over(wbest) == 1, 1).otherwise(0).alias(
+            "is_best"
+        ),
+    )

@@ -10569,3 +10569,121 @@ def eoq_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ")) AS BIGINT)"
         ).alias("eoq_units"),
     )
+
+
+# --- ABC x XYZ policy matrix -------------------------------------------------
+
+
+@register(
+    "abc_xyz_policy_matrix",
+    oracle=f"""
+    , pm AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+                    AS BIGINT) AS rev,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)
+                        * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS s2
+        FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT l_partkey, rev, n, s, s2,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pm
+    ),
+    g AS (SELECT sum(rev) AS tot FROM pm),
+    classed AS (
+        SELECT rev,
+               CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN ({_XYZ_CV}) < {_XYZ_X_PPM} THEN 'X'
+                    WHEN ({_XYZ_CV}) < {_XYZ_Y_PPM} THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM r CROSS JOIN g
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) // 10000 AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc_class, xyz_class
+    """,
+    doc="The ABC x XYZ policy matrix — the deliverable inventory "
+    "planners actually act on: each part classified on BOTH axes "
+    "(value via cumulative-revenue bands, predictability via "
+    "demand-cv bands) and rolled into the 9-cell grid with part "
+    "counts and exact revenue (AX = automate replenishment, CZ = "
+    "make-to-order, etc).  Reuses the abc_parts_classification "
+    "banded prefix sum and the demand_variability_xyz integer cv "
+    "verbatim, so the cells reconcile exactly with both single-axis "
+    "views; one per-part rollup computes every moment in a single "
+    "fact pass.",
+    tags=("analytics", "inventory"),
+)
+def abc_xyz_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e6 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (10000 - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+    )
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    pm = li.groupBy("l_partkey").agg(
+        F.sum(e6).cast("long").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s"),
+        F.sum(q * q).cast("long").alias("s2"),
+    )
+    base = pm.select(
+        "l_partkey",
+        "rev",
+        "n",
+        "s",
+        "s2",
+        (-F.col("rev")).alias("sk"),
+    ).withColumn("_bkt", F.expr(f"-(rev DIV {_ABC_BAND})"))
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy("sk", "l_partkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = base.withColumn(
+        "_cum_in", F.sum("rev").over(w_in)
+    ).localCheckpoint(eager=False)
+    totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    grand = totals.agg(F.sum("_tot").alias("tot"))
+    classed = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "rev",
+            "n",
+            "s",
+            "s2",
+            (F.col("_off") + F.col("_cum_in")).alias("cum"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "rev",
+            F.expr(
+                "CASE WHEN cum * 5 <= tot * 4 THEN 'A' "
+                "WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END"
+            ).alias("abc_class"),
+            F.expr(
+                f"CASE WHEN ({_XYZ_CV}) < {_XYZ_X_PPM} THEN 'X'"
+                f" WHEN ({_XYZ_CV}) < {_XYZ_Y_PPM} THEN 'Y'"
+                " ELSE 'Z' END"
+            ).alias("xyz_class"),
+        )
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.expr("CAST(sum(rev) DIV 10000 AS BIGINT)").alias("revenue_cents"),
+    )

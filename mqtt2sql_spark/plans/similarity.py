@@ -3720,3 +3720,129 @@ def ann_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(s1 * 100 DIV n AS BIGINT)").alias("mean_occ_x100"),
         F.expr(_HUB_SKEW).alias("skewness_x1e3"),
     )
+
+
+# --- modularity of the brand partition on the co-purchase graph -------------
+
+
+@register(
+    "copurchase_brand_modularity",
+    oracle="""
+    , basket AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM basket x
+        JOIN basket y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ),
+    lab AS (SELECT p_partkey, p_brand FROM part),
+    el AS MATERIALIZED (
+        SELECT pa.p_brand AS ba, pb.p_brand AS bb
+        FROM e0
+        JOIN lab pa ON pa.p_partkey = e0.a
+        JOIN lab pb ON pb.p_partkey = e0.b
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+    brand AS (
+        SELECT p_brand,
+               CAST(sum(CASE WHEN ba = bb AND ba = p_brand
+                             THEN 1 ELSE 0 END) AS BIGINT) AS e_in,
+               CAST(sum(CASE WHEN ba = p_brand THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN bb = p_brand THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d_c
+        FROM el CROSS JOIN (SELECT DISTINCT p_brand FROM part) br
+        GROUP BY p_brand
+    ),
+    q AS (
+        SELECT CAST(sum(4 * m.m * e_in - d_c * d_c) AS BIGINT) AS num,
+               CAST(max(4 * m.m * m.m) AS BIGINT) AS den
+        FROM brand CROSS JOIN m
+    )
+    SELECT (SELECT m FROM m) AS n_edges,
+           CAST(num * 1000000 // greatest(den, 1) AS BIGINT)
+               AS modularity_ppm
+    FROM q
+    """,
+    doc="Newman modularity of the brand partition on the co-purchase "
+    "graph: Q = sum_c (e_c/m - (d_c/2m)^2), rearranged to the exact "
+    "integer ratio (sum 4m*e_c - d_c^2) / 4m^2 so the score is pure "
+    "ppm — near zero means brands do NOT form purchase communities "
+    "(cross-brand baskets dominate), large positive licenses "
+    "brand-level partitioning for the recommender and for graph "
+    "storage locality.  Edges are labeled by two broadcast "
+    "dim joins; per-brand internal edges and degree sums are one "
+    "conditional rollup over the 25-brand fan-out (the cross join "
+    "is against the 25-row brand dim, not data).",
+    tags=("similarity", "graph"),
+)
+def copurchase_brand_modularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "a"))
+    edges = (
+        e1.select("i", "a", F.posexplode("parts").alias("j", "b"))
+        .filter(F.col("j") > F.col("i"))
+        .select("a", "b")
+        .distinct()
+    )
+    lab = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    el = (
+        edges.join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("a"),
+                                   F.col("p_brand").alias("ba"))), "a"
+        )
+        .join(
+            F.broadcast(lab.select(F.col("p_partkey").alias("b"),
+                                   F.col("p_brand").alias("bb"))), "b"
+        )
+        .select("ba", "bb")
+        .localCheckpoint(eager=False)
+    )
+    m = el.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    br = lab.select("p_brand").distinct()
+    brand = (
+        el.crossJoin(F.broadcast(br))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ba") == F.col("bb"))
+                    & (F.col("ba") == F.col("p_brand")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("e_in"),
+            (
+                F.sum(
+                    F.when(F.col("ba") == F.col("p_brand"), 1).otherwise(0)
+                )
+                + F.sum(
+                    F.when(F.col("bb") == F.col("p_brand"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("d_c"),
+        )
+    )
+    q = brand.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            F.expr("4 * m * e_in - d_c * d_c")
+        ).cast("long").alias("num"),
+        F.max(F.expr("4 * m * m")).cast("long").alias("den"),
+    )
+    return q.crossJoin(F.broadcast(m)).select(
+        F.col("m").alias("n_edges"),
+        F.expr(
+            "CAST(num * 1000000 DIV greatest(den, 1) AS BIGINT)"
+        ).alias("modularity_ppm"),
+    )

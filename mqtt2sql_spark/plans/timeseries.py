@@ -3437,3 +3437,67 @@ def best_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_best"
         ),
     )
+
+
+# --- record-high days per series --------------------------------------------
+
+
+@register(
+    "record_high_days",
+    oracle="""
+    , daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, d, c,
+               max(c) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN prev_max IS NULL OR c > prev_max
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_record_days,
+           CAST(max(CASE WHEN prev_max IS NULL OR c > prev_max
+                         THEN d END) AS BIGINT) AS last_record_day,
+           CAST(max(c) AS BIGINT) AS all_time_high
+    FROM r GROUP BY event_type
+    """,
+    doc="Record-day census per series: how many days set a new "
+    "all-time volume high, and when the last record fell — fast-"
+    "growing streams break records continually (n_record_days "
+    "tracks log n for stationary noise but stays linear under "
+    "growth: record statistics are a distribution-free growth "
+    "detector, complementing hockey_stick_ratio's fixed-window "
+    "view).  One running-max window per series (keyed partitions, "
+    "frame ends 1 PRECEDING so the day never beats itself), then a "
+    "per-series rollup.",
+    tags=("timeseries", "growth"),
+)
+def record_high_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = daily.withColumn("prev_max", F.max("c").over(w))
+    is_rec = F.col("prev_max").isNull() | (F.col("c") > F.col("prev_max"))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(is_rec, 1).otherwise(0)).cast("long").alias(
+            "n_record_days"
+        ),
+        F.max(F.when(is_rec, F.col("d"))).cast("long").alias(
+            "last_record_day"
+        ),
+        F.max("c").cast("long").alias("all_time_high"),
+    )

@@ -10687,3 +10687,85 @@ def abc_xyz_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.expr("CAST(sum(rev) DIV 10000 AS BIGINT)").alias("revenue_cents"),
     )
+
+
+# --- one-way ANOVA: order value across day-of-week ---------------------------
+
+
+@register(
+    "order_value_anova_dow",
+    oracle="""
+    , q AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 % 7 AS dow,
+               CAST(round(o_totalprice, 0) AS BIGINT) AS v
+        FROM orders
+    ),
+    per AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+        FROM q GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(s) AS BIGINT) AS big_s,
+               CAST(sum(ss) AS HUGEINT) AS big_ss,
+               CAST(sum(CAST(s AS HUGEINT) * s // n) AS HUGEINT) AS sq
+        FROM per
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(big_n AS BIGINT) AS n_orders,
+           CAST(sq - CAST(big_s AS HUGEINT) * big_s // big_n AS BIGINT)
+               AS ssb_fp,
+           CAST(big_ss - sq AS BIGINT) AS ssw_fp,
+           CAST((sq - CAST(big_s AS HUGEINT) * big_s // big_n) * (big_n - k)
+                * 100 // greatest((big_ss - sq) * (k - 1), 1) AS BIGINT)
+               AS f_stat_x100
+    FROM tot
+    """,
+    doc="One-way ANOVA of order value across day-of-week (epoch-day "
+    "mod 7): between/within sums of squares and the F statistic in "
+    "exact integer arithmetic over whole-dollar values (cents would push the per-group s^2 div n beyond BIGINT at sf>=0.1; dollars keep headroom to SF100) — the norm_anova_by_label formulation "
+    "applied to order values; int128 carries the squared "
+    "sums) — F near 1 means weekday does not move basket size, so "
+    "a dow dimension can be dropped from pricing models; large F "
+    "says calendars matter.  One map-side-partial group rollup to "
+    "7 rows, one single-row fold — a single fact pass.",
+    tags=("analytics", "statistics"),
+)
+def order_value_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.select(
+        F.expr(
+            "unix_micros(o_orderdate) DIV 86400000000 % 7"
+        ).alias("dow"),
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("v"),
+    )
+    per = q.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ss"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("s").cast("long").alias("big_s"),
+        F.sum("ss").alias("big_ss"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s div n")).alias("sq"),
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("big_n").alias("n_orders"),
+        F.expr(
+            "CAST(sq - CAST(big_s AS DECIMAL(38,0)) * big_s div big_n"
+            " AS BIGINT)"
+        ).alias("ssb_fp"),
+        F.expr("CAST(big_ss - sq AS BIGINT)").alias("ssw_fp"),
+        F.expr(
+            "CAST(CAST(sq - CAST(big_s AS DECIMAL(38,0)) * big_s div big_n"
+            " AS DECIMAL(38,0)) * (big_n - k) * 100"
+            " div greatest(CAST(big_ss - sq AS DECIMAL(38,0)) * (k - 1), 1)"
+            " AS BIGINT)"
+        ).alias("f_stat_x100"),
+    )

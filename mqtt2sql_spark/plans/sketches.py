@@ -1645,3 +1645,114 @@ def bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ppm"),
         )
     )
+
+
+# --- Count-Min sketch width sweep -------------------------------------------
+
+_CMS_WIDTHS = [256, 1024]
+
+
+@register(
+    "cms_width_sweep",
+    oracle=f"""
+    , kc AS (
+        SELECT topic, CAST(count(*) AS BIGINT) AS cnt FROM messages
+        GROUP BY topic
+    ),
+    hv AS (
+        SELECT topic, cnt, {_DUCK_HV32} AS h
+        FROM (SELECT topic, cnt, md5(topic) AS hh FROM kc)
+    ),
+    cfg AS (SELECT * FROM (VALUES {", ".join(f"({w})" for w in _CMS_WIDTHS)}) AS t(w)),
+    pos AS (
+        {" UNION ALL ".join(
+            f"SELECT topic, cnt, w, {r} AS r,"
+            f" (({a} * h + {b}) % {_BLOOM_P}) % w AS pos"
+            " FROM hv CROSS JOIN cfg"
+            for r, (a, b) in enumerate(_BLOOM_AB)
+        )}
+    ),
+    counters AS MATERIALIZED (
+        SELECT w, r, pos, CAST(sum(cnt) AS BIGINT) AS c
+        FROM pos GROUP BY w, r, pos
+    ),
+    est AS (
+        SELECT p.w, p.topic, max(p.cnt) AS cnt,
+               min(c.c) AS est
+        FROM pos p
+        JOIN counters c ON c.w = p.w AND c.r = p.r AND c.pos = p.pos
+        GROUP BY p.w, p.topic
+    )
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN est = cnt THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS exact_ppm,
+           CAST(sum(est - cnt) * 100 // count(*) AS BIGINT)
+               AS mean_overestimate_x100,
+           CAST(max(est - cnt) AS BIGINT) AS max_overestimate
+    FROM est GROUP BY w
+    """,
+    doc="Count-Min sketch sizing sweep: depth-3 sketches of width 256 "
+    "and 1024 built over per-topic message counts from ONE hash "
+    "pass, then every key's estimate (min over rows) compared to "
+    "its exact count — the measured overestimate-vs-memory trade "
+    "behind count_min_topic_freq's fixed configuration (theory: "
+    "error <= e*N/w with prob 1-e^-depth; the sweep shows the "
+    "actual bias on this key distribution).  Hashes are the shared "
+    "Carter-Wegman family over the 32-bit md5 prefix, so both "
+    "engines build bit-identical counter arrays; the counter "
+    "relation is the mergeable sketch state itself (sum-combinable "
+    "per (row, position), exactly like the HLL registers).",
+    tags=("sketches", "eval"),
+)
+def cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    kc = msg.groupBy("topic").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hv = kc.select(
+        "topic",
+        "cnt",
+        F.conv(F.substring(F.md5("topic"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    cfg = spark.createDataFrame([(w,) for w in _CMS_WIDTHS], "w INT")
+    hashed = hv.crossJoin(F.broadcast(cfg))
+    pos = None
+    for r, (a, b) in enumerate(_BLOOM_AB):
+        part = hashed.select(
+            "topic",
+            "cnt",
+            "w",
+            F.lit(r).alias("r"),
+            F.expr(f"(({a} * h + {b}) % {_BLOOM_P}) % w").alias("pos"),
+        )
+        pos = part if pos is None else pos.unionAll(part)
+    pos = pos.localCheckpoint(eager=False)
+    counters = pos.groupBy("w", "r", "pos").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    est = (
+        pos.alias("p")
+        .join(
+            counters.alias("c"),
+            F.expr("c.w = p.w AND c.r = p.r AND c.pos = p.pos"),
+        )
+        .groupBy("p.w", "p.topic")
+        .agg(
+            F.max("p.cnt").alias("cnt"),
+            F.min("c.c").alias("est"),
+        )
+    )
+    return est.groupBy(F.col("w").cast("long").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.expr(
+            "CAST(sum(CASE WHEN est = cnt THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("exact_ppm"),
+        F.expr(
+            "CAST(sum(est - cnt) * 100 DIV count(*) AS BIGINT)"
+        ).alias("mean_overestimate_x100"),
+        F.max(F.col("est") - F.col("cnt")).cast("long").alias(
+            "max_overestimate"
+        ),
+    )

@@ -3501,3 +3501,153 @@ def record_high_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("c").cast("long").alias("all_time_high"),
     )
+
+
+# --- Granger-lite causality: does click volume predict purchases? ------------
+
+# centered moment products, all exact BIGINT:
+#   A = n*Saa - Sa^2   B = n*Sbb - Sb^2   C = n*Sab - Sa*Sb
+#   P = n*Sya - Sy*Sa  Q = n*Syb - Sy*Sb  Y = n*Syy - Sy^2
+# restricted (y ~ y_lag):        RSSr * A  = Y*A - P^2            (= Rr)
+# full (y ~ y_lag + x_lag):      RSSf * D' = Y*D' - P^2*B
+#                                            + 2*P*Q*C - Q^2*A    (= Rf)
+# with D' = A*B - C^2; the F statistic is assembled from (Rr, Rf, A, D')
+# in ONE textually-shared float expression (exact ints in, one rounding).
+_GRANGER_F = (
+    "CAST(floor("
+    " (CAST(rr AS DOUBLE) / CAST(aa AS DOUBLE)"
+    "  - CAST(rf AS DOUBLE) / CAST(dd AS DOUBLE))"
+    " * CAST(n - 3 AS DOUBLE) * 100.0"
+    " / (CAST(rf AS DOUBLE) / CAST(dd AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "granger_click_purchase",
+    oracle=f"""
+    , daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS buys
+        FROM events GROUP BY 1
+    ),
+    tri AS (
+        SELECT t.buys AS y, l.buys AS a, l.clicks AS b
+        FROM daily t JOIN daily l ON l.d = t.d - 1
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(a) AS BIGINT) AS sa,
+               CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(a * a) AS BIGINT) AS saa,
+               CAST(sum(b * b) AS BIGINT) AS sbb,
+               CAST(sum(y * a) AS BIGINT) AS sya,
+               CAST(sum(y * b) AS BIGINT) AS syb,
+               CAST(sum(a * b) AS BIGINT) AS sab
+        FROM tri
+    ),
+    c AS (
+        SELECT n,
+               n * saa - sa * sa AS aa, n * sbb - sb * sb AS bb,
+               n * sab - sa * sb AS cc,
+               n * sya - sy * sa AS p, n * syb - sy * sb AS q,
+               n * syy - sy * sy AS yy
+        FROM mo
+    ),
+    fin AS (
+        SELECT n,
+               CAST(yy AS HUGEINT) * aa - CAST(p AS HUGEINT) * p AS rr,
+               CAST(yy AS HUGEINT) * (CAST(aa AS HUGEINT) * bb - CAST(cc AS HUGEINT) * cc)
+                   - CAST(p AS HUGEINT) * p * bb
+                   + 2 * CAST(p AS HUGEINT) * q * cc
+                   - CAST(q AS HUGEINT) * q * aa AS rf,
+               CAST(aa AS HUGEINT) AS aa,
+               CAST(aa AS HUGEINT) * bb - CAST(cc AS HUGEINT) * cc AS dd
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, {_GRANGER_F} AS granger_f_x100
+    FROM fin
+    """,
+    doc="Granger-style predictive-causality test: does yesterday's "
+    "click volume improve a purchase forecast beyond yesterday's "
+    "purchases alone?  Both OLS fits (restricted y~y_lag, full "
+    "y~y_lag+x_lag) are solved in CLOSED FORM from exact integer "
+    "moment sums via Cramer's rule — residual sums of squares stay "
+    "exact int128 numerators over integer denominators, and the F "
+    "statistic is assembled in one textually-shared float "
+    "expression, so the verdict is bit-identical cross-engine "
+    "(F >> 3.9 at these dof = clicks lead purchases; near 0 = no "
+    "signal beyond autocorrelation).  One daily rollup, one "
+    "calendar-lag self-join, a single-row moment fold — the classic "
+    "econometric test as a 3-stage aggregate.",
+    tags=("timeseries", "causal"),
+)
+def granger_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("buys"),
+    )
+    tri = (
+        daily.alias("t")
+        .join(daily.alias("l"), F.expr("l.d = t.d - 1"))
+        .select(
+            F.col("t.buys").alias("y"),
+            F.col("l.buys").alias("a"),
+            F.col("l.clicks").alias("b"),
+        )
+    )
+    mo = tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(F.col("y") * F.col("a")).cast("long").alias("sya"),
+        F.sum(F.col("y") * F.col("b")).cast("long").alias("syb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+    )
+    c = mo.select(
+        "n",
+        F.expr("n * saa - sa * sa").alias("aa"),
+        F.expr("n * sbb - sb * sb").alias("bb"),
+        F.expr("n * sab - sa * sb").alias("cc"),
+        F.expr("n * sya - sy * sa").alias("p"),
+        F.expr("n * syb - sy * sb").alias("q"),
+        F.expr("n * syy - sy * sy").alias("yy"),
+    )
+    fin = c.select(
+        "n",
+        F.expr(
+            "CAST(yy AS DECIMAL(38,0)) * aa"
+            " - CAST(p AS DECIMAL(38,0)) * p"
+        ).alias("rr"),
+        F.expr(
+            "CAST(yy AS DECIMAL(38,0))"
+            " * (CAST(aa AS DECIMAL(38,0)) * bb"
+            "    - CAST(cc AS DECIMAL(38,0)) * cc)"
+            " - CAST(p AS DECIMAL(38,0)) * p * bb"
+            " + 2 * CAST(p AS DECIMAL(38,0)) * q * cc"
+            " - CAST(q AS DECIMAL(38,0)) * q * aa"
+        ).alias("rf"),
+        F.expr("CAST(aa AS DECIMAL(38,0))").alias("aa"),
+        F.expr(
+            "CAST(aa AS DECIMAL(38,0)) * bb"
+            " - CAST(cc AS DECIMAL(38,0)) * cc"
+        ).alias("dd"),
+    )
+    return fin.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(_GRANGER_F).alias("granger_f_x100"),
+    )

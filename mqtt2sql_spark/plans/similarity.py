@@ -3846,3 +3846,102 @@ def copurchase_brand_modularity(
             "CAST(num * 1000000 DIV greatest(den, 1) AS BIGINT)"
         ).alias("modularity_ppm"),
     )
+
+
+# --- per-dimension label separability (feature selection) -------------------
+
+_DIMF_TOPK = 10
+
+
+@register(
+    "dim_fstat_topk",
+    oracle=f"""
+    , e AS (
+        SELECT m.label, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {_Q_VAL} + 0.5)
+                   AS BIGINT) AS v
+        FROM embeddings m, unnest(generate_series(1, len(embedding)))
+             AS t(i)
+    ),
+    per AS (
+        SELECT dim, label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+        FROM e GROUP BY dim, label
+    ),
+    tot AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(s) AS BIGINT) AS big_s,
+               CAST(sum(ss) AS HUGEINT) AS big_ss,
+               CAST(sum(CAST(s AS HUGEINT) * s // n) AS HUGEINT) AS sq
+        FROM per GROUP BY dim
+    ),
+    f AS (
+        SELECT dim,
+               CAST(CAST(sq - CAST(big_s AS HUGEINT) * big_s // big_n
+                         AS HUGEINT) * (big_n - k) * 100
+                    // greatest((big_ss - sq) * (k - 1), 1) AS BIGINT)
+                   AS f_stat_x100
+        FROM tot
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, f_stat_x100,
+           CAST(row_number() OVER (ORDER BY f_stat_x100 DESC, dim)
+               AS BIGINT) AS rank
+    FROM f
+    ORDER BY f_stat_x100 DESC, dim LIMIT {_DIMF_TOPK}
+    """,
+    doc="Univariate feature selection over embedding dimensions: "
+    "one-way ANOVA F across labels computed independently for each "
+    "of the 64 dimensions (quantized 1e-6 values, exact int128 "
+    "moment sums — the norm_anova_by_label formulation vectorized "
+    "over dims), returning the top-{_DIMF_TOPK} most "
+    "label-separating dimensions — the SelectKBest(f_classif) "
+    "readout that tells you whether label signal concentrates in a "
+    "few coordinates (a sign of rotation-variant training or a "
+    "quantization opportunity) or spreads evenly.  One posexplode "
+    "pass, a (dim, label) partial aggregate (64*K rows), a 64-row "
+    "fold and a TakeOrdered — corpus scanned once.",
+    tags=("similarity", "feature-selection"),
+)
+def dim_fstat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "fval")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("fval").cast("double") * _Q_VAL + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    per = e.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ss"),
+    )
+    tot = per.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("s").cast("long").alias("big_s"),
+        F.sum("ss").alias("big_ss"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s div n")).alias("sq"),
+    )
+    f = tot.select(
+        "dim",
+        F.expr(
+            "CAST(CAST(sq - CAST(big_s AS DECIMAL(38,0)) * big_s div big_n"
+            " AS DECIMAL(38,0)) * (big_n - k) * 100"
+            " div greatest(CAST(big_ss - sq AS DECIMAL(38,0)) * (k - 1), 1)"
+            " AS BIGINT)"
+        ).alias("f_stat_x100"),
+    )
+    w = W.orderBy(F.desc("f_stat_x100"), F.asc("dim"))
+    return (
+        f.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy(F.desc("f_stat_x100"), "dim")
+        .limit(_DIMF_TOPK)
+        .select(F.col("dim").cast("long").alias("dim"), "f_stat_x100", "rank")
+    )

@@ -10769,3 +10769,127 @@ def order_value_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("f_stat_x100"),
     )
+
+
+# --- supplier market-share shift (total variation, month over month) --------
+
+
+@register(
+    "supplier_share_shift",
+    oracle="""
+    , sm AS (
+        SELECT l_suppkey,
+               (EXTRACT(year FROM l_shipdate) * 12
+                + EXTRACT(month FROM l_shipdate)) AS ym,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    mt AS (
+        SELECT ym, CAST(sum(rev) AS BIGINT) AS tot FROM sm GROUP BY ym
+    ),
+    pairs AS (
+        SELECT coalesce(a.l_suppkey, b.l_suppkey) AS sk,
+               coalesce(a.ym, b.ym - 1) + 1 AS ym_to,
+               coalesce(a.rev, 0) AS rev_p,
+               coalesce(b.rev, 0) AS rev_q
+        FROM sm a FULL JOIN sm b
+          ON b.l_suppkey = a.l_suppkey AND b.ym = a.ym + 1
+        WHERE (a.ym IS NULL OR a.ym + 1 IN (SELECT ym FROM mt))
+          AND (b.ym IS NULL OR b.ym - 1 IN (SELECT ym FROM mt))
+    ),
+    tv AS (
+        SELECT p.ym_to,
+               CAST(sum(abs(CAST(p.rev_q AS HUGEINT) * tp.tot
+                            - CAST(p.rev_p AS HUGEINT) * tq.tot))
+                   AS HUGEINT) AS num,
+               CAST(max(CAST(tp.tot AS HUGEINT) * tq.tot) AS HUGEINT)
+                   AS den
+        FROM pairs p
+        JOIN mt tp ON tp.ym = p.ym_to - 1
+        JOIN mt tq ON tq.ym = p.ym_to
+        GROUP BY p.ym_to
+    )
+    SELECT CAST(ym_to AS BIGINT) AS ym,
+           CAST(num * 500000 // den AS BIGINT) AS tv_shift_ppm
+    FROM tv
+    """,
+    doc="Supplier market-dynamics monitor: the total-variation "
+    "distance between consecutive months' supplier revenue-share "
+    "distributions, TV = 1/2 * sum_s |p_s - q_s| in exact ppm — "
+    "near 0 means share is sticky, spikes mark churn events "
+    "(supplier entry/exit contributes its full share via the "
+    "full-outer join's zero fill).  Shares never materialize as "
+    "floats: |p-q| cross-multiplies to |rev_s*T' - rev'_s*T| over "
+    "T*T' in int128.  One fact rollup to (supplier, month), a "
+    "month-offset full-outer self-join, month totals broadcast.",
+    tags=("analytics", "market"),
+)
+def supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sm = li.groupBy(
+        "l_suppkey",
+        F.expr(
+            "year(l_shipdate) * 12 + month(l_shipdate)"
+        ).alias("ym"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    ).localCheckpoint(eager=False)
+    mt = sm.groupBy("ym").agg(F.sum("rev").cast("long").alias("tot"))
+    months = mt.select("ym")
+    pairs = (
+        sm.alias("a")
+        .join(
+            sm.alias("b"),
+            F.expr("b.l_suppkey = a.l_suppkey AND b.ym = a.ym + 1"),
+            "full",
+        )
+        .join(
+            F.broadcast(months.select(F.col("ym").alias("_mnext"))),
+            F.expr("a.ym IS NULL OR a.ym + 1 = _mnext"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(months.select(F.col("ym").alias("_mprev"))),
+            F.expr("b.ym IS NULL OR b.ym - 1 = _mprev"),
+            "left_semi",
+        )
+        .select(
+            F.expr("coalesce(a.ym, b.ym - 1) + 1").alias("ym_to"),
+            F.expr("coalesce(a.rev, 0)").alias("rev_p"),
+            F.expr("coalesce(b.rev, 0)").alias("rev_q"),
+        )
+    )
+    tv = (
+        pairs.alias("p")
+        .join(
+            F.broadcast(mt.select(F.col("ym").alias("_yp"), F.col("tot").alias("tot_p"))),
+            F.expr("_yp = p.ym_to - 1"),
+        )
+        .join(
+            F.broadcast(mt.select(F.col("ym").alias("_yq"), F.col("tot").alias("tot_q"))),
+            F.expr("_yq = p.ym_to"),
+        )
+        .groupBy("ym_to")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr(
+                        "CAST(rev_q AS DECIMAL(38,0)) * tot_p"
+                        " - CAST(rev_p AS DECIMAL(38,0)) * tot_q"
+                    )
+                )
+            ).alias("num"),
+            F.max(
+                F.expr("CAST(tot_p AS DECIMAL(38,0)) * tot_q")
+            ).alias("den"),
+        )
+    )
+    return tv.select(
+        F.col("ym_to").cast("long").alias("ym"),
+        F.expr("CAST(num * 500000 div den AS BIGINT)").alias(
+            "tv_shift_ppm"
+        ),
+    )

@@ -1756,3 +1756,94 @@ def cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_overestimate"
         ),
     )
+
+
+# --- AMS second-frequency-moment estimate -----------------------------------
+
+# four independent +/-1 sign hashes (Carter-Wegman mixes over the shared
+# 32-bit md5 prefix; a < 2^31 keeps a*h < 2^63); each estimator is the
+# SQUARE of an exact integer signed sum, the final estimate their mean.
+_AMS_AB = [(1202734393, 196611197), (1860486313, 904488487),
+           (1299729989, 613651349), (1431655765, 99491203)]
+
+
+@register(
+    "ams_f2_estimate",
+    oracle=f"""
+    , kc AS (
+        SELECT topic, CAST(count(*) AS BIGINT) AS f FROM messages
+        GROUP BY topic
+    ),
+    hv AS (
+        SELECT topic, f, {_DUCK_HV32} AS h
+        FROM (SELECT topic, f, md5(topic) AS hh FROM kc)
+    ),
+    sk AS (
+        SELECT
+            {", ".join(
+                f"CAST(sum((((({a} * h + {b}) % {_BLOOM_P}) % 2) * 2 - 1) * f)"
+                f" AS BIGINT) AS z{r}"
+                for r, (a, b) in enumerate(_AMS_AB)
+            )},
+            CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_exact,
+            CAST(count(*) AS BIGINT) AS n_keys
+        FROM hv
+    )
+    SELECT n_keys, f2_exact,
+           CAST(({" + ".join(f"CAST(z{r} AS HUGEINT) * z{r}" for r in range(len(_AMS_AB)))})
+                // {len(_AMS_AB)} AS BIGINT) AS f2_estimate,
+           CAST(abs(({" + ".join(f"CAST(z{r} AS HUGEINT) * z{r}" for r in range(len(_AMS_AB)))})
+                // {len(_AMS_AB)} - f2_exact) * 1000000
+                // f2_exact AS BIGINT) AS err_ppm
+    FROM sk
+    """,
+    doc="Alon-Matias-Szegedy F2 (second frequency moment / repeat "
+    "rate / self-join size) estimate over per-topic message counts, "
+    "read against the exact sum(f^2) — completing the "
+    "frequency-moment sketch family (F0 = HLL, heavy hitters = "
+    "Count-Min, F2 = AMS) with the same cross-engine-deterministic "
+    "construction: each of 4 estimators is the square of an exact "
+    "integer sum of +/-1-signed counts (sign = parity of a "
+    "Carter-Wegman mix), the estimate their integer mean — the "
+    "sketch state is 4 BIGINTs, mergeable by addition, which is "
+    "what makes AMS the streaming answer to 'how skewed is this "
+    "key distribution' (F2/F1^2 drives join-size estimates).  One "
+    "rollup + one single-row fold.",
+    tags=("sketches", "eval"),
+)
+def ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msg = messages(spark, sf_dir)
+    kc = msg.groupBy("topic").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    hv = kc.select(
+        "f",
+        F.conv(F.substring(F.md5("topic"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.expr(f"((({a} * h + {b}) % {_BLOOM_P}) % 2 * 2 - 1) * f")
+        ).cast("long").alias(f"z{r}")
+        for r, (a, b) in enumerate(_AMS_AB)
+    ]
+    sk = hv.agg(
+        *aggs,
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * f")).cast("long").alias(
+            "f2_exact"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    sq = " + ".join(
+        f"CAST(z{r} AS DECIMAL(38,0)) * z{r}" for r in range(len(_AMS_AB))
+    )
+    return sk.select(
+        "n_keys",
+        "f2_exact",
+        F.expr(
+            f"CAST(({sq}) div {len(_AMS_AB)} AS BIGINT)"
+        ).alias("f2_estimate"),
+        F.expr(
+            f"CAST(abs(({sq}) div {len(_AMS_AB)} - f2_exact) * 1000000"
+            " div f2_exact AS BIGINT)"
+        ).alias("err_ppm"),
+    )

@@ -3945,3 +3945,159 @@ def dim_fstat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_DIMF_TOPK)
         .select(F.col("dim").cast("long").alias("dim"), "f_stat_x100", "rank")
     )
+
+
+# --- Calinski-Harabasz index of the k-means clustering ----------------------
+
+
+@register(
+    "kmeans_calinski_harabasz",
+    oracle=f"""
+    , e AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+           FROM embeddings),
+    {_km_duck_iter("a0", 1)},
+    {_km_duck_iter("a1", 2)},
+    q AS (
+        SELECT a2.cluster, e.dim,
+               CAST(floor(e.val * {_Q_VAL} + 0.5) AS BIGINT) AS v
+        FROM e JOIN a2 ON a2.vec_id = e.vec_id
+    ),
+    per AS (
+        SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+        FROM q GROUP BY cluster, dim
+    ),
+    dimtot AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(s) AS BIGINT) AS big_s,
+               CAST(sum(ss) AS HUGEINT) AS big_ss,
+               CAST(sum(CAST(s AS HUGEINT) * s // n) AS HUGEINT) AS sq
+        FROM per GROUP BY dim
+    ),
+    tots AS (
+        SELECT CAST(max(k) AS BIGINT) AS k,
+               CAST(max(big_n) AS BIGINT) AS n,
+               CAST(sum(sq - CAST(big_s AS HUGEINT) * big_s // big_n)
+                   AS HUGEINT) AS ssb,
+               CAST(sum(big_ss - sq) AS HUGEINT) AS ssw
+        FROM dimtot
+    )
+    SELECT k AS n_clusters, n AS n_vectors,
+           CAST(ssb AS BIGINT) AS ssb_fp, CAST(ssw AS BIGINT) AS ssw_fp,
+           CAST(ssb * (n - k) * 100 // greatest(ssw * (k - 1), 1)
+               AS BIGINT) AS ch_index_x100
+    FROM tots
+    """,
+    doc="Calinski-Harabasz (variance-ratio) index of the "
+    "embedding_kmeans_assign clustering: total between-cluster vs "
+    "within-cluster dispersion summed over all dimensions, "
+    "CH = (SSB/(k-1)) / (SSW/(n-k)) x100 — the global companion to "
+    "kmeans_silhouette_by_cluster's per-cluster view, and the "
+    "statistic k-sweeps maximize when choosing cluster counts.  "
+    "Reuses the assign contract verbatim (same init, quantized "
+    "Lloyd iterations, tie-breaks), per-dimension sums stay exact "
+    "int128 (the norm_anova formulation per dim, folded over "
+    "dims), so the index is bit-identical cross-engine.  "
+    "Per-iteration cost matches the assign query; the eval adds "
+    "one (cluster, dim) aggregate.",
+    tags=("similarity", "evaluation"),
+)
+def kmeans_calinski_harabasz(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    assign = emb.select(
+        "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
+    )
+    w = W.partitionBy("vec_id").orderBy("dist_fp", "cluster")
+    for _ in range(KM_ITERS):
+        cent = (
+            e.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * _Q_VAL + F.lit(0.5)).cast("long")
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "dim",
+                (
+                    F.col("sq").cast("double")
+                    / F.col("n").cast("double")
+                    / F.lit(_Q_VAL)
+                ).alias("c"),
+            )
+        )
+        diff = F.col("val") - F.col("c")
+        d = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    F.floor(diff * diff * _Q_DIST).cast("long")
+                ).alias("dist_fp")
+            )
+        )
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist_fp")
+        )
+    q = (
+        e.join(assign.select("vec_id", "cluster"), "vec_id")
+        .select(
+            "cluster",
+            "dim",
+            F.floor(F.col("val") * _Q_VAL + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    per = q.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ss"),
+    )
+    dimtot = per.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("s").cast("long").alias("big_s"),
+        F.sum("ss").alias("big_ss"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s div n")).alias("sq"),
+    )
+    tots = dimtot.agg(
+        F.max("k").cast("long").alias("k"),
+        F.max("big_n").cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(sq - CAST(big_s AS DECIMAL(38,0)) * big_s div big_n"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("ssb"),
+        F.sum(F.expr("big_ss - sq")).alias("ssw"),
+    )
+    return tots.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_vectors"),
+        F.expr("CAST(ssb AS BIGINT)").alias("ssb_fp"),
+        F.expr("CAST(ssw AS BIGINT)").alias("ssw_fp"),
+        F.expr(
+            "CAST(ssb * (n - k) * 100"
+            " div greatest(ssw * (k - 1), CAST(1 AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("ch_index_x100"),
+    )

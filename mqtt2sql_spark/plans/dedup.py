@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.functions.text import (
+    STOPWORDS,
+    count_in_list,
     duck_normalized,
     duck_tokens,
     normalized_text,
@@ -2339,4 +2341,95 @@ def source_dedup_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("source_a", "source_b").agg(
         F.countDistinct("nh").cast("long").alias("n_dup_groups")
+    )
+
+
+# --- quality-aware canonical selection vs min-id keep -----------------------
+
+
+@register(
+    "dedup_canonical_quality_delta",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id,
+               md5({duck_normalized()}) AS nh,
+               CAST(len(list_filter({duck_tokens()},
+                    x -> x IN ({", ".join(repr(w) for w in STOPWORDS)})))
+                   AS BIGINT) * 1000
+                   // greatest(len({duck_tokens()}), 1) AS q_ppk
+        FROM documents
+    ),
+    g AS (SELECT nh FROM h GROUP BY nh HAVING count(*) >= 2),
+    dup AS (SELECT h.* FROM h JOIN g ON g.nh = h.nh),
+    pick AS (
+        SELECT nh,
+               min(doc_id) AS keep_minid,
+               max(CASE WHEN rn = 1 THEN doc_id END) AS keep_quality
+        FROM (
+            SELECT nh, doc_id,
+                   row_number() OVER (PARTITION BY nh
+                                      ORDER BY q_ppk DESC, doc_id) AS rn
+            FROM dup
+        ) GROUP BY nh
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN keep_minid <> keep_quality
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_differs,
+           CAST(sum(CASE WHEN keep_minid <> keep_quality
+                         THEN 1 ELSE 0 END) * 1000000
+                // greatest(count(*), 1) AS BIGINT) AS differs_ppm
+    FROM pick
+    """,
+    doc="Canonical-selection policy audit: within each exact-duplicate "
+    "group, does keeping the HIGHEST-QUALITY member (stopword "
+    "density as the cheap quality proxy, doc_id tie-break) pick a "
+    "different survivor than the min-doc-id rule the dedup_exact "
+    "contract uses?  differs_ppm quantifies how much curation "
+    "quality the arbitrary-keep policy leaves on the table — the "
+    "argument for quality-aware dedup in a training-data pipeline.  "
+    "One hash+score projection, group membership by digest join, a "
+    "per-group argmax window (WindowGroupLimit) vs min aggregate.",
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_canonical_quality_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    h = docs.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("nh"),
+        (
+            count_in_list(toks, STOPWORDS).cast("long") * 1000
+        ).alias("_num"),
+        F.greatest(F.size(toks), F.lit(1)).alias("_den"),
+    ).select(
+        "doc_id", "nh", F.expr("_num DIV _den").alias("q_ppk")
+    )
+    g = h.groupBy("nh").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    dup = h.join(g.select("nh"), "nh")
+    w = W.partitionBy("nh").orderBy(F.desc("q_ppk"), F.asc("doc_id"))
+    pick = (
+        dup.withColumn("rn", F.row_number().over(w))
+        .groupBy("nh")
+        .agg(
+            F.min("doc_id").alias("keep_minid"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "keep_quality"
+            ),
+        )
+    )
+    return pick.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.sum(
+            F.when(F.col("keep_minid") != F.col("keep_quality"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_differs"),
+        F.expr(
+            "CAST(sum(CASE WHEN keep_minid <> keep_quality THEN 1 ELSE 0"
+            " END) * 1000000 DIV greatest(count(*), 1) AS BIGINT)"
+        ).alias("differs_ppm"),
     )

@@ -3651,3 +3651,91 @@ def granger_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         F.expr(_GRANGER_F).alias("granger_f_x100"),
     )
+
+
+# --- diurnal-profile drift between calendar halves --------------------------
+
+_DIURNAL_DRIFT_COS = (
+    "CAST(floor(CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "diurnal_profile_drift",
+    oracle=f"""
+    , hh AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 % 24 AS hod,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    sp AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM hh),
+    prof AS (
+        SELECT event_type, hod,
+               CAST(sum(CASE WHEN d < mid THEN c ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(sum(CASE WHEN d >= mid THEN c ELSE 0 END) AS BIGINT)
+                   AS b
+        FROM hh CROSS JOIN sp GROUP BY event_type, hod
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(CAST(a AS HUGEINT) * b) AS BIGINT) AS dot,
+               CAST(sum(CAST(a AS HUGEINT) * a) AS BIGINT) AS na2,
+               CAST(sum(CAST(b AS HUGEINT) * b) AS BIGINT) AS nb2
+        FROM prof GROUP BY event_type
+    )
+    SELECT event_type, {_DIURNAL_DRIFT_COS} AS profile_cos_x1e6,
+           CAST(1000000 - {_DIURNAL_DRIFT_COS} AS BIGINT) AS drift_x1e6
+    FROM agg
+    WHERE na2 > 0 AND nb2 > 0
+    """,
+    doc="Shape-of-day drift monitor: cosine similarity between each "
+    "series' 24-bin hour-of-day volume profile in the first vs "
+    "second calendar half — invariant to level changes (unlike "
+    "hellinger_half_drift on values or volume deltas), so it "
+    "isolates BEHAVIORAL rhythm shifts: a nightly batch job moving, "
+    "a user-base timezone mix changing.  The profile dot product "
+    "and norms are exact int128-folded integers; one "
+    "textually-shared sqrt expression produces the similarity.  "
+    "Hour-of-day from pure integer epoch math; one (type, hod, "
+    "half) rollup then a 24-row fold per series.",
+    tags=("timeseries", "drift"),
+)
+def diurnal_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hh = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 3600000000 % 24").alias("hod"),
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    sp = hh.agg(F.expr("(min(d) + max(d) + 1) DIV 2").alias("mid"))
+    prof = (
+        hh.crossJoin(F.broadcast(sp))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("mid"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("d") >= F.col("mid"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    agg = prof.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(a AS DECIMAL(38,0)) * b")).cast("long").alias("dot"),
+        F.sum(F.expr("CAST(a AS DECIMAL(38,0)) * a")).cast("long").alias("na2"),
+        F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * b")).cast("long").alias("nb2"),
+    )
+    return agg.filter(
+        (F.col("na2") > 0) & (F.col("nb2") > 0)
+    ).select(
+        "event_type",
+        F.expr(_DIURNAL_DRIFT_COS).alias("profile_cos_x1e6"),
+        F.expr(f"CAST(1000000 - {_DIURNAL_DRIFT_COS} AS BIGINT)").alias(
+            "drift_x1e6"
+        ),
+    )

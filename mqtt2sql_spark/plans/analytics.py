@@ -10893,3 +10893,81 @@ def supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tv_shift_ppm"
         ),
     )
+
+
+# --- value-at-risk / expected shortfall of daily revenue --------------------
+
+_CVAR_PCT = 5  # tail percent
+
+
+@register(
+    "revenue_cvar_daily",
+    oracle=f"""
+    , dr AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT d, rev,
+               row_number() OVER (ORDER BY rev, d) AS rn,
+               count(*) OVER () AS n
+        FROM dr
+    ),
+    k AS (SELECT greatest(({_CVAR_PCT} * max(n) + 99) // 100, 1) AS k,
+                 max(n) AS n
+          FROM r)
+    SELECT (SELECT CAST(n AS BIGINT) FROM k) AS n_days,
+           (SELECT CAST(k AS BIGINT) FROM k) AS n_tail_days,
+           CAST(max(CASE WHEN rn = (SELECT k FROM k) THEN rev END)
+               AS BIGINT) AS var{_CVAR_PCT}_cents,
+           CAST(sum(CASE WHEN rn <= (SELECT k FROM k) THEN rev ELSE 0 END)
+                // (SELECT k FROM k) AS BIGINT) AS cvar{_CVAR_PCT}_cents
+    FROM r
+    """,
+    doc="Tail-risk readout of daily revenue: the {_CVAR_PCT}% "
+    "value-at-risk (the nearest-rank worst-decile-boundary day, "
+    "ceil(p*n) with a (rev, day) total order) and the expected "
+    "shortfall / CVaR (exact integer mean of the k worst days) — "
+    "the coherent-risk-measure pair finance reporting uses, applied "
+    "to revenue operations ('how bad is a bad day, and how bad is "
+    "the average bad day').  One daily rollup, one rank window over "
+    "the day-dimension table, a conditional fold — all exact "
+    "cents.",
+    tags=("analytics", "risk"),
+)
+def revenue_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dr = orders.groupBy(
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wr = W.orderBy("rev", "d")
+    wn = W.partitionBy()
+    r = dr.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    kdf = r.agg(
+        F.expr(
+            f"greatest(({_CVAR_PCT} * max(n) + 99) DIV 100, 1)"
+        ).alias("k"),
+        F.max("n").cast("long").alias("n_all"),
+    )
+    return (
+        r.crossJoin(F.broadcast(kdf))
+        .agg(
+            F.max("n_all").cast("long").alias("n_days"),
+            F.max("k").cast("long").alias("n_tail_days"),
+            F.max(
+                F.when(F.col("rn") == F.col("k"), F.col("rev"))
+            ).cast("long").alias(f"var{_CVAR_PCT}_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN rn <= k THEN rev ELSE 0 END)"
+                " DIV max(k) AS BIGINT)"
+            ).alias(f"cvar{_CVAR_PCT}_cents"),
+        )
+    )

@@ -10971,3 +10971,50 @@ def revenue_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"cvar{_CVAR_PCT}_cents"),
         )
     )
+
+
+# --- lines-per-order fanout histogram ---------------------------------------
+
+
+@register(
+    "lines_per_order_histogram",
+    oracle="""
+    , lo AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lo)
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM lo GROUP BY n_lines
+    """,
+    doc="Order-to-lineitem fanout distribution: how many orders carry "
+    "1, 2, ... line items, with exact ppm shares — the join-fanout "
+    "profile that sizes the orders-lineitem shuffle (skewed fanout "
+    "= skewed join partitions) and the basket-depth fact behind the "
+    "copurchase suite's pair-explosion bounds.  One per-order "
+    "rollup and a tiny histogram fold.",
+    tags=("analytics", "profiling"),
+)
+def lines_per_order_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    tot = lo.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        lo.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.expr("CAST(n_orders * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

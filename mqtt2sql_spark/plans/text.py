@@ -2949,3 +2949,63 @@ def postings_gap_bits_estimate(
             " AS BIGINT)"
         ).alias("compressed_ratio_ppm"),
     )
+
+
+# --- lang-ID accuracy stability across hash folds ---------------------------
+
+_LANGID_FOLDS = 5
+
+
+@register(
+    "langid_accuracy_by_fold",
+    oracle=f"""
+    , pred AS (
+        SELECT doc_id % {_LANGID_FOLDS} AS fold,
+               CASE WHEN lang =
+                    CASE WHEN cjk > 0 THEN 'zh'
+                         WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                         WHEN es >= en AND es >= fr THEN 'es'
+                         WHEN fr >= en THEN 'fr'
+                         ELSE 'en' END
+                    THEN 1 ELSE 0 END AS correct
+        FROM (
+            SELECT doc_id, lang,
+                   {_duck_marker_count(LANG_MARKERS["en"])} AS en,
+                   {_duck_marker_count(LANG_MARKERS["de"])} AS de,
+                   {_duck_marker_count(LANG_MARKERS["es"])} AS es,
+                   {_duck_marker_count(LANG_MARKERS["fr"])} AS fr,
+                   len(regexp_extract_all(text, '{CJK_RE_DUCK}')) AS cjk
+            FROM (SELECT doc_id, lang, text, {duck_tokens()} AS toks
+                  FROM documents)
+        )
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           CAST(sum(correct) * 1000000 // count(*) AS BIGINT) AS acc_ppm
+    FROM pred GROUP BY fold
+    """,
+    doc="Cross-validation-style stability readout for the lang_id_ngram "
+    "classifier: accuracy computed independently on {_LANGID_FOLDS} "
+    "deterministic hash folds (doc_id mod {_LANGID_FOLDS}) — the "
+    "fold-to-fold spread is the variance estimate that says whether "
+    "the single-number accuracy (and the confusion matrix) can be "
+    "trusted, the standard check before acting on an eval.  Scoring "
+    "is the same codegen'd projection as lang_id_ngram; folds add "
+    "one group key — no extra pass.",
+    tags=("text", "evaluation"),
+)
+def langid_accuracy_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id_ngram(spark, sf_dir).select(
+        (F.col("doc_id") % _LANGID_FOLDS).alias("fold"),
+        F.when(F.col("lang") == F.col("lang_pred"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+    return pred.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(sum(correct) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )

@@ -2433,3 +2433,77 @@ def dedup_canonical_quality_delta(
             " END) * 1000000 DIV greatest(count(*), 1) AS BIGINT)"
         ).alias("differs_ppm"),
     )
+
+
+# --- prefix-fingerprint length sweep ----------------------------------------
+
+_PREFIX_LENS = [10, 20, 40]
+
+
+@register(
+    "prefix_length_dedup_sweep",
+    oracle=f"""
+    , toks2 AS (SELECT doc_id, {duck_tokens()} AS t FROM documents),
+    keys AS (
+        {" UNION ALL ".join(
+            f"SELECT {k} AS plen, doc_id,"
+            f" md5(array_to_string(list_slice(t, 1, {k}), ' ')) AS nh"
+            " FROM toks2"
+            for k in _PREFIX_LENS
+        )}
+    ),
+    g AS (
+        SELECT plen, nh, CAST(count(*) AS BIGINT) AS sz
+        FROM keys GROUP BY plen, nh
+    )
+    SELECT CAST(plen AS BIGINT) AS prefix_tokens,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_docs_in_dups,
+           CAST(sum(CASE WHEN sz >= 2 THEN sz - 1 ELSE 0 END) * 1000000
+                // sum(sz) AS BIGINT) AS removal_ppm
+    FROM g GROUP BY plen
+    """,
+    doc="Dedup-key tuning sweep: prefix fingerprints of 10/20/40 "
+    "tokens evaluated side by side — shorter prefixes collapse more "
+    "docs (higher removal rate, more false merges), longer ones "
+    "converge to exact dedup; the sweep picks the operating point "
+    "for the source_dedup_affinity key the same way "
+    "lsh_band_sensitivity tunes the shingle pipeline.  One tokenize "
+    "pass fans out to three hash keys map-side; group sizes are one "
+    "hash aggregate per length; removal_ppm = docs that would be "
+    "dropped keeping one survivor per group.",
+    tags=("dedup", "llm-pipeline"),
+)
+def prefix_length_dedup_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    t = tokens("text")
+    keys = None
+    for k in _PREFIX_LENS:
+        part = docs.select(
+            F.lit(k).alias("plen"),
+            F.md5(F.concat_ws(" ", F.slice(t, 1, k))).alias("nh"),
+        )
+        keys = part if keys is None else keys.unionAll(part)
+    g = keys.groupBy("plen", "nh").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return g.groupBy(F.col("plen").cast("long").alias("prefix_tokens")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_in_dups"),
+        F.expr(
+            "CAST(sum(CASE WHEN sz >= 2 THEN sz - 1 ELSE 0 END) * 1000000"
+            " DIV sum(sz) AS BIGINT)"
+        ).alias("removal_ppm"),
+    )

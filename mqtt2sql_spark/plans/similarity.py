@@ -4101,3 +4101,131 @@ def kmeans_calinski_harabasz(
             " AS BIGINT)"
         ).alias("ch_index_x100"),
     )
+
+
+# --- dimension-truncation (Matryoshka) rank fidelity ------------------------
+
+_TRUNC_DIMS = 32
+
+_DUCK_COS_TR = (
+    f"list_inner_product(list_slice(q.e, 1, {_TRUNC_DIMS}),"
+    f" list_slice(c.e, 1, {_TRUNC_DIMS})) / "
+    f"(sqrt(list_inner_product(list_slice(q.e, 1, {_TRUNC_DIMS}),"
+    f" list_slice(q.e, 1, {_TRUNC_DIMS})))"
+    f" * sqrt(list_inner_product(list_slice(c.e, 1, {_TRUNC_DIMS}),"
+    f" list_slice(c.e, 1, {_TRUNC_DIMS}))))"
+)
+
+
+@register(
+    "dim_truncation_rank_overlap",
+    oracle=f"""
+    , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    fullk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {TOP_K}
+    ),
+    trunck AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DUCK_COS_TR}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {TOP_K}
+    ),
+    ov AS (
+        SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM fullk a JOIN trunck b
+          ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+        GROUP BY a.query_id
+    ),
+    per AS (
+        SELECT f.query_id, coalesce(o.n_common, 0) AS n_common
+        FROM (SELECT DISTINCT query_id FROM fullk) f
+        LEFT JOIN ov o ON o.query_id = f.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(n_common) AS BIGINT) AS total_common,
+           CAST(sum(n_common) * 1000000 // (count(*) * {TOP_K}) AS BIGINT)
+               AS recall_ppm,
+           CAST(min(n_common) AS BIGINT) AS worst_overlap
+    FROM per
+    """,
+    doc="Matryoshka-truncation fidelity: top-{TOP_K} cosine neighbors "
+    "from only the first {_TRUNC_DIMS} of 64 dimensions, scored as "
+    "recall against the full-dimension ranking per sampled probe — "
+    "the 2x-cheaper-index question (MRL-style nested embeddings) "
+    "answered empirically: high recall licenses serving the "
+    "truncated vectors, low recall says this encoder's information "
+    "is not front-loaded.  Both rankings share the broadcast-anchor "
+    "join and the round(.,6)/vec_id rank contract; the truncated "
+    "side simply slices the array before the same dot products.",
+    tags=("similarity", "eval"),
+)
+def dim_truncation_rank_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def cos_cols(qe, ce):
+        return _dot(qe, ce) / (F.sqrt(_dot(qe, qe)) * F.sqrt(_dot(ce, ce)))
+
+    def topk(score):
+        w = W.partitionBy("query_id").orderBy(
+            F.desc(F.round(score, 6)), F.asc("vec_id")
+        )
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    full = topk(cos_cols(F.col("qe"), F.col("e"))).localCheckpoint(
+        eager=False
+    )
+    tr = topk(
+        cos_cols(
+            F.slice(F.col("qe"), 1, _TRUNC_DIMS),
+            F.slice(F.col("e"), 1, _TRUNC_DIMS),
+        )
+    )
+    ov = (
+        full.alias("a")
+        .join(
+            tr.alias("b"),
+            F.expr("b.query_id = a.query_id AND b.vec_id = a.vec_id"),
+        )
+        .groupBy("a.query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    per = (
+        full.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .select(F.coalesce("n_common", F.lit(0)).alias("n_common"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("n_common").cast("long").alias("total_common"),
+        F.expr(
+            f"CAST(sum(n_common) * 1000000 DIV (count(*) * {TOP_K})"
+            " AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.min("n_common").cast("long").alias("worst_overlap"),
+    )

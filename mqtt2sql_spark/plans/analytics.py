@@ -11018,3 +11018,106 @@ def lines_per_order_histogram(
             ),
         )
     )
+
+
+# --- supplier latency-trend census ------------------------------------------
+
+_TREND_MIN_LINES = 20
+
+
+@register(
+    "supplier_latency_trend_census",
+    oracle=f"""
+    , lt AS (
+        SELECT l_suppkey,
+               epoch_us(l_shipdate) // 86400000000 AS x,
+               greatest(epoch_us(l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000, 0) AS y
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    mo AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM lt GROUP BY l_suppkey
+        HAVING count(*) >= {_TREND_MIN_LINES}
+    ),
+    sgn AS (
+        SELECT l_suppkey,
+               CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+                    WHEN n * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+                    ELSE 0 END AS slope_sign
+        FROM mo
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CASE WHEN slope_sign > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_worsening,
+           CAST(sum(CASE WHEN slope_sign < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_improving,
+           CAST(sum(CASE WHEN slope_sign = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flat,
+           CAST(sum(CASE WHEN slope_sign > 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS worsening_ppm
+    FROM sgn
+    """,
+    doc="Mass-regression census: for every supplier with >= "
+    "{_TREND_MIN_LINES} shipments, the SIGN of the OLS slope of "
+    "ship latency over calendar time — worsening vs improving vs "
+    "flat — without ever computing the slope as a float: "
+    "sign(beta) = sign(n*Sxy - Sx*Sy), an exact int128 expression, "
+    "so thousands of per-entity regressions reduce to one "
+    "map-side-partial moment aggregate and a sign test (the "
+    "fleet-health complement to supplier_latency_consistency's "
+    "level view; negative lead-time artifacts clamp at 0 as in "
+    "safety_stock_by_brand).",
+    tags=("analytics", "trend"),
+)
+def supplier_latency_trend_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("x"),
+        F.expr(
+            "greatest(unix_micros(l_shipdate) DIV 86400000000"
+            " - unix_micros(o_orderdate) DIV 86400000000, 0)"
+        ).alias("y"),
+    )
+    mo = (
+        lt.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        )
+        .filter(F.col("n") >= _TREND_MIN_LINES)
+    )
+    sgn = mo.select(
+        F.expr(
+            "CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1"
+            " WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1"
+            " ELSE 0 END"
+        ).alias("slope_sign")
+    )
+    return sgn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.when(F.col("slope_sign") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_worsening"),
+        F.sum(F.when(F.col("slope_sign") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_improving"),
+        F.sum(F.when(F.col("slope_sign") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flat"),
+        F.expr(
+            "CAST(sum(CASE WHEN slope_sign > 0 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("worsening_ppm"),
+    )

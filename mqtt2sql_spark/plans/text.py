@@ -3009,3 +3009,64 @@ def langid_accuracy_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(correct) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("acc_ppm"),
     )
+
+
+# --- token burstiness: collection frequency vs document frequency -----------
+
+_BURST_MIN_DF = 5
+_BURST_TOPK = 20
+
+
+@register(
+    "token_burstiness_topk",
+    oracle=f"""
+    , occ AS (
+        SELECT doc_id, unnest({duck_tokens()}) AS tok FROM documents
+    ),
+    stats AS (
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS cf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM occ GROUP BY tok
+    )
+    SELECT tok, cf, df,
+           CAST(cf * 100 // df AS BIGINT) AS burstiness_x100
+    FROM stats
+    WHERE df >= {_BURST_MIN_DF}
+    ORDER BY cf * 100 // df DESC, tok
+    LIMIT {_BURST_TOPK}
+    """,
+    doc="Lexical burstiness (Church-Gale adaptation): tokens ranked by "
+    "collection-frequency over document-frequency — a token that "
+    "occurs 50 times across 5 docs (bursty, topical) behaves "
+    "completely differently from one occurring once in each of 50 "
+    "docs (dispersed, functional), the distinction that separates "
+    "keyword candidates from stopword candidates beyond raw "
+    "frequency (and the 'adaptation' term smoothing LMs model).  "
+    "cf and df fold in one two-measure hash aggregate (count + "
+    "count distinct via partial expand), the ratio is exact x100, "
+    "top-{_BURST_TOPK} with a (ratio, token) total order.",
+    tags=("text", "lexical"),
+)
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    occ = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    stats = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= _BURST_MIN_DF)
+        .select(
+            "tok",
+            "cf",
+            "df",
+            F.expr("CAST(cf * 100 DIV df AS BIGINT)").alias(
+                "burstiness_x100"
+            ),
+        )
+        .orderBy(F.desc("burstiness_x100"), "tok")
+        .limit(_BURST_TOPK)
+    )

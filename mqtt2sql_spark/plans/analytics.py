@@ -11121,3 +11121,69 @@ def supplier_latency_trend_census(
             " * 1000000 DIV count(*) AS BIGINT)"
         ).alias("worsening_ppm"),
     )
+
+
+# --- negative lead-time (ship-before-order) data-quality audit --------------
+
+
+@register(
+    "negative_leadtime_audit",
+    oracle="""
+    , lt AS (
+        SELECT EXTRACT(year FROM l.l_shipdate) AS yr,
+               epoch_us(l.l_shipdate) // 86400000000
+               - epoch_us(o.o_orderdate) // 86400000000 AS lead_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           CAST(sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS negative_ppm,
+           CAST(min(lead_days) AS BIGINT) AS worst_days,
+           CAST(CASE WHEN sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) > 0
+                THEN sum(CASE WHEN lead_days < 0 THEN -lead_days ELSE 0 END)
+                     // sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS mean_negative_magnitude_days
+    FROM lt GROUP BY yr
+    """,
+    doc="Temporal-integrity audit: line items shipped BEFORE their "
+    "order date, per year — the impossible-timeline defect class "
+    "(clock skew, backdated orders, ETL joins across snapshot "
+    "boundaries) that this synthetic fixture exhibits heavily and "
+    "that safety_stock_by_brand / supplier_latency_trend_census "
+    "must clamp around; quantifying it per year tells a pipeline "
+    "whether the defect is historic or ongoing.  One fact-fact "
+    "equi-join and a per-year conditional rollup, all integer "
+    "day arithmetic.",
+    tags=("analytics", "data-quality"),
+)
+def negative_leadtime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.expr("year(l_shipdate)").alias("yr"),
+        F.expr(
+            "unix_micros(l_shipdate) DIV 86400000000"
+            " - unix_micros(o_orderdate) DIV 86400000000"
+        ).alias("lead_days"),
+    )
+    neg = F.when(F.col("lead_days") < 0, 1).otherwise(0)
+    return lt.groupBy(F.col("yr").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(neg).cast("long").alias("n_negative"),
+        F.expr(
+            "CAST(sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("negative_ppm"),
+        F.min("lead_days").cast("long").alias("worst_days"),
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END)"
+            " > 0 THEN sum(CASE WHEN lead_days < 0 THEN -lead_days ELSE 0"
+            " END) DIV sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("mean_negative_magnitude_days"),
+    )

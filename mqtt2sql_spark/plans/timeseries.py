@@ -3739,3 +3739,58 @@ def diurnal_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_x1e6"
         ),
     )
+
+
+# --- synchronized bursts: many distinct users in the same second ------------
+
+_SYNC_MIN_USERS = 3
+
+
+@register(
+    "synchronized_burst_seconds",
+    oracle=f"""
+    , sec AS (
+        SELECT epoch_us(ts) // 1000000 AS s,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(s // 86400 AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS n_seconds_active,
+           CAST(sum(CASE WHEN n_users >= {_SYNC_MIN_USERS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_seconds,
+           CAST(max(n_users) AS BIGINT) AS max_users_one_second,
+           CAST(max(n_events) AS BIGINT) AS max_events_one_second
+    FROM sec GROUP BY 1
+    """,
+    doc="Coordination detector: seconds in which {_SYNC_MIN_USERS}+ "
+    "DISTINCT users acted simultaneously, per day — organic traffic "
+    "spreads across seconds, while bot fleets, cache stampedes and "
+    "push-notification fanouts synchronize to the second; the "
+    "max-users-per-second column sizes the worst spike (the "
+    "complement of peak_load_5min, which smooths exactly the "
+    "signature this query looks for).  One (second) rollup with a "
+    "distinct-user measure (partial expand), then a daily fold — "
+    "at 100 TB only active seconds survive the first aggregate.",
+    tags=("timeseries", "anomaly"),
+)
+def synchronized_burst_seconds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 1000000").alias("s")
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return sec.groupBy(
+        F.expr("CAST(s DIV 86400 AS BIGINT)").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seconds_active"),
+        F.sum(
+            F.when(F.col("n_users") >= _SYNC_MIN_USERS, 1).otherwise(0)
+        ).cast("long").alias("n_burst_seconds"),
+        F.max("n_users").cast("long").alias("max_users_one_second"),
+        F.max("n_events").cast("long").alias("max_events_one_second"),
+    )

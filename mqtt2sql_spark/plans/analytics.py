@@ -11187,3 +11187,66 @@ def negative_leadtime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("mean_negative_magnitude_days"),
     )
+
+
+# --- which part-name words sell: token revenue attribution ------------------
+
+_NAME_TOKEN_TOPK = 15
+
+
+@register(
+    "part_name_token_revenue",
+    oracle=f"""
+    , pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    nt AS (
+        SELECT unnest(string_split(p.p_name, ' ')) AS tok, pr.rev
+        FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
+    )
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev) // count(*) AS BIGINT) AS revenue_per_part_cents
+    FROM nt GROUP BY tok
+    ORDER BY sum(rev) DESC, tok
+    LIMIT {_NAME_TOKEN_TOPK}
+    """,
+    doc="Merchandising signal: revenue attributed to each word of the "
+    "part name (every part's exact-cents revenue credited to each "
+    "of its name tokens), top-{_NAME_TOKEN_TOPK} — the 'which "
+    "product attributes sell' cut a catalog team reads before "
+    "naming/assortment decisions, and the structured-attribute "
+    "analog of the document-side keyness queries.  One per-part "
+    "rollup, a broadcast part-dim join, a whitespace split exploded "
+    "map-side, a token rollup with a (revenue, token) total-order "
+    "top-k.",
+    tags=("analytics", "merchandising"),
+)
+def part_name_token_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    nt = (
+        pr.join(F.broadcast(part), pr.l_partkey == part.p_partkey)
+        .select(F.explode(F.split("p_name", " ")).alias("tok"), "rev")
+    )
+    return (
+        nt.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.expr("CAST(sum(rev) DIV count(*) AS BIGINT)").alias(
+                "revenue_per_part_cents"
+            ),
+        )
+        .orderBy(F.desc("revenue_cents"), "tok")
+        .limit(_NAME_TOKEN_TOPK)
+    )

@@ -3794,3 +3794,58 @@ def synchronized_burst_seconds(
         F.max("n_users").cast("long").alias("max_users_one_second"),
         F.max("n_events").cast("long").alias("max_events_one_second"),
     )
+
+
+# --- longest calendar inactivity gap per series -----------------------------
+
+
+@register(
+    "max_inactivity_gap",
+    oracle="""
+    , daily AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts) // 86400000000 AS d
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               d - lag(d) OVER (PARTITION BY event_type ORDER BY d) - 1
+                   AS gap
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) + 1 AS BIGINT) AS n_active_days,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days,
+           CAST(coalesce(sum(gap), 0) AS BIGINT) AS total_silent_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Availability census per series: the longest run of consecutive "
+    "calendar days with ZERO events and the total silent days — the "
+    "outage/seasonal-shutdown fingerprint a freshness SLO monitors "
+    "(complements sequence_gap_audit, which looks for holes in the "
+    "id sequence, not the calendar).  Computed without a day spine: "
+    "gaps are d - lag(d) - 1 over each series' active days, one "
+    "keyed window over the tiny (type, day) distinct rollup.",
+    tags=("timeseries", "freshness"),
+)
+def max_inactivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("d")
+    g = daily.select(
+        "event_type",
+        (F.col("d") - F.lag("d", 1).over(w) - 1).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_active_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias(
+            "max_gap_days"
+        ),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("long").alias(
+            "total_silent_days"
+        ),
+    )

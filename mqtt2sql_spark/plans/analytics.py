@@ -11250,3 +11250,56 @@ def part_name_token_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_cents"), "tok")
         .limit(_NAME_TOKEN_TOPK)
     )
+
+
+# --- temporal revenue concentration within months ---------------------------
+
+
+@register(
+    "monthly_revenue_day_concentration",
+    oracle="""
+    , dr AS (
+        SELECT (EXTRACT(year FROM o_orderdate) * 100
+                + EXTRACT(month FROM o_orderdate)) AS ym,
+               epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(ym AS BIGINT) AS ym,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(rev) AS BIGINT) AS month_rev_cents,
+           CAST(max(rev) AS BIGINT) AS top_day_rev_cents,
+           CAST(max(rev) * 1000000 // sum(rev) AS BIGINT)
+               AS top_day_share_ppm
+    FROM dr GROUP BY ym
+    """,
+    doc="Temporal concentration of revenue inside each month: the top "
+    "single day's share in exact ppm — flat ~1/30 shares mean "
+    "steady flow, spikes flag promo days or batch-posted ledgers "
+    "(the time-axis analog of the customer-concentration Pareto "
+    "queries, and the fact pattern behind the month-end "
+    "hockey_stick_ratio).  One (month, day) rollup then a per-month "
+    "fold; all exact cents.",
+    tags=("analytics", "concentration"),
+)
+def monthly_revenue_day_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dr = orders.groupBy(
+        F.expr("year(o_orderdate) * 100 + month(o_orderdate)").alias("ym"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    return dr.groupBy(F.col("ym").cast("long").alias("ym")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rev").cast("long").alias("month_rev_cents"),
+        F.max("rev").cast("long").alias("top_day_rev_cents"),
+        F.expr(
+            "CAST(max(rev) * 1000000 DIV sum(rev) AS BIGINT)"
+        ).alias("top_day_share_ppm"),
+    )

@@ -3070,3 +3070,62 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness_x100"), "tok")
         .limit(_BURST_TOPK)
     )
+
+
+# --- lang-ID decision-margin histogram --------------------------------------
+
+
+@register(
+    "langid_margin_histogram",
+    oracle=f"""
+    , sc AS (
+        SELECT doc_id,
+               {_duck_marker_count(LANG_MARKERS["en"])} AS en,
+               {_duck_marker_count(LANG_MARKERS["de"])} AS de,
+               {_duck_marker_count(LANG_MARKERS["es"])} AS es,
+               {_duck_marker_count(LANG_MARKERS["fr"])} AS fr
+        FROM (SELECT doc_id, text, {duck_tokens()} AS toks FROM documents)
+    ),
+    fin AS (
+        SELECT CASE
+            WHEN en >= de AND en >= es AND en >= fr
+                THEN en - greatest(de, es, fr)
+            WHEN de >= es AND de >= fr THEN de - greatest(en, es, fr)
+            WHEN es >= fr THEN es - greatest(en, de, fr)
+            ELSE fr - greatest(en, de, es) END AS margin
+        FROM sc
+    )
+    SELECT CAST(least(margin, 5) AS BIGINT) AS margin_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM fin GROUP BY least(margin, 5)
+    """,
+    doc="Decision-margin histogram for the marker-word language "
+    "classifier: per document the gap between the best and "
+    "second-best language score (capped at 5+) — margin-0 docs are "
+    "ties decided purely by the fixed tie-order, i.e. the "
+    "mixed-language / ambiguous mass that langid_confusion_matrix "
+    "cannot distinguish from confident errors; routing pipelines "
+    "send exactly this bucket to a heavier classifier.  Same "
+    "single-pass scoring projection; the margin is a pure "
+    "max-vs-runner-up CASE over the four integer scores.",
+    tags=("text", "evaluation"),
+)
+def langid_margin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sc = docs.select(
+        count_in_list(toks, LANG_MARKERS["en"]).alias("en"),
+        count_in_list(toks, LANG_MARKERS["de"]).alias("de"),
+        count_in_list(toks, LANG_MARKERS["es"]).alias("es"),
+        count_in_list(toks, LANG_MARKERS["fr"]).alias("fr"),
+    )
+    margin = F.expr(
+        "CASE WHEN en >= de AND en >= es AND en >= fr"
+        " THEN en - greatest(de, es, fr)"
+        " WHEN de >= es AND de >= fr THEN de - greatest(en, es, fr)"
+        " WHEN es >= fr THEN es - greatest(en, de, fr)"
+        " ELSE fr - greatest(en, de, es) END"
+    )
+    return sc.select(margin.alias("margin")).groupBy(
+        F.expr("CAST(least(margin, 5) AS BIGINT)").alias("margin_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -11303,3 +11303,75 @@ def monthly_revenue_day_concentration(
             "CAST(max(rev) * 1000000 DIV sum(rev) AS BIGINT)"
         ).alias("top_day_share_ppm"),
     )
+
+
+# --- CUBE over region x market segment --------------------------------------
+
+
+@register(
+    "cube_region_segment",
+    oracle="""
+    SELECT coalesce(r.r_name, '(all)') AS region,
+           coalesce(c.c_mktsegment, '(all)') AS segment,
+           CAST(grouping(r.r_name) * 2 + grouping(c.c_mktsegment)
+               AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY CUBE (r.r_name, c.c_mktsegment)
+    """,
+    doc="Full CUBE over (region, market segment): every subtotal "
+    "combination plus the grand total in one pass, with "
+    "grouping_id disambiguating NULL-valued dimension cells from "
+    "real values (rendered '(all)') — the grouping-sets surface "
+    "completing rollup_lineitem's hierarchy-only ROLLUP; Catalyst "
+    "plans CUBE as a single Expand + hash aggregate, so the fact "
+    "is scanned once for all 2^2 groupings.  Dims broadcast; "
+    "revenue exact cents.",
+    tags=("analytics", "olap"),
+)
+def cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "c_mktsegment",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+    )
+    return (
+        j.cube("r_name", "c_mktsegment")
+        .agg(
+            F.expr(
+                "CAST(grouping(r_name) * 2 + grouping(c_mktsegment)"
+                " AS BIGINT)"
+            ).alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("segment"),
+            "gid",
+            "n_orders",
+            "revenue_cents",
+        )
+    )

@@ -4229,3 +4229,108 @@ def dim_truncation_rank_overlap(
         ).alias("recall_ppm"),
         F.min("n_common").cast("long").alias("worst_overlap"),
     )
+
+
+# --- most-confusable label pairs by centroid distance -----------------------
+
+_CONFUSABLE_TOPK = 5
+
+
+@register(
+    "label_confusable_pairs",
+    oracle=f"""
+    , e AS (
+        SELECT m.label, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {_Q_VAL} + 0.5)
+                   AS BIGINT) AS q
+        FROM embeddings m, unnest(generate_series(1, len(embedding)))
+             AS t(i)
+    ),
+    cent AS MATERIALIZED (
+        SELECT label, dim,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY label, dim
+    ),
+    pd AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(CAST(floor(
+                   (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                   * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                   / {_Q_VAL}) AS BIGINT)) AS BIGINT) AS dist_fp
+        FROM cent a
+        JOIN cent b ON b.dim = a.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b, dist_fp,
+           CAST(row_number() OVER (ORDER BY dist_fp, label_a, label_b)
+               AS BIGINT) AS rank
+    FROM pd ORDER BY dist_fp, label_a, label_b LIMIT {_CONFUSABLE_TOPK}
+    """,
+    doc="Most-confusable label pairs: squared L2 distance between "
+    "label centroids (quantized integer sums; per-dimension "
+    "contributions floor-quantized before folding, so the ranking "
+    "is bit-stable), smallest-first — the pairs a classifier built "
+    "on these embeddings will mix up, and the merge candidates a "
+    "taxonomy review considers (pairwise complement to "
+    "label_cosine_separation's one-vs-rest view).  Centroids are a "
+    "(label, dim) aggregate; the pair join runs over K*d rows — "
+    "dimension-scale everywhere after one corpus pass.",
+    tags=("similarity", "eval"),
+)
+def label_confusable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "fval")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("fval").cast("double") * _Q_VAL + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    cent = e.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).localCheckpoint(eager=False)
+    diff = (
+        "(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)"
+        " - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))"
+    )
+    pd = (
+        cent.alias("a")
+        .join(
+            cent.alias("b"),
+            F.expr("b.dim = a.dim AND a.label < b.label"),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(floor({diff} * {diff} / {_Q_VAL}) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("dist_fp")
+        )
+    )
+    w = W.orderBy("dist_fp", "label_a", "label_b")
+    return (
+        pd.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("dist_fp", "label_a", "label_b")
+        .limit(_CONFUSABLE_TOPK)
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            "dist_fp",
+            "rank",
+        )
+    )

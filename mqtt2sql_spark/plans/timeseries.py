@@ -3849,3 +3849,111 @@ def max_inactivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_silent_days"
         ),
     )
+
+
+# --- variance-ratio (random walk) test over daily revenue -------------------
+
+_VR_QS = [2, 5, 10]
+
+# VR(q) = Var(q-period sums) / (q * Var(1-period)), both variances from
+# exact integer moment sums over DOLLAR-quantized daily revenue changes:
+# vr_x100 = floor( (n1 * (nq*sq2 - sq*sq)) * 100
+#                  / (q * nq * (n1*s12 - s1*s1)) ) -- one shared expression.
+_VR_EXPR = (
+    "CAST(floor(CAST(n1 AS DOUBLE) * (CAST(nq AS DOUBLE)"
+    " * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))"
+    " * 100.0 / (CAST(q AS DOUBLE) * CAST(nq AS DOUBLE)"
+    " * (CAST(n1 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    "    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@register(
+    "variance_ratio_test",
+    oracle=f"""
+    , dr AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    chg AS (
+        SELECT a.d, a.rev - b.rev AS r1
+        FROM dr a JOIN dr b ON b.d = a.d - 1
+    ),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n1,
+               CAST(sum(r1) AS BIGINT) AS s1,
+               CAST(sum(CAST(r1 AS HUGEINT) * r1) AS BIGINT) AS s12
+        FROM chg
+    ),
+    qs AS (SELECT * FROM (VALUES {", ".join(f"({q})" for q in _VR_QS)}) AS t(q)),
+    qchg AS (
+        SELECT qs.q, a.d, a.rev - b.rev AS rq
+        FROM qs
+        JOIN dr a ON TRUE
+        JOIN dr b ON b.d = a.d - qs.q
+    ),
+    qmo AS (
+        SELECT q,
+               CAST(count(*) AS BIGINT) AS nq,
+               CAST(sum(rq) AS BIGINT) AS sq,
+               CAST(sum(CAST(rq AS HUGEINT) * rq) AS BIGINT) AS sq2
+        FROM qchg GROUP BY q
+    )
+    SELECT CAST(q AS BIGINT) AS q, nq AS n_windows,
+           {_VR_EXPR} AS vr_x100
+    FROM qmo CROSS JOIN base
+    """,
+    doc="Lo-MacKinlay variance-ratio test on daily revenue changes: "
+    "VR(q) = Var(q-day change) / (q * Var(1-day change)) for "
+    "q = 2/5/10 — VR near 100 (x100 scale) is random-walk behavior, "
+    "VR << 100 mean reversion (stabilizing demand), VR >> 100 "
+    "trending/momentum; the standard market-efficiency diagnostic "
+    "applied to operational revenue, and orthogonal to the "
+    "autocorrelation and decomposition views already in the suite.  "
+    "All moments are exact integers over whole-dollar revenue "
+    "(int128 squares); each q is a calendar-offset self-join on "
+    "the tiny day table; the ratio is one shared float "
+    "expression.",
+    tags=("timeseries", "statistics"),
+)
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dr = orders.groupBy(
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice"), 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    ).localCheckpoint(eager=False)
+    chg = (
+        dr.alias("a")
+        .join(dr.alias("b"), F.expr("b.d = a.d - 1"))
+        .select((F.col("a.rev") - F.col("b.rev")).alias("r1"))
+    )
+    base = chg.agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("r1").cast("long").alias("s1"),
+        F.sum(F.expr("CAST(r1 AS DECIMAL(38,0)) * r1")).cast("long").alias(
+            "s12"
+        ),
+    )
+    qs = spark.createDataFrame([(q,) for q in _VR_QS], "q INT")
+    qchg = (
+        qs.crossJoin(dr.alias("a"))
+        .join(dr.alias("b"), F.expr("b.d = a.d - q"))
+        .select("q", (F.col("a.rev") - F.col("b.rev")).alias("rq"))
+    )
+    qmo = qchg.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("nq"),
+        F.sum("rq").cast("long").alias("sq"),
+        F.sum(F.expr("CAST(rq AS DECIMAL(38,0)) * rq")).cast("long").alias(
+            "sq2"
+        ),
+    )
+    return qmo.crossJoin(F.broadcast(base)).select(
+        F.col("q").cast("long").alias("q"),
+        F.col("nq").alias("n_windows"),
+        F.expr(_VR_EXPR).alias("vr_x100"),
+    )

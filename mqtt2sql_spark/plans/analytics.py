@@ -11375,3 +11375,95 @@ def cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+# --- brand continuity across consecutive orders -----------------------------
+
+
+@register(
+    "brand_continuity_rate",
+    oracle="""
+    , ob AS (
+        SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+               c.c_mktsegment AS segment,
+               list_sort(list(DISTINCT p.p_brand)) AS brands
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate, c.c_mktsegment
+    ),
+    seq AS (
+        SELECT segment, brands,
+               lag(brands) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+                   AS prev_brands
+        FROM ob
+    ),
+    pairs AS (
+        SELECT segment,
+               CASE WHEN len(list_intersect(brands, prev_brands)) > 0
+                    THEN 1 ELSE 0 END AS continued
+        FROM seq WHERE prev_brands IS NOT NULL
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_order_pairs,
+           CAST(sum(continued) AS BIGINT) AS n_continued,
+           CAST(sum(continued) * 1000000 // count(*) AS BIGINT)
+               AS continuity_ppm
+    FROM pairs GROUP BY segment
+    """,
+    doc="Brand loyalty as a behavioral rate: for every customer's "
+    "consecutive order pair, did the next order share at least one "
+    "brand with the previous one?  continuity_ppm by market segment "
+    "is the switching-vs-loyalty readout that basket counts alone "
+    "cannot give (complements repeat_revenue_share, which measures "
+    "repeat CUSTOMERS, not repeated brand choice).  Per-order brand "
+    "sets are sorted distinct arrays built in one grouped "
+    "aggregate, sequence adjacency is a customer-keyed lag window, "
+    "the set-overlap test is array_intersect — all engine-native "
+    "array ops, no explode of the pair stream.",
+    tags=("analytics", "behavior"),
+)
+def brand_continuity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = ob.select(
+        "segment",
+        "brands",
+        F.lag("brands", 1).over(w).alias("prev_brands"),
+    ).filter(F.col("prev_brands").isNotNull())
+    pairs = seq.select(
+        "segment",
+        F.when(
+            F.size(F.array_intersect("brands", "prev_brands")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("continued"),
+    )
+    return pairs.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_order_pairs"),
+        F.sum("continued").cast("long").alias("n_continued"),
+        F.expr(
+            "CAST(sum(continued) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("continuity_ppm"),
+    )

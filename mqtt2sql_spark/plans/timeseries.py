@@ -3957,3 +3957,116 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nq").alias("n_windows"),
         F.expr(_VR_EXPR).alias("vr_x100"),
     )
+
+
+# --- Wald-Wolfowitz runs test on daily revenue ------------------------------
+
+# z*100 = (R - mu) / sigma with mu = 2*n1*n2/n + 1 and
+# sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)); assembled from exact
+# integer counts in one shared float expression.
+_RUNS_Z = (
+    "CAST(floor((CAST(r AS DOUBLE)"
+    " - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "    / CAST(n AS DOUBLE) + 1.0))"
+    " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "           - CAST(n AS DOUBLE))"
+    "        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "           * (CAST(n AS DOUBLE) - 1.0))) * 100.0) AS BIGINT)"
+)
+
+
+@register(
+    "runs_test_daily_revenue",
+    oracle=f"""
+    , dr AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT rev AS m FROM (
+            SELECT rev, row_number() OVER (ORDER BY rev, d) AS rn,
+                   count(*) OVER () AS n
+            FROM dr
+        ) WHERE rn = (n + 1) // 2
+    ),
+    sgn AS (
+        SELECT d, CASE WHEN rev > (SELECT m FROM med) THEN 1 ELSE 0 END
+                   AS above
+        FROM dr
+    ),
+    runs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(above) AS BIGINT) AS n1,
+               CAST(sum(1 - above) AS BIGINT) AS n2,
+               CAST(1 + sum(CASE WHEN above <> prev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS r
+        FROM (
+            SELECT above,
+                   lag(above) OVER (ORDER BY d) AS prev
+            FROM sgn
+        ) WHERE prev IS NOT NULL OR TRUE
+    )
+    SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+           {_RUNS_Z} AS z_x100
+    FROM runs
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of daily revenue "
+    "around its median: too FEW runs of above/below-median days "
+    "(z << 0) means persistent regimes (trending/clustered demand), "
+    "too many (z >> 0) means oscillation — the distribution-free "
+    "sanity check on i.i.d. assumptions that percentile and "
+    "variance metrics silently make.  The median is the exact "
+    "nearest-rank element, run counting is one lag window over the "
+    "day dimension, and the normal-approximation z assembles from "
+    "four exact integers in one shared float expression.",
+    tags=("timeseries", "statistics"),
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dr = orders.groupBy(
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wr = W.orderBy("rev", "d")
+    wn = W.partitionBy()
+    med = (
+        dr.withColumn("rn", F.row_number().over(wr))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (nn + 1) DIV 2"))
+        .select(F.col("rev").alias("m"))
+    )
+    sgn = dr.crossJoin(F.broadcast(med)).select(
+        "d", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    wd = W.orderBy("d")
+    runs = (
+        sgn.withColumn("prev", F.lag("above", 1).over(wd))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("above").cast("long").alias("n1"),
+            F.sum(1 - F.col("above")).cast("long").alias("n2"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("above") != F.col("prev"), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    return runs.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.expr(_RUNS_Z).alias("z_x100"),
+    )

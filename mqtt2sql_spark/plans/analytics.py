@@ -11467,3 +11467,115 @@ def brand_continuity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(continued) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("continuity_ppm"),
     )
+
+
+# --- purchase-cadence acceleration census -----------------------------------
+
+_CADENCE_MIN_ORDERS = 6  # >= 5 gaps per customer
+
+
+@register(
+    "cadence_acceleration_census",
+    oracle=f"""
+    , seq AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS d,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS k
+        FROM orders
+    ),
+    gaps AS (
+        SELECT a.o_custkey, a.k - 1 AS x, b.d - a.d AS y
+        FROM seq a JOIN seq b
+          ON b.o_custkey = a.o_custkey AND b.k = a.k + 1
+    ),
+    mo AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM gaps GROUP BY o_custkey
+        HAVING count(*) >= {_CADENCE_MIN_ORDERS - 1}
+    ),
+    sgn AS (
+        SELECT CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN 1
+                    WHEN n * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN -1
+                    ELSE 0 END AS s
+        FROM mo
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accelerating,
+           CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_decelerating,
+           CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accelerating_ppm
+    FROM sgn
+    """,
+    doc="Cadence-acceleration census: for every customer with >= "
+    "{_CADENCE_MIN_ORDERS} orders, the SIGN of the OLS slope of "
+    "their inter-order gaps over order index — shrinking gaps "
+    "(accelerating purchase rhythm) vs stretching ones (early churn "
+    "signal, ahead of absolute recency cutoffs like RFM).  The "
+    "supplier_latency_trend_census exact-sign trick applied to "
+    "behavior: sign(n*Sxy - Sx*Sy), int128, no float slope; gaps "
+    "come from one rank window + an index-offset self-equi-join, "
+    "both keyed per customer.",
+    tags=("analytics", "behavior"),
+)
+def cadence_acceleration_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d"),
+        F.row_number().over(w).alias("k"),
+    )
+    gaps = (
+        seq.alias("a")
+        .join(
+            seq.alias("b"),
+            F.expr("b.o_custkey = a.o_custkey AND b.k = a.k + 1"),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            (F.col("a.k") - 1).alias("x"),
+            (F.col("b.d") - F.col("a.d")).alias("y"),
+        )
+    )
+    mo = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        )
+        .filter(F.col("n") >= _CADENCE_MIN_ORDERS - 1)
+    )
+    sgn = mo.select(
+        F.expr(
+            "CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN 1"
+            " WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN -1"
+            " ELSE 0 END"
+        ).alias("s")
+    )
+    return sgn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_accelerating"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_decelerating"),
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flat"),
+        F.expr(
+            "CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("accelerating_ppm"),
+    )

@@ -4070,3 +4070,88 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("n_runs"),
         F.expr(_RUNS_Z).alias("z_x100"),
     )
+
+
+# --- error-recovery-time percentiles ----------------------------------------
+
+
+@register(
+    "error_recovery_percentiles",
+    oracle="""
+    , ev AS (
+        SELECT user_id, event_type, ts, event_id,
+               min(CASE WHEN event_type <> 'error' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_ok_ts
+        FROM events
+    ),
+    rec AS (
+        SELECT epoch_us(next_ok_ts) - epoch_us(ts) AS rec_us
+        FROM ev
+        WHERE event_type = 'error' AND next_ok_ts IS NOT NULL
+    ),
+    r AS (
+        SELECT rec_us,
+               row_number() OVER (ORDER BY rec_us) AS rn,
+               count(*) OVER () AS n
+        FROM rec
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_errors_recovered,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN rec_us END)
+               AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN rec_us END)
+               AS BIGINT) AS p90_us,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN rec_us END)
+               AS BIGINT) AS p99_us
+    FROM r
+    """,
+    doc="Recovery-time readout: for every error event, the time until "
+    "the SAME user's next non-error event (min of non-error "
+    "timestamps over the strictly-following frame of the user "
+    "timeline — the engine-portable form of lead-ignore-nulls), summarized as exact nearest-rank P50/P90/P99 — the "
+    "user-perceived MTTR that error counts alone miss (many errors "
+    "with instant recovery beat few errors that strand users).  "
+    "One user-keyed window pass, then the rank-percentile fold over "
+    "the recovered-error subset; rec_us is a deterministic "
+    "microsecond integer.  Unrecovered errors (no later activity) "
+    "are excluded identically on both engines.",
+    tags=("timeseries", "reliability"),
+)
+def error_recovery_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(1, W.unboundedFollowing)
+    nxt = ev.select(
+        "event_type",
+        "ts",
+        F.min(
+            F.when(F.col("event_type") != "error", F.col("ts"))
+        ).over(wf).alias("next_ok_ts"),
+    )
+    rec = nxt.filter(
+        (F.col("event_type") == "error") & F.col("next_ok_ts").isNotNull()
+    ).select(
+        (
+            F.expr("unix_micros(next_ok_ts) - unix_micros(ts)")
+        ).alias("rec_us")
+    )
+    wr = W.orderBy("rec_us")
+    wn = W.partitionBy()
+    r = rec.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_errors_recovered"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("rec_us"))
+        ).cast("long").alias("p50_us"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("rec_us"))
+        ).cast("long").alias("p90_us"),
+        F.max(
+            F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("rec_us"))
+        ).cast("long").alias("p99_us"),
+    )

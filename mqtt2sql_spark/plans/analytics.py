@@ -11579,3 +11579,88 @@ def cadence_acceleration_census(
             " DIV count(*) AS BIGINT)"
         ).alias("accelerating_ppm"),
     )
+
+
+# --- jackknife spread of the median (deterministic resampling) --------------
+
+_JK_BUCKETS = 8
+
+
+@register(
+    "median_jackknife_spread",
+    oracle=f"""
+    , t AS (
+        SELECT event_type, user_id % {_JK_BUCKETS} AS bkt,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+        FROM events
+    ),
+    loo AS (
+        SELECT t.event_type, d.drop_bkt, t.cents, t.event_id
+        FROM t CROSS JOIN (
+            SELECT unnest(range(0, {_JK_BUCKETS})) AS drop_bkt
+        ) d
+        WHERE t.bkt <> d.drop_bkt
+    ),
+    med AS (
+        SELECT event_type, drop_bkt, cents AS m FROM (
+            SELECT event_type, drop_bkt, cents,
+                   row_number() OVER (PARTITION BY event_type, drop_bkt
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type, drop_bkt) AS n
+            FROM loo
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(min(m) AS BIGINT) AS min_median_cents,
+           CAST(max(m) AS BIGINT) AS max_median_cents,
+           CAST(max(m) - min(m) AS BIGINT) AS spread_cents,
+           CAST(sum(m) // count(*) AS BIGINT) AS mean_median_cents
+    FROM med GROUP BY event_type
+    """,
+    doc="Uncertainty for the median WITHOUT randomness: "
+    "leave-one-bucket-out jackknife over {_JK_BUCKETS} deterministic "
+    "user-hash buckets — each replicate recomputes the exact "
+    "nearest-rank median on 7/8 of the data, and the replicate "
+    "spread is the stability interval (wide spread = the reported "
+    "median is an artifact of a few heavy users).  Every pipeline "
+    "that publishes a median should publish this next to it; "
+    "bootstrap needs RNG, jackknife over hash buckets is bit-"
+    "reproducible.  The {_JK_BUCKETS}-way fan-out multiplies the "
+    "rank window, but each replicate partition is (type, drop) "
+    "keyed — bounded and parallel; complements "
+    "median_of_medians_error (approximation error vs sampling "
+    "uncertainty).",
+    tags=("analytics", "statistics"),
+)
+def median_jackknife_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        (F.col("user_id") % _JK_BUCKETS).alias("bkt"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    drops = spark.range(0, _JK_BUCKETS).select(
+        F.col("id").cast("int").alias("drop_bkt")
+    )
+    loo = t.crossJoin(F.broadcast(drops)).filter(
+        F.col("bkt") != F.col("drop_bkt")
+    )
+    wr = W.partitionBy("event_type", "drop_bkt").orderBy("cents", "event_id")
+    wn = W.partitionBy("event_type", "drop_bkt")
+    med = (
+        loo.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (n + 1) DIV 2"))
+        .select("event_type", F.col("cents").alias("m"))
+    )
+    return med.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.min("m").cast("long").alias("min_median_cents"),
+        F.max("m").cast("long").alias("max_median_cents"),
+        (F.max("m") - F.min("m")).cast("long").alias("spread_cents"),
+        F.expr("CAST(sum(m) DIV count(*) AS BIGINT)").alias(
+            "mean_median_cents"
+        ),
+    )

@@ -3129,3 +3129,77 @@ def langid_margin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.select(margin.alias("margin")).groupBy(
         F.expr("CAST(least(margin, 5) AS BIGINT)").alias("margin_bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+# --- collection-drift census: quality trend per source over doc order -------
+
+
+@register(
+    "source_quality_trend_census",
+    oracle=f"""
+    , q AS (
+        SELECT source, doc_id AS x,
+               CAST(len(list_filter(toks,
+                    t -> t IN ({", ".join(repr(w) for w in STOPWORDS)})))
+                   AS BIGINT) * 1000
+                   // greatest(len(toks), 1) AS y
+        FROM (SELECT source, doc_id, {duck_tokens()} AS toks
+              FROM documents)
+    ),
+    mo AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM q GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           CAST(sy // n AS BIGINT) AS mean_quality_ppk,
+           CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+                WHEN n * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+                ELSE 0 END AS trend_sign
+    FROM mo
+    """,
+    doc="Collection-drift monitor: per source, the SIGN of the OLS "
+    "trend of document quality (stopword density ppk, the cheap "
+    "fluency proxy) over ingestion order (doc_id) — a negative "
+    "trend means the source's recent crawls are degrading, the "
+    "drift that silently poisons continual-pretraining mixes "
+    "between full evals.  The exact-integer sign(n*Sxy - Sx*Sy) "
+    "trick (trend-census family) applied to the text pipeline; one "
+    "scoring projection + one moment rollup per source.",
+    tags=("text", "llm-pipeline"),
+)
+def source_quality_trend_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    q = docs.select(
+        "source",
+        F.col("doc_id").alias("x"),
+        count_in_list(toks, STOPWORDS).cast("long").alias("_hits"),
+        F.size(toks).cast("long").alias("_nt"),
+    ).select(
+        "source",
+        "x",
+        F.expr("_hits * 1000 DIV greatest(_nt, 1)").alias("y"),
+    )
+    mo = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    return mo.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("CAST(sy DIV n AS BIGINT)").alias(
+            "mean_quality_ppk"
+        ),
+        F.expr(
+            "CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1"
+            " WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1"
+            " ELSE 0 END"
+        ).alias("trend_sign"),
+    )

@@ -11664,3 +11664,123 @@ def median_jackknife_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_median_cents"
         ),
     )
+
+
+# --- supplier redundancy per part -------------------------------------------
+
+
+@register(
+    "part_supplier_redundancy",
+    oracle="""
+    , ps AS (
+        SELECT l_partkey,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ps)
+    SELECT CAST(n_suppliers // 5 AS BIGINT) AS supplier_bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(n_suppliers) AS BIGINT) AS min_suppliers,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM ps GROUP BY n_suppliers // 5
+    """,
+    doc="Sourcing-redundancy histogram: how many distinct suppliers "
+    "have actually shipped each part (5-wide buckets — scale-robust "
+    "on any density) — the low bucket is the supply-chain fragility inventory "
+    "(complementing single_source_risk's revenue-weighted view "
+    "with a structural count), and the denominator for dual-"
+    "sourcing policy targets.  One distinct-count rollup per part "
+    "and a tiny histogram fold.",
+    tags=("analytics", "supply-chain"),
+)
+def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    tot = ps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ps.groupBy(
+            F.expr("CAST(n_suppliers DIV 5 AS BIGINT)").alias(
+                "supplier_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("n_suppliers").cast("long").alias("min_suppliers"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "supplier_bucket",
+            "n_parts",
+            "min_suppliers",
+            F.expr("CAST(n_parts * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+# --- geographic reach per part ----------------------------------------------
+
+_REACH_TOPK = 10
+
+
+@register(
+    "part_geographic_reach",
+    oracle=f"""
+    , pr AS (
+        SELECT l.l_partkey,
+               CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY l.l_partkey
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey, n_nations, rev
+    FROM pr
+    ORDER BY n_nations DESC, rev DESC, l_partkey
+    LIMIT {_REACH_TOPK}
+    """,
+    doc="Geographic reach ranking: parts bought by customers from the "
+    "most distinct nations (tie-broken by exact revenue then key) — "
+    "the 'global SKU' shortlist that localization, stocking-"
+    "footprint and pricing decisions start from, complementing "
+    "trade_flow_matrix's aggregate origin-destination view with a "
+    "per-product readout.  One fact-fact join (lineitem x orders), "
+    "a broadcast customer dim, a distinct-nation measure folded in "
+    "the same per-part rollup as revenue, distributed "
+    "top-{_REACH_TOPK}.",
+    tags=("analytics", "market"),
+)
+def part_geographic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    pr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev"),
+        )
+    )
+    return (
+        pr.select(
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            "n_nations",
+            "rev",
+        )
+        .orderBy(F.desc("n_nations"), F.desc("rev"), "l_partkey")
+        .limit(_REACH_TOPK)
+    )

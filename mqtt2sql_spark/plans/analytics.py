@@ -11784,3 +11784,111 @@ def part_geographic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nations"), F.desc("rev"), "l_partkey")
         .limit(_REACH_TOPK)
     )
+
+
+# --- return rate by part age (bathtub curve) --------------------------------
+
+
+@register(
+    "return_rate_by_part_age",
+    oracle="""
+    , lx AS (
+        SELECT l_partkey, l_returnflag,
+               epoch_us(l_shipdate) // 86400000000 AS d,
+               min(epoch_us(l_shipdate) // 86400000000)
+                   OVER (PARTITION BY l_partkey) AS first_d
+        FROM lineitem
+    )
+    SELECT CAST(least((d - first_d) // 90, 7) AS BIGINT) AS age_quarter,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returns,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS return_ppm
+    FROM lx
+    GROUP BY least((d - first_d) // 90, 7)
+    """,
+    doc="Reliability bathtub curve: return rate as a function of the "
+    "part's market age (quarters since its first shipment, capped "
+    "at 2 years) — elevated early-life returns signal launch "
+    "defects, a late rise signals wear-out or catalog staleness; "
+    "the time axis brand-level return queries "
+    "(return_rate_wilson_rank, brand_return_pchart) collapse away.  "
+    "Part birth dates come from one min window keyed by part; the "
+    "curve is a conditional rollup in exact ppm.",
+    tags=("analytics", "reliability"),
+)
+def return_rate_by_part_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lx = li.select(
+        "l_partkey",
+        "l_returnflag",
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("d"),
+    ).withColumn("first_d", F.min("d").over(W.partitionBy("l_partkey")))
+    return lx.groupBy(
+        F.expr("CAST(least((d - first_d) DIV 90, 7) AS BIGINT)").alias(
+            "age_quarter"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returns"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("return_ppm"),
+    )
+
+
+# --- dose-response: conversion vs click exposure ----------------------------
+
+
+@register(
+    "dose_response_conversion",
+    oracle="""
+    , u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS clicks,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(least(clicks // 5, 6) AS BIGINT) AS click_dose_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
+               AS conversion_ppm
+    FROM u GROUP BY least(clicks // 5, 6)
+    """,
+    doc="Dose-response curve: conversion rate as a function of click "
+    "exposure (5-wide dose buckets, capped) — a monotone-rising "
+    "curve supports engagement-driven conversion, a plateau or dip "
+    "marks saturation/fatigue, and the shape is what the binary "
+    "exposure_conversion_lift cannot show.  The classic "
+    "epidemiological cut applied to product analytics; one user "
+    "rollup and a 7-bucket fold in exact ppm.",
+    tags=("analytics", "causal"),
+)
+def dose_response_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return u.groupBy(
+        F.expr("CAST(least(clicks DIV 5, 6) AS BIGINT)").alias(
+            "click_dose_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(sum(converted) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("conversion_ppm"),
+    )

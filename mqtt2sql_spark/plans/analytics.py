@@ -11892,3 +11892,112 @@ def dose_response_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(converted) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("conversion_ppm"),
     )
+
+
+# --- Laspeyres / Paasche / Fisher price indices ------------------------------
+
+# per (part, year) unit price quantized once to exact tenth-cents
+# (rev_cents * 10 // qty) — the documented fixed-point that makes all
+# three indices pure integer ratios (Fisher adds one shared sqrt).
+_FISHER = (
+    "CAST(floor(sqrt(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)"
+    " * (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE))) * 100.0)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "laspeyres_paasche_index",
+    oracle=f"""
+    , py AS (
+        SELECT l_partkey,
+               EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    * 10
+                    // sum(CAST(round(l_quantity, 0) AS BIGINT))
+                   AS BIGINT) AS price_tc,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.yr + 1 AS yr_to,
+               CAST(sum(CAST(b.price_tc AS HUGEINT) * a.qty) AS BIGINT)
+                   AS lnum,
+               CAST(sum(CAST(a.price_tc AS HUGEINT) * a.qty) AS BIGINT)
+                   AS lden,
+               CAST(sum(CAST(b.price_tc AS HUGEINT) * b.qty) AS BIGINT)
+                   AS pnum,
+               CAST(sum(CAST(a.price_tc AS HUGEINT) * b.qty) AS BIGINT)
+                   AS pden,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM py a
+        JOIN py b ON b.l_partkey = a.l_partkey AND b.yr = a.yr + 1
+        GROUP BY a.yr + 1
+    )
+    SELECT CAST(yr_to AS BIGINT) AS yr, n_parts,
+           CAST(lnum * 100 // lden AS BIGINT) AS laspeyres_x100,
+           CAST(pnum * 100 // pden AS BIGINT) AS paasche_x100,
+           {_FISHER} AS fisher_x100
+    FROM pairs
+    """,
+    doc="Mix-adjusted price indices per year transition: Laspeyres "
+    "(base-year quantity weights), Paasche (current-year weights) "
+    "and their Fisher geometric mean — the economics-grade answer "
+    "to 'did prices move or did the mix move', which raw "
+    "revenue-per-unit trends conflate.  Unit prices quantize ONCE "
+    "to exact tenth-cents per (part, year); all four weighted sums "
+    "are int128 dot products over parts present in both years "
+    "(matched-model method), the two index ratios are integer x100, "
+    "and Fisher adds a single shared sqrt.  One (part, year) "
+    "rollup, one year-offset self-equi-join on part id.",
+    tags=("analytics", "economics"),
+)
+def laspeyres_paasche_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.expr("year(l_shipdate)").alias("yr")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))"
+            " * 10 DIV sum(CAST(round(l_quantity, 0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("price_tc"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+        .cast("long")
+        .alias("qty"),
+    ).localCheckpoint(eager=False)
+    pairs = (
+        py.alias("a")
+        .join(
+            py.alias("b"),
+            F.expr("b.l_partkey = a.l_partkey AND b.yr = a.yr + 1"),
+        )
+        .groupBy(F.expr("a.yr + 1").alias("yr_to"))
+        .agg(
+            F.sum(F.expr("CAST(b.price_tc AS DECIMAL(38,0)) * a.qty"))
+            .cast("long")
+            .alias("lnum"),
+            F.sum(F.expr("CAST(a.price_tc AS DECIMAL(38,0)) * a.qty"))
+            .cast("long")
+            .alias("lden"),
+            F.sum(F.expr("CAST(b.price_tc AS DECIMAL(38,0)) * b.qty"))
+            .cast("long")
+            .alias("pnum"),
+            F.sum(F.expr("CAST(a.price_tc AS DECIMAL(38,0)) * b.qty"))
+            .cast("long")
+            .alias("pden"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+        )
+    )
+    return pairs.select(
+        F.col("yr_to").cast("long").alias("yr"),
+        "n_parts",
+        F.expr("CAST(lnum * 100 DIV lden AS BIGINT)").alias(
+            "laspeyres_x100"
+        ),
+        F.expr("CAST(pnum * 100 DIV pden AS BIGINT)").alias(
+            "paasche_x100"
+        ),
+        F.expr(_FISHER).alias("fisher_x100"),
+    )

@@ -3203,3 +3203,103 @@ def source_quality_trend_census(
             " ELSE 0 END"
         ).alias("trend_sign"),
     )
+
+
+# --- emerging tokens: first-half vs second-half frequency shift -------------
+
+_EMERGE_TOPK = 15
+_EMERGE_MIN = 10  # min total occurrences
+
+
+@register(
+    "emerging_tokens_topk",
+    oracle=f"""
+    , sp AS (SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS mid
+             FROM documents),
+    occ AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN doc_id < mid THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+               CAST(sum(CASE WHEN doc_id >= mid THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b
+        FROM (SELECT doc_id, unnest({duck_tokens()}) AS tok
+              FROM documents) CROSS JOIN sp
+        GROUP BY tok
+    ),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM occ),
+    sc AS (
+        SELECT tok, a, b,
+               CAST(b AS HUGEINT) * ta - CAST(a AS HUGEINT) * tb AS shift_n
+        FROM occ CROSS JOIN tot
+        WHERE a + b >= {_EMERGE_MIN}
+    )
+    SELECT tok, a AS n_first, b AS n_second,
+           CAST(shift_n * 1000000
+                // ((SELECT CAST(ta AS HUGEINT) * tb FROM tot))
+               AS BIGINT) AS share_shift_ppm
+    FROM sc
+    ORDER BY shift_n DESC, tok LIMIT {_EMERGE_TOPK}
+    """,
+    doc="Emerging-vocabulary miner: tokens whose share of corpus "
+    "occurrences grew most from the first to the second half of the "
+    "collection (doc_id order as ingestion time) — trend detection "
+    "for topical drift, the temporal complement of "
+    "source_token_keyness's cross-source contrast.  Share shifts "
+    "never materialize as floats: b*Ta - a*Tb in int128 ranks "
+    "identically to the share difference, and the reported ppm "
+    "divides by the exact product once.  One tokenize pass with "
+    "CASE-split half counts, a vocabulary-sized score-and-rank.",
+    tags=("text", "trend"),
+)
+def emerging_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sp = docs.agg(
+        F.expr("(min(doc_id) + max(doc_id) + 1) DIV 2").alias("mid")
+    )
+    occ = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .crossJoin(F.broadcast(sp))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("doc_id") >= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    tot = occ.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    sc = (
+        occ.crossJoin(F.broadcast(tot))
+        .filter(F.col("a") + F.col("b") >= _EMERGE_MIN)
+        .select(
+            "tok",
+            "a",
+            "b",
+            F.expr(
+                "CAST(b AS DECIMAL(38,0)) * ta"
+                " - CAST(a AS DECIMAL(38,0)) * tb"
+            ).alias("shift_n"),
+            F.expr("CAST(ta AS DECIMAL(38,0)) * tb").alias("den"),
+        )
+    )
+    return (
+        sc.select(
+            "tok",
+            F.col("a").alias("n_first"),
+            F.col("b").alias("n_second"),
+            F.expr(
+                "CAST(shift_n * 1000000 div den AS BIGINT)"
+            ).alias("share_shift_ppm"),
+            "shift_n",
+        )
+        .orderBy(F.desc("shift_n"), "tok")
+        .limit(_EMERGE_TOPK)
+        .drop("shift_n")
+    )

@@ -12001,3 +12001,157 @@ def laspeyres_paasche_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(_FISHER).alias("fisher_x100"),
     )
+
+
+# --- first-touch cohorting: retention by acquisition event ------------------
+
+
+@register(
+    "first_touch_retention",
+    oracle="""
+    , sp AS (
+        SELECT (min(epoch_us(ts) // 86400000000)
+                + max(epoch_us(ts) // 86400000000) + 1) // 2 AS mid
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               max(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+               max(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS active_late,
+               min(d) AS first_d
+        FROM (
+            SELECT user_id, event_type,
+                   epoch_us(ts) // 86400000000 AS d, mid,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events CROSS JOIN sp
+        ) GROUP BY user_id
+    )
+    SELECT first_touch,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(active_late) AS BIGINT) AS n_retained,
+           CAST(sum(active_late) * 1000000 // count(*) AS BIGINT)
+               AS retention_ppm
+    FROM u WHERE first_d < (SELECT mid FROM sp)
+    GROUP BY first_touch
+    """,
+    doc="Acquisition-quality cohorting: users grouped by their very "
+    "first event type (first-touch channel proxy, total-order "
+    "tie-break on (ts, event_id)) and scored on whether they were "
+    "still active in the second calendar half — 'which front door "
+    "brings users who stay', the cohort cut none of the "
+    "time-bucketed retention queries (rolling_wau, "
+    "growth_accounting_weekly) expose.  Cohort entry restricted to "
+    "first-half arrivals so every cohort has the same retention "
+    "window.  One user-keyed rank window + one user rollup.",
+    tags=("analytics", "retention"),
+)
+def first_touch_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.expr("unix_micros(ts) DIV 86400000000")
+    sp = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts) DIV 86400000000)"
+            " + max(unix_micros(ts) DIV 86400000000) + 1) DIV 2"
+        ).alias("mid")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        ev.select("user_id", "event_type", "ts", "event_id", d.alias("d"))
+        .crossJoin(F.broadcast(sp))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    u = base.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("rn") == 1, F.col("event_type"))
+        ).alias("first_touch"),
+        F.max(
+            F.when(F.col("d") >= F.col("mid"), 1).otherwise(0)
+        ).alias("active_late"),
+        F.min("d").alias("first_d"),
+        F.max("mid").alias("mid"),
+    )
+    return (
+        u.filter(F.col("first_d") < F.col("mid"))
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("active_late").cast("long").alias("n_retained"),
+            F.expr(
+                "CAST(sum(active_late) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
+# --- price stickiness census -------------------------------------------------
+
+
+@register(
+    "price_stickiness_census",
+    oracle="""
+    , py AS (
+        SELECT l_partkey,
+               EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    * 10
+                    // sum(CAST(round(l_quantity, 0) AS BIGINT))
+                   AS BIGINT) AS price_tc
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ch AS (
+        SELECT a.yr + 1 AS yr_to,
+               CASE WHEN abs(b.price_tc - a.price_tc) * 100
+                         <= a.price_tc THEN 1 ELSE 0 END AS sticky
+        FROM py a
+        JOIN py b ON b.l_partkey = a.l_partkey AND b.yr = a.yr + 1
+    )
+    SELECT CAST(yr_to AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(sticky) AS BIGINT) AS n_sticky,
+           CAST(sum(sticky) * 1000000 // count(*) AS BIGINT)
+               AS sticky_ppm
+    FROM ch GROUP BY yr_to
+    """,
+    doc="Menu-cost census: share of parts whose realized unit price "
+    "moved less than 1% year over year (the exact integer test "
+    "|dp|*100 <= p on tenth-cent prices) — price stickiness is the "
+    "micro-foundation the laspeyres_paasche_index aggregates over, "
+    "and a high sticky share tells pricing ops their repricing "
+    "machinery is idle.  Same (part, year) fixed-point price rollup "
+    "and year-offset self-join as the index query; the census is a "
+    "conditional fold.",
+    tags=("analytics", "economics"),
+)
+def price_stickiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.expr("year(l_shipdate)").alias("yr")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))"
+            " * 10 DIV sum(CAST(round(l_quantity, 0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("price_tc")
+    ).localCheckpoint(eager=False)
+    ch = (
+        py.alias("a")
+        .join(
+            py.alias("b"),
+            F.expr("b.l_partkey = a.l_partkey AND b.yr = a.yr + 1"),
+        )
+        .select(
+            F.expr("a.yr + 1").alias("yr_to"),
+            F.expr(
+                "CASE WHEN abs(b.price_tc - a.price_tc) * 100"
+                " <= a.price_tc THEN 1 ELSE 0 END"
+            ).alias("sticky"),
+        )
+    )
+    return ch.groupBy(F.col("yr_to").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("sticky").cast("long").alias("n_sticky"),
+        F.expr(
+            "CAST(sum(sticky) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("sticky_ppm"),
+    )

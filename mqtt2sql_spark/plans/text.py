@@ -3303,3 +3303,113 @@ def emerging_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_EMERGE_TOPK)
         .drop("shift_n")
     )
+
+
+# --- Cramér's V: language-source association --------------------------------
+
+_CRAMER_V = (
+    "CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE)"
+    " / (1000000.0 * CAST(n AS DOUBLE) * CAST(mindim - 1 AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+
+@register(
+    "lang_source_cramers_v",
+    oracle=f"""
+    , cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells
+              GROUP BY lang),
+    cols_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells
+              GROUP BY source),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                  CAST(count(DISTINCT source) AS BIGINT) AS nc
+           FROM cells),
+    grid AS (
+        SELECT r_.lang, c_.source, r_.r, c_.c,
+               coalesce(cl.o, 0) AS o
+        FROM rows_ r_
+        CROSS JOIN cols_ c_
+        LEFT JOIN cells cl ON cl.lang = r_.lang AND cl.source = c_.source
+    ),
+    chi AS (
+        SELECT CAST(sum(
+            (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+            * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+            * 1000000
+            // (CAST(r AS HUGEINT) * c * n)
+        ) AS HUGEINT) AS num
+        FROM grid CROSS JOIN nn
+    )
+    SELECT n AS n_docs,
+           CAST(nr AS BIGINT) AS n_langs, CAST(nc AS BIGINT) AS n_sources,
+           CAST(num AS BIGINT) AS chi2_e6,
+           CAST(floor(sqrt(
+               CAST(num AS DOUBLE)
+               / (1000000.0 * CAST(n AS DOUBLE)
+                  * CAST(least(nr, nc) - 1 AS DOUBLE))) * 1000.0)
+               AS BIGINT) AS cramers_v_x1000
+    FROM chi CROSS JOIN nn
+    """,
+    doc="Cramér's V between document language and source — the "
+    "normalized [0,1] strength of lang-source coupling a corpus "
+    "designer checks before stratifying by either (V near 1: "
+    "sources are language silos, dedup/mixing must cross them; "
+    "near 0: languages spread evenly).  The chi-square numerator "
+    "is computed cell-exactly as (O*n - r*c)^2 * 1e6 // (r*c*n) in "
+    "int128 over the FULL lang x source grid (absent cells "
+    "contribute their expected-count mass via the zero fill), so "
+    "the statistic never sums floats; V takes one shared sqrt.  "
+    "Dimension-sized throughout after one (lang, source) rollup.",
+    tags=("text", "statistics"),
+)
+def lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=False)
+    rows_ = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("nr"),
+        F.countDistinct("source").cast("long").alias("nc"),
+    )
+    grid = (
+        rows_.crossJoin(cols_)
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "r", "c", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    chi = (
+        grid.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CAST(o AS DECIMAL(38,0)) * n"
+                    " - CAST(r AS DECIMAL(38,0)) * c)"
+                    " * (CAST(o AS DECIMAL(38,0)) * n"
+                    "    - CAST(r AS DECIMAL(38,0)) * c)"
+                    " * 1000000"
+                    " div (CAST(r AS DECIMAL(38,0)) * c * n)"
+                )
+            ).alias("num")
+        )
+    )
+    return chi.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_docs"),
+        F.col("nr").alias("n_langs"),
+        F.col("nc").alias("n_sources"),
+        F.expr("CAST(num AS BIGINT)").alias("chi2_e6"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(num AS DOUBLE)"
+            " / (1000000.0 * CAST(n AS DOUBLE)"
+            "    * CAST(least(nr, nc) - 1 AS DOUBLE))) * 1000.0)"
+            " AS BIGINT)"
+        ).alias("cramers_v_x1000"),
+    )

@@ -3307,13 +3307,6 @@ def emerging_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Cramér's V: language-source association --------------------------------
 
-_CRAMER_V = (
-    "CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE)"
-    " / (1000000.0 * CAST(n AS DOUBLE) * CAST(mindim - 1 AS DOUBLE)))"
-    " * 1000.0) AS BIGINT)"
-)
-
-
 @register(
     "lang_source_cramers_v",
     oracle=f"""

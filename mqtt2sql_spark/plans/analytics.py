@@ -12155,3 +12155,162 @@ def price_stickiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(sticky) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("sticky_ppm"),
     )
+
+
+# --- does discounting attract returns? (odds ratio) -------------------------
+
+_DISC_HI_BP = 500  # >= 5% discount counts as deep
+
+
+@register(
+    "discount_return_association",
+    oracle=f"""
+    , t AS (
+        SELECT CASE WHEN CAST(round(l_discount * 10000, 0) AS BIGINT)
+                         >= {_DISC_HI_BP} THEN 1 ELSE 0 END AS deep,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem
+    ),
+    c AS (
+        SELECT CAST(sum(deep * ret) AS BIGINT) AS a,
+               CAST(sum(deep * (1 - ret)) AS BIGINT) AS b,
+               CAST(sum((1 - deep) * ret) AS BIGINT) AS c,
+               CAST(sum((1 - deep) * (1 - ret)) AS BIGINT) AS d
+        FROM t
+    )
+    SELECT a AS deep_returned, b AS deep_kept,
+           c AS shallow_returned, d AS shallow_kept,
+           CAST(a * 1000000 // greatest(a + b, 1) AS BIGINT)
+               AS deep_return_ppm,
+           CAST(c * 1000000 // greatest(c + d, 1) AS BIGINT)
+               AS shallow_return_ppm,
+           CAST(CAST(a AS HUGEINT) * d * 100
+                // greatest(CAST(b AS HUGEINT) * c, 1) AS BIGINT)
+               AS odds_ratio_x100
+    FROM c
+    """,
+    doc="Promotion-quality screen: the 2x2 association between deep "
+    "discounting (>= 5%, exact basis-point test) and returns — an "
+    "odds ratio well above 100 means discounted lines come back "
+    "disproportionately (deal-hunting or quality-clearing "
+    "inventory), the margin leak a promo P&L must price in.  The "
+    "odds ratio (a*d)/(b*c) stays an exact int128 ratio x100; one "
+    "conditional fold over the fact table, one row out.",
+    tags=("analytics", "association"),
+)
+def discount_return_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.expr(
+            f"CASE WHEN CAST(round(l_discount * 10000, 0) AS BIGINT)"
+            f" >= {_DISC_HI_BP} THEN 1 ELSE 0 END"
+        ).alias("deep"),
+        F.expr(
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+        ).alias("ret"),
+    )
+    c = t.agg(
+        F.sum(F.expr("deep * ret")).cast("long").alias("a"),
+        F.sum(F.expr("deep * (1 - ret)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - deep) * ret")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - deep) * (1 - ret)")).cast("long").alias("d"),
+    )
+    return c.select(
+        F.col("a").alias("deep_returned"),
+        F.col("b").alias("deep_kept"),
+        F.col("c").alias("shallow_returned"),
+        F.col("d").alias("shallow_kept"),
+        F.expr("CAST(a * 1000000 DIV greatest(a + b, 1) AS BIGINT)").alias(
+            "deep_return_ppm"
+        ),
+        F.expr("CAST(c * 1000000 DIV greatest(c + d, 1) AS BIGINT)").alias(
+            "shallow_return_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * d * 100"
+            " DIV greatest(CAST(b AS DECIMAL(38,0)) * c,"
+            " CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("odds_ratio_x100"),
+    )
+
+
+# --- are busy suppliers slower? (Spearman load vs latency) ------------------
+
+
+@register(
+    "supplier_load_latency_corr",
+    oracle=f"""
+    , st AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS load,
+               CAST(sum(greatest(epoch_us(l.l_shipdate) // 86400000000
+                    - epoch_us(o.o_orderdate) // 86400000000, 0))
+                    // count(*) AS BIGINT) AS mean_lat
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l_suppkey
+    ),
+    rk AS (
+        SELECT row_number() OVER (ORDER BY load, l_suppkey) AS x,
+               row_number() OVER (ORDER BY mean_lat, l_suppkey) AS y
+        FROM st
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+        FROM rk
+    )
+    SELECT n AS n_suppliers, {_SPEARMAN_CORR} AS spearman_x1e6
+    FROM mo
+    """,
+    doc="Capacity-stress diagnostic: Spearman rank correlation between "
+    "a supplier's shipment volume and its mean (clamped) order-to-"
+    "ship latency — a strong positive value is the congestion "
+    "signature that argues for load rebalancing before SLA tuning; "
+    "near zero says latency differences are intrinsic, not "
+    "load-driven.  Reuses the exact integer-rank Spearman pipeline "
+    "(spearman_activity_value model, supplier-keyed tie-breaks); "
+    "the ranked table is supplier-dimension-sized.",
+    tags=("analytics", "supply-chain"),
+)
+def supplier_load_latency_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    st = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("load"),
+            F.expr(
+                "CAST(sum(greatest(unix_micros(l_shipdate)"
+                " DIV 86400000000 - unix_micros(o_orderdate)"
+                " DIV 86400000000, 0)) DIV count(*) AS BIGINT)"
+            ).alias("mean_lat"),
+        )
+    )
+    wx = W.orderBy("load", "l_suppkey")
+    wy = W.orderBy("mean_lat", "l_suppkey")
+    rk = st.select(
+        F.row_number().over(wx).alias("x"),
+        F.row_number().over(wy).alias("y"),
+    )
+    mo = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("long").alias("syy"),
+    )
+    return mo.select(
+        F.col("n").alias("n_suppliers"),
+        F.expr(_SPEARMAN_CORR).alias("spearman_x1e6"),
+    )

@@ -12314,3 +12314,193 @@ def supplier_load_latency_corr(
         F.col("n").alias("n_suppliers"),
         F.expr(_SPEARMAN_CORR).alias("spearman_x1e6"),
     )
+
+
+# --- composite bot-likeness census ------------------------------------------
+
+# three exact integer sub-tests per user:
+#   volume:     event count >= 3x the median user's count
+#   regularity: inter-event-gap dispersion n*S2 - S^2 < n * (S/n)^2
+#               (variance below mean^2 => CV < 1, sub-Poisson regularity)
+#   monotony:   fewer than 3 distinct event types
+_BOT_VOL_X = 3
+
+
+@register(
+    "bot_score_census",
+    oracle=f"""
+    , ug AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+        FROM events
+    ),
+    u AS (
+        SELECT e.user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+        FROM events e GROUP BY e.user_id
+    ),
+    gv AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(g) AS BIGINT) AS sg,
+               CAST(sum(CAST(g AS HUGEINT) * g) AS BIGINT) AS sg2
+        FROM ug WHERE g IS NOT NULL GROUP BY user_id
+    ),
+    med AS (
+        SELECT n_events AS m FROM (
+            SELECT n_events,
+                   row_number() OVER (ORDER BY n_events, user_id) AS rn,
+                   count(*) OVER () AS n
+            FROM u
+        ) WHERE rn = (n + 1) // 2
+    ),
+    sc AS (
+        SELECT u.user_id,
+               (CASE WHEN u.n_events >= {_BOT_VOL_X} * (SELECT m FROM med)
+                     THEN 1 ELSE 0 END)
+               + (CASE WHEN gv.ng >= 2
+                        AND gv.ng * (gv.ng * gv.sg2
+                                     - CAST(gv.sg AS HUGEINT) * gv.sg)
+                            < CAST(gv.sg AS HUGEINT) * gv.sg
+                     THEN 1 ELSE 0 END)
+               + (CASE WHEN u.n_types < 3 THEN 1 ELSE 0 END) AS score
+        FROM u LEFT JOIN gv ON gv.user_id = u.user_id
+    )
+    SELECT CAST(score AS BIGINT) AS bot_score,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM sc GROUP BY score
+    """,
+    doc="Composite bot-likeness census: three exact integer sub-tests "
+    "per user — abnormal volume (>= 3x the median user), "
+    "sub-Poisson regularity (inter-event-gap variance below the "
+    "squared mean gap — CV < 1, tested as the pure integer "
+    "cross-multiplication n*(n*S2-S^2) < S^2: schedulers are too "
+    "regular to be human), and behavioral monotony (< 3 event types) — summed "
+    "to a 0-3 score histogram, the triage funnel an abuse team "
+    "works top-down.  Each sub-score reuses an exact-arithmetic "
+    "pattern already pinned in the suite (nearest-rank median, "
+    "int128 moment dispersion, distinct counts); all three fold in "
+    "user-keyed aggregates.",
+    tags=("analytics", "abuse"),
+)
+def bot_score_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ug = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(ts) DIV 1000000")
+            - F.lag(F.expr("unix_micros(ts) DIV 1000000"), 1).over(w)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    gv = ug.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).cast("long").alias(
+            "sg2"
+        ),
+    )
+    wr = W.orderBy("n_events", "user_id")
+    wn = W.partitionBy()
+    med = (
+        u.withColumn("rn", F.row_number().over(wr))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (nn + 1) DIV 2"))
+        .select(F.col("n_events").alias("m"))
+    )
+    sc = (
+        u.join(gv, "user_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            (
+                F.when(
+                    F.col("n_events") >= _BOT_VOL_X * F.col("m"), 1
+                ).otherwise(0)
+                + F.when(
+                    (F.col("ng") >= 2)
+                    & (
+                        F.expr(
+                            "ng * (ng * sg2"
+                            " - CAST(sg AS DECIMAL(38,0)) * sg)"
+                        )
+                        < F.expr("CAST(sg AS DECIMAL(38,0)) * sg")
+                    ),
+                    1,
+                ).otherwise(0)
+                + F.when(F.col("n_types") < 3, 1).otherwise(0)
+            ).alias("score")
+        )
+    )
+    return sc.groupBy(F.col("score").cast("long").alias("bot_score")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# --- mix-adjusted brand price premium ---------------------------------------
+
+
+@register(
+    "brand_price_premium",
+    oracle="""
+    , pt AS (
+        SELECT p_brand, p_type,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+        FROM part
+    ),
+    ty AS (
+        SELECT p_type,
+               CAST(sum(cents) AS BIGINT) AS tsum,
+               CAST(count(*) AS BIGINT) AS tn
+        FROM pt GROUP BY p_type
+    ),
+    dev AS (
+        SELECT pt.p_brand,
+               CAST(pt.cents AS HUGEINT) * ty.tn - ty.tsum AS dev_n,
+               ty.tn
+        FROM pt JOIN ty ON ty.p_type = pt.p_type
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(dev_n * 10000 // tn) // count(*) AS BIGINT)
+               AS premium_bp_x100
+    FROM dev GROUP BY p_brand
+    """,
+    doc="Hedonic-lite brand premium: each part's retail price compared "
+    "to the mean of ITS OWN type (the mix adjustment — comparing "
+    "brands on raw averages just measures their type mix), "
+    "averaged per brand in exact basis-point fixed point "
+    "(deviation cross-multiplied as cents*tn - tsum before any "
+    "division).  Positive premium = the brand prices above "
+    "type-matched peers.  One type rollup joined back (type "
+    "dimension broadcast-sized), one brand fold.",
+    tags=("analytics", "pricing"),
+)
+def brand_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pt = part.select(
+        "p_brand",
+        "p_type",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ty = pt.groupBy("p_type").agg(
+        F.sum("cents").cast("long").alias("tsum"),
+        F.count(F.lit(1)).cast("long").alias("tn"),
+    )
+    dev = pt.join(F.broadcast(ty), "p_type").select(
+        "p_brand",
+        F.expr("CAST(cents AS DECIMAL(38,0)) * tn - tsum").alias("dev_n"),
+        "tn",
+    )
+    return dev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.expr(
+            "CAST(sum(dev_n * 10000 div tn) DIV count(*) AS BIGINT)"
+        ).alias("premium_bp_x100"),
+    )

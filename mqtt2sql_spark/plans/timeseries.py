@@ -4155,3 +4155,165 @@ def error_recovery_percentiles(
             F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("rec_us"))
         ).cast("long").alias("p99_us"),
     )
+
+
+# --- annual (12-month) first-harmonic of shipping volume --------------------
+
+_ANNUAL_COS = [1000000, 866025, 500000, 0, -500000, -866025,
+               -1000000, -866025, -500000, 0, 500000, 866025]
+_ANNUAL_SIN = [0, 500000, 866025, 1000000, 866025, 500000,
+               0, -500000, -866025, -1000000, -866025, -500000]
+_ANNUAL_AMP = (
+    "CAST(floor(2.0 * sqrt(CAST(sc_e6 AS DOUBLE) * CAST(sc_e6 AS DOUBLE)"
+    " + CAST(ss_e6 AS DOUBLE) * CAST(ss_e6 AS DOUBLE))"
+    " / CAST(n_units AS DOUBLE)) AS BIGINT)"
+)
+
+
+@register(
+    "annual_harmonic_shipping",
+    oracle=f"""
+    , mm AS (
+        SELECT l_returnflag,
+               CAST(EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT l_returnflag,
+               sum(q) AS n_units,
+               sum(q * list_extract({_ANNUAL_COS},
+                   CAST(m + 1 AS INTEGER))) AS sc_e6,
+               sum(q * list_extract({_ANNUAL_SIN},
+                   CAST(m + 1 AS INTEGER))) AS ss_e6
+        FROM mm GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n_units AS BIGINT) AS n_units,
+           CAST(sc_e6 AS BIGINT) AS sc_e6,
+           CAST(ss_e6 AS BIGINT) AS ss_e6,
+           {_ANNUAL_AMP} AS annual_ppm
+    FROM agg
+    """,
+    doc="Annual first harmonic of shipping volume per return flag: the "
+    "12-month DFT bin via the precomputed integer cos/sin table "
+    "(the diurnal_dft_power pattern at yearly frequency) — "
+    "2*|X_1|/n in ppm is the amplitude of the yearly shipping "
+    "cycle, the one-number seasonality strength that decides "
+    "whether the seasonal_index_monthly correction is worth "
+    "applying per segment.  Exact BIGINT dot products against the "
+    "shared literal basis; month-of-year from the calendar (UTC-"
+    "pinned), 12 rows per group reach the final fold.",
+    tags=("timeseries", "spectral"),
+)
+def annual_harmonic_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cos_arr = F.array(*[F.lit(v).cast("long") for v in _ANNUAL_COS])
+    sin_arr = F.array(*[F.lit(v).cast("long") for v in _ANNUAL_SIN])
+    mm = li.groupBy(
+        "l_returnflag",
+        F.expr("CAST(month(l_shipdate) - 1 AS BIGINT)").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+        .cast("long")
+        .alias("q")
+    )
+    agg = mm.groupBy("l_returnflag").agg(
+        F.sum("q").alias("n_units"),
+        F.sum(
+            F.col("q") * F.element_at(cos_arr, (F.col("m") + 1).cast("int"))
+        ).alias("sc_e6"),
+        F.sum(
+            F.col("q") * F.element_at(sin_arr, (F.col("m") + 1).cast("int"))
+        ).alias("ss_e6"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("sc_e6").cast("long").alias("sc_e6"),
+        F.col("ss_e6").cast("long").alias("ss_e6"),
+        F.expr(_ANNUAL_AMP).alias("annual_ppm"),
+    )
+
+
+# --- user activation latency (first -> 5th event) ---------------------------
+
+_ACTIVATE_N = 5
+
+
+@register(
+    "user_activation_latency",
+    oracle=f"""
+    , r AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS d,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    lat AS (
+        SELECT user_id,
+               max(CASE WHEN rn = {_ACTIVATE_N} THEN d END)
+               - max(CASE WHEN rn = 1 THEN d END) AS days
+        FROM r WHERE rn = 1 OR rn = {_ACTIVATE_N}
+        GROUP BY user_id
+        HAVING max(CASE WHEN rn = {_ACTIVATE_N} THEN d END) IS NOT NULL
+    ),
+    q AS (
+        SELECT days,
+               row_number() OVER (ORDER BY days, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_activated_users,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS BIGINT)
+               AS p50_days,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+               AS BIGINT) AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM q
+    """,
+    doc="Activation-latency readout: days from each user's first event "
+    "to their {_ACTIVATE_N}th (the product-led-growth 'time to "
+    "activation' metric), summarized as exact nearest-rank P50/P90 "
+    "over activated users — slow medians argue for onboarding "
+    "work, a long P90 tail for re-engagement triggers; the "
+    "user-side twin of part_adoption_latency_histogram.  One "
+    "user-keyed rank window (rows 1 and {_ACTIVATE_N} only "
+    "survive), one conditional pivot, one percentile fold.",
+    tags=("timeseries", "activation"),
+)
+def user_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter((F.col("rn") == 1) | (F.col("rn") == _ACTIVATE_N))
+    lat = (
+        r.groupBy("user_id")
+        .agg(
+            (
+                F.max(F.when(F.col("rn") == _ACTIVATE_N, F.col("d")))
+                - F.max(F.when(F.col("rn") == 1, F.col("d")))
+            ).alias("days")
+        )
+        .filter(F.col("days").isNotNull())
+    )
+    wr = W.orderBy("days", "user_id")
+    wn = W.partitionBy()
+    q = lat.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return q.agg(
+        F.max("n").cast("long").alias("n_activated_users"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("days"))
+        ).cast("long").alias("p50_days"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("days"))
+        ).cast("long").alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )

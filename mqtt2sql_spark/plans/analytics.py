@@ -12504,3 +12504,104 @@ def brand_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(dev_n * 10000 div tn) DIV count(*) AS BIGINT)"
         ).alias("premium_bp_x100"),
     )
+
+
+# --- does the first order predict lifetime value? ---------------------------
+
+
+@register(
+    "first_order_predictiveness",
+    oracle="""
+    , co AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    cu AS (
+        SELECT o_custkey,
+               max(CASE WHEN rn = 1 THEN cents END) AS first_cents,
+               CAST(sum(cents) AS BIGINT) AS ltv_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM co GROUP BY o_custkey HAVING count(*) >= 2
+    ),
+    rk AS (
+        SELECT least(3, (row_number() OVER (ORDER BY first_cents,
+                                            o_custkey) - 1) * 4
+                        // (count(*) OVER ())) AS fq,
+               least(3, (row_number() OVER (ORDER BY ltv_cents,
+                                            o_custkey) - 1) * 4
+                        // (count(*) OVER ())) AS lq
+        FROM cu
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk)
+    SELECT CAST(fq AS BIGINT) AS first_quartile,
+           CAST(lq AS BIGINT) AS ltv_quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM rk GROUP BY fq, lq
+    """,
+    doc="Early-signal audit: the 4x4 mobility matrix between a repeat "
+    "customer's FIRST-order-value quartile and their LIFETIME-value "
+    "quartile — heavy diagonal mass means the first transaction "
+    "already predicts worth (license early VIP treatment), a flat "
+    "matrix means first orders are noise.  Quartiles are exact "
+    "rank-based cuts with (value, custkey) total order over the "
+    "customer dimension (the oracle's global windows would be the "
+    "two-phase banded rank at 100 TB — operators/ids model); one "
+    "customer rollup feeds both rankings.",
+    tags=("analytics", "predictive"),
+)
+def first_order_predictiveness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    co = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    cu = (
+        co.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias(
+                "first_cents"
+            ),
+            F.sum("cents").cast("long").alias("ltv_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    wf = W.orderBy("first_cents", "o_custkey")
+    wl = W.orderBy("ltv_cents", "o_custkey")
+    wn = W.partitionBy()
+    rk = cu.select(
+        F.expr(
+            "least(3, (row_number() OVER (ORDER BY first_cents, o_custkey)"
+            " - 1) * 4 DIV (count(*) OVER ()))"
+        ).alias("fq"),
+        F.expr(
+            "least(3, (row_number() OVER (ORDER BY ltv_cents, o_custkey)"
+            " - 1) * 4 DIV (count(*) OVER ()))"
+        ).alias("lq"),
+    )
+    tot = rk.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        rk.groupBy(
+            F.col("fq").cast("long").alias("first_quartile"),
+            F.col("lq").cast("long").alias("ltv_quartile"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_quartile",
+            "ltv_quartile",
+            "n_customers",
+            F.expr("CAST(n_customers * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -4317,3 +4317,76 @@ def user_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+# --- circadian consistency per user (circular resultant length) -------------
+
+_CIRC_R = (
+    "CAST(floor(sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)"
+    " + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "circadian_consistency_histogram",
+    oracle=f"""
+    , hh AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS h
+        FROM events
+    ),
+    ur AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(list_extract({_DIURNAL_COS},
+                   CAST(h + 1 AS INTEGER))) AS BIGINT) AS sc,
+               CAST(sum(list_extract({_DIURNAL_SIN},
+                   CAST(h + 1 AS INTEGER))) AS BIGINT) AS ss
+        FROM hh GROUP BY user_id HAVING count(*) >= 10
+    ),
+    r AS (SELECT {_CIRC_R} AS r_ppm FROM ur)
+    SELECT CAST(least(r_ppm // 100000, 9) AS BIGINT) AS r_band,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM r GROUP BY least(r_ppm // 100000, 9)
+    """,
+    doc="Circadian-consistency histogram: per user (>= 10 events) the "
+    "circular mean resultant length R of their event hours — R near "
+    "1e6 (ppm) means a tightly repeated daily time slot (strong "
+    "personal rhythm, or a cron job), R near 0 a uniform spread — "
+    "banded into 10 buckets; circular statistics are the correct "
+    "tool where hour-of-day variance fails (23h and 1h are close).  "
+    "Reuses the diurnal integer cos/sin tables: per-user sums are "
+    "exact BIGINT dot products, R is one shared sqrt expression, "
+    "and the histogram is a tiny fold over the user dimension.",
+    tags=("timeseries", "behavior"),
+)
+def circadian_consistency_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cos_arr = F.array(*[F.lit(v).cast("long") for v in _DIURNAL_COS])
+    sin_arr = F.array(*[F.lit(v).cast("long") for v in _DIURNAL_SIN])
+    hh = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 3600000000 % 24 AS BIGINT)").alias(
+            "h"
+        ),
+    )
+    ur = (
+        hh.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.element_at(cos_arr, (F.col("h") + 1).cast("int"))
+            ).cast("long").alias("sc"),
+            F.sum(
+                F.element_at(sin_arr, (F.col("h") + 1).cast("int"))
+            ).cast("long").alias("ss"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    r = ur.select(F.expr(_CIRC_R).alias("r_ppm"))
+    return r.groupBy(
+        F.expr("CAST(least(r_ppm DIV 100000, 9) AS BIGINT)").alias("r_band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

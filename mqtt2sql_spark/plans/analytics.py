@@ -12605,3 +12605,173 @@ def first_order_predictiveness(
             ),
         )
     )
+
+
+# --- split-shipment span per order ------------------------------------------
+
+
+@register(
+    "order_ship_span_histogram",
+    oracle="""
+    , sp AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               max(epoch_us(l_shipdate) // 86400000000)
+               - min(epoch_us(l_shipdate) // 86400000000) AS span_days
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sp)
+    SELECT CAST(least(span_days // 7, 8) AS BIGINT) AS span_weeks_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm,
+           CAST(max(span_days) AS BIGINT) AS max_span_days
+    FROM sp GROUP BY least(span_days // 7, 8)
+    """,
+    doc="Fulfillment-fragmentation histogram: for multi-line orders, "
+    "the span in days between the first and last line shipment "
+    "(week buckets, 8+ capped) — bucket 0 is single-shipment "
+    "consolidation, the tail is the split-shipment cost center "
+    "(each extra week of spread is another box, another delivery).  "
+    "One per-order min/max rollup and a tiny histogram fold.",
+    tags=("analytics", "fulfillment"),
+)
+def order_ship_span_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (
+                F.max(F.expr("unix_micros(l_shipdate) DIV 86400000000"))
+                - F.min(F.expr("unix_micros(l_shipdate) DIV 86400000000"))
+            ).alias("span_days"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )
+    tot = sp.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        sp.groupBy(
+            F.expr("CAST(least(span_days DIV 7, 8) AS BIGINT)").alias(
+                "span_weeks_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("span_days").cast("long").alias("max_span_days"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "span_weeks_bucket",
+            "n_orders",
+            F.expr("CAST(n_orders * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "max_span_days",
+        )
+    )
+
+
+# --- modal-preference stability across halves -------------------------------
+
+
+@register(
+    "preference_stability_rate",
+    oracle="""
+    , sp AS (
+        SELECT (min(epoch_us(ts) // 86400000000)
+                + max(epoch_us(ts) // 86400000000) + 1) // 2 AS mid
+        FROM events
+    ),
+    cnt AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) // 86400000000
+                         < (SELECT mid FROM sp) THEN 0 ELSE 1 END AS half,
+               event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    modal AS (
+        SELECT user_id, half, event_type FROM (
+            SELECT user_id, half, event_type,
+                   row_number() OVER (PARTITION BY user_id, half
+                                      ORDER BY c DESC, event_type) AS rn
+            FROM cnt
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.user_id,
+               CASE WHEN a.event_type = b.event_type THEN 1 ELSE 0 END
+                   AS stable
+        FROM modal a JOIN modal b
+          ON b.user_id = a.user_id AND a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users_both_halves,
+           CAST(sum(stable) AS BIGINT) AS n_stable,
+           CAST(sum(stable) * 1000000 // count(*) AS BIGINT)
+               AS stability_ppm
+    FROM pairs
+    """,
+    doc="Behavioral-identity stability: for users active in both "
+    "calendar halves, does their MODAL event type persist?  The "
+    "one-number answer to whether segment assignments built on "
+    "dominant behavior (browsers vs buyers) can be cached or must "
+    "be recomputed continuously; modal types tie-break "
+    "lexicographically so both engines pick the identical mode.  "
+    "A (user, half, type) rollup, a per-(user, half) "
+    "WindowGroupLimit argmax, one self-join across halves.",
+    tags=("analytics", "behavior"),
+)
+def preference_stability_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sp = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts) DIV 86400000000)"
+            " + max(unix_micros(ts) DIV 86400000000) + 1) DIV 2"
+        ).alias("mid")
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(sp))
+        .groupBy(
+            "user_id",
+            F.when(
+                F.expr("unix_micros(ts) DIV 86400000000") < F.col("mid"), 0
+            )
+            .otherwise(1)
+            .alias("half"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wm = W.partitionBy("user_id", "half").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    modal = (
+        cnt.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "half", "event_type")
+    )
+    pairs = (
+        modal.alias("a")
+        .join(
+            modal.alias("b"),
+            F.expr("b.user_id = a.user_id AND a.half = 0 AND b.half = 1"),
+        )
+        .select(
+            F.when(
+                F.col("a.event_type") == F.col("b.event_type"), 1
+            )
+            .otherwise(0)
+            .alias("stable")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_both_halves"),
+        F.sum("stable").cast("long").alias("n_stable"),
+        F.expr(
+            "CAST(sum(stable) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("stability_ppm"),
+    )

@@ -12775,3 +12775,150 @@ def preference_stability_rate(
             "CAST(sum(stable) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("stability_ppm"),
     )
+
+
+# --- payload k-value uniformity test ----------------------------------------
+
+
+@register(
+    "props_uniformity_chi2",
+    oracle="""
+    , kv AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+                   AS bucket
+        FROM events
+    ),
+    oc AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS o
+        FROM kv WHERE bucket IS NOT NULL AND bucket BETWEEN 0 AND 9
+        GROUP BY event_type, bucket
+    ),
+    tn AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS n FROM oc
+        GROUP BY event_type
+    )
+    SELECT oc.event_type,
+           CAST(max(tn.n) AS BIGINT) AS n_events,
+           CAST(sum((10 * o - tn.n) * (10 * o - tn.n)) // (10 * max(tn.n))
+               AS BIGINT) AS chi2_x1
+    FROM oc JOIN tn ON tn.event_type = oc.event_type
+    GROUP BY oc.event_type
+    """,
+    doc="Payload-generator drift test: chi-square of the JSON props.k "
+    "distribution against uniformity over 10 value deciles, per "
+    "event type — k is spec'd uniform 0..99, so chi2 far above the "
+    "~9 d.o.f. expectation flags an upstream generator change "
+    "before it skews every k-weighted metric.  Exact integers "
+    "throughout: with uniform expectation n/10, chi2 = "
+    "sum((10*O - n)^2) / (10*n) needs no per-cell rational; JSON "
+    "extraction is the engine-native path (get_json_object / "
+    "json_extract_string).",
+    tags=("analytics", "data-quality"),
+)
+def props_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        (
+            F.get_json_object("props", "$.k").cast("int") / F.lit(10)
+        ).cast("int").alias("bucket"),
+    )
+    oc = (
+        kv.filter(
+            F.col("bucket").isNotNull() & F.col("bucket").between(0, 9)
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    tn = oc.groupBy("event_type").agg(F.sum("o").cast("long").alias("n"))
+    return (
+        oc.join(F.broadcast(tn), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(sum((10 * o - n) * (10 * o - n))"
+                " DIV (10 * max(n)) AS BIGINT)"
+            ).alias("chi2_x1"),
+        )
+    )
+
+
+# --- ship-latency percentiles by order priority ------------------------------
+
+
+@register(
+    "latency_by_priority_percentiles",
+    oracle="""
+    , lt AS (
+        SELECT o.o_orderpriority,
+               greatest(epoch_us(l.l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000, 0)
+                   AS days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+        SELECT o_orderpriority, days,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY days, l_orderkey, l_linenumber)
+                   AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lt
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS BIGINT)
+               AS p50_days,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+               AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN days END)
+               AS BIGINT) AS p99_days
+    FROM r GROUP BY o_orderpriority
+    """,
+    doc="Does priority actually buy speed?  Exact nearest-rank "
+    "P50/P90/P99 of (clamped) order-to-ship latency per order "
+    "priority — if 1-URGENT's percentiles match 5-LOW's, the "
+    "priority field is theater and SLA pricing is mispriced; the "
+    "percentile-by-class cut that mean-latency views "
+    "(supplier_latency_consistency) wash out.  One fact-fact join, "
+    "one priority-partitioned rank window with a "
+    "(days, orderkey, linenumber) total order, a conditional fold.",
+    tags=("analytics", "sla"),
+)
+def latency_by_priority_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "greatest(unix_micros(l_shipdate) DIV 86400000000"
+            " - unix_micros(o_orderdate) DIV 86400000000, 0)"
+        ).alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = W.partitionBy("o_orderpriority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("o_orderpriority")
+    r = lt.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("days"))
+        ).cast("long").alias("p50_days"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("days"))
+        ).cast("long").alias("p90_days"),
+        F.max(
+            F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("days"))
+        ).cast("long").alias("p99_days"),
+    )

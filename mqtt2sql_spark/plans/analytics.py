@@ -12922,3 +12922,157 @@ def latency_by_priority_percentiles(
             F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("days"))
         ).cast("long").alias("p99_days"),
     )
+
+
+# --- maximum drawdown of cumulative daily revenue ----------------------------
+
+
+@register(
+    "max_drawdown_daily_revenue",
+    oracle="""
+    , daily AS (
+        SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT day, rev_cents,
+               sum(rev_cents) OVER (ORDER BY day) AS cum
+        FROM daily
+    ),
+    d AS (
+        SELECT day, cum, max(cum) OVER (ORDER BY day) AS peak,
+               count(*) OVER () AS n_days
+        FROM c
+    )
+    SELECT day AS trough_day,
+           CAST(n_days AS BIGINT) AS n_days,
+           round(peak / 100.0, 2) AS peak_rev,
+           round(cum / 100.0, 2) AS cum_rev,
+           round((peak - cum) / 100.0, 2) AS max_drawdown
+    FROM d
+    ORDER BY peak - cum DESC, day ASC
+    LIMIT 1
+    """,
+    doc="Worst peak-to-trough slump of the cumulative revenue curve — "
+    "the classic max-drawdown risk statistic, applied to the business "
+    "series instead of a price series: how deep did the book sink below "
+    "its best-ever cumulative position, and on what day.  Per-row cent "
+    "quantization keeps every sum exact (FLOAT-SUM-ORDER rule); the "
+    "day-level series is tiny after the first aggregation, so the "
+    "unpartitioned running-sum window is benign (≈2.5k rows at any "
+    "scale factor — days, not facts).",
+    tags=("analytics", "timeseries", "risk"),
+)
+def max_drawdown_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = daily.select(
+        "day", F.sum("rev_cents").over(wc).alias("cum")
+    )
+    d = c.select(
+        "day",
+        "cum",
+        F.max("cum").over(wc).alias("peak"),
+        F.count(F.lit(1)).over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n_days"),
+    )
+    return (
+        d.orderBy(
+            (F.col("peak") - F.col("cum")).desc(), F.col("day").asc()
+        )
+        .limit(1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(F.col("peak") / 100.0, 2).alias("peak_rev"),
+            F.round(F.col("cum") / 100.0, 2).alias("cum_rev"),
+            F.round((F.col("peak") - F.col("cum")) / 100.0, 2).alias(
+                "max_drawdown"
+            ),
+        )
+    )
+
+
+# --- discount elasticity of quantity, per brand ------------------------------
+
+
+@register(
+    "discount_elasticity_by_brand",
+    oracle="""
+    , pts AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_discount * 100, 0) AS BIGINT) AS x,
+               CAST(round(l.l_quantity, 0) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+        SELECT p_brand,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST((10000 * (n * sxy - sx * sy))
+                // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS slope_e4,
+           CAST((10000 * sy) // n AS BIGINT) AS mean_qty_e4,
+           CAST((10000 * sx) // n AS BIGINT) AS mean_disc_pct_e4
+    FROM s
+    """,
+    doc="Does discounting actually move volume?  Per-brand OLS slope of "
+    "line quantity against discount percentage, computed entirely in "
+    "exact integer sufficient statistics (discount is a 0-10 integer "
+    "percent after x100 quantization, quantity is integral), so the "
+    "cross-engine hash cannot drift: slope = (n*Sxy - Sx*Sy) / "
+    "(n*Sxx - Sx^2) emitted as integer-division fixed-point.  Pure "
+    "integer `div`/`//` truncates toward zero identically on both "
+    "engines (CLAUDE.md SIGNED INTEGRAL DIVISION), which matters here "
+    "because slopes are legitimately negative.  One broadcast dim join, "
+    "one hash aggregate — partial-agg'd map-side, no window.",
+    tags=("analytics", "pricing"),
+)
+def discount_elasticity_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(
+        F.broadcast(part), li["l_partkey"] == F.col("p_partkey")
+    ).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("y"),
+    )
+    s = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST((10000 * (n * sxy - sx * sy))"
+            " DIV greatest(n * sxx - sx * sx, 1) AS BIGINT)"
+        ).alias("slope_e4"),
+        F.expr("CAST((10000 * sy) DIV n AS BIGINT)").alias("mean_qty_e4"),
+        F.expr("CAST((10000 * sx) DIV n AS BIGINT)").alias(
+            "mean_disc_pct_e4"
+        ),
+    )

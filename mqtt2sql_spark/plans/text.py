@@ -3406,3 +3406,188 @@ def lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("cramers_v_x1000"),
     )
+
+
+# --- per-document token rarity profile --------------------------------------
+
+
+@register(
+    "doc_rarity_score",
+    oracle=f"""
+    , tok AS (
+        SELECT doc_id, unnest({duck_tokens()}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+    per_doc AS (
+        SELECT t.doc_id,
+               sum(f.tf) AS s_tf,
+               sum(length(bin(f.tf)) - 1) AS s_l2,
+               sum(CASE WHEN f.tf = 1 THEN 1 ELSE 0 END) AS hapax
+        FROM tok t JOIN tf f USING (tok)
+        GROUP BY t.doc_id
+    ),
+    base AS (
+        SELECT doc_id, CAST(len({duck_tokens()}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST((10000 * coalesce(p.s_tf, 0))
+                // greatest(b.n_tokens, 1) AS BIGINT) AS mean_tf_e4,
+           CAST((10000 * coalesce(p.s_l2, 0))
+                // greatest(b.n_tokens, 1) AS BIGINT) AS mean_log2tf_e4,
+           CAST(coalesce(p.hapax, 0) AS BIGINT) AS hapax_tokens
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Per-document rarity profile for curation: mean corpus term "
+    "frequency of the doc's tokens (common-word-heavy docs score "
+    "high), mean floor(log2(tf)) as the robust log-scale variant "
+    "(exact via binary-string length, no libm log2 — cross-engine "
+    "safe), and the count of corpus-hapax tokens (tf=1, typo/noise "
+    "signal).  Zero-token docs survive via the pre-explode size() "
+    "base + LEFT JOIN (the repetition_filter lesson).  Scale: tf is "
+    "one row per distinct term; only (doc, token) pairs shuffle, "
+    "both aggregates partial-agg map-side.",
+    tags=("text", "curation"),
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = (
+        tok.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("s_tf"),
+            F.sum(F.length(F.bin("tf")) - 1).alias("s_l2"),
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias(
+                "hapax"
+            ),
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    j = base.join(per_doc, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST((10000 * coalesce(s_tf, 0))"
+            " DIV greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("mean_tf_e4"),
+        F.expr(
+            "CAST((10000 * coalesce(s_l2, 0))"
+            " DIV greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("mean_log2tf_e4"),
+        F.coalesce(F.col("hapax"), F.lit(0)).cast("long").alias(
+            "hapax_tokens"
+        ),
+    )
+
+
+# --- Heaps-law vocabulary growth curve --------------------------------------
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+    , base AS (
+        SELECT doc_id, len({duck_tokens()}) AS n_tok,
+               row_number() OVER (ORDER BY doc_id) AS rn,
+               count(*) OVER () AS n_docs
+        FROM documents
+    ),
+    dd AS (
+        SELECT doc_id, n_tok,
+               ((rn - 1) * 10) // n_docs + 1 AS decile
+        FROM base
+    ),
+    first_seen AS (
+        SELECT min(t.doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest({duck_tokens()}) AS tok
+              FROM documents) t
+        GROUP BY t.tok
+    ),
+    new_types AS (
+        SELECT d.decile, count(*) AS new_types
+        FROM first_seen f JOIN dd d ON d.doc_id = f.first_doc
+        GROUP BY d.decile
+    ),
+    tok_per_decile AS (
+        SELECT decile, count(*) AS n_docs_d, sum(n_tok) AS n_tok_d
+        FROM dd GROUP BY decile
+    )
+    SELECT t.decile,
+           CAST(sum(t.n_docs_d) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(t.n_tok_d) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT)
+               AS cum_vocab,
+           CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types
+    FROM tok_per_decile t LEFT JOIN new_types n USING (decile)
+    WINDOW w AS (ORDER BY t.decile)
+    """,
+    doc="Heaps-law vocabulary growth: cumulative distinct-type count "
+    "vs cumulative token count at each corpus decile (documents in "
+    "doc_id order) — the curve that says whether a corpus is still "
+    "yielding new vocabulary or has saturated (and thus how much a "
+    "tokenizer/vocab benefits from more of it).  A type's arrival "
+    "decile is min(doc_id) per token — one agg over the exploded "
+    "stream, no per-prefix recount; the decile frame is 10 rows, so "
+    "the running-sum window is trivially cheap.  Exact integers "
+    "end-to-end.",
+    tags=("text", "curation"),
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    ).withColumn(
+        "rn", F.row_number().over(W.orderBy("doc_id"))
+    ).withColumn(
+        "n_docs",
+        F.count(F.lit(1)).over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ),
+    )
+    dd = base.select(
+        "doc_id",
+        "n_tok",
+        F.expr("((rn - 1) * 10) DIV n_docs + 1").alias("decile"),
+    )
+    first_seen = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_types = (
+        first_seen.join(
+            dd.select("doc_id", "decile"),
+            first_seen["first_doc"] == F.col("doc_id"),
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    tok_per_decile = dd.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs_d"),
+        F.sum("n_tok").alias("n_tok_d"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    j = tok_per_decile.join(new_types, "decile", "left").select(
+        "decile",
+        "n_docs_d",
+        "n_tok_d",
+        F.coalesce(F.col("new_types"), F.lit(0)).alias("nt"),
+    )
+    return j.select(
+        "decile",
+        F.sum("n_docs_d").over(w).cast("long").alias("cum_docs"),
+        F.sum("n_tok_d").over(w).cast("long").alias("cum_tokens"),
+        F.sum("nt").over(w).cast("long").alias("cum_vocab"),
+        F.col("nt").cast("long").alias("new_types"),
+    )

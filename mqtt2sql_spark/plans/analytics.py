@@ -13076,3 +13076,178 @@ def discount_elasticity_by_brand(
             "mean_disc_pct_e4"
         ),
     )
+
+
+# --- point-biserial correlation: return flag vs line price -------------------
+
+
+@register(
+    "point_biserial_return_price",
+    oracle="""
+    , pts AS (
+        SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem
+    ),
+    s AS (
+        SELECT ship_year,
+               count(*) AS n,
+               sum(r) AS n1,
+               sum(c) AS sc,
+               sum(c * r) AS s1,
+               sum(CAST(c AS HUGEINT) * c) AS ss
+        FROM pts GROUP BY ship_year
+    )
+    SELECT ship_year,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(n1 AS BIGINT) AS n_returned,
+           CAST((100 * s1) // greatest(n1, 1)
+                - (100 * (sc - s1)) // greatest(n - n1, 1) AS BIGINT)
+               AS mean_diff_e2_cents,
+           CAST(floor(
+               ((CAST(s1 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE)
+                 - CAST(sc - s1 AS DOUBLE)
+                   / CAST(greatest(n - n1, 1) AS DOUBLE))
+                / sqrt((CAST(ss AS DOUBLE)
+                        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               * 1000000) AS BIGINT) AS r_pb_e6
+    FROM s
+    """,
+    doc="Point-biserial correlation between the binary return flag and "
+    "line price, per ship year — 'are expensive items returned more?' "
+    "as one number per year.  Sufficient statistics are exact integers "
+    "(cents; sum-of-squares kept exact in HUGEINT/DECIMAL(38)), and the "
+    "final r is a textually identical +,-,*,/,sqrt expression on both "
+    "engines — every one of those IEEE ops is correctly rounded, so the "
+    "doubles match bit-for-bit (no libm ln/exp anywhere), then floor "
+    "fixed-point e6.  One scan, one hash aggregate.",
+    tags=("analytics", "stats"),
+)
+def point_biserial_return_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    s = pts.groupBy("ship_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("n1"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("r")).alias("s1"),
+        F.sum(
+            (F.col("c") * F.col("c")).cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    return s.select(
+        "ship_year",
+        F.col("n").cast("long").alias("n_lines"),
+        F.col("n1").cast("long").alias("n_returned"),
+        F.expr(
+            "CAST((100 * s1) DIV greatest(n1, 1)"
+            " - (100 * (sc - s1)) DIV greatest(n - n1, 1) AS BIGINT)"
+        ).alias("mean_diff_e2_cents"),
+        F.expr(
+            "CAST(floor("
+            "((CAST(s1 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE)"
+            "  - CAST(sc - s1 AS DOUBLE)"
+            "    / CAST(greatest(n - n1, 1) AS DOUBLE))"
+            " / sqrt((CAST(ss AS DOUBLE)"
+            "         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)"
+            "           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)"
+            "        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+            " * 1000000) AS BIGINT)"
+        ).alias("r_pb_e6"),
+    )
+
+
+# --- Kruskal-Wallis rank statistics by market segment ------------------------
+
+
+@register(
+    "kruskal_wallis_rank_stats",
+    oracle="""
+    , pts AS (
+        SELECT c.c_mktsegment,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+        SELECT cents, count(*) AS cnt FROM pts GROUP BY cents
+    ),
+    rk AS (
+        SELECT cents,
+               2 * sum(cnt) OVER (ORDER BY cents) - cnt + 1 AS avg2
+        FROM g
+    ),
+    per_seg AS (
+        SELECT p.c_mktsegment,
+               count(*) AS n_i,
+               sum(r.avg2) AS s2
+        FROM pts p JOIN rk r USING (cents)
+        GROUP BY p.c_mktsegment
+    ),
+    tot AS (SELECT sum(n_i) AS n FROM per_seg)
+    SELECT s.c_mktsegment,
+           CAST(s.n_i AS BIGINT) AS n_orders,
+           CAST(s.s2 AS BIGINT) AS sum_rank2,
+           CAST((10000 * s.s2) // s.n_i AS BIGINT) AS mean_rank2_e4,
+           CAST(s.s2 - s.n_i * (t.n + 1) AS BIGINT) AS dev2
+    FROM per_seg s CROSS JOIN tot t
+    """,
+    doc="Kruskal-Wallis sufficient statistics for order value across "
+    "market segments: midrank sums with exact tie handling (average "
+    "rank of a tie group derived from the cumulative count — avg2 = "
+    "2*cum - cnt + 1 is twice the midrank, kept integral), per-segment "
+    "deviation dev2 = 2*(R_i - n_i*(N+1)/2) from the null expectation; "
+    "H = 3/(N(N+1)) * sum(dev2^2/n_i) follows directly.  dev2 = 0 for "
+    "every segment means price is rank-independent of segment.  All "
+    "exact integers — no doubles anywhere.  The rank window runs over "
+    "the deduplicated value domain (one row per distinct price), not "
+    "the fact stream; at cluster scale swap in a range-partitioned "
+    "two-phase rank.",
+    tags=("analytics", "stats"),
+)
+def kruskal_wallis_rank_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pts = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey")
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+    g = pts.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    rk = g.select(
+        "cents",
+        (2 * F.sum("cnt").over(wc) - F.col("cnt") + 1).alias("avg2"),
+    )
+    per_seg = (
+        pts.join(rk, "cents")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_i"), F.sum("avg2").alias("s2"))
+    )
+    tot = per_seg.agg(F.sum("n_i").alias("n"))
+    return per_seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        F.col("n_i").cast("long").alias("n_orders"),
+        F.col("s2").cast("long").alias("sum_rank2"),
+        F.expr("CAST((10000 * s2) DIV n_i AS BIGINT)").alias(
+            "mean_rank2_e4"
+        ),
+        F.expr("CAST(s2 - n_i * (n + 1) AS BIGINT)").alias("dev2"),
+    )

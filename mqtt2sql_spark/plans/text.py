@@ -3591,3 +3591,73 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").over(w).cast("long").alias("cum_vocab"),
         F.col("nt").cast("long").alias("new_types"),
     )
+
+
+# --- padding waste vs sequence length ----------------------------------------
+
+
+@register(
+    "padding_waste_by_seqlen",
+    oracle=f"""
+    , ntok AS (
+        SELECT doc_id, CAST(len({duck_tokens()}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    ls AS (SELECT unnest([128, 512, 2048]) AS seq_len),
+    per_doc AS (
+        SELECT l.seq_len, n.n_tok,
+               (n.n_tok + l.seq_len - 1) // l.seq_len AS n_seqs
+        FROM ntok n CROSS JOIN ls l
+    )
+    SELECT seq_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_seqs) AS BIGINT) AS n_seqs_unpacked,
+           CAST(sum(n_seqs) * seq_len - sum(n_tok) AS BIGINT)
+               AS pad_tokens,
+           CAST((1000000 * (sum(n_seqs) * seq_len - sum(n_tok)))
+                // greatest(sum(n_seqs) * seq_len, 1) AS BIGINT)
+               AS pad_share_ppm,
+           CAST((sum(n_tok) + seq_len - 1) // seq_len AS BIGINT)
+               AS n_seqs_packed
+    FROM per_doc GROUP BY seq_len
+    """,
+    doc="Training-batch packing economics: for each candidate sequence "
+    "length, how many fixed-length sequences the corpus needs when "
+    "each document is chunked separately (last chunk padded) vs the "
+    "dense-packing lower bound ceil(total_tokens/L), and the share of "
+    "compute burned on pad tokens.  The number that decides both the "
+    "seq-len choice and whether sequence packing (pack_sequences_"
+    "greedy) is worth its shuffle.  Exact integer ceil-division "
+    "((n+L-1) DIV L) on both engines; one scan, 3x row multiplier "
+    "from the literal length array, one hash agg.",
+    tags=("text", "training"),
+)
+def padding_waste_by_seqlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(
+        F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    per_doc = ntok.select(
+        F.explode(F.array(F.lit(128), F.lit(512), F.lit(2048))).alias(
+            "seq_len"
+        ),
+        "n_tok",
+    ).withColumn(
+        "n_seqs", F.expr("(n_tok + seq_len - 1) DIV seq_len")
+    )
+    return per_doc.groupBy("seq_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_seqs").cast("long").alias("n_seqs_unpacked"),
+        (F.sum("n_seqs") * F.first("seq_len") - F.sum("n_tok"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.expr(
+            "CAST((1000000 * (sum(n_seqs) * seq_len - sum(n_tok)))"
+            " DIV greatest(sum(n_seqs) * seq_len, 1) AS BIGINT)"
+        ).alias("pad_share_ppm"),
+        F.expr(
+            "CAST((sum(n_tok) + seq_len - 1) DIV seq_len AS BIGINT)"
+        ).alias("n_seqs_packed"),
+    )

@@ -4390,3 +4390,90 @@ def circadian_consistency_histogram(
     return r.groupBy(
         F.expr("CAST(least(r_ppm DIV 100000, 9) AS BIGINT)").alias("r_band")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+# --- self-excitation (same-type burst lift) per event type -------------------
+
+
+@register(
+    "self_excitation_by_type",
+    oracle="""
+    , seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER w AS next_type,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+    s AS (
+        SELECT event_type,
+               count(*) AS n_pairs,
+               sum(CASE WHEN next_type = event_type THEN 1 ELSE 0 END)
+                   AS same_all,
+               sum(CASE WHEN gap_us <= 60000000 THEN 1 ELSE 0 END)
+                   AS n_fast,
+               sum(CASE WHEN gap_us <= 60000000
+                         AND next_type = event_type
+                        THEN 1 ELSE 0 END) AS same_fast
+        FROM pairs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(same_all AS BIGINT) AS same_all,
+           CAST(n_fast AS BIGINT) AS n_fast,
+           CAST(same_fast AS BIGINT) AS same_fast,
+           CAST((1000000 * same_fast * n_pairs)
+                // greatest(n_fast * same_all, 1) AS BIGINT)
+               AS excitation_lift_ppm
+    FROM s
+    """,
+    doc="Hawkes-style self-excitation screen: given a user just emitted "
+    "an event of type T, is the follow-up within 60 s MORE likely to "
+    "be T again than the user's unconditional repeat rate?  "
+    "excitation_lift_ppm = P(same | gap<=60s) / P(same) in parts-per-"
+    "million — retry storms and double-click artifacts show up as "
+    "multi-million-ppm lift on one type while organic behavior sits "
+    "near 1e6.  Complements event_transition_matrix (which ignores "
+    "gap) and synchronized_burst_seconds (which ignores type "
+    "persistence).  One user-partitioned lead window — the stream's "
+    "natural key — then a hash agg; exact integers throughout.",
+    tags=("timeseries", "events"),
+)
+def self_excitation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    ).filter(F.col("next_type").isNotNull())
+    s = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("next_type") == F.col("event_type"), 1).otherwise(0)
+        ).alias("same_all"),
+        F.sum(
+            F.when(F.col("gap_us") <= 60000000, 1).otherwise(0)
+        ).alias("n_fast"),
+        F.sum(
+            F.when(
+                (F.col("gap_us") <= 60000000)
+                & (F.col("next_type") == F.col("event_type")),
+                1,
+            ).otherwise(0)
+        ).alias("same_fast"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("same_all").cast("long").alias("same_all"),
+        F.col("n_fast").cast("long").alias("n_fast"),
+        F.col("same_fast").cast("long").alias("same_fast"),
+        F.expr(
+            "CAST((1000000 * same_fast * n_pairs)"
+            " DIV greatest(n_fast * same_all, 1) AS BIGINT)"
+        ).alias("excitation_lift_ppm"),
+    )

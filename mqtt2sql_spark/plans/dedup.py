@@ -2507,3 +2507,115 @@ def prefix_length_dedup_sweep(
             " DIV sum(sz) AS BIGINT)"
         ).alias("removal_ppm"),
     )
+
+
+# --- does the quality gate catch duplicates?  (MCC per language) -------------
+
+
+@register(
+    "quality_dup_mcc",
+    oracle=f"""
+    , lab AS (
+        SELECT lang,
+               CASE WHEN n_toks >= 20 AND cpt BETWEEN 3 AND 12
+                         AND sw_ratio >= 0.01
+                    THEN 0 ELSE 1 END AS fail_q,
+               CASE WHEN count(*) OVER (PARTITION BY norm_hash) > 1
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM (
+            SELECT doc_id, lang,
+                   md5({duck_normalized()}) AS norm_hash,
+                   len(toks) AS n_toks,
+                   CAST(len(list_filter(toks, x -> x IN
+                        ({", ".join(repr(w) for w in STOPWORDS)})))
+                        AS DOUBLE) / greatest(len(toks), 1) AS sw_ratio,
+                   CAST(length(text) AS DOUBLE)
+                       / greatest(len(toks), 1) AS cpt
+            FROM (SELECT doc_id, lang, text, {duck_tokens()} AS toks
+                  FROM documents)
+        )
+    ),
+    cm AS (
+        SELECT lang,
+               sum(fail_q * is_dup) AS tp,
+               sum(fail_q * (1 - is_dup)) AS fp,
+               sum((1 - fail_q) * is_dup) AS fn,
+               sum((1 - fail_q) * (1 - is_dup)) AS tn
+        FROM lab GROUP BY lang
+    )
+    SELECT lang,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(floor(
+               CAST(tp * tn - fp * fn AS DOUBLE)
+               / sqrt(greatest(CAST(tp + fp AS DOUBLE)
+                               * CAST(tp + fn AS DOUBLE)
+                               * CAST(tn + fp AS DOUBLE)
+                               * CAST(tn + fn AS DOUBLE), 1.0))
+               * 1000000) AS BIGINT) AS mcc_e6
+    FROM cm
+    """,
+    doc="Are low-quality documents and duplicated documents the same "
+    "population?  Matthews correlation per language between 'fails the "
+    "C4/Gopher quality gate' and 'belongs to an exact-dup group' — "
+    "near-zero MCC means dedup and quality filtering prune different "
+    "docs and the pipeline needs both stages; high MCC means one stage "
+    "is mostly redundant.  Confusion counts are exact integers; the "
+    "MCC ratio follows the CAST-AS-DOUBLE formula rule (products up to "
+    "n^4 overflow BIGINT, so each factor casts to double before "
+    "multiplying — identical text both engines, correctly-rounded IEEE "
+    "ops only).  One scan, one dup-key window, one hash agg.",
+    tags=("dedup", "text", "stats"),
+)
+def quality_dup_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    sw_ratio = count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    )
+    cpt = F.length("text").cast("double") / F.greatest(n_toks, F.lit(1))
+    base = docs.select(
+        "lang",
+        F.md5(normalized_text("text")).alias("norm_hash"),
+        F.when(
+            (n_toks >= 20)
+            & (cpt >= 3)
+            & (cpt <= 12)
+            & (sw_ratio >= 0.01),
+            0,
+        )
+        .otherwise(1)
+        .alias("fail_q"),
+    )
+    lab = base.select(
+        "lang",
+        "fail_q",
+        F.when(
+            F.count(F.lit(1)).over(W.partitionBy("norm_hash")) > 1, 1
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    cm = lab.groupBy("lang").agg(
+        F.sum(F.col("fail_q") * F.col("is_dup")).alias("tp"),
+        F.sum(F.col("fail_q") * (1 - F.col("is_dup"))).alias("fp"),
+        F.sum((1 - F.col("fail_q")) * F.col("is_dup")).alias("fn"),
+        F.sum((1 - F.col("fail_q")) * (1 - F.col("is_dup"))).alias("tn"),
+    )
+    return cm.select(
+        "lang",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.expr(
+            "CAST(floor("
+            "CAST(tp * tn - fp * fn AS DOUBLE)"
+            " / sqrt(greatest(CAST(tp + fp AS DOUBLE)"
+            "                 * CAST(tp + fn AS DOUBLE)"
+            "                 * CAST(tn + fp AS DOUBLE)"
+            "                 * CAST(tn + fn AS DOUBLE), 1.0))"
+            " * 1000000) AS BIGINT)"
+        ).alias("mcc_e6"),
+    )

@@ -4334,3 +4334,130 @@ def label_confusable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- Johnson-Lindenstrauss norm-preservation audit ---------------------------
+
+_RP_K = 8  # projected dimensions
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic Rademacher entry for the JL audit projection —
+    independent of the LSH planes (different key prefix)."""
+    nibble = int(hashlib.md5(f"rp/{j}|{i}".encode()).hexdigest()[0], 16)
+    return 1 if nibble % 2 == 1 else -1
+
+
+# one '+'/'-' char per source dim, one string per projected dim — embedded
+# as identical literals in both engines (LIBM/CONSTANTS rule)
+_RP_SIGNS = [
+    "".join("+" if _rp_sign(j, i) == 1 else "-" for i in range(DIM))
+    for j in range(_RP_K)
+]
+
+
+@register(
+    "random_projection_distortion",
+    oracle=f"""
+    , q AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS qx
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    sgn AS (
+        SELECT unnest([{", ".join(repr(s) for s in _RP_SIGNS)}]) AS sg,
+               generate_subscripts(
+                   [{", ".join(repr(s) for s in _RP_SIGNS)}], 1) AS j
+    ),
+    y AS (
+        SELECT q.vec_id, s.j,
+               sum(CASE WHEN substring(s.sg, q.i + 1, 1) = '+'
+                        THEN q.qx ELSE -q.qx END) AS yj
+        FROM q CROSS JOIN sgn s
+        GROUP BY q.vec_id, s.j
+    ),
+    pv AS (
+        SELECT y.vec_id,
+               CAST((CAST(sum(y.yj * y.yj) AS HUGEINT) * 10000)
+                    // ({_RP_K} * max(n.norm2)) AS BIGINT) AS ratio_e4
+        FROM y JOIN (SELECT vec_id, sum(qx * qx) AS norm2
+                     FROM q GROUP BY vec_id) n USING (vec_id)
+        GROUP BY y.vec_id
+    )
+    SELECT ratio_e4 // 2500 AS bucket,
+           CAST(min(ratio_e4) AS BIGINT) AS min_ratio_e4,
+           CAST(max(ratio_e4) AS BIGINT) AS max_ratio_e4,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(ratio_e4) // count(*) AS BIGINT) AS mean_ratio_e4
+    FROM pv GROUP BY 1
+    """,
+    doc="Johnson-Lindenstrauss distortion audit: project every embedding "
+    "to 8 dims with a deterministic Rademacher ±1 matrix and histogram "
+    "the norm-preservation ratio ||y||²/(k·||x||²) — JL says the mass "
+    "concentrates near 1.0, and this measures how hard that holds at "
+    "k=8, i.e. whether cheap sketched distances are safe for the "
+    "dedup/ANN pipeline.  Coordinates are quantized to exact 1e6 "
+    "integers BEFORE summing (float-sum order is engine-dependent; "
+    "integer sums are not), the sign matrix is a Python-precomputed "
+    "literal on both sides, and the ratio is HUGEINT/DECIMAL "
+    "fixed-point.  Long-format posexplode + two hash aggs — never an "
+    "interpreted higher-order lambda; shuffles (vec, dim)-shaped rows "
+    "only.",
+    tags=("similarity", "sketch"),
+)
+def random_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qx"),
+    )
+    sgn = spark.createDataFrame(
+        [(j + 1, s) for j, s in enumerate(_RP_SIGNS)], "j INT, sg STRING"
+    )
+    y = (
+        q.crossJoin(F.broadcast(sgn))
+        .select(
+            "vec_id",
+            "j",
+            F.when(
+                F.expr("substring(sg, i + 1, 1) = '+'"), F.col("qx")
+            ).otherwise(-F.col("qx")).alias("contrib"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.sum("contrib").alias("yj"))
+    )
+    norm = q.groupBy("vec_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).alias("norm2")
+    )
+    pv = (
+        y.join(norm, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "CAST((CAST(sum(yj * yj) AS DECIMAL(38,0)) * 10000)"
+                f" DIV ({_RP_K} * max(norm2)) AS BIGINT)"
+            ).alias("ratio_e4")
+        )
+    )
+    return pv.groupBy(
+        F.expr("ratio_e4 DIV 2500").alias("bucket")
+    ).agg(
+        F.min("ratio_e4").cast("long").alias("min_ratio_e4"),
+        F.max("ratio_e4").cast("long").alias("max_ratio_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("CAST(sum(ratio_e4) DIV count(*) AS BIGINT)").alias(
+            "mean_ratio_e4"
+        ),
+    )

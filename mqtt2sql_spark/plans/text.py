@@ -3661,3 +3661,118 @@ def padding_waste_by_seqlen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(n_tok) + seq_len - 1) DIV seq_len AS BIGINT)"
         ).alias("n_seqs_packed"),
     )
+
+
+# --- Cohen's kappa: langid heuristic vs gold label ---------------------------
+
+
+@register(
+    "cohen_kappa_langid",
+    oracle=f"""
+    , pred AS (
+        SELECT lang,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN es >= en AND es >= fr THEN 'es'
+                    WHEN fr >= en THEN 'fr'
+                    ELSE 'en' END AS lang_pred
+        FROM (
+            SELECT lang,
+                   {_duck_marker_count(LANG_MARKERS["en"])} AS en,
+                   {_duck_marker_count(LANG_MARKERS["de"])} AS de,
+                   {_duck_marker_count(LANG_MARKERS["es"])} AS es,
+                   {_duck_marker_count(LANG_MARKERS["fr"])} AS fr,
+                   len(regexp_extract_all(text, '{CJK_RE_DUCK}')) AS cjk
+            FROM (SELECT lang, text, {duck_tokens()} AS toks
+                  FROM documents)
+        )
+    ),
+    cm AS (
+        SELECT lang, lang_pred, count(*) AS c
+        FROM pred GROUP BY lang, lang_pred
+    ),
+    r AS (SELECT lang AS lab, sum(c) AS rc FROM cm GROUP BY lang),
+    cl AS (SELECT lang_pred AS lab, sum(c) AS cc FROM cm GROUP BY lang_pred),
+    parts AS (
+        SELECT (SELECT sum(c) FROM cm) AS n,
+               (SELECT sum(c) FROM cm WHERE lang = lang_pred) AS sd,
+               (SELECT sum(r.rc * cl.cc)
+                FROM r JOIN cl USING (lab)) AS src
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(sd AS BIGINT) AS n_agree,
+           CAST(src AS BIGINT) AS sum_rowcol,
+           CAST((1000000 * (n * sd - src)) // (n * n - src) AS BIGINT)
+               AS kappa_e6
+    FROM parts
+    """,
+    doc="Chance-corrected agreement between the n-gram language-ID "
+    "heuristic and the gold lang label: Cohen's kappa = "
+    "(n·Σdiag − Σ rowᵢ·colᵢ) / (n² − Σ rowᵢ·colᵢ), computed entirely "
+    "in exact integers (no doubles at all, so nothing to canonicalize) "
+    "— raw accuracy (langid_accuracy_by_fold) over-credits a majority-"
+    "class predictor, kappa doesn't.  The confusion matrix is "
+    "|langs|² ≈ 25 cells; everything after the first hash agg is "
+    "driver-trivial.",
+    tags=("text", "stats"),
+)
+def cohen_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "lang",
+        count_in_list(toks, LANG_MARKERS["en"]).alias("en"),
+        count_in_list(toks, LANG_MARKERS["de"]).alias("de"),
+        count_in_list(toks, LANG_MARKERS["es"]).alias("es"),
+        count_in_list(toks, LANG_MARKERS["fr"]).alias("fr"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(CJK_RE_SPARK), 0)
+        ).alias("cjk"),
+    )
+    pred = (
+        F.when(F.col("cjk") > 0, F.lit("zh"))
+        .when(
+            (F.col("de") >= F.col("en"))
+            & (F.col("de") >= F.col("es"))
+            & (F.col("de") >= F.col("fr")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("es") >= F.col("en")) & (F.col("es") >= F.col("fr")),
+            F.lit("es"),
+        )
+        .when(F.col("fr") >= F.col("en"), F.lit("fr"))
+        .otherwise(F.lit("en"))
+    )
+    cm = (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cm.agg(F.sum("c").alias("n"))
+    diag = cm.filter(F.col("lang") == F.col("lang_pred")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("sd")
+    )
+    r = cm.groupBy(F.col("lang").alias("lab")).agg(
+        F.sum("c").alias("rc")
+    )
+    cl = cm.groupBy(F.col("lang_pred").alias("lab")).agg(
+        F.sum("c").alias("cc")
+    )
+    src = (
+        r.join(cl, "lab")
+        .agg(F.sum(F.col("rc") * F.col("cc")).alias("src"))
+    )
+    return (
+        tot.crossJoin(diag)
+        .crossJoin(src)
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("sd").cast("long").alias("n_agree"),
+            F.col("src").cast("long").alias("sum_rowcol"),
+            F.expr(
+                "CAST((1000000 * (n * sd - src))"
+                " DIV (n * n - src) AS BIGINT)"
+            ).alias("kappa_e6"),
+        )
+    )

@@ -4477,3 +4477,91 @@ def self_excitation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV greatest(n_fast * same_all, 1) AS BIGINT)"
         ).alias("excitation_lift_ppm"),
     )
+
+
+# --- pairwise Bray-Curtis dissimilarity of hourly activity profiles ----------
+
+
+@register(
+    "bray_curtis_type_similarity",
+    oracle="""
+    , prof AS (
+        SELECT event_type, extract(hour FROM ts) AS h, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(c) AS s FROM prof GROUP BY 1),
+    shared AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               sum(least(a.c, b.c)) AS m
+        FROM prof a JOIN prof b
+          ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b,
+           CAST(ta.s AS BIGINT) AS n_a,
+           CAST(tb.s AS BIGINT) AS n_b,
+           CAST(s.m AS BIGINT) AS sum_min,
+           CAST((1000000 * (ta.s + tb.s - 2 * s.m))
+                // (ta.s + tb.s) AS BIGINT) AS bray_curtis_ppm
+    FROM shared s
+    JOIN tot ta ON ta.event_type = s.type_a
+    JOIN tot tb ON tb.event_type = s.type_b
+    """,
+    doc="Which event types share a circadian shape?  Pairwise "
+    "Bray-Curtis dissimilarity between hourly (0-23) activity "
+    "profiles, using the identity Σ|x−y| = Σx + Σy − 2·Σmin(x,y) so "
+    "only the inner join on shared hours is needed — no 24-hour grid "
+    "materialization, absent hours contribute min=0 by construction.  "
+    "0 ppm = identical shape and volume, 1e6 = disjoint.  Exact "
+    "integer counts end-to-end; the pair join runs over |types|×24 "
+    "rows, driver-trivial after one fact-table agg.",
+    tags=("timeseries", "events"),
+)
+def bray_curtis_type_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = prof.groupBy("event_type").agg(F.sum("c").alias("s"))
+    a = prof.select(
+        F.col("event_type").alias("type_a"),
+        F.col("h"),
+        F.col("c").alias("ca"),
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h").alias("hb"),
+        F.col("c").alias("cb"),
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("h") == F.col("hb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("m"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("s").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("s").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("m").cast("long").alias("sum_min"),
+            F.expr(
+                "CAST((1000000 * (n_a + n_b - 2 * m))"
+                " DIV (n_a + n_b) AS BIGINT)"
+            ).alias("bray_curtis_ppm"),
+        )
+    )

@@ -13251,3 +13251,122 @@ def kruskal_wallis_rank_stats(
         ),
         F.expr("CAST(s2 - n_i * (n + 1) AS BIGINT)").alias("dev2"),
     )
+
+
+# --- copurchase-graph robustness under hub removal ---------------------------
+
+
+@register(
+    "hub_removal_edge_survival",
+    oracle="""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT x.l_partkey AS pk1, y.l_partkey AS pk2
+        FROM basket x JOIN basket y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+        SELECT pk, count(*) AS d FROM (
+            SELECT pk1 AS pk FROM edges
+            UNION ALL SELECT pk2 AS pk FROM edges
+        ) GROUP BY pk
+    ),
+    rk AS (
+        SELECT pk, row_number() OVER (ORDER BY d DESC, pk) AS r
+        FROM deg
+    ),
+    er AS (
+        SELECT r1.r AS ra, r2.r AS rb
+        FROM edges e JOIN rk r1 ON r1.pk = e.pk1
+                     JOIN rk r2 ON r2.pk = e.pk2
+    ),
+    sweep AS (SELECT unnest([5, 10, 20]) AS k)
+    SELECT s.k,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN er.ra > s.k AND er.rb > s.k
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+           CAST((1000000 * sum(CASE WHEN er.ra > s.k AND er.rb > s.k
+                                    THEN 1 ELSE 0 END))
+                // greatest((SELECT count(*) FROM edges), 1) AS BIGINT)
+               AS survival_ppm
+    FROM er CROSS JOIN sweep s
+    GROUP BY s.k
+    """,
+    doc="Attack-tolerance of the copurchase graph: remove the top-k "
+    "highest-degree parts (k = 5/10/20) and count surviving edges — "
+    "a steep drop means recommendation/substitution signals ride on a "
+    "few hub SKUs and degrade badly when a hub goes out of stock; a "
+    "flat curve means the co-purchase structure is distributed.  "
+    "Complements degree_assortativity_copurchase (correlation) and "
+    "rich_club_coefficient (hub-hub density) with the operational "
+    "what-if.  Degree ranking is total-ordered (d DESC, pk); the rank "
+    "window runs over the part dimension, not facts; all integers.",
+    tags=("analytics", "graph"),
+)
+def hub_removal_edge_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    edges = (
+        e1.select("i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .select("pk1", "pk2")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pk1").alias("pk"))
+        .unionAll(edges.select(F.col("pk2").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rk = deg.select(
+        "pk",
+        F.row_number().over(W.orderBy(F.desc("d"), "pk")).alias("r"),
+    )
+    er = (
+        edges.join(
+            F.broadcast(rk.select(F.col("pk").alias("pk1"),
+                                  F.col("r").alias("ra"))),
+            "pk1",
+        )
+        .join(
+            F.broadcast(rk.select(F.col("pk").alias("pk2"),
+                                  F.col("r").alias("rb"))),
+            "pk2",
+        )
+        .select("ra", "rb")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    sweep = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("k")
+    )
+    return (
+        er.crossJoin(F.broadcast(sweep))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ra") > F.col("k")) & (F.col("rb") > F.col("k")),
+                    1,
+                ).otherwise(0)
+            ).alias("surv")
+        )
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "k",
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("surv").cast("long").alias("n_surviving"),
+            F.expr(
+                "CAST((1000000 * surv)"
+                " DIV greatest(n_edges, 1) AS BIGINT)"
+            ).alias("survival_ppm"),
+        )
+    )

@@ -34,7 +34,7 @@ from mqtt2sql_spark.functions.text import (
 )
 
 __all__ = ["shingles", "minhash_bands"]
-from mqtt2sql_spark.plans.base import register
+from mqtt2sql_spark.plans.base import REGISTRY, register
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -2618,4 +2618,89 @@ def quality_dup_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "                 * CAST(tn + fn AS DOUBLE), 1.0))"
             " * 1000000) AS BIGINT)"
         ).alias("mcc_e6"),
+    )
+
+
+# --- transitivity of the MinHash candidate-pair graph ------------------------
+
+
+@register(
+    "dup_pair_transitivity",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands" for b in range(N_BANDS))}
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    und AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    wedge AS (
+        SELECT e1.s AS a, e1.d AS b, e2.d AS c
+        FROM und e1 JOIN und e2
+          ON e1.d = e2.s AND e1.s < e2.d
+    ),
+    closed AS (
+        SELECT count(*) AS n_closed
+        FROM wedge w JOIN pairs p
+          ON p.doc_a = w.a AND p.doc_b = w.c
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
+           CAST((SELECT count(*) FROM wedge) AS BIGINT) AS n_wedges,
+           CAST((SELECT n_closed FROM closed) AS BIGINT) AS n_closed,
+           CAST((1000000 * (SELECT n_closed FROM closed))
+                // greatest((SELECT count(*) FROM wedge), 1) AS BIGINT)
+               AS closure_ppm
+    """,
+    doc="Is near-duplication transitive in practice?  Closure rate of "
+    "the MinHash-LSH candidate graph: of all wedges a–b–c, how many "
+    "have the closing a–c candidate edge.  High closure justifies "
+    "connected-component canonicalization (dedup_components treats "
+    "candidate clusters as equivalence classes); low closure means "
+    "chains of borderline matches are being glued into false "
+    "super-clusters and pairwise verification (dedup_verified_pairs) "
+    "must gate the union step.  The wedge join runs on the LSH "
+    "candidate set — already bucket-bounded — never on the corpus; "
+    "all counts exact integers.",
+    tags=("dedup", "graph"),
+)
+def dup_pair_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY.specs()["dedup_minhash_pairs"].fn(spark, sf_dir)
+    und = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.d") == F.col("e2.s")) & (F.col("e1.s") < F.col("e2.d")),
+    ).select(F.col("e1.s").alias("a"), F.col("e2.d").alias("c"))
+    closed = wedge.join(
+        pairs,
+        (F.col("doc_a") == F.col("a")) & (F.col("doc_b") == F.col("c")),
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_wedges = wedge.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_closed = closed.agg(F.count(F.lit(1)).alias("n_closed"))
+    return (
+        n_pairs.crossJoin(n_wedges)
+        .crossJoin(n_closed)
+        .select(
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_closed").cast("long").alias("n_closed"),
+            F.expr(
+                "CAST((1000000 * n_closed)"
+                " DIV greatest(n_wedges, 1) AS BIGINT)"
+            ).alias("closure_ppm"),
+        )
     )

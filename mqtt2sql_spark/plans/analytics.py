@@ -13370,3 +13370,72 @@ def hub_removal_edge_survival(
             ).alias("survival_ppm"),
         )
     )
+
+
+# --- repeat-order hazard curve ------------------------------------------------
+
+
+@register(
+    "repeat_order_hazard_curve",
+    oracle="""
+    , oc AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    curve AS (
+        SELECT n.k,
+               sum(CASE WHEN oc.n_orders >= n.k THEN 1 ELSE 0 END)
+                   AS at_least_k,
+               sum(CASE WHEN oc.n_orders >= n.k + 1 THEN 1 ELSE 0 END)
+                   AS at_least_k1
+        FROM oc CROSS JOIN (SELECT unnest(range(1, 11)) AS k) n
+        GROUP BY n.k
+    )
+    SELECT k,
+           CAST(at_least_k AS BIGINT) AS customers_with_k,
+           CAST(at_least_k1 AS BIGINT) AS customers_with_k_plus_1,
+           CAST((1000000 * at_least_k1)
+                // greatest(at_least_k, 1) AS BIGINT) AS repeat_ppm
+    FROM curve
+    """,
+    doc="Repeat-purchase hazard: for each order count k (1..10), the "
+    "probability a customer who reached k orders places a (k+1)th — "
+    "the retention curve over ORDER RANK rather than calendar time "
+    "(survival_table_user_lifetime's complement on the orders table). "
+    "The classic shape: the first repeat is the hardest, the curve "
+    "flattens as habitual buyers self-select; where it dips identifies "
+    "the loyalty cliff.  One customer-grain agg, a 10x literal "
+    "fan-out, exact integers.",
+    tags=("analytics", "retention"),
+)
+def repeat_order_hazard_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    curve = (
+        oc.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("n_orders") >= F.col("k"), 1).otherwise(0)
+            ).alias("at_least_k"),
+            F.sum(
+                F.when(F.col("n_orders") >= F.col("k") + 1, 1).otherwise(0)
+            ).alias("at_least_k1"),
+        )
+    )
+    return curve.select(
+        "k",
+        F.col("at_least_k").cast("long").alias("customers_with_k"),
+        F.col("at_least_k1").cast("long").alias(
+            "customers_with_k_plus_1"
+        ),
+        F.expr(
+            "CAST((1000000 * at_least_k1)"
+            " DIV greatest(at_least_k, 1) AS BIGINT)"
+        ).alias("repeat_ppm"),
+    )

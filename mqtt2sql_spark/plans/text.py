@@ -3776,3 +3776,68 @@ def cohen_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_e6"),
         )
     )
+
+
+# --- language diversity per source (Simpson index) ---------------------------
+
+
+@register(
+    "simpson_diversity_by_source",
+    oracle="""
+    , sl AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    s AS (
+        SELECT source,
+               sum(n) AS total,
+               sum(n * (n - 1)) AS coll,
+               count(*) AS n_langs
+        FROM sl GROUP BY source
+    )
+    SELECT source,
+           CAST(total AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST((1000000 * coll)
+                // greatest(total * (total - 1), 1) AS BIGINT)
+               AS simpson_ppm,
+           CAST((10000 * total * (total - 1))
+                // greatest(coll, 1) AS BIGINT) AS inv_simpson_e4
+    FROM s
+    """,
+    doc="Language concentration per document source: Simpson's "
+    "collision probability D = Σ nᵢ(nᵢ−1) / (N(N−1)) (the chance two "
+    "random docs from the source share a language) and its inverse — "
+    "the 'effective number of languages' the source really "
+    "contributes, the number that matters when balancing a "
+    "multilingual training mix (a source listing 5 langs at "
+    "inv-Simpson 1.1 is monolingual in practice).  All exact integer "
+    "arithmetic; two nested hash aggs over (source, lang) — "
+    "map-combinable, no window, no doubles.",
+    tags=("text", "mixing"),
+)
+def simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = sl.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("coll"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        F.col("total").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.expr(
+            "CAST((1000000 * coll)"
+            " DIV greatest(total * (total - 1), 1) AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CAST((10000 * total * (total - 1))"
+            " DIV greatest(coll, 1) AS BIGINT)"
+        ).alias("inv_simpson_e4"),
+    )

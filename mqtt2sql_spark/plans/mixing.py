@@ -671,3 +671,80 @@ def neyman_allocation_sample_sizes(
         F.expr("CAST(w DIV n AS BIGINT)").alias("sd_cents"),
         F.expr(f"CAST({_NEYMAN_T} * w DIV wsum AS BIGINT)").alias("alloc_n"),
     )
+
+
+# --- dataloader shard balance -------------------------------------------------
+
+_DUCK_SHARD_HV8 = " + ".join(
+    f"CAST(instr('{_HEX16}', substr(md5('shard:' || CAST(doc_id AS "
+    f"VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "shard_token_balance",
+    oracle=f"""
+    , sh AS (
+        SELECT ({_DUCK_SHARD_HV8}) % 64 AS shard,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, count(*) AS n_docs, sum(n_tok) AS toks
+        FROM sh GROUP BY shard
+    ),
+    tot AS (SELECT sum(toks) AS t FROM per)
+    SELECT p.shard,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.toks AS BIGINT) AS n_tokens,
+           CAST((1000000 * p.toks) // t.t AS BIGINT) AS share_ppm,
+           CAST((1000000 * p.toks) // t.t - 1000000 // 64 AS BIGINT)
+               AS dev_ppm
+    FROM per p CROSS JOIN tot t
+    """,
+    doc="Dataloader shard skew audit: hash every document into 64 "
+    "shards (md5 of doc_id — the deterministic split a distributed "
+    "training job uses) and measure each shard's token mass against "
+    "the uniform 1/64 share.  Token-imbalanced shards make "
+    "data-parallel workers finish epochs at different times — the "
+    "straggler tax — so dev_ppm is the number a pipeline owner "
+    "watches before repacking.  Hash is the cross-engine md5-nibble "
+    "construction (no conv() in DuckDB); one scan, one 64-group agg, "
+    "exact integers.",
+    tags=("mixing", "training"),
+)
+def shard_token_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"),
+                                   F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+    )
+    per = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("toks"),
+    )
+    tot = per.agg(F.sum("toks").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.expr("CAST((1000000 * toks) DIV t AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * toks) DIV t - 1000000 DIV 64 AS BIGINT)"
+        ).alias("dev_ppm"),
+    )

@@ -3841,3 +3841,123 @@ def simpson_diversity_by_source(
             " DIV greatest(coll, 1) AS BIGINT)"
         ).alias("inv_simpson_e4"),
     )
+
+
+# --- char-trigram overlap between languages ----------------------------------
+
+
+@register(
+    "char_trigram_lang_overlap",
+    oracle=f"""
+    , norm AS (
+        SELECT lang, substr({duck_normalized()}, 1, 200) AS nt
+        FROM documents
+    ),
+    tri AS (
+        SELECT lang, substr(nt, CAST(i AS INTEGER), 3) AS tri,
+               count(*) AS cnt
+        FROM (SELECT lang, nt,
+                     unnest(generate_series(1,
+                         greatest(length(nt) - 2, 0))) AS i
+              FROM norm)
+        GROUP BY lang, substr(nt, CAST(i AS INTEGER), 3)
+    ),
+    top AS (
+        SELECT lang, tri FROM (
+            SELECT lang, tri,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, tri) AS r
+            FROM tri
+        ) WHERE r <= 100
+    ),
+    sz AS (SELECT lang, count(*) AS n FROM top GROUP BY lang),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS i
+        FROM top a JOIN top b
+          ON a.tri = b.tri AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT i.lang_a, i.lang_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.i AS BIGINT) AS n_shared,
+           CAST((1000000 * i.i) // (sa.n + sb.n - i.i) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sz sa ON sa.lang = i.lang_a
+    JOIN sz sb ON sb.lang = i.lang_b
+    """,
+    doc="Script/orthography proximity between corpus languages: Jaccard "
+    "overlap of each language's top-100 character trigrams (from the "
+    "first 200 normalized chars per doc — a fixed prefix bounds the "
+    "explode fan-out regardless of document length).  High en/de "
+    "overlap and near-zero anything/zh overlap is the expected "
+    "signature; drift from it flags mislabeled languages feeding the "
+    "langid stages.  Rank-based set comparison — no floats anywhere; "
+    "the pair join runs on 100-row-per-lang sets, driver-trivial "
+    "after the trigram agg.",
+    tags=("text", "langid"),
+)
+def char_trigram_lang_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    norm = docs.select(
+        "lang",
+        F.substring(normalized_text("text"), 1, 200).alias("nt"),
+    ).filter(F.length("nt") >= 3)
+    tri = (
+        norm.select(
+            "lang",
+            "nt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("nt") - 2)
+            ).alias("i"),
+        )
+        .select(
+            "lang", F.expr("substring(nt, i, 3)").alias("tri")
+        )
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        tri.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
+            ),
+        )
+        .filter(F.col("r") <= 100)
+        .select("lang", "tri")
+    )
+    sz = top.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = top.select(F.col("lang").alias("lang_a"), "tri")
+    b = top.select(F.col("lang").alias("lang_b"),
+                   F.col("tri").alias("trib"))
+    inter = (
+        a.join(
+            b,
+            (F.col("tri") == F.col("trib"))
+            & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("i").cast("long").alias("n_shared"),
+            F.expr(
+                "CAST((1000000 * i) DIV (n_a + n_b - i) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

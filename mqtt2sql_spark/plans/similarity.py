@@ -4461,3 +4461,115 @@ def random_projection_distortion(
             "mean_ratio_e4"
         ),
     )
+
+
+# --- symmetric quantization error sweep (2/4/8 bits) --------------------------
+
+
+@register(
+    "quantization_bits_error_sweep",
+    oracle="""
+    , q AS (
+        SELECT vec_id,
+               CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS qx
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    ),
+    sc AS (
+        SELECT vec_id, max(abs(qx)) AS scale, sum(qx * qx) AS norm2
+        FROM q GROUP BY vec_id
+    ),
+    lv AS (SELECT unnest([2, 4, 8]) AS bits,
+                  unnest([1, 7, 127]) AS lev),
+    enc AS (
+        SELECT l.bits, q.vec_id,
+               q.qx * l.lev
+               - (CASE WHEN q.qx >= 0
+                       THEN (2 * q.qx * l.lev + s.scale)
+                            // (2 * s.scale)
+                       ELSE -((-2 * q.qx * l.lev + s.scale)
+                              // (2 * s.scale)) END) * s.scale AS err,
+               l.lev, s.norm2
+        FROM q JOIN sc s USING (vec_id) CROSS JOIN lv l
+        WHERE s.scale > 0
+    ),
+    pv AS (
+        SELECT bits, vec_id,
+               CAST((CAST(sum(err * err) AS HUGEINT) * 1000000)
+                    // (CAST(max(lev) AS HUGEINT) * max(lev)
+                        * max(norm2)) AS BIGINT) AS err_ppm
+        FROM enc GROUP BY bits, vec_id
+    )
+    SELECT bits,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+           CAST(max(err_ppm) AS BIGINT) AS max_err_ppm
+    FROM pv GROUP BY bits
+    """,
+    doc="How many bits does the ANN index actually need?  Per-vector "
+    "symmetric (max-abs) quantization at 2/4/8 bits and the relative "
+    "reconstruction error ||x-x̂||²/||x||² it costs — the memory/"
+    "recall dial for embedding storage (int8_quantization_error's "
+    "fixed-width cousin, now a sweep).  Everything stays integral: "
+    "coordinates quantize to exact 1e6 ints, the rounding in the "
+    "encoder is the explicit symmetric half-away-from-zero form "
+    "(2qL+s) DIV 2s — pure-integer DIV truncates toward zero "
+    "identically on both engines — and the error is exact up to the "
+    "final HUGEINT/DECIMAL fixed-point division.  Long-format "
+    "explode, two hash aggs, a 3x literal fan-out; no floats cross "
+    "an engine boundary.",
+    tags=("similarity", "quantization"),
+)
+def quantization_bits_error_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = emb.select(
+        "vec_id",
+        F.explode("embedding").alias("x"),
+    ).select(
+        "vec_id",
+        F.round(F.col("x").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qx"),
+    )
+    sc = q.groupBy("vec_id").agg(
+        F.max(F.abs("qx")).alias("scale"),
+        F.sum(F.col("qx") * F.col("qx")).alias("norm2"),
+    )
+    lv = spark.createDataFrame(
+        [(2, 1), (4, 7), (8, 127)], "bits INT, lev INT"
+    )
+    enc = (
+        q.join(sc, "vec_id")
+        .filter(F.col("scale") > 0)
+        .crossJoin(F.broadcast(lv))
+        .select(
+            "bits",
+            "vec_id",
+            "lev",
+            "norm2",
+            F.expr(
+                "qx * lev"
+                " - (CASE WHEN qx >= 0"
+                "         THEN (2 * qx * lev + scale) DIV (2 * scale)"
+                "         ELSE -((-2 * qx * lev + scale)"
+                "                DIV (2 * scale)) END) * scale"
+            ).alias("err"),
+        )
+    )
+    pv = enc.groupBy("bits", "vec_id").agg(
+        F.expr(
+            "CAST((CAST(sum(err * err) AS DECIMAL(38,0)) * 1000000)"
+            " DIV (CAST(max(lev) AS DECIMAL(38,0)) * max(lev)"
+            "      * max(norm2)) AS BIGINT)"
+        ).alias("err_ppm")
+    )
+    return pv.groupBy("bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("CAST(sum(err_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_err_ppm"
+        ),
+        F.max("err_ppm").cast("long").alias("max_err_ppm"),
+    )

@@ -3961,3 +3961,91 @@ def char_trigram_lang_overlap(
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --- curriculum staging by stopword-density quantile --------------------------
+
+
+@register(
+    "curriculum_quality_stages",
+    oracle=f"""
+    , scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST((10000 * len(list_filter(toks, x -> x IN
+                    ({", ".join(repr(w) for w in STOPWORDS)}))))
+                    // greatest(len(toks), 1) AS BIGINT) AS sw_e4
+        FROM (SELECT doc_id, {duck_tokens()} AS toks FROM documents)
+    ),
+    rk AS (
+        SELECT doc_id, n_toks, sw_e4,
+               row_number() OVER (ORDER BY sw_e4 DESC, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM scored
+    ),
+    st AS (
+        SELECT ((rn - 1) * 4) // n + 1 AS stage, n_toks, sw_e4
+        FROM rk
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(min(sw_e4) AS BIGINT) AS min_sw_e4,
+           CAST(max(sw_e4) AS BIGINT) AS max_sw_e4,
+           CAST(sum(sw_e4) // count(*) AS BIGINT) AS mean_sw_e4
+    FROM st GROUP BY stage
+    """,
+    doc="Curriculum staging: rank documents by stopword density (the "
+    "cheapest fluency proxy — C4-style) and cut the corpus into 4 "
+    "equal-count stages, cleanest-first, reporting each stage's token "
+    "budget and score band.  This is the table a curriculum schedule "
+    "is built from: stage 1 trains first, stage 4 (low-stopword = "
+    "listy/boilerplate/code-ish text) lands late or gets downweighted."
+    "  Integer fixed-point score, total-ordered ranking "
+    "(sw_e4 DESC, doc_id); at cluster scale the global rank becomes a "
+    "range-partitioned two-phase rank, the stage math is unchanged.",
+    tags=("text", "training"),
+)
+def curriculum_quality_stages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        (10000 * count_in_list(toks, STOPWORDS))
+        .cast("long")
+        .alias("sw_num"),
+    ).withColumn(
+        "sw_e4",
+        F.expr("CAST(sw_num DIV greatest(n_toks, 1) AS BIGINT)"),
+    )
+    rk = scored.select(
+        "n_toks",
+        "sw_e4",
+        F.row_number()
+        .over(W.orderBy(F.desc("sw_e4"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    st = rk.select(
+        F.expr("((rn - 1) * 4) DIV n + 1").alias("stage"),
+        "n_toks",
+        "sw_e4",
+    )
+    return st.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.min("sw_e4").cast("long").alias("min_sw_e4"),
+        F.max("sw_e4").cast("long").alias("max_sw_e4"),
+        F.expr("CAST(sum(sw_e4) DIV count(*) AS BIGINT)").alias(
+            "mean_sw_e4"
+        ),
+    )

@@ -13439,3 +13439,118 @@ def repeat_order_hazard_curve(
             " DIV greatest(at_least_k, 1) AS BIGINT)"
         ).alias("repeat_ppm"),
     )
+
+
+# --- sweep-line max concurrent sessions per day -------------------------------
+
+
+@register(
+    "max_concurrent_sessions_daily",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w
+                         <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid,
+               ts
+        FROM flagged
+    ),
+    spans AS (
+        SELECT min(ts) AS t0, max(ts) AS t1
+        FROM sess GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT t, sum(d) AS net FROM (
+            SELECT t0 AS t, 1 AS d FROM spans
+            UNION ALL
+            SELECT t1 + INTERVAL 1 MICROSECOND AS t, -1 AS d FROM spans
+        ) GROUP BY t
+    ),
+    curve AS (
+        SELECT t, sum(net) OVER (ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas
+    )
+    SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           CAST(max(conc) AS BIGINT) AS max_concurrent,
+           CAST(min(conc) AS BIGINT) AS min_concurrent
+    FROM curve GROUP BY 1
+    """,
+    doc="Capacity planning's first number: the daily peak of "
+    "simultaneously-active sessions (30-min-gap sessions, the "
+    "events_sessionize convention), computed as a sweep line — +1 at "
+    "session start, −1 just after session end, net per distinct "
+    "timestamp, running sum.  Netting deltas per timestamp BEFORE the "
+    "running sum makes the curve independent of tie order, so both "
+    "engines agree without a tie-break convention.  Max/min are over "
+    "the day's change points (exact for the step function at every "
+    "change).  The boundary stream is two rows per session — orders "
+    "of magnitude smaller than events; the one global window runs "
+    "over that reduced stream, and at cluster scale becomes a "
+    "partial-sum + prefix-offset two-phase scan.",
+    tags=("analytics", "sessions", "capacity"),
+)
+def max_concurrent_sessions_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= _SESSION_GAP_MIN * 60 * 1000000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    deltas = (
+        spans.select(F.col("t0").alias("t"), F.lit(1).alias("d"))
+        .unionAll(
+            spans.select(
+                F.timestamp_micros(
+                    F.unix_micros("t1") + 1
+                ).alias("t"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("t")
+        .agg(F.sum("d").alias("net"))
+    )
+    curve = deltas.select(
+        "t",
+        F.sum("net")
+        .over(
+            W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("conc"),
+    )
+    return curve.groupBy(
+        F.date_trunc("day", "t").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.max("conc").cast("long").alias("max_concurrent"),
+        F.min("conc").cast("long").alias("min_concurrent"),
+    )

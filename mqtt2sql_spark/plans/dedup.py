@@ -2704,3 +2704,173 @@ def dup_pair_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_ppm"),
         )
     )
+
+
+# --- MinHash signature-length accuracy sweep ----------------------------------
+
+_M4_DUCK = "(" + " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(4)
+) + ")"
+_M8_DUCK = "(" + " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8)
+) + ")"
+_M16_DUCK = "(" + " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16)
+) + ")"
+_M4_SPARK = "(" + " + ".join(
+    f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(4)
+) + ")"
+_M8_SPARK = "(" + " + ".join(
+    f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(8)
+) + ")"
+_M16_SPARK = "(" + " + ".join(
+    f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(16)
+) + ")"
+
+_LONG_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "minhash_k_accuracy_sweep",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS ({_LONG_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    shc AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b
+                  AND sb.shingle = sa.shingle
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    pm AS (
+        SELECT p.doc_a, p.doc_b,
+               {_M4_DUCK} AS m4,
+               {_M8_DUCK} AS m8,
+               {_M16_DUCK} AS m16,
+               ca.c AS ca, cb.c AS cb,
+               coalesce(i.i, 0) AS inter
+        FROM pairs p
+        JOIN mh a ON a.doc_id = p.doc_a
+        JOIN mh b ON b.doc_id = p.doc_b
+        JOIN shc ca ON ca.doc_id = p.doc_a
+        JOIN shc cb ON cb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    ),
+    lvl AS (
+        SELECT k,
+               (10000 * m) // k AS est_e4,
+               (10000 * inter) // (ca + cb - inter) AS true_e4
+        FROM (
+            SELECT ca, cb, inter,
+                   unnest([4, 8, 16]) AS k,
+                   unnest([m4, m8, m16]) AS m
+            FROM pm
+        )
+    )
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(est_e4 - true_e4)) // count(*) AS BIGINT)
+               AS mean_abs_err_e4,
+           CAST(max(abs(est_e4 - true_e4)) AS BIGINT) AS max_abs_err_e4,
+           CAST(sum(true_e4) // count(*) AS BIGINT) AS mean_true_e4
+    FROM lvl GROUP BY k
+    """,
+    doc="How many MinHash permutations does the dedup pipeline need?  "
+    "On the LSH candidate pairs, compare the Jaccard estimate from "
+    "the first 4 / 8 / 16 hash functions against the TRUE shingle "
+    "Jaccard (exact set intersection, computed only for candidates — "
+    "never all pairs), reporting mean/max absolute error per "
+    "signature length.  The estimator's std err is sqrt(J(1-J)/k); "
+    "this measures it empirically so the 16-hash default "
+    "(minhash_signatures) is justified cost, not a guess.  All "
+    "integer fixed-point; every join fans out only over the "
+    "candidate set.",
+    tags=("dedup", "sketch"),
+)
+def minhash_k_accuracy_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = REGISTRY.specs()["dedup_minhash_pairs"].fn(spark, sf_dir)
+    mh = minhash_sigs(spark, sf_dir)
+    sh = shingles(spark, sf_dir)
+    shc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sha")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shb")
+    )
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    a = mh.select(
+        [F.col("doc_id").alias("doc_a")]
+        + [F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+    )
+    b = mh.select(
+        [F.col("doc_id").alias("doc_b")]
+        + [F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+    )
+    ca = shc.select(
+        F.col("doc_id").alias("doc_a"), F.col("c").alias("ca")
+    )
+    cb = shc.select(
+        F.col("doc_id").alias("doc_b"), F.col("c").alias("cb")
+    )
+    pm = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "ca",
+            "cb",
+            F.coalesce(F.col("i"), F.lit(0)).alias("inter"),
+            F.expr(_M4_SPARK).alias("m4"),
+            F.expr(_M8_SPARK).alias("m8"),
+            F.expr(_M16_SPARK).alias("m16"),
+        )
+    )
+    lvl = pm.select(
+        "ca",
+        "cb",
+        "inter",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit(4), F.lit(8), F.lit(16)),
+                F.array("m4", "m8", "m16"),
+            )
+        ).alias("k", "m"),
+    ).select(
+        "k",
+        F.expr("(10000 * m) DIV k").alias("est_e4"),
+        F.expr("(10000 * inter) DIV (ca + cb - inter)").alias("true_e4"),
+    )
+    return lvl.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(abs(est_e4 - true_e4)) DIV count(*) AS BIGINT)"
+        ).alias("mean_abs_err_e4"),
+        F.max(F.abs(F.col("est_e4") - F.col("true_e4")))
+        .cast("long")
+        .alias("max_abs_err_e4"),
+        F.expr("CAST(sum(true_e4) DIV count(*) AS BIGINT)").alias(
+            "mean_true_e4"
+        ),
+    )

@@ -13554,3 +13554,123 @@ def max_concurrent_sessions_daily(
         F.max("conc").cast("long").alias("max_concurrent"),
         F.min("conc").cast("long").alias("min_concurrent"),
     )
+
+
+# --- box-plot statistics of order value per nation ----------------------------
+
+
+@register(
+    "order_value_boxplot_by_nation",
+    oracle="""
+    , ov AS (
+        SELECT n.n_name,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o.o_orderkey
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    r AS (
+        SELECT n_name, cents,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY n_name) AS n
+        FROM ov
+    ),
+    q AS (
+        SELECT n_name,
+               max(n) AS n,
+               max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+               max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS q2,
+               max(CASE WHEN rn = (3 * n + 1) // 4 THEN cents END) AS q3
+        FROM r GROUP BY n_name
+    )
+    SELECT q.n_name,
+           CAST(q.n AS BIGINT) AS n_orders,
+           round(q.q1 / 100.0, 2) AS q1,
+           round(q.q2 / 100.0, 2) AS median,
+           round(q.q3 / 100.0, 2) AS q3,
+           CAST(sum(CASE WHEN o.cents
+                              < q.q1 - 3 * (q.q3 - q.q1) // 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN o.cents
+                              > q.q3 + 3 * (q.q3 - q.q1) // 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM q JOIN ov o USING (n_name)
+    GROUP BY q.n_name, q.n, q.q1, q.q2, q.q3
+    """,
+    doc="The box plot, as data: exact nearest-rank quartiles of order "
+    "value per customer nation plus Tukey 1.5×IQR outlier counts on "
+    "each side — the distributional per-nation view that mean-based "
+    "cuts (nation_trade_volume) flatten, and the outlier counts that "
+    "robust_outliers_mad gives globally, here segmented.  The fence "
+    "is computed in integer cents (3·IQR DIV 2 — exact, no 1.5 "
+    "double); ranking windows partition by nation with a total-order "
+    "tie-break; the re-join for outlier counting broadcasts the "
+    "25-row quartile table.",
+    tags=("analytics", "stats"),
+)
+def order_value_boxplot_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    ov = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey")
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            "o_orderkey",
+        )
+    )
+    wr = W.partitionBy("n_name").orderBy("cents", "o_orderkey")
+    wn = W.partitionBy("n_name")
+    r = ov.select(
+        "n_name",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = r.groupBy("n_name").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.expr("rn = (n + 3) DIV 4"), F.col("cents"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("cents"))
+        ).alias("q2"),
+        F.max(
+            F.when(F.expr("rn = (3 * n + 1) DIV 4"), F.col("cents"))
+        ).alias("q3"),
+    )
+    j = ov.join(F.broadcast(q), "n_name")
+    return j.groupBy("n_name", "n", "q1", "q2", "q3").agg(
+        F.sum(
+            F.when(
+                F.expr("cents < q1 - 3 * (q3 - q1) DIV 2"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_low_outliers"),
+        F.sum(
+            F.when(
+                F.expr("cents > q3 + 3 * (q3 - q1) DIV 2"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_high_outliers"),
+    ).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("q1") / 100.0, 2).alias("q1"),
+        F.round(F.col("q2") / 100.0, 2).alias("median"),
+        F.round(F.col("q3") / 100.0, 2).alias("q3"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )

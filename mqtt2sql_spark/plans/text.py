@@ -4049,3 +4049,100 @@ def curriculum_quality_stages(
             "mean_sw_e4"
         ),
     )
+
+
+# --- branching factor of the bigram graph by head-token rank ------------------
+
+
+@register(
+    "bigram_branching_factor",
+    oracle=f"""
+    , tk AS (SELECT doc_id, {duck_tokens()} AS l FROM documents),
+    bg AS (
+        SELECT t1, t2, count(*) AS c FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(l) - 1), i -> l[i])) AS t1,
+                   unnest(list_transform(
+                       generate_series(1, len(l) - 1), i -> l[i + 1])) AS t2
+            FROM tk
+        ) GROUP BY t1, t2
+    ),
+    per_head AS (
+        SELECT t1,
+               count(*) AS n_succ,
+               sum(c) AS total,
+               max(c) AS top_c
+        FROM bg GROUP BY t1
+    ),
+    head AS (
+        SELECT t1, n_succ, total, top_c,
+               row_number() OVER (ORDER BY total DESC, t1) AS rk
+        FROM per_head
+    )
+    SELECT (rk - 1) // 100 AS rank_band,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(total) AS BIGINT) AS n_bigram_occurrences,
+           CAST((10000 * sum(n_succ)) // count(*) AS BIGINT)
+               AS mean_branching_e4,
+           CAST((1000000 * sum(top_c)) // sum(total) AS BIGINT)
+               AS top_successor_share_ppm
+    FROM head WHERE rk <= 1000
+    GROUP BY (rk - 1) // 100
+    """,
+    doc="Lexical predictability without entropy: for the 1000 most "
+    "frequent bigram-head tokens (banded by rank into 10 groups of "
+    "100), the mean number of DISTINCT successor tokens and the share "
+    "of occurrences captured by the single most likely successor — "
+    "the branching numbers a bigram LM (bigram_lm_next_token_accuracy)"
+    " is bounded by, rank-based so no cross-engine log.  High-rank "
+    "function words branch wide with low top-share; a high top-share "
+    "band is boilerplate (fixed phrases) the dedup stages should "
+    "see.  Bigram formation is per-doc lead() (doc_id-keyed shuffle); "
+    "the head ranking runs over the aggregated vocabulary, not token "
+    "occurrences.",
+    tags=("text", "lm"),
+)
+def bigram_branching_factor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            F.col("tok").alias("t1"),
+            F.lead("tok", 1).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_head = bg.groupBy("t1").agg(
+        F.count(F.lit(1)).alias("n_succ"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("top_c"),
+    )
+    head = per_head.select(
+        "n_succ",
+        "total",
+        "top_c",
+        F.row_number()
+        .over(W.orderBy(F.desc("total"), "t1"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 1000)
+    return head.groupBy(
+        F.expr("(rk - 1) DIV 100").alias("rank_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("total").cast("long").alias("n_bigram_occurrences"),
+        F.expr(
+            "CAST((10000 * sum(n_succ)) DIV count(*) AS BIGINT)"
+        ).alias("mean_branching_e4"),
+        F.expr(
+            "CAST((1000000 * sum(top_c)) DIV sum(total) AS BIGINT)"
+        ).alias("top_successor_share_ppm"),
+    )

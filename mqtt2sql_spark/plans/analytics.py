@@ -13674,3 +13674,89 @@ def order_value_boxplot_by_nation(
         "n_low_outliers",
         "n_high_outliers",
     )
+
+
+# --- storage tiering advisor over event age -----------------------------------
+
+
+@register(
+    "storage_tier_advisor",
+    oracle="""
+    , mx AS (SELECT max(ts) AS t1 FROM events),
+    aged AS (
+        SELECT (epoch_us(mx.t1) - epoch_us(e.ts)) // 86400000000
+                   AS age_days,
+               CAST(length(e.props) + length(e.event_type) + 28
+                   AS BIGINT) AS row_bytes
+        FROM events e CROSS JOIN mx
+    ),
+    t AS (
+        SELECT CASE WHEN age_days < 30 THEN 'hot'
+                    WHEN age_days < 90 THEN 'warm'
+                    WHEN age_days < 365 THEN 'cold'
+                    ELSE 'frozen' END AS tier,
+               row_bytes
+        FROM aged
+    ),
+    per AS (
+        SELECT tier, count(*) AS n, sum(row_bytes) AS bytes
+        FROM t GROUP BY tier
+    ),
+    tot AS (SELECT sum(n) AS tn, sum(bytes) AS tb FROM per)
+    SELECT p.tier,
+           CAST(p.n AS BIGINT) AS n_events,
+           CAST(p.bytes AS BIGINT) AS est_bytes,
+           CAST((1000000 * p.n) // t.tn AS BIGINT) AS row_share_ppm,
+           CAST((1000000 * p.bytes) // t.tb AS BIGINT) AS byte_share_ppm
+    FROM per p CROSS JOIN tot t
+    """,
+    doc="Storage tiering economics for the history log: bucket events "
+    "into hot (<30 d from the table's high-water mark), warm (<90 d), "
+    "cold (<365 d) and frozen tiers, with row counts and an estimated "
+    "byte mass (payload + type + fixed per-row overhead — the "
+    "mysql.sql row shape, mqtt2sql stores ts/topic/value per message). "
+    " The hot-tier share is what sizes the expensive storage class; "
+    "the frozen byte share is the compaction/archive win "
+    "(complements history_retention_prune, which deletes — this "
+    "prices keeping).  Age is measured from max(ts), not wall clock, "
+    "so the result is reproducible; exact integer day buckets.",
+    tags=("analytics", "ops"),
+)
+def storage_tier_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("t1"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "(unix_micros(t1) - unix_micros(ts)) DIV 86400000000"
+        ).alias("age_days"),
+        (
+            F.length("props") + F.length("event_type") + F.lit(28)
+        )
+        .cast("long")
+        .alias("row_bytes"),
+    )
+    t = aged.select(
+        F.when(F.col("age_days") < 30, "hot")
+        .when(F.col("age_days") < 90, "warm")
+        .when(F.col("age_days") < 365, "cold")
+        .otherwise("frozen")
+        .alias("tier"),
+        "row_bytes",
+    )
+    per = t.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("row_bytes").alias("bytes")
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("bytes").alias("tb")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "tier",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("bytes").cast("long").alias("est_bytes"),
+        F.expr("CAST((1000000 * n) DIV tn AS BIGINT)").alias(
+            "row_share_ppm"
+        ),
+        F.expr("CAST((1000000 * bytes) DIV tb AS BIGINT)").alias(
+            "byte_share_ppm"
+        ),
+    )

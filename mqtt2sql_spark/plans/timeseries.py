@@ -4565,3 +4565,121 @@ def bray_curtis_type_similarity(
             ).alias("bray_curtis_ppm"),
         )
     )
+
+
+# --- first-passage time to cumulative purchase value --------------------------
+
+
+@register(
+    "first_passage_cumulative_value",
+    oracle="""
+    , u0 AS (
+        SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    cum AS (
+        SELECT user_id, ts, event_id,
+               sum(CAST(round(value * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    hit AS (
+        SELECT c.user_id,
+               min(epoch_us(c.ts)) AS t_star
+        FROM cum c WHERE c.cum_cents >= 10000
+        GROUP BY c.user_id
+    ),
+    d AS (
+        SELECT u.user_id,
+               (h.t_star - epoch_us(u.t0)) // 86400000000 AS days
+        FROM u0 u JOIN hit h USING (user_id)
+    ),
+    r AS (
+        SELECT days, user_id,
+               row_number() OVER (ORDER BY days, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM d
+    )
+    SELECT CAST((SELECT count(*) FROM u0) AS BIGINT) AS n_users,
+           CAST(max(n) AS BIGINT) AS n_reached,
+           CAST((1000000 * max(n))
+                // (SELECT count(*) FROM u0) AS BIGINT) AS reach_ppm,
+           CAST(max(CASE WHEN rn = (n + 3) // 4 THEN days END)
+               AS BIGINT) AS p25_days,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END)
+               AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (3 * n + 1) // 4 THEN days END)
+               AS BIGINT) AS p75_days
+    FROM r
+    """,
+    doc="First-passage time to a cumulative spend of 100.00: for each "
+    "user, the running purchase total (exact cents, user-partitioned "
+    "ordered window) crosses the threshold at some event — report how "
+    "many users ever cross and the quartiles of days-from-first-"
+    "activity to crossing, i.e. the time-to-value curve growth teams "
+    "track.  Monotone running sums make min(ts | cum≥T) well-defined; "
+    "ties in days break on user_id for a total order.  One "
+    "user-keyed window + one global quartile rank over the reached "
+    "set (users, not events).",
+    tags=("timeseries", "retention"),
+)
+def first_passage_cumulative_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .over(w)
+        .alias("cum_cents"),
+    )
+    hit = (
+        cum.filter(F.col("cum_cents") >= 10000)
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_star"))
+    )
+    d = u0.join(hit, "user_id").select(
+        "user_id",
+        F.expr(
+            "(t_star - unix_micros(t0)) DIV 86400000000"
+        ).alias("days"),
+    )
+    r = d.select(
+        "days",
+        F.row_number().over(W.orderBy("days", "user_id")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    n_users = u0.agg(F.count(F.lit(1)).alias("n_users"))
+    agg = r.agg(
+        F.max("n").alias("n_reached"),
+        F.max(
+            F.when(F.expr("rn = (n + 3) DIV 4"), F.col("days"))
+        ).alias("p25_days"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("days"))
+        ).alias("p50_days"),
+        F.max(
+            F.when(F.expr("rn = (3 * n + 1) DIV 4"), F.col("days"))
+        ).alias("p75_days"),
+    )
+    return n_users.crossJoin(agg).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+        F.expr(
+            "CAST((1000000 * n_reached) DIV n_users AS BIGINT)"
+        ).alias("reach_ppm"),
+        F.col("p25_days").cast("long").alias("p25_days"),
+        F.col("p50_days").cast("long").alias("p50_days"),
+        F.col("p75_days").cast("long").alias("p75_days"),
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mqtt2sql_spark.fixtures import load_table
-from mqtt2sql_spark.plans.base import register
+from mqtt2sql_spark.plans.base import REGISTRY, register
 
 DIM = 64
 # Multi-table sign-LSH (E2LSH-style): single-table recall on weakly
@@ -4572,4 +4572,63 @@ def quantization_bits_error_sweep(
             "mean_err_ppm"
         ),
         F.max("err_ppm").cast("long").alias("max_err_ppm"),
+    )
+
+
+# --- PQ codebook utilization ---------------------------------------------------
+
+
+@register(
+    "pq_code_utilization",
+    oracle=_DUCK_PQ
+    + """
+    , cc AS (
+        SELECT sub, code, count(*) AS c FROM codes GROUP BY sub, code
+    ),
+    s AS (
+        SELECT sub,
+               sum(c) AS n,
+               count(*) AS used,
+               sum(c * (c - 1)) AS coll,
+               max(c) AS top_c
+        FROM cc GROUP BY sub
+    )
+    SELECT sub,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST(used AS BIGINT) AS n_codes_used,
+           CAST((10000 * n * (n - 1)) // greatest(coll, 1) AS BIGINT)
+               AS inv_simpson_e4,
+           CAST((1000000 * top_c) // n AS BIGINT) AS top_code_share_ppm
+    FROM s
+    """,
+    doc="Is the PQ codebook earning its bits?  Per subspace: how many "
+    "of the 16 centroids are actually used, the inverse-Simpson "
+    "'effective number of codes' (≈16 means balanced cells and the "
+    "full 4 bits of discrimination; ≈2 means the subspace wastes "
+    "bits and ADC distances blur), and the heaviest cell's share.  "
+    "The codebook-health audit that decides PQ_SUBS/PQ_K before "
+    "shipping an index — pure integer collision arithmetic on the "
+    "code histogram, 8×16 rows after one agg over the assignment "
+    "output.",
+    tags=("similarity", "quantization"),
+)
+def pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = REGISTRY.specs()["pq_code_assign"].fn(spark, sf_dir)
+    cc = codes.groupBy("sub", "code").agg(F.count(F.lit(1)).alias("c"))
+    s = cc.groupBy("sub").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+        F.max("c").alias("top_c"),
+    )
+    return s.select(
+        "sub",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.col("used").cast("long").alias("n_codes_used"),
+        F.expr(
+            "CAST((10000 * n * (n - 1)) DIV greatest(coll, 1) AS BIGINT)"
+        ).alias("inv_simpson_e4"),
+        F.expr("CAST((1000000 * top_c) DIV n AS BIGINT)").alias(
+            "top_code_share_ppm"
+        ),
     )

@@ -4683,3 +4683,76 @@ def first_passage_cumulative_value(
         F.col("p50_days").cast("long").alias("p50_days"),
         F.col("p75_days").cast("long").alias("p75_days"),
     )
+
+
+# --- inter-event gap spectrum (log2 buckets) -----------------------------------
+
+
+@register(
+    "interevent_gap_spectrum",
+    oracle="""
+    , g AS (
+        SELECT event_type,
+               (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000
+                   AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+    ),
+    b AS (
+        SELECT event_type,
+               length(bin(gap_s + 1)) - 1 AS log2_bucket
+        FROM g WHERE gap_s IS NOT NULL
+    ),
+    per AS (
+        SELECT event_type, log2_bucket, count(*) AS n
+        FROM b GROUP BY event_type, log2_bucket
+    ),
+    tot AS (
+        SELECT event_type, sum(n) AS tn FROM per GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(p.log2_bucket AS BIGINT) AS log2_bucket,
+           CAST(p.n AS BIGINT) AS n_gaps,
+           CAST((1000000 * p.n) // t.tn AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t USING (event_type)
+    """,
+    doc="Inter-event gap spectrum: per event type, the histogram of "
+    "same-user consecutive-event gaps in power-of-two second buckets "
+    "(floor(log2(gap+1)) computed exactly via binary-string length — "
+    "no libm).  The shape diagnoses the process: memoryless arrivals "
+    "decay geometrically across buckets, bot/retry traffic spikes a "
+    "single low bucket, diurnal behavior puts a bump at the ~2^16 s "
+    "(day) bucket.  Feeds the session-gap choice "
+    "(session_gap_sensitivity) with the actual gap distribution.  "
+    "One (user,type)-keyed lead window, one hash agg.",
+    tags=("timeseries", "events"),
+)
+def interevent_gap_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(lead(ts) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts, event_id)) - unix_micros(ts)) DIV 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    b = g.select(
+        "event_type",
+        (F.length(F.bin(F.col("gap_s") + 1)) - 1).alias("log2_bucket"),
+    )
+    per = b.groupBy("event_type", "log2_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("log2_bucket").cast("long").alias("log2_bucket"),
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("CAST((1000000 * n) DIV tn AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

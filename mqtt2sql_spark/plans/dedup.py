@@ -2874,3 +2874,104 @@ def minhash_k_accuracy_sweep(
             "mean_true_e4"
         ),
     )
+
+
+# --- do exact-dup groups respect dataloader shard boundaries? ------------------
+
+_HEX16_SHARD = "0123456789abcdef"
+_DUCK_DOC_SHARD = "(" + " + ".join(
+    f"CAST(instr('{_HEX16_SHARD}', substr(md5('shard:' || CAST(doc_id AS "
+    f"VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ") % 64"
+
+
+@register(
+    "dedup_shard_locality",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id,
+               md5({duck_normalized()}) AS norm_hash,
+               {_DUCK_DOC_SHARD} AS shard
+        FROM documents
+    ),
+    grp AS (
+        SELECT norm_hash,
+               count(*) AS gsize,
+               count(DISTINCT shard) AS n_shards
+        FROM h GROUP BY norm_hash
+        HAVING count(*) > 1
+    ),
+    tot AS (SELECT count(*) AS tg, sum(gsize) AS td FROM grp)
+    SELECT g.n_shards,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(g.gsize) AS BIGINT) AS n_docs,
+           CAST((1000000 * count(*)) // max(t.tg) AS BIGINT)
+               AS group_share_ppm,
+           CAST((1000000 * sum(g.gsize)) // max(t.td) AS BIGINT)
+               AS doc_share_ppm
+    FROM grp g CROSS JOIN tot t
+    GROUP BY g.n_shards
+    """,
+    doc="Can dedup run shard-locally?  Hash every document into the 64 "
+    "dataloader shards (the shard_token_balance split) and, for each "
+    "exact-dup group, count how many shards the group straddles — "
+    "the histogram of n_shards answers whether per-shard dedup "
+    "catches duplicates (n_shards=1) or a global shuffle on the "
+    "content hash is mandatory (n_shards>1, the common case, since "
+    "content-independent sharding scatters copies by construction).  "
+    "This is the measurement behind dedup_exact's design note that "
+    "the shuffle key must be the digest, not the storage partition.  "
+    "Exact integers; one scan, one group agg.",
+    tags=("dedup", "mixing"),
+)
+def dedup_shard_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        F.md5(normalized_text("text")).alias("norm_hash"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"),
+                                   F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("shard"),
+    )
+    grp = (
+        h.groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("gsize"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+        .filter(F.col("gsize") > 1)
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("tg"), F.sum("gsize").alias("td")
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("n_shards")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("gsize").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(tg) AS BIGINT)"
+            ).alias("group_share_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(gsize)) DIV max(td) AS BIGINT)"
+            ).alias("doc_share_ppm"),
+        )
+        .select(
+            F.col("n_shards").cast("long").alias("n_shards"),
+            "n_groups",
+            "n_docs",
+            "group_share_ppm",
+            "doc_share_ppm",
+        )
+    )

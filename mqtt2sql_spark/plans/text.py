@@ -4146,3 +4146,88 @@ def bigram_branching_factor(
             "CAST((1000000 * sum(top_c)) DIV sum(total) AS BIGINT)"
         ).alias("top_successor_share_ppm"),
     )
+
+
+# --- sentence length profile per language --------------------------------------
+
+
+@register(
+    "sentence_length_profile",
+    oracle="""
+    , sent AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(s), '[a-z0-9]+')) AS n_tok
+        FROM (
+            SELECT lang, unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM documents
+        ) WHERE length(trim(s)) > 0
+    ),
+    r AS (
+        SELECT lang, n_tok,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_tok) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM sent
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_sentences,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST((10000 * sum(n_tok)) // max(n) AS BIGINT)
+               AS mean_len_e4,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_tok END)
+               AS BIGINT) AS p50_len,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tok END)
+               AS BIGINT) AS p90_len
+    FROM r GROUP BY lang
+    """,
+    doc="Sentence-length distribution per language: split on "
+    "terminal punctuation runs, token-count each sentence, report "
+    "exact nearest-rank P50/P90 and the fixed-point mean — the "
+    "distributional view behind flesch_readability's per-doc "
+    "average, and the profile that distinguishes prose (tight "
+    "unimodal lengths) from lists/tables (spiky) per language "
+    "before choosing chunking parameters.  Ranking ties are benign "
+    "(rank on the value itself); one explode + one lang-partitioned "
+    "rank window.",
+    tags=("text",),
+)
+def sentence_length_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sent = (
+        docs.select(
+            "lang",
+            F.explode(F.split("text", "[.!?]+")).alias("s"),
+        )
+        .filter(F.length(F.trim("s")) > 0)
+        .select(
+            "lang",
+            F.size(
+                F.regexp_extract_all(F.lower("s"), F.lit("[a-z0-9]+"), 0)
+            ).alias("n_tok"),
+        )
+    )
+    r = sent.select(
+        "lang",
+        "n_tok",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("n_tok"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    return r.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_sentences"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((10000 * sum(n_tok)) DIV max(n) AS BIGINT)"
+        ).alias("mean_len_e4"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("n_tok"))
+        ).cast("long").alias("p50_len"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("n_tok"))
+        ).cast("long").alias("p90_len"),
+    )

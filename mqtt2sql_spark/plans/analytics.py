@@ -13760,3 +13760,197 @@ def storage_tier_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "byte_share_ppm"
         ),
     )
+
+
+# --- Theil-Sen robust trend of monthly revenue ---------------------------------
+
+
+@register(
+    "theil_sen_revenue_trend",
+    oracle="""
+    , m AS (
+        SELECT epoch_us(date_trunc('month', l_shipdate))
+                   // 2592000000000 AS mi,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    slopes AS (
+        SELECT a.mi AS x1, b.mi AS x2,
+               ((b.rev - a.rev) * 100) // (b.mi - a.mi) AS slope_e2
+        FROM m a JOIN m b ON b.mi > a.mi
+    ),
+    r AS (
+        SELECT slope_e2,
+               row_number() OVER (ORDER BY slope_e2, x1, x2) AS rn,
+               count(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_months,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN slope_e2 END)
+               AS BIGINT) AS median_slope_e2,
+           CAST(max(CASE WHEN rn = (n + 3) // 4 THEN slope_e2 END)
+               AS BIGINT) AS q1_slope_e2,
+           CAST(max(CASE WHEN rn = (3 * n + 1) // 4 THEN slope_e2 END)
+               AS BIGINT) AS q3_slope_e2
+    FROM r
+    """,
+    doc="Robust revenue trend: the Theil-Sen estimator — median of all "
+    "pairwise slopes between monthly revenue points — which a single "
+    "promotional-spike month cannot drag the way OLS "
+    "(linreg_trend_stats) gets dragged.  Months index by epoch "
+    "DIV 30d so the x-axis is integral; each pairwise slope is the "
+    "exact integer (Δrev·100) DIV Δmonths in cents-per-month "
+    "fixed-point, and the median is a nearest-rank pick with "
+    "(slope, x1, x2) total order — no doubles anywhere.  The O(k²) "
+    "pair join is over ~80 month aggregates (bounded by calendar "
+    "span, not data volume), after one map-combinable fact agg.",
+    tags=("analytics", "stats", "timeseries"),
+)
+def theil_sen_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    m = li.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('month', l_shipdate))"
+            " DIV 2592000000000"
+        ).alias("mi")
+    ).agg(F.sum(cents).alias("rev"))
+    a = m.select(F.col("mi").alias("x1"), F.col("rev").alias("r1"))
+    b = m.select(F.col("mi").alias("x2"), F.col("rev").alias("r2"))
+    slopes = a.join(b, F.col("x2") > F.col("x1")).select(
+        "x1",
+        "x2",
+        F.expr("((r2 - r1) * 100) DIV (x2 - x1)").alias("slope_e2"),
+    )
+    r = slopes.select(
+        "slope_e2",
+        F.row_number()
+        .over(W.orderBy("slope_e2", "x1", "x2"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    n_months = m.agg(F.count(F.lit(1)).alias("n_months"))
+    agg = r.agg(
+        F.max("n").alias("n_pairs"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("slope_e2"))
+        ).alias("median_slope_e2"),
+        F.max(
+            F.when(F.expr("rn = (n + 3) DIV 4"), F.col("slope_e2"))
+        ).alias("q1_slope_e2"),
+        F.max(
+            F.when(F.expr("rn = (3 * n + 1) DIV 4"), F.col("slope_e2"))
+        ).alias("q3_slope_e2"),
+    )
+    return n_months.crossJoin(agg).select(
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("median_slope_e2").cast("long").alias("median_slope_e2"),
+        F.col("q1_slope_e2").cast("long").alias("q1_slope_e2"),
+        F.col("q3_slope_e2").cast("long").alias("q3_slope_e2"),
+    )
+
+
+# --- lag-1 autocorrelation of a customer's order values ------------------------
+
+
+@register(
+    "order_value_lag1_autocorr",
+    oracle="""
+    , seq AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y,
+               lag(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS x
+        FROM orders
+    ),
+    p AS (SELECT x, y FROM seq WHERE x IS NOT NULL),
+    s AS (
+        SELECT count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(floor(
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS r_lag1_e6,
+           CAST((100 * sy) // n - (100 * sx) // n AS BIGINT)
+               AS mean_shift_e2_cents
+    FROM s
+    """,
+    doc="Do customers spend-streak?  Pearson correlation between a "
+    "customer's consecutive order values (lag-1 within customer, "
+    "orderdate order) — positive r means big orders follow big "
+    "orders (habitual basket size), ~0 means order values are drawn "
+    "fresh each time and per-customer value prediction can't beat "
+    "the customer mean.  Sufficient statistics in exact "
+    "HUGEINT/DECIMAL integers off one customer-keyed lag window; the "
+    "final r follows the CAST-AS-DOUBLE correctly-rounded-IEEE "
+    "formula rule, emitted floor-e6.",
+    tags=("analytics", "stats"),
+)
+def order_value_lag1_autocorr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        cents.alias("y"), F.lag(cents).over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("y"))
+        ).alias("sxy"),
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x"))
+        ).alias("sxx"),
+        F.sum(
+            (F.col("y").cast("decimal(38,0)") * F.col("y"))
+        ).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(floor("
+            "(CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "   / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(sxx AS DOUBLE)"
+            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            "           / CAST(n AS DOUBLE))"
+            "        * (CAST(syy AS DOUBLE)"
+            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "             / CAST(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("r_lag1_e6"),
+        F.expr(
+            "CAST((100 * sy) DIV n - (100 * sx) DIV n AS BIGINT)"
+        ).alias("mean_shift_e2_cents"),
+    )

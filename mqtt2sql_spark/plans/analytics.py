@@ -13954,3 +13954,172 @@ def order_value_lag1_autocorr(
             "CAST((100 * sy) DIV n - (100 * sx) DIV n AS BIGINT)"
         ).alias("mean_shift_e2_cents"),
     )
+
+
+# --- U-shaped (position-based) attribution --------------------------------------
+
+
+@register(
+    "position_based_attribution",
+    oracle=f"""
+    , conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id AS touch_id, event_type,
+               epoch_us(ts) AS t_us
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT c.conv_id, t.event_type, t.touch_id, t.t_us
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+        WHERE t.t_us < c.c_us AND c.c_us - t.t_us <= {_ATTR_WINDOW_US}
+    ),
+    ranked AS (
+        SELECT conv_id, event_type,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY t_us, touch_id) AS rn,
+               count(*) OVER (PARTITION BY conv_id) AS k
+        FROM pairs
+    ),
+    credited AS (
+        SELECT conv_id, event_type,
+               CASE WHEN k = 1 THEN 10000
+                    WHEN k = 2 THEN 5000
+                    WHEN rn = 1 OR rn = k THEN 4000
+                    ELSE 2000 // (k - 2) END AS bp
+        FROM ranked
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT conv_id) AS BIGINT)
+               AS n_conversions_touched,
+           CAST(sum(bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY event_type
+    """,
+    doc="U-shaped (40/20/40 position-based) attribution, completing "
+    "the attribution family (first/last/linear/time-decay/Shapley): "
+    "within the 7-day lookback the first touch earns 4000 bp, the "
+    "last 4000 bp, middles split 2000 bp by integer division — the "
+    "model that values introduction AND closing over mid-funnel "
+    "noise.  Degenerate paths follow the standard convention (solo "
+    "touch 10000, two touches 5000/5000).  Position needs per-"
+    "conversion order: one (conv)-partitioned rank window over the "
+    "banded user join, total-ordered on (t_us, touch_id); credit "
+    "arithmetic is all integer bp.",
+    tags=("analytics", "attribution"),
+)
+def position_based_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("t_us") < F.col("c_us"))
+        & (F.col("c_us") - F.col("t_us") <= _ATTR_WINDOW_US)
+    )
+    wr = W.partitionBy("conv_id").orderBy("t_us", "touch_id")
+    wk = W.partitionBy("conv_id")
+    ranked = pairs.select(
+        "conv_id",
+        "event_type",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credited = ranked.select(
+        "conv_id",
+        "event_type",
+        F.expr(
+            "CASE WHEN k = 1 THEN 10000"
+            " WHEN k = 2 THEN 5000"
+            " WHEN rn = 1 OR rn = k THEN 4000"
+            " ELSE 2000 DIV (k - 2) END"
+        ).alias("bp"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.countDistinct("conv_id")
+        .cast("long")
+        .alias("n_conversions_touched"),
+        F.sum("bp").cast("long").alias("credit_bp"),
+    )
+
+
+# --- standardized chi-square cell residuals: type x day-of-week -----------------
+
+
+@register(
+    "chi2_cell_residuals_type_dow",
+    oracle="""
+    , o AS (
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, sum(o) AS rt FROM o GROUP BY event_type),
+    c AS (SELECT dow, sum(o) AS ct FROM o GROUP BY dow),
+    n AS (SELECT sum(o) AS n FROM o)
+    SELECT o.event_type,
+           CAST(o.dow AS BIGINT) AS dow,
+           CAST(o.o AS BIGINT) AS observed,
+           CAST((10000 * r.rt * c.ct) // n.n AS BIGINT)
+               AS expected_e4,
+           CAST(floor(
+               (CAST(o.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+                - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))
+               / sqrt(CAST(n.n AS DOUBLE) * CAST(r.rt AS DOUBLE)
+                      * CAST(c.ct AS DOUBLE))
+               * 10000) AS BIGINT) AS residual_e4
+    FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    """,
+    doc="The drill-down behind chi_square_type_dow's single statistic: "
+    "per (event type, day-of-week) cell, the standardized residual "
+    "(o − e)/√e = (o·n − r·c)/√(n·r·c) — which cells actually drive "
+    "the dependence, e.g. errors spiking on Mondays vs purchases "
+    "sagging on weekends.  |residual| ≳ 2 flags a cell.  Marginals "
+    "are exact integers; the residual is the CAST-AS-DOUBLE "
+    "correctly-rounded formula, floor-e4; expected counts ship as "
+    "exact e4 fixed-point.  Three tiny aggregates off one "
+    "contingency agg — no window at all.",
+    tags=("analytics", "stats"),
+)
+def chi2_cell_residuals_type_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", F.expr("weekday(ts) + 1").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = o.agg(F.sum("o").alias("n"))
+    return (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("o").cast("long").alias("observed"),
+            F.expr(
+                "CAST((10000 * rt * ct) DIV n AS BIGINT)"
+            ).alias("expected_e4"),
+            F.expr(
+                "CAST(floor("
+                "(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+                " - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
+                " / sqrt(CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)"
+                "        * CAST(ct AS DOUBLE))"
+                " * 10000) AS BIGINT)"
+            ).alias("residual_e4"),
+        )
+    )

@@ -14123,3 +14123,96 @@ def chi2_cell_residuals_type_dow(
             ).alias("residual_e4"),
         )
     )
+
+
+# --- week-over-week supplier turnover -------------------------------------------
+
+
+@register(
+    "supplier_weekly_turnover",
+    oracle="""
+    , ws AS (
+        SELECT DISTINCT
+               epoch_us(date_trunc('week', l_shipdate))
+                   // 604800000000 AS wk,
+               l_suppkey
+        FROM lineitem
+    ),
+    sz AS (SELECT wk, count(*) AS n FROM ws GROUP BY wk),
+    inter AS (
+        SELECT a.wk AS wk, count(*) AS both
+        FROM ws a JOIN ws b
+          ON b.l_suppkey = a.l_suppkey AND b.wk = a.wk - 1
+        GROUP BY a.wk
+    )
+    SELECT s.wk,
+           CAST(s.n AS BIGINT) AS n_suppliers,
+           CAST(coalesce(i.both, 0) AS BIGINT) AS n_retained,
+           CAST(s.n - coalesce(i.both, 0) AS BIGINT) AS n_new,
+           CAST(p.n - coalesce(i.both, 0) AS BIGINT) AS n_lost,
+           CAST((1000000 * coalesce(i.both, 0))
+                // (s.n + p.n - coalesce(i.both, 0)) AS BIGINT)
+               AS jaccard_ppm
+    FROM sz s
+    JOIN sz p ON p.wk = s.wk - 1
+    LEFT JOIN inter i ON i.wk = s.wk
+    """,
+    doc="Supply-base stability: week-over-week turnover of the active "
+    "supplier set (suppliers with ≥1 shipment that week) — retained / "
+    "new / lost counts and the Jaccard overlap of consecutive weekly "
+    "sets.  A falling Jaccard means the shipping load is rotating "
+    "across the supplier pool (good for resilience, bad for "
+    "relationship pricing); near-1e6 means a fixed core does all the "
+    "work (single_source_risk's temporal cousin).  Week indexed by "
+    "epoch DIV 7d; the self-join is an equi-join on "
+    "(supplier, adjacent week) over the deduplicated week-supplier "
+    "pairs, never raw lineitems.",
+    tags=("analytics", "ops"),
+)
+def supplier_weekly_turnover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ws = li.select(
+        F.expr(
+            "unix_micros(date_trunc('week', l_shipdate))"
+            " DIV 604800000000"
+        ).alias("wk"),
+        "l_suppkey",
+    ).distinct()
+    sz = ws.groupBy("wk").agg(F.count(F.lit(1)).alias("n"))
+    a = ws
+    b = ws.select(
+        (F.col("wk") + 1).alias("wk"),
+        F.col("l_suppkey").alias("sk_prev"),
+    )
+    inter = (
+        a.join(
+            b,
+            (a["wk"] == b["wk"]) & (a["l_suppkey"] == F.col("sk_prev")),
+        )
+        .groupBy(a["wk"].alias("wk"))
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    p = sz.select((F.col("wk") + 1).alias("wk"), F.col("n").alias("pn"))
+    return (
+        sz.join(p, "wk")
+        .join(inter, "wk", "left")
+        .select(
+            "wk",
+            F.col("n").cast("long").alias("n_suppliers"),
+            F.coalesce(F.col("both"), F.lit(0))
+            .cast("long")
+            .alias("n_retained"),
+            (F.col("n") - F.coalesce(F.col("both"), F.lit(0)))
+            .cast("long")
+            .alias("n_new"),
+            (F.col("pn") - F.coalesce(F.col("both"), F.lit(0)))
+            .cast("long")
+            .alias("n_lost"),
+            F.expr(
+                "CAST((1000000 * coalesce(both, 0))"
+                " DIV (n + pn - coalesce(both, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -4231,3 +4231,71 @@ def sentence_length_profile(
             F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("n_tok"))
         ).cast("long").alias("p90_len"),
     )
+
+
+# --- token mass by document-length bucket ---------------------------------------
+
+
+@register(
+    "token_mass_by_doclen_bucket",
+    oracle=f"""
+    , nt AS (
+        SELECT CAST(len({duck_tokens()}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT length(bin(n_tok + 1)) - 1 AS log2_bucket, n_tok
+        FROM nt
+    ),
+    per AS (
+        SELECT log2_bucket, count(*) AS n_docs, sum(n_tok) AS toks
+        FROM b GROUP BY log2_bucket
+    ),
+    tot AS (SELECT sum(toks) AS t FROM per)
+    SELECT p.log2_bucket,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.toks AS BIGINT) AS n_tokens,
+           CAST((1000000 * p.toks) // t.t AS BIGINT)
+               AS token_share_ppm,
+           CAST(sum(1000000 * p.toks) OVER (ORDER BY p.log2_bucket)
+                // t.t AS BIGINT) AS cum_share_ppm
+    FROM per p CROSS JOIN tot t
+    """,
+    doc="Where does the token mass live?  Documents bucketed by "
+    "power-of-two token length (exact floor(log2(n+1)) via binary-"
+    "string length) with each bucket's share of TOTAL CORPUS TOKENS "
+    "and the cumulative share — the answer to 'is there enough "
+    "long-document data to train a long-context model, or is 95 % of "
+    "the token mass in sub-512-token pages?'.  Doc-count histograms "
+    "mislead here because long docs are rare but token-heavy; this "
+    "weighs by tokens.  One scan, one ~20-group agg, a running sum "
+    "over the bucket axis.",
+    tags=("text", "training"),
+)
+def token_mass_by_doclen_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select(
+        F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    b = nt.select(
+        (F.length(F.bin(F.col("n_tok") + 1)) - 1).alias("log2_bucket"),
+        "n_tok",
+    )
+    per = b.groupBy("log2_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("toks")
+    )
+    tot = per.agg(F.sum("toks").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("log2_bucket").cast("long").alias("log2_bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.expr("CAST((1000000 * toks) DIV t AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+        F.expr(
+            "CAST(sum(1000000 * toks) OVER (ORDER BY log2_bucket"
+            " ROWS UNBOUNDED PRECEDING) DIV t AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    )

@@ -14216,3 +14216,68 @@ def supplier_weekly_turnover(
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --- retail price vs size slope per part type ------------------------------------
+
+
+@register(
+    "size_price_slope_by_type",
+    oracle="""
+    , pts AS (
+        SELECT p_type,
+               CAST(p_size AS BIGINT) AS x,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS y
+        FROM part
+    ),
+    s AS (
+        SELECT p_type,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY p_type
+    )
+    SELECT p_type,
+           CAST(n AS BIGINT) AS n_parts,
+           CAST((10000 * (n * sxy - sx * sy))
+                // greatest(n * sxx - sx * sx, 1) AS BIGINT)
+               AS slope_cents_per_size_e4,
+           CAST((100 * sy) // n AS BIGINT) AS mean_price_e2_cents
+    FROM s
+    """,
+    doc="Does physical size price in?  Per part type, the exact-"
+    "integer OLS slope of retail price (cents) on p_size — the "
+    "pricing-model sanity check: types whose slope is ~0 price by "
+    "brand/material instead of size, negative slopes flag catalog "
+    "errors.  Same integer sufficient-statistics pattern as "
+    "discount_elasticity_by_brand (pure-integer DIV, negative-safe); "
+    "one dimension-table scan, one hash agg — no fact table at all.",
+    tags=("analytics", "pricing"),
+)
+def size_price_slope_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_type",
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
+    )
+    s = pts.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "p_type",
+        F.col("n").cast("long").alias("n_parts"),
+        F.expr(
+            "CAST((10000 * (n * sxy - sx * sy))"
+            " DIV greatest(n * sxx - sx * sx, 1) AS BIGINT)"
+        ).alias("slope_cents_per_size_e4"),
+        F.expr("CAST((100 * sy) DIV n AS BIGINT)").alias(
+            "mean_price_e2_cents"
+        ),
+    )

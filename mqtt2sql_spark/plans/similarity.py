@@ -4632,3 +4632,132 @@ def pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_code_share_ppm"
         ),
     )
+
+
+# --- neighborhood density vs cosine radius --------------------------------------
+
+
+@register(
+    "cosine_radius_density",
+    oracle=f"""
+    , ql AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS qx
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    nrm AS (SELECT vec_id, sum(qx * qx) AS n2 FROM ql GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               sum(a.qx * b.qx) AS dot
+        FROM ql a JOIN ql b ON b.i = a.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    lv AS (SELECT unnest([50, 70, 90]) AS tau_pct,
+                  unnest([2500, 4900, 8100]) AS tau2_e4),
+    flags AS (
+        SELECT l.tau_pct, d.qid,
+               CASE WHEN d.dot > 0
+                         AND CAST(d.dot AS HUGEINT) * d.dot * 10000
+                             > CAST(l.tau2_e4 AS HUGEINT)
+                               * nq.n2 * nc.n2
+                    THEN 1 ELSE 0 END AS within
+        FROM dots d
+        JOIN nrm nq ON nq.vec_id = d.qid
+        JOIN nrm nc ON nc.vec_id = d.cid
+        CROSS JOIN lv l
+    ),
+    per_q AS (
+        SELECT tau_pct, qid, sum(within) AS cnt
+        FROM flags GROUP BY tau_pct, qid
+    )
+    SELECT tau_pct,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST((10000 * sum(cnt)) // count(*) AS BIGINT)
+               AS mean_neighbors_e4,
+           CAST(max(cnt) AS BIGINT) AS max_neighbors,
+           CAST((1000000 * sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS isolated_ppm
+    FROM per_q GROUP BY tau_pct
+    """,
+    doc="How hard is this corpus for ANN?  For the standard query "
+    "sample (vec_id % 50), the number of corpus vectors within cosine "
+    "0.5 / 0.7 / 0.9 — dense neighborhoods mean LSH/IVF recall comes "
+    "cheap, high isolated_ppm at 0.7+ means top-k results are "
+    "far-away noise and the index needs wider probes.  The threshold "
+    "test is EXACT integer arithmetic: cos>τ ⟺ dot>0 ∧ "
+    "dot²·10⁴ > τ²ₑ₄·‖q‖²·‖c‖² on 1e6-quantized coordinates "
+    "(HUGEINT/DECIMAL38) — no float compare at the boundary, which a "
+    "rounded-double threshold could flip per engine.  Long-format "
+    "dot products shuffle (query, dim) rows; the query side is "
+    "2 % of the corpus.",
+    tags=("similarity",),
+)
+def cosine_radius_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    ql = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qx"),
+    )
+    nrm = ql.groupBy("vec_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).alias("n2")
+    )
+    a = ql.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "i", F.col("qx").alias("qa")
+    )
+    b = ql.select(
+        F.col("vec_id").alias("cid"), F.col("i").alias("ib"),
+        F.col("qx").alias("qb"),
+    )
+    dots = (
+        a.join(b, (F.col("i") == F.col("ib"))
+               & (F.col("qid") != F.col("cid")))
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    lv = spark.createDataFrame(
+        [(50, 2500), (70, 4900), (90, 8100)],
+        "tau_pct INT, tau2_e4 INT",
+    )
+    nq = nrm.select(F.col("vec_id").alias("qid"),
+                    F.col("n2").alias("nq2"))
+    nc = nrm.select(F.col("vec_id").alias("cid"),
+                    F.col("n2").alias("nc2"))
+    flags = (
+        dots.join(F.broadcast(nq), "qid")
+        .join(F.broadcast(nc), "cid")
+        .crossJoin(F.broadcast(lv))
+        .select(
+            "tau_pct",
+            "qid",
+            F.expr(
+                "CASE WHEN dot > 0"
+                " AND CAST(dot AS DECIMAL(38,0)) * dot * 10000"
+                "     > CAST(tau2_e4 AS DECIMAL(38,0)) * nq2 * nc2"
+                " THEN 1 ELSE 0 END"
+            ).alias("within"),
+        )
+    )
+    per_q = flags.groupBy("tau_pct", "qid").agg(
+        F.sum("within").alias("cnt")
+    )
+    return per_q.groupBy("tau_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr(
+            "CAST((10000 * sum(cnt)) DIV count(*) AS BIGINT)"
+        ).alias("mean_neighbors_e4"),
+        F.max("cnt").cast("long").alias("max_neighbors"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("isolated_ppm"),
+    )

@@ -14281,3 +14281,86 @@ def size_price_slope_by_type(
             "mean_price_e2_cents"
         ),
     )
+
+
+# --- Little's law check on order WIP ---------------------------------------------
+
+
+@register(
+    "littles_law_check",
+    oracle="""
+    , per_order AS (
+        SELECT o.o_orderkey,
+               epoch_us(o.o_orderdate) // 86400000000 AS d0,
+               max(epoch_us(l.l_shipdate)) // 86400000000 AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(greatest(d1 - d0, 0) + 1) AS resident_days,
+               max(d1) - min(d0) + 1 AS span_days
+        FROM per_order
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(span_days AS BIGINT) AS span_days,
+           CAST((10000 * n) // span_days AS BIGINT)
+               AS lambda_per_day_e4,
+           CAST((10000 * resident_days) // n AS BIGINT) AS w_days_e4,
+           CAST((10000 * resident_days) // span_days AS BIGINT)
+               AS l_wip_e4
+    FROM s
+    """,
+    doc="Little's law on the order book: arrival rate λ (orders/day "
+    "over the observed span), mean time-in-system W (orderdate to "
+    "last line shipment, inclusive-day residency), and average "
+    "work-in-progress L = total resident-days / span — the queueing "
+    "identity L = λW holds exactly under this time-integral "
+    "definition, so the three numbers cross-validate the pipeline's "
+    "latency metrics (a drift between l_wip_e4 and "
+    "λ·W/10⁴ would flag censoring: orders whose shipments fall "
+    "outside the observation window).  Day-integral arithmetic is "
+    "exact integers; one fact join grouped at order grain, one "
+    "global agg.",
+    tags=("analytics", "ops"),
+)
+def littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    per_order = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.expr(
+                "unix_micros(o_orderdate) DIV 86400000000"
+            ).alias("d0"),
+            F.expr(
+                "unix_micros(last_ship) DIV 86400000000"
+            ).alias("d1"),
+        )
+    )
+    s = per_order.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.greatest(F.col("d1") - F.col("d0"), F.lit(0)) + 1
+        ).alias("resident_days"),
+        (F.max("d1") - F.min("d0") + 1).alias("span_days"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("span_days").cast("long").alias("span_days"),
+        F.expr("CAST((10000 * n) DIV span_days AS BIGINT)").alias(
+            "lambda_per_day_e4"
+        ),
+        F.expr("CAST((10000 * resident_days) DIV n AS BIGINT)").alias(
+            "w_days_e4"
+        ),
+        F.expr(
+            "CAST((10000 * resident_days) DIV span_days AS BIGINT)"
+        ).alias("l_wip_e4"),
+    )

@@ -4756,3 +4756,68 @@ def interevent_gap_spectrum(
             "share_ppm"
         ),
     )
+
+
+# --- Fano factor (overdispersion) of hourly arrivals per type -------------------
+
+
+@register(
+    "fano_factor_by_type",
+    oracle="""
+    , hc AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT event_type,
+               max(h) - min(h) + 1 AS n_hours,
+               sum(c) AS s,
+               sum(c * c) AS ss,
+               count(*) AS n_nonzero
+        FROM hc GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(s AS BIGINT) AS n_events,
+           CAST(n_nonzero AS BIGINT) AS n_active_hours,
+           CAST((10000 * (n_hours * ss - s * s))
+                // (n_hours * s) AS BIGINT) AS fano_e4
+    FROM span
+    """,
+    doc="Arrival overdispersion per event type: the Fano factor "
+    "(variance/mean of hourly counts) over the type's full hour span "
+    "— empty hours included via the span identity (zeros contribute "
+    "nothing to Σc or Σc², only to n_hours), so no calendar grid is "
+    "materialized.  Fano ≈ 1e4 is Poisson; well above means bursty "
+    "arrivals (retry storms, batch jobs) where capacity must be "
+    "provisioned for peaks, not means — the statistic behind "
+    "peak_load_5min's raw numbers.  Exact integers: fano_e4 = "
+    "10⁴(nΣc²−S²) DIV (n·S).  One hour-grain agg, one tiny agg.",
+    tags=("timeseries", "events", "stats"),
+)
+def fano_factor_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('hour', ts)) DIV 3600000000"
+        ).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hc.groupBy("event_type").agg(
+        (F.max("h") - F.min("h") + 1).alias("n_hours"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).alias("n_nonzero"),
+    )
+    return span.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("s").cast("long").alias("n_events"),
+        F.col("n_nonzero").cast("long").alias("n_active_hours"),
+        F.expr(
+            "CAST((10000 * (n_hours * ss - s * s))"
+            " DIV (n_hours * s) AS BIGINT)"
+        ).alias("fano_e4"),
+    )

@@ -2975,3 +2975,82 @@ def dedup_shard_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_share_ppm",
         )
     )
+
+
+# --- template detection via shared token prefix ----------------------------------
+
+
+@register(
+    "template_prefix_clusters",
+    oracle=f"""
+    , pfx AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(toks, 1, 16), ' '))
+                   AS pkey
+        FROM (SELECT doc_id, {duck_tokens()} AS toks FROM documents)
+        WHERE len(toks) >= 16
+    ),
+    grp AS (
+        SELECT pkey, count(*) AS gsize
+        FROM pfx GROUP BY pkey
+        HAVING count(*) > 1
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM pfx)
+    SELECT g.gsize,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(g.gsize * count(*) AS BIGINT) AS n_docs,
+           CAST((1000000 * g.gsize * count(*)) // max(t.n_docs)
+               AS BIGINT) AS doc_share_ppm
+    FROM grp g CROSS JOIN tot t
+    GROUP BY g.gsize
+    """,
+    doc="Template detection the exact-dedup stage misses: documents "
+    "sharing an identical 16-token PREFIX (boilerplate headers, "
+    "generated-page skeletons) clustered by the md5 of the joined "
+    "prefix, histogrammed by cluster size with the share of the "
+    "eligible corpus trapped in templates.  Exact dedup needs the "
+    "whole text equal; near-dup (minhash) needs global similarity — "
+    "prefix templates with long varying tails evade both, and this "
+    "is the standard cheap screen for them.  One hash-shuffle on the "
+    "prefix digest (distributes like dedup_exact); short docs are "
+    "excluded identically on both engines.",
+    tags=("dedup", "text"),
+)
+def template_prefix_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    pfx = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, 16))
+        ).alias("pkey"),
+        F.size(toks).alias("nt"),
+    ).filter(F.col("nt") >= 16)
+    grp = (
+        pfx.groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("gsize"))
+        .filter(F.col("gsize") > 1)
+    )
+    tot = pfx.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("gsize")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.col("gsize") * F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_docs"),
+            F.expr(
+                "CAST((1000000 * gsize * count(*)) DIV max(n_docs)"
+                " AS BIGINT)"
+            ).alias("doc_share_ppm"),
+        )
+        .select(
+            F.col("gsize").cast("long").alias("gsize"),
+            "n_clusters",
+            "n_docs",
+            "doc_share_ppm",
+        )
+    )

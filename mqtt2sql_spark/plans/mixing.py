@@ -748,3 +748,61 @@ def shard_token_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * toks) DIV t - 1000000 DIV 64 AS BIGINT)"
         ).alias("dev_ppm"),
     )
+
+
+# --- embedding index coverage of the corpus ---------------------------------------
+
+
+@register(
+    "doc_embedding_coverage",
+    oracle=f"""
+    , cov AS (
+        SELECT d.source,
+               CAST(len({duck_tokens("d.text")}) AS BIGINT) AS n_tok,
+               CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS has_vec
+        FROM documents d
+        LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_vec) AS BIGINT) AS n_embedded,
+           CAST((1000000 * sum(has_vec)) // count(*) AS BIGINT)
+               AS doc_coverage_ppm,
+           CAST((1000000 * sum(has_vec * n_tok))
+                // greatest(sum(n_tok), 1) AS BIGINT)
+               AS token_coverage_ppm
+    FROM cov GROUP BY source
+    """,
+    doc="Semantic-index backlog: per source, how much of the corpus "
+    "has an embedding row (vec_id = doc_id) — by document count AND "
+    "by token mass, since embedding pipelines usually lag on the "
+    "long documents that cost the most to encode.  The number that "
+    "gates semantic_dedup_keep / ann_* from claiming corpus-wide "
+    "results when the index only covers a slice.  Broadcast-able "
+    "key-only right side, one LEFT equi-join, one agg; exact "
+    "integers.",
+    tags=("mixing", "similarity"),
+)
+def doc_embedding_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
+    )
+    cov = docs.join(F.broadcast(emb), "doc_id", "left").select(
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.coalesce(F.col("has_vec"), F.lit(0)).alias("has_vec"),
+    )
+    return cov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("has_vec").cast("long").alias("n_embedded"),
+        F.expr(
+            "CAST((1000000 * sum(has_vec)) DIV count(*) AS BIGINT)"
+        ).alias("doc_coverage_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(has_vec * n_tok))"
+            " DIV greatest(sum(n_tok), 1) AS BIGINT)"
+        ).alias("token_coverage_ppm"),
+    )

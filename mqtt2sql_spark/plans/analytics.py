@@ -14364,3 +14364,92 @@ def littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * resident_days) DIV span_days AS BIGINT)"
         ).alias("l_wip_e4"),
     )
+
+
+# --- customer revenue concentration per nation ------------------------------------
+
+
+@register(
+    "customer_concentration_by_nation",
+    oracle="""
+    , cr AS (
+        SELECT n.n_name, o.o_custkey,
+               sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                   AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, o.o_custkey
+    ),
+    rk AS (
+        SELECT n_name, cents,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY cents DESC, o_custkey) AS r
+        FROM cr
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS total_rev,
+           CAST((1000000 * sum(CASE WHEN r = 1 THEN cents ELSE 0 END))
+                // sum(cents) AS BIGINT) AS top1_share_ppm,
+           CAST((1000000 * sum(CASE WHEN r <= 5 THEN cents ELSE 0 END))
+                // sum(cents) AS BIGINT) AS top5_share_ppm
+    FROM rk GROUP BY n_name
+    """,
+    doc="Key-account dependency per market: the share of a nation's "
+    "order revenue held by its single largest and top-5 customers — "
+    "the demand-side mirror of single_source_risk, and the number a "
+    "regional P&L owner quotes when one whale account renegotiates.  "
+    "Customer-grain cents aggregate first (exact), nation-partitioned "
+    "rank with total-order tie-break, conditional fold — the rank "
+    "window runs over customers (dimension grain), never orders.",
+    tags=("analytics", "risk"),
+)
+def customer_concentration_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cr = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    rk = cr.select(
+        "n_name",
+        "cents",
+        F.row_number()
+        .over(
+            W.partitionBy("n_name").orderBy(
+                F.desc("cents"), "o_custkey"
+            )
+        )
+        .alias("r"),
+    )
+    return rk.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_rev"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN r = 1 THEN cents ELSE 0 END))"
+            " DIV sum(cents) AS BIGINT)"
+        ).alias("top1_share_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN r <= 5 THEN cents ELSE 0 END))"
+            " DIV sum(cents) AS BIGINT)"
+        ).alias("top5_share_ppm"),
+    )

@@ -4821,3 +4821,87 @@ def fano_factor_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n_hours * s) AS BIGINT)"
         ).alias("fano_e4"),
     )
+
+
+# --- error run-length histogram ------------------------------------------------
+
+
+@register(
+    "error_run_length_histogram",
+    oracle="""
+    , seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, rn_all - rn_type AS grp, count(*) AS run_len
+        FROM seq WHERE event_type = 'error'
+        GROUP BY user_id, rn_all - rn_type
+    ),
+    tot AS (SELECT count(*) AS n_runs, sum(run_len) AS n_err FROM runs)
+    SELECT r.run_len,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST((1000000 * count(*)) // max(t.n_runs) AS BIGINT)
+               AS run_share_ppm,
+           CAST((1000000 * r.run_len * count(*)) // max(t.n_err)
+               AS BIGINT) AS error_share_ppm
+    FROM runs r CROSS JOIN tot t
+    GROUP BY r.run_len
+    """,
+    doc="Error streaks, not error counts: the islands-and-gaps run "
+    "decomposition (rn_all − rn_type is constant within a "
+    "consecutive-error island per user) histogrammed by run length — "
+    "many singleton runs mean transient blips users recover from; "
+    "mass in long runs means users get STUCK in error loops, the "
+    "retention killer error_recovery_percentiles times but doesn't "
+    "count.  Two user-keyed rank windows (same shuffle), one agg; "
+    "exact integers.",
+    tags=("timeseries", "events", "reliability"),
+)
+def error_run_length_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wa = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wa).alias("rn_all"),
+        F.row_number().over(wt).alias("rn_type"),
+    )
+    runs = (
+        seq.filter(F.col("event_type") == "error")
+        .groupBy(
+            "user_id", (F.col("rn_all") - F.col("rn_type")).alias("grp")
+        )
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    tot = runs.agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_len").alias("n_err"),
+    )
+    return (
+        runs.crossJoin(F.broadcast(tot))
+        .groupBy("run_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n_runs) AS BIGINT)"
+            ).alias("run_share_ppm"),
+            F.expr(
+                "CAST((1000000 * run_len * count(*)) DIV max(n_err)"
+                " AS BIGINT)"
+            ).alias("error_share_ppm"),
+        )
+        .select(
+            F.col("run_len").cast("long").alias("run_len"),
+            "n_runs",
+            "run_share_ppm",
+            "error_share_ppm",
+        )
+    )

@@ -3054,3 +3054,86 @@ def template_prefix_clusters(
             "doc_share_ppm",
         )
     )
+
+
+# --- survivor bias of keep-min dedup across sources --------------------------------
+
+
+@register(
+    "dedup_survivor_source_bias",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id, source,
+               md5({duck_normalized()}) AS norm_hash
+        FROM documents
+    ),
+    lab AS (
+        SELECT source,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY norm_hash)
+                    THEN 1 ELSE 0 END AS keep
+        FROM h
+    ),
+    per AS (
+        SELECT source, count(*) AS n_docs, sum(keep) AS n_kept
+        FROM lab GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS td, sum(n_kept) AS tk FROM per)
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_kept AS BIGINT) AS n_kept,
+           CAST((1000000 * p.n_kept) // p.n_docs AS BIGINT)
+               AS survival_ppm,
+           CAST((1000000 * p.n_kept) // p.n_docs
+                - (1000000 * t.tk) // t.td AS BIGINT)
+               AS bias_vs_corpus_ppm
+    FROM per p CROSS JOIN tot t
+    """,
+    doc="Does keep-min(doc_id) dedup silently re-weight the source "
+    "mix?  Canonical selection keeps the lowest doc_id per exact-dup "
+    "group — if ingestion order correlates with source, sources "
+    "ingested early survive dedup disproportionately and the "
+    "post-dedup corpus drifts from the mixture the pipeline was told "
+    "to build (importance_resample_mix's weights silently shift).  "
+    "Per-source survival rate vs the corpus-wide rate, signed "
+    "deviation in ppm.  One dup-key window over the hash shuffle, "
+    "one agg — same scale shape as dedup_exact.",
+    tags=("dedup", "mixing"),
+)
+def dedup_survivor_source_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text("text")).alias("norm_hash"),
+    )
+    lab = h.select(
+        "source",
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy("norm_hash")),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    per = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_kept").alias("tk")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.expr(
+            "CAST((1000000 * n_kept) DIV n_docs AS BIGINT)"
+        ).alias("survival_ppm"),
+        F.expr(
+            "CAST((1000000 * n_kept) DIV n_docs"
+            " - (1000000 * tk) DIV td AS BIGINT)"
+        ).alias("bias_vs_corpus_ppm"),
+    )

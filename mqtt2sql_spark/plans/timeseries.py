@@ -4905,3 +4905,76 @@ def error_run_length_histogram(
             "error_share_ppm",
         )
     )
+
+
+# --- seasonal-naive WAPE by forecast horizon -------------------------------------
+
+
+@register(
+    "forecast_wape_by_horizon",
+    oracle="""
+    , daily AS (
+        SELECT epoch_us(date_trunc('day', l_shipdate))
+                   // 86400000000 AS d,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    h AS (SELECT unnest([1, 7, 28]) AS horizon),
+    j AS (
+        SELECT h.horizon, a.rev AS actual, p.rev AS predicted
+        FROM daily a
+        CROSS JOIN h
+        JOIN daily p ON p.d = a.d - h.horizon
+    )
+    SELECT horizon,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST((1000000 * sum(abs(actual - predicted)))
+                // sum(actual) AS BIGINT) AS wape_ppm,
+           CAST(sum(CASE WHEN predicted > actual THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_over
+    FROM j GROUP BY horizon
+    """,
+    doc="Naive-forecast error vs horizon: predict each day's revenue "
+    "with the value h days earlier (h = 1, 7, 28) and score WAPE = "
+    "Σ|err|/Σactual — the baseline error curve any real forecaster "
+    "must beat (forecast_mase_comparison normalizes BY this; here it "
+    "IS the deliverable, per horizon).  h=7 beating h=1 confirms "
+    "weekly seasonality dominates day-to-day memory.  Lag via "
+    "equi-join on the integer day index — no window, no calendar "
+    "grid; days missing an h-back observation drop out identically "
+    "on both engines.  Exact cents.",
+    tags=("timeseries", "forecast"),
+)
+def forecast_wape_by_horizon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    daily = li.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('day', l_shipdate))"
+            " DIV 86400000000"
+        ).alias("d")
+    ).agg(F.sum(cents).alias("rev"))
+    h = spark.createDataFrame([(1,), (7,), (28,)], "horizon INT")
+    p = daily.select(
+        F.col("d").alias("pd"), F.col("rev").alias("predicted")
+    )
+    j = (
+        daily.crossJoin(F.broadcast(h))
+        .join(p, F.expr("pd = d - horizon"))
+        .select("horizon", F.col("rev").alias("actual"), "predicted")
+    )
+    return j.groupBy("horizon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "CAST((1000000 * sum(abs(actual - predicted)))"
+            " DIV sum(actual) AS BIGINT)"
+        ).alias("wape_ppm"),
+        F.sum(
+            F.when(F.col("predicted") > F.col("actual"), 1).otherwise(0)
+        ).cast("long").alias("n_over"),
+    )

@@ -14453,3 +14453,144 @@ def customer_concentration_by_nation(
             " DIV sum(cents) AS BIGINT)"
         ).alias("top5_share_ppm"),
     )
+
+
+# --- effective number of brands in the revenue mix, per year ------------------------
+
+
+@register(
+    "brand_mix_effective_n_by_year",
+    oracle="""
+    , br AS (
+        SELECT CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS y,
+               p.p_brand,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100, 0) AS BIGINT)) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT y,
+               count(*) AS n_brands,
+               sum(rev) AS tot,
+               sum(CAST(rev AS HUGEINT) * rev) AS ss
+        FROM br GROUP BY y
+    )
+    SELECT y AS ship_year,
+           CAST(n_brands AS BIGINT) AS n_brands,
+           round(tot / 100.0, 2) AS total_rev,
+           CAST((10000 * CAST(tot AS HUGEINT) * tot) // ss AS BIGINT)
+               AS effective_brands_e4
+    FROM s
+    """,
+    doc="Is the revenue mix consolidating?  Inverse-Simpson 'effective "
+    "number of brands' per ship year — (Σrev)²/Σrev² — the "
+    "diversity-over-time trend that brand counts hide (25 brands with "
+    "one at 90 % share is effectively ~1.2 brands).  A falling curve "
+    "is concentration risk building up; pairs with part_supplier_hhi "
+    "(static, supply side) on the demand side over time.  Revenue in "
+    "exact cents, squares in HUGEINT/DECIMAL(38), one broadcast dim "
+    "join + two hash aggs.",
+    tags=("analytics", "risk"),
+)
+def brand_mix_effective_n_by_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    br = (
+        li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("y"), "p_brand"
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+    s = br.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias(
+            "ss"
+        ),
+    )
+    return s.select(
+        F.col("y").alias("ship_year"),
+        F.col("n_brands").cast("long").alias("n_brands"),
+        F.round(F.col("tot") / 100.0, 2).alias("total_rev"),
+        F.expr(
+            "CAST((10000 * CAST(tot AS DECIMAL(38,0)) * tot) DIV ss"
+            " AS BIGINT)"
+        ).alias("effective_brands_e4"),
+    )
+
+
+# --- linenumber contiguity audit -----------------------------------------------------
+
+
+@register(
+    "linenumber_contiguity_audit",
+    oracle="""
+    , per AS (
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               max(l_linenumber) AS max_ln,
+               min(l_linenumber) AS min_ln,
+               count(DISTINCT l_linenumber) AS n_distinct
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN min_ln = 1 AND max_ln = n_lines
+                              AND n_distinct = n_lines
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contiguous,
+           CAST(sum(CASE WHEN n_distinct < n_lines
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lineno,
+           CAST(sum(CASE WHEN min_ln <> 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bad_start,
+           CAST(sum(CASE WHEN max_ln <> n_lines THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_gapped
+    FROM per
+    """,
+    doc="Line-number integrity: per order, l_linenumber should be the "
+    "contiguous sequence 1..n with no duplicates — deletions, "
+    "double-writes and partial loads all break one of the three "
+    "invariants (min=1, max=count, distinct=count), each counted "
+    "separately so the failure MODE is visible, not just a bad-row "
+    "count (the CDC-replay sanity check referential_integrity_audit "
+    "doesn't cover, being cross-table).  One order-grain agg, one "
+    "global fold; pure integers.",
+    tags=("analytics", "dq"),
+)
+def linenumber_contiguity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                (F.col("min_ln") == 1)
+                & (F.col("max_ln") == F.col("n_lines"))
+                & (F.col("n_distinct") == F.col("n_lines")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_contiguous"),
+        F.sum(
+            F.when(F.col("n_distinct") < F.col("n_lines"), 1).otherwise(0)
+        ).cast("long").alias("n_dup_lineno"),
+        F.sum(
+            F.when(F.col("min_ln") != 1, 1).otherwise(0)
+        ).cast("long").alias("n_bad_start"),
+        F.sum(
+            F.when(F.col("max_ln") != F.col("n_lines"), 1).otherwise(0)
+        ).cast("long").alias("n_gapped"),
+    )

@@ -3137,3 +3137,75 @@ def dedup_survivor_source_bias(
             " - (1000000 * tk) DIV td AS BIGINT)"
         ).alias("bias_vs_corpus_ppm"),
     )
+
+
+# --- arrival distance between successive duplicates ---------------------------------
+
+
+@register(
+    "dup_arrival_distance_histogram",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id, md5({duck_normalized()}) AS norm_hash
+        FROM documents
+    ),
+    gaps AS (
+        SELECT doc_id - lag(doc_id) OVER (PARTITION BY norm_hash
+                                          ORDER BY doc_id) AS gap
+        FROM h
+    ),
+    g AS (
+        SELECT length(bin(gap)) - 1 AS log2_gap
+        FROM gaps WHERE gap IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n FROM g)
+    SELECT g.log2_gap,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS share_ppm,
+           CAST(sum(1000000 * count(*)) OVER (ORDER BY g.log2_gap)
+                // max(max(t.n)) OVER () AS BIGINT) AS cum_share_ppm
+    FROM g CROSS JOIN tot t
+    GROUP BY g.log2_gap
+    """,
+    doc="How big must a streaming dedup buffer be?  For every "
+    "successive pair of exact duplicates (same normalized-text md5), "
+    "the arrival distance in doc_id order, histogrammed by "
+    "power-of-two buckets with the cumulative share — cum_share at "
+    "bucket b is exactly the recall a bounded window of 2^(b+1) "
+    "recent documents achieves (the sizing curve for "
+    "incremental_dedup_new_batch's batch window vs a full-history "
+    "state store).  Exact integers; one hash-key window over the "
+    "digest shuffle.",
+    tags=("dedup", "streaming"),
+)
+def dup_arrival_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.md5(normalized_text("text")).alias("norm_hash")
+    )
+    w = W.partitionBy("norm_hash").orderBy("doc_id")
+    gaps = h.select(
+        (F.col("doc_id") - F.lag("doc_id").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    g = gaps.select(
+        (F.length(F.bin("gap")) - 1).alias("log2_gap")
+    )
+    per = g.groupBy("log2_gap").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.agg(F.sum("c").alias("n"))
+    wc = W.orderBy("log2_gap").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("log2_gap").cast("long").alias("log2_gap"),
+        F.col("c").cast("long").alias("n_pairs"),
+        F.expr("CAST((1000000 * c) DIV n AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            "CAST(sum(1000000 * c) OVER (ORDER BY log2_gap"
+            " ROWS UNBOUNDED PRECEDING) DIV n AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    )

@@ -4761,3 +4761,97 @@ def cosine_radius_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("isolated_ppm"),
     )
+
+
+# --- participation ratio of per-dimension variance ---------------------------------
+
+
+@register(
+    "embedding_participation_ratio",
+    oracle="""
+    , q AS (
+        SELECT i,
+               CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS qx
+        FROM (SELECT unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    v AS (
+        SELECT i,
+               count(*) AS n,
+               sum(qx) AS s,
+               sum(CAST(qx AS HUGEINT) * qx) AS ss
+        FROM q GROUP BY i
+    ),
+    vd AS (
+        SELECT i, (n * ss - CAST(s AS HUGEINT) * s) // (n * n) AS var_q
+        FROM v
+    ),
+    agg AS (
+        SELECT count(*) AS d,
+               sum(var_q) AS sv,
+               sum(var_q * var_q) AS svv,
+               max(var_q) AS top_v
+        FROM vd
+    )
+    SELECT CAST(d AS BIGINT) AS n_dims,
+           CAST((10000 * sv * sv) // svv AS BIGINT)
+               AS participation_ratio_e4,
+           CAST((1000000 * top_v) // sv AS BIGINT)
+               AS top_dim_var_share_ppm
+    FROM agg
+    """,
+    doc="Dimension collapse in one number: the participation ratio "
+    "(Σv)²/Σv² of per-dimension variances — 64e4 means every axis "
+    "carries equal signal, a small value means the embedding space "
+    "has collapsed onto a few axes and ANN distance is mostly noise "
+    "in the rest (the axis-aligned cousin of top_pc_variance_share, "
+    "cheap enough to run per batch as an embedding-drift alarm).  "
+    "Variances from exact integer sufficient statistics on "
+    "1e6-quantized coordinates (population variance, floor "
+    "division); squares in HUGEINT/DECIMAL(38).  One long-format "
+    "agg keyed by dimension — 64 groups, perfectly partial-agg'd.",
+    tags=("similarity", "stats"),
+)
+def embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = emb.select(F.posexplode("embedding").alias("i", "x")).select(
+        "i",
+        F.round(F.col("x").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qx"),
+    )
+    v = q.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("s"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias(
+            "ss"
+        ),
+    )
+    vd = v.select(
+        F.expr(
+            "CAST((n * ss - CAST(s AS DECIMAL(38,0)) * s)"
+            " DIV (n * n) AS DECIMAL(38,0))"
+        ).alias("var_q")
+    )
+    agg = vd.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("var_q").alias("sv"),
+        F.sum(F.col("var_q") * F.col("var_q")).alias("svv"),
+        F.max("var_q").alias("top_v"),
+    )
+    return agg.select(
+        F.col("d").cast("long").alias("n_dims"),
+        F.expr(
+            "CAST((10000 * CAST(sv AS DECIMAL(38,0)) * sv) DIV svv"
+            " AS BIGINT)"
+        ).alias("participation_ratio_e4"),
+        F.expr(
+            "CAST((1000000 * CAST(top_v AS DECIMAL(38,0))) DIV sv"
+            " AS BIGINT)"
+        ).alias("top_dim_var_share_ppm"),
+    )

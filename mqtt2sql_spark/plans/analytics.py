@@ -14594,3 +14594,191 @@ def linenumber_contiguity_audit(
             F.when(F.col("max_ln") != F.col("n_lines"), 1).otherwise(0)
         ).cast("long").alias("n_gapped"),
     )
+
+
+# --- retention cutoff sweep over the event history ----------------------------------
+
+
+@register(
+    "retention_cutoff_sweep",
+    oracle="""
+    , mx AS (SELECT max(ts) AS t1 FROM events),
+    aged AS (
+        SELECT (epoch_us(mx.t1) - epoch_us(e.ts)) // 86400000000
+                   AS age_days,
+               CAST(length(e.props) + length(e.event_type) + 28
+                   AS BIGINT) AS row_bytes
+        FROM events e CROSS JOIN mx
+    ),
+    sweep AS (SELECT unnest([7, 30, 90, 365]) AS keep_days),
+    tot AS (SELECT count(*) AS n, sum(row_bytes) AS b FROM aged)
+    SELECT s.keep_days,
+           CAST(sum(CASE WHEN a.age_days < s.keep_days
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+           CAST(sum(CASE WHEN a.age_days < s.keep_days
+                         THEN a.row_bytes ELSE 0 END) AS BIGINT)
+               AS bytes_kept,
+           CAST((1000000 * sum(CASE WHEN a.age_days < s.keep_days
+                                    THEN 1 ELSE 0 END))
+                // max(t.n) AS BIGINT) AS row_share_ppm,
+           CAST((1000000 * sum(CASE WHEN a.age_days < s.keep_days
+                                    THEN a.row_bytes ELSE 0 END))
+                // max(t.b) AS BIGINT) AS byte_share_ppm
+    FROM aged a CROSS JOIN sweep s CROSS JOIN tot t
+    GROUP BY s.keep_days
+    """,
+    doc="Retention policy economics: for keep-last-{7,30,90,365}-days "
+    "cutoffs, the rows and estimated bytes the history table retains "
+    "— the sweep that turns history_retention_prune's single policy "
+    "into a cost curve (how much storage each extra month of "
+    "lookback buys, measured from the table's own high-water mark so "
+    "the answer is reproducible).  Exact integer day ages, one scan, "
+    "a 4x literal fan-out folded map-side.",
+    tags=("analytics", "ops"),
+)
+def retention_cutoff_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("t1"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "(unix_micros(t1) - unix_micros(ts)) DIV 86400000000"
+        ).alias("age_days"),
+        (F.length("props") + F.length("event_type") + F.lit(28))
+        .cast("long")
+        .alias("row_bytes"),
+    )
+    sweep = spark.createDataFrame(
+        [(7,), (30,), (90,), (365,)], "keep_days INT"
+    )
+    tot = aged.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("row_bytes").alias("b")
+    )
+    return (
+        aged.crossJoin(F.broadcast(sweep))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("keep_days")
+        .agg(
+            F.sum(
+                F.when(F.col("age_days") < F.col("keep_days"), 1)
+                .otherwise(0)
+            ).cast("long").alias("rows_kept"),
+            F.sum(
+                F.when(
+                    F.col("age_days") < F.col("keep_days"),
+                    F.col("row_bytes"),
+                ).otherwise(0)
+            ).cast("long").alias("bytes_kept"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN age_days < keep_days"
+                " THEN 1 ELSE 0 END)) DIV max(n) AS BIGINT)"
+            ).alias("row_share_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN age_days < keep_days"
+                " THEN row_bytes ELSE 0 END)) DIV max(b) AS BIGINT)"
+            ).alias("byte_share_ppm"),
+        )
+    )
+
+
+# --- hash-sample bias sweep -----------------------------------------------------------
+
+
+@register(
+    "hash_sample_bias_sweep",
+    oracle="""
+    , base AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(instr('0123456789abcdef',
+                    substr(md5('s:' || CAST(o_orderkey AS VARCHAR)),
+                           1, 1)) - 1 AS BIGINT) * 16
+               + CAST(instr('0123456789abcdef',
+                    substr(md5('s:' || CAST(o_orderkey AS VARCHAR)),
+                           2, 1)) - 1 AS BIGINT) AS hv
+        FROM orders
+    ),
+    sweep AS (SELECT unnest([2, 12, 25]) AS thresh,
+                     unnest([1, 5, 10]) AS rate_pct),
+    pop AS (SELECT count(*) AS n, sum(cents) AS s FROM base)
+    SELECT w.rate_pct,
+           CAST(sum(CASE WHEN b.hv < w.thresh THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sampled,
+           CAST((100 * sum(CASE WHEN b.hv < w.thresh
+                                THEN b.cents ELSE 0 END))
+                // greatest(sum(CASE WHEN b.hv < w.thresh
+                                     THEN 1 ELSE 0 END), 1)
+               AS BIGINT) AS sample_mean_e2,
+           CAST((100 * max(p.s)) // max(p.n) AS BIGINT) AS pop_mean_e2,
+           CAST((100 * sum(CASE WHEN b.hv < w.thresh
+                                THEN b.cents ELSE 0 END))
+                // greatest(sum(CASE WHEN b.hv < w.thresh
+                                     THEN 1 ELSE 0 END), 1)
+                - (100 * max(p.s)) // max(p.n) AS BIGINT)
+               AS bias_e2_cents
+    FROM base b CROSS JOIN sweep w CROSS JOIN pop p
+    GROUP BY w.rate_pct
+    """,
+    doc="Is the cheap hash sample trustworthy?  Deterministic md5-"
+    "bucket samples of orders at ≈1/5/10 % (first two hex nibbles "
+    "< 2/12/25 of 256) compared against the full-population mean "
+    "order value — the audit that certifies hash sampling (the "
+    "pattern behind sample_weighted / systematic_weighted_sample) "
+    "as unbiased on this data before dashboards switch to it.  "
+    "bias_e2_cents is the signed sample-minus-population gap in "
+    "exact fixed-point; everything integral, one scan, literal "
+    "3-way fan-out.",
+    tags=("analytics", "sampling"),
+)
+def hash_sample_bias_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("s:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    sweep = spark.createDataFrame(
+        [(2, 1), (12, 5), (25, 10)], "thresh INT, rate_pct INT"
+    )
+    pop = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    return (
+        base.crossJoin(F.broadcast(sweep))
+        .crossJoin(F.broadcast(pop))
+        .groupBy("rate_pct")
+        .agg(
+            F.sum(
+                F.when(F.col("hv") < F.col("thresh"), 1).otherwise(0)
+            ).cast("long").alias("n_sampled"),
+            F.expr(
+                "CAST((100 * sum(CASE WHEN hv < thresh THEN cents"
+                " ELSE 0 END)) DIV greatest(sum(CASE WHEN hv < thresh"
+                " THEN 1 ELSE 0 END), 1) AS BIGINT)"
+            ).alias("sample_mean_e2"),
+            F.expr(
+                "CAST((100 * max(s)) DIV max(n) AS BIGINT)"
+            ).alias("pop_mean_e2"),
+            F.expr(
+                "CAST((100 * sum(CASE WHEN hv < thresh THEN cents"
+                " ELSE 0 END)) DIV greatest(sum(CASE WHEN hv < thresh"
+                " THEN 1 ELSE 0 END), 1)"
+                " - (100 * max(s)) DIV max(n) AS BIGINT)"
+            ).alias("bias_e2_cents"),
+        )
+    )

@@ -14782,3 +14782,92 @@ def hash_sample_bias_sweep(
             ).alias("bias_e2_cents"),
         )
     )
+
+
+# --- chi-square independence of discount and tax ------------------------------------
+
+
+@register(
+    "discount_tax_independence_chi2",
+    oracle="""
+    , o AS (
+        SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS disc,
+               CAST(round(l_tax * 100, 0) AS BIGINT) AS tax,
+               count(*) AS o
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (SELECT disc, sum(o) AS rt FROM o GROUP BY disc),
+    c AS (SELECT tax, sum(o) AS ct FROM o GROUP BY tax),
+    n AS (SELECT sum(o) AS n FROM o),
+    terms AS (
+        SELECT (CAST(o.o * n.n - r.rt * c.ct AS HUGEINT)
+                * (o.o * n.n - r.rt * c.ct) * 10000)
+               // (r.rt * c.ct) AS term_e4
+        FROM o JOIN r USING (disc) JOIN c USING (tax) CROSS JOIN n
+    )
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_disc_levels,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_tax_levels,
+           CAST((SELECT max(n) FROM n) AS BIGINT) AS n_lines,
+           CAST(sum(term_e4) // (SELECT max(n) FROM n) AS BIGINT)
+               AS chi2_e4,
+           CAST(((SELECT count(*) FROM r) - 1)
+                * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
+    FROM terms
+    """,
+    doc="Are discount and tax assigned independently?  Pearson "
+    "chi-square over the (discount %, tax %) contingency table — "
+    "dependence would mean pricing rules couple the two and any "
+    "margin model multiplying their expectations is wrong.  The "
+    "statistic is computed as EXACT integers end-to-end: each cell "
+    "contributes ((o·n − r·c)²·10⁴) DIV (r·c) in HUGEINT/DECIMAL — "
+    "integer term-wise fixed point, then an integer sum, then one "
+    "division by n — so no float summation order exists at all "
+    "(stricter than the residuals query, which floors per cell).  "
+    "~100 cells after one fact agg.",
+    tags=("analytics", "stats"),
+)
+def discount_tax_independence_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("disc").agg(F.sum("o").alias("rt"))
+    c = o.groupBy("tax").agg(F.sum("o").alias("ct"))
+    n = o.agg(F.sum("o").alias("n"))
+    terms = (
+        o.join(F.broadcast(r), "disc")
+        .join(F.broadcast(c), "tax")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "(CAST(o * n - rt * ct AS DECIMAL(38,0))"
+                " * (o * n - rt * ct) * 10000) DIV (rt * ct)"
+            ).alias("term_e4"),
+            "n",
+        )
+    )
+    nr = r.agg(F.count(F.lit(1)).alias("n_disc_levels"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_tax_levels"))
+    agg = terms.agg(
+        F.max("n").alias("n_lines"),
+        F.expr("CAST(sum(term_e4) DIV max(n) AS BIGINT)").alias(
+            "chi2_e4"
+        ),
+    )
+    return (
+        nr.crossJoin(nc)
+        .crossJoin(agg)
+        .select(
+            F.col("n_disc_levels").cast("long").alias("n_disc_levels"),
+            F.col("n_tax_levels").cast("long").alias("n_tax_levels"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            "chi2_e4",
+            F.expr(
+                "CAST((n_disc_levels - 1) * (n_tax_levels - 1)"
+                " AS BIGINT)"
+            ).alias("dof"),
+        )
+    )

@@ -4978,3 +4978,77 @@ def forecast_wape_by_horizon(
             F.when(F.col("predicted") > F.col("actual"), 1).otherwise(0)
         ).cast("long").alias("n_over"),
     )
+
+
+# --- watermark delay sweep -------------------------------------------------------
+
+
+@register(
+    "watermark_delay_sweep",
+    oracle="""
+    , arr AS (
+        SELECT epoch_us(ts) AS t_us,
+               max(epoch_us(ts)) OVER (ORDER BY event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   AS hw_us
+        FROM events
+    ),
+    lateness AS (
+        SELECT (hw_us - t_us) // 1000000 AS late_s FROM arr
+    ),
+    sweep AS (SELECT unnest([0, 60, 300, 3600]) AS delay_s),
+    tot AS (SELECT count(*) AS n FROM lateness)
+    SELECT s.delay_s,
+           CAST(sum(CASE WHEN l.late_s > s.delay_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST((1000000 * sum(CASE WHEN l.late_s > s.delay_s
+                                    THEN 1 ELSE 0 END))
+                // max(t.n) AS BIGINT) AS drop_ppm
+    FROM lateness l CROSS JOIN sweep s CROSS JOIN tot t
+    GROUP BY s.delay_s
+    """,
+    doc="Watermark tuning as a measurement, not a guess: replaying the "
+    "log in arrival order (event_id — the late_arrival_depth "
+    "convention), an event is dropped by a watermark of delay D if "
+    "its event time lags the high-water mark by more than D.  The "
+    "sweep over 0/60/300/3600 s delays yields the drop-rate curve "
+    "that picks withWatermark()'s argument for the streaming "
+    "windowed aggregations (events_tumbling/sliding_window): the "
+    "smallest D under the pipeline's loss budget.  The running max "
+    "is one ordered scan (two-phase prefix-max at cluster scale); "
+    "exact integer seconds.",
+    tags=("timeseries", "streaming"),
+)
+def watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        F.unix_micros("ts").alias("t_us"),
+        F.max(F.unix_micros("ts"))
+        .over(
+            W.orderBy("event_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("hw_us"),
+    )
+    lateness = arr.select(
+        F.expr("(hw_us - t_us) DIV 1000000").alias("late_s")
+    )
+    sweep = spark.createDataFrame(
+        [(0,), (60,), (300,), (3600,)], "delay_s INT"
+    )
+    tot = lateness.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        lateness.crossJoin(F.broadcast(sweep))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("delay_s")
+        .agg(
+            F.sum(
+                F.when(F.col("late_s") > F.col("delay_s"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN late_s > delay_s"
+                " THEN 1 ELSE 0 END)) DIV max(n) AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+    )

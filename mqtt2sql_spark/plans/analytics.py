@@ -14871,3 +14871,101 @@ def discount_tax_independence_chi2(
             ).alias("dof"),
         )
     )
+
+
+# --- market-segment x brand affinity lift ---------------------------------------------
+
+
+@register(
+    "segment_brand_affinity_lift",
+    oracle="""
+    , o AS (
+        SELECT c.c_mktsegment AS seg, p.p_brand AS brand,
+               count(*) AS o
+        FROM lineitem l
+        JOIN orders od ON od.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = od.o_custkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    r AS (SELECT seg, sum(o) AS rt FROM o GROUP BY seg),
+    c AS (SELECT brand, sum(o) AS ct FROM o GROUP BY brand),
+    n AS (SELECT sum(o) AS n FROM o),
+    lift AS (
+        SELECT o.seg, o.brand, o.o,
+               (1000000 * o.o * n.n) // (r.rt * c.ct) AS lift_ppm
+        FROM o JOIN r USING (seg) JOIN c USING (brand) CROSS JOIN n
+    )
+    SELECT seg, brand, CAST(o AS BIGINT) AS n_lines,
+           CAST(lift_ppm AS BIGINT) AS lift_ppm,
+           CAST(row_number() OVER (
+               ORDER BY abs(lift_ppm - 1000000) DESC, seg, brand
+           ) AS BIGINT) AS rank
+    FROM lift
+    QUALIFY rank <= 25
+    """,
+    doc="Which customer segments over-index on which brands?  Lift = "
+    "P(seg, brand) / (P(seg)·P(brand)) in exact ppm over the line-"
+    "item contingency table, top-25 cells by distance from "
+    "independence (|lift − 1e6|) with a total-order tie-break — the "
+    "merchandising cut behind association_rules_parts, at segment "
+    "grain.  Two broadcast dim joins + one fact-fact join on "
+    "orderkey, one agg; the ranking runs over ~125 cells.",
+    tags=("analytics", "recsys"),
+)
+def segment_brand_affinity_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    o = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    r = o.groupBy("seg").agg(F.sum("o").alias("rt"))
+    c = o.groupBy("brand").agg(F.sum("o").alias("ct"))
+    n = o.agg(F.sum("o").alias("n"))
+    lift = (
+        o.join(F.broadcast(r), "seg")
+        .join(F.broadcast(c), "brand")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "seg",
+            "brand",
+            "o",
+            F.expr(
+                "(1000000 * o * n) DIV (rt * ct)"
+            ).alias("lift_ppm"),
+        )
+    )
+    ranked = lift.select(
+        "seg",
+        "brand",
+        F.col("o").cast("long").alias("n_lines"),
+        F.col("lift_ppm").cast("long").alias("lift_ppm"),
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.abs(F.col("lift_ppm") - 1000000).desc(), "seg", "brand"
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 25)

@@ -4855,3 +4855,90 @@ def embedding_participation_ratio(
             " AS BIGINT)"
         ).alias("top_dim_var_share_ppm"),
     )
+
+
+# --- index memory budget ------------------------------------------------------------
+
+
+@register(
+    "index_memory_budget",
+    oracle=f"""
+    , ne AS (SELECT count(*) AS n FROM embeddings),
+    nd AS (SELECT count(*) AS n FROM documents),
+    st AS (
+        SELECT unnest(['raw_f32', 'int8', 'pq4bit', 'sign_lsh',
+                       'minhash128']) AS structure,
+               unnest([{DIM} * 4, {DIM} + 4, {DIM} // 16 + 4,
+                       4, 128]) AS unit_bytes,
+               unnest([0, 0, 4096, 0, 0]) AS fixed_bytes,
+               unnest([1, 1, 1, 1, 0]) AS on_embeddings
+    )
+    SELECT s.structure,
+           CAST(s.unit_bytes AS BIGINT) AS unit_bytes,
+           CAST(CASE WHEN s.on_embeddings = 1 THEN ne.n
+                     ELSE nd.n END AS BIGINT) AS n_items,
+           CAST(s.unit_bytes * CASE WHEN s.on_embeddings = 1
+                                    THEN ne.n ELSE nd.n END
+                + s.fixed_bytes AS BIGINT) AS total_bytes,
+           CAST((1000000 * (s.unit_bytes
+                            * CASE WHEN s.on_embeddings = 1
+                                   THEN ne.n ELSE nd.n END
+                            + s.fixed_bytes))
+                // ({DIM} * 4 * CASE WHEN s.on_embeddings = 1
+                                     THEN ne.n ELSE nd.n END)
+               AS BIGINT) AS vs_raw_ppm
+    FROM st s CROSS JOIN ne CROSS JOIN nd
+    """,
+    doc="What does each ANN/dedup structure cost in RAM at this "
+    "corpus size?  Bytes-per-item and totals for the five structures "
+    "the engine builds — raw float32 vectors, int8-quantized "
+    "(embedding_quantize_int8: 64 codes + scale), 4-bit PQ codes "
+    "(pq_code_assign: 8 subspaces → 4 B + shared 4 KB codebook), "
+    "32-bit sign-LSH sketches (ann_lsh_topk), and 16×u64 MinHash "
+    "signatures over documents — with the compression ratio against "
+    "raw.  The capacity-planning table that decides which index "
+    "tier fits executor memory at 100 TB; pure arithmetic over two "
+    "counts, no data movement at all.",
+    tags=("similarity", "ops"),
+)
+def index_memory_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ne = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("ne")
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    st = spark.createDataFrame(
+        [
+            ("raw_f32", DIM * 4, 0, 1),
+            ("int8", DIM + 4, 0, 1),
+            ("pq4bit", DIM // 16 + 4, 4096, 1),
+            ("sign_lsh", 4, 0, 1),
+            ("minhash128", 128, 0, 0),
+        ],
+        "structure STRING, unit_bytes INT, fixed_bytes INT,"
+        " on_embeddings INT",
+    )
+    return (
+        st.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "structure",
+            F.col("unit_bytes").cast("long").alias("unit_bytes"),
+            F.expr(
+                "CAST(CASE WHEN on_embeddings = 1 THEN ne ELSE nd END"
+                " AS BIGINT)"
+            ).alias("n_items"),
+            F.expr(
+                "CAST(unit_bytes * CASE WHEN on_embeddings = 1"
+                " THEN ne ELSE nd END + fixed_bytes AS BIGINT)"
+            ).alias("total_bytes"),
+            F.expr(
+                f"CAST((1000000 * (unit_bytes"
+                f" * CASE WHEN on_embeddings = 1 THEN ne ELSE nd END"
+                f" + fixed_bytes)) DIV ({DIM} * 4"
+                f" * CASE WHEN on_embeddings = 1 THEN ne ELSE nd END)"
+                f" AS BIGINT)"
+            ).alias("vs_raw_ppm"),
+        )
+    )

@@ -14969,3 +14969,151 @@ def segment_brand_affinity_lift(
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= 25)
+
+
+# --- unit-price MAD outliers per brand -------------------------------------------------
+
+
+@register(
+    "unit_price_mad_outliers_by_brand",
+    oracle="""
+    , up AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   // CAST(round(l.l_quantity, 0) AS BIGINT) AS unit_c,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity >= 1
+    ),
+    med AS (
+        SELECT p_brand,
+               max(CASE WHEN rn = (n + 1) // 2 THEN unit_c END) AS m
+        FROM (
+            SELECT p_brand, unit_c,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY unit_c, l_orderkey,
+                                               l_linenumber) AS rn,
+                   count(*) OVER (PARTITION BY p_brand) AS n
+            FROM up
+        ) GROUP BY p_brand
+    ),
+    dev AS (
+        SELECT u.p_brand, abs(u.unit_c - m.m) AS ad,
+               u.l_orderkey, u.l_linenumber, m.m
+        FROM up u JOIN med m USING (p_brand)
+    ),
+    mad AS (
+        SELECT p_brand,
+               max(m) AS med_c,
+               max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad_c
+        FROM (
+            SELECT p_brand, ad, m,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY ad, l_orderkey,
+                                               l_linenumber) AS rn,
+                   count(*) OVER (PARTITION BY p_brand) AS n
+            FROM dev
+        ) GROUP BY p_brand
+    )
+    SELECT u.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(max(d.med_c) / 100.0, 2) AS median_unit_price,
+           round(max(d.mad_c) / 100.0, 2) AS mad_unit_price,
+           CAST(sum(CASE WHEN abs(u.unit_c - d.med_c)
+                              > 5 * greatest(d.mad_c, 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM up u JOIN mad d USING (p_brand)
+    GROUP BY u.p_brand
+    """,
+    doc="Catalog price-integrity screen: per brand, the median unit "
+    "price (extended cents DIV integral quantity — exact), the "
+    "median absolute deviation, and the count of lines beyond "
+    "5×MAD — the robust fence that one fat-finger price can't move "
+    "(robust_outliers_mad per-brand, at unit-price grain where "
+    "catalog errors actually live).  Two nearest-rank medians via "
+    "brand-partitioned rank windows with total-order tie-breaks; "
+    "the outlier re-join broadcasts the 25-row MAD table.",
+    tags=("analytics", "dq"),
+)
+def unit_price_mad_outliers_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 1
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    up = li.join(
+        F.broadcast(part), li["l_partkey"] == F.col("p_partkey")
+    ).select(
+        "p_brand",
+        F.expr(
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+            " DIV CAST(round(l_quantity, 0) AS BIGINT)"
+        ).alias("unit_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = W.partitionBy("p_brand").orderBy(
+        "unit_c", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("p_brand")
+    med = (
+        up.select(
+            "p_brand",
+            "unit_c",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.max(
+                F.when(F.expr("rn = (n + 1) DIV 2"), F.col("unit_c"))
+            ).alias("m")
+        )
+    )
+    dev = up.join(F.broadcast(med), "p_brand").select(
+        "p_brand",
+        F.abs(F.col("unit_c") - F.col("m")).alias("ad"),
+        "l_orderkey",
+        "l_linenumber",
+        "m",
+    )
+    wrd = W.partitionBy("p_brand").orderBy(
+        "ad", "l_orderkey", "l_linenumber"
+    )
+    mad = (
+        dev.select(
+            "p_brand",
+            "ad",
+            "m",
+            F.row_number().over(wrd).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.max("m").alias("med_c"),
+            F.max(
+                F.when(F.expr("rn = (n + 1) DIV 2"), F.col("ad"))
+            ).alias("mad_c"),
+        )
+    )
+    return (
+        up.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.max("med_c") / 100.0, 2).alias(
+                "median_unit_price"
+            ),
+            F.round(F.max("mad_c") / 100.0, 2).alias("mad_unit_price"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("unit_c") - F.col("med_c"))
+                    > 5 * F.greatest(F.col("mad_c"), F.lit(1)),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -4299,3 +4299,78 @@ def token_mass_by_doclen_bucket(
             " ROWS UNBOUNDED PRECEDING) DIV t AS BIGINT)"
         ).alias("cum_share_ppm"),
     )
+
+
+# --- vocabulary size vs corpus coverage curve ---------------------------------------
+
+
+@register(
+    "vocab_size_coverage_curve",
+    oracle=f"""
+    , tf AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest({duck_tokens()}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    rk AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        FROM tf
+    ),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM rk),
+    sweep AS (SELECT unnest([100, 1000, 10000]) AS vocab_size)
+    SELECT s.vocab_size,
+           CAST(max(t.v) AS BIGINT) AS corpus_vocab,
+           CAST(sum(CASE WHEN r.r <= s.vocab_size THEN r.c ELSE 0 END)
+               AS BIGINT) AS tokens_covered,
+           CAST((1000000 * sum(CASE WHEN r.r <= s.vocab_size
+                                    THEN r.c ELSE 0 END))
+                // max(t.n) AS BIGINT) AS coverage_ppm
+    FROM rk r CROSS JOIN sweep s CROSS JOIN tot t
+    GROUP BY s.vocab_size
+    """,
+    doc="Tokenizer sizing curve: the share of all token occurrences "
+    "covered by the top-100 / top-1k / top-10k vocabulary (frequency "
+    "rank with total-order tie-break) — the empirical curve behind "
+    "choosing a vocab size, turning oov_rate_fixed_vocab's single "
+    "point into the sweep, and Zipf's law into a budget number "
+    "(if top-1k already covers 99 %, a 50k vocab buys almost "
+    "nothing on this corpus).  The rank runs over the aggregated "
+    "vocabulary (one row per type, not per occurrence); exact "
+    "integers.",
+    tags=("text", "training"),
+)
+def vocab_size_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = tf.select(
+        "c",
+        F.row_number().over(W.orderBy(F.desc("c"), "tok")).alias("r"),
+    )
+    tot = rk.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    sweep = spark.createDataFrame(
+        [(100,), (1000,), (10000,)], "vocab_size INT"
+    )
+    return (
+        rk.crossJoin(F.broadcast(sweep))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size")
+        .agg(
+            F.max("v").cast("long").alias("corpus_vocab"),
+            F.sum(
+                F.when(F.col("r") <= F.col("vocab_size"), F.col("c"))
+                .otherwise(0)
+            ).cast("long").alias("tokens_covered"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN r <= vocab_size"
+                " THEN c ELSE 0 END)) DIV max(n) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

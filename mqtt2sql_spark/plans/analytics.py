@@ -15117,3 +15117,95 @@ def unit_price_mad_outliers_by_brand(
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# --- peak revenue month per nation -----------------------------------------------------
+
+
+@register(
+    "peak_month_by_nation",
+    oracle="""
+    , nm AS (
+        SELECT n.n_name,
+               CAST(extract(month FROM l.l_shipdate) AS BIGINT) AS m,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100, 0) AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT n_name, sum(rev) AS tot FROM nm GROUP BY n_name),
+    rk AS (
+        SELECT n_name, m, rev,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY rev DESC, m) AS r
+        FROM nm
+    )
+    SELECT rk.n_name,
+           CAST(rk.m AS BIGINT) AS peak_month,
+           round(rk.rev / 100.0, 2) AS peak_month_rev,
+           CAST((1000000 * rk.rev) // t.tot AS BIGINT)
+               AS peak_share_ppm,
+           CAST((1000000 * rk.rev * 12) // t.tot - 1000000 AS BIGINT)
+               AS amplitude_vs_uniform_ppm
+    FROM rk JOIN t USING (n_name)
+    WHERE rk.r = 1
+    """,
+    doc="Seasonality alignment across markets: each nation's peak "
+    "calendar month of shipped revenue, its share of the nation's "
+    "annual total, and the signed amplitude vs the uniform 1/12 "
+    "baseline — if all 25 nations peak in the same month, capacity "
+    "planning is global; staggered peaks argue for regional "
+    "inventory pools (the per-market drill-down of "
+    "seasonal_index_monthly).  Exact cents, nation-partitioned "
+    "argmax with month tie-break.",
+    tags=("analytics", "seasonality"),
+)
+def peak_month_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    nm = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name", F.month("l_shipdate").cast("long").alias("m")
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+    t = nm.groupBy("n_name").agg(F.sum("rev").alias("tot"))
+    rk = nm.select(
+        "n_name",
+        "m",
+        "rev",
+        F.row_number()
+        .over(W.partitionBy("n_name").orderBy(F.desc("rev"), "m"))
+        .alias("r"),
+    ).filter(F.col("r") == 1)
+    return rk.join(F.broadcast(t), "n_name").select(
+        "n_name",
+        F.col("m").alias("peak_month"),
+        F.round(F.col("rev") / 100.0, 2).alias("peak_month_rev"),
+        F.expr("CAST((1000000 * rev) DIV tot AS BIGINT)").alias(
+            "peak_share_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * rev * 12) DIV tot - 1000000 AS BIGINT)"
+        ).alias("amplitude_vs_uniform_ppm"),
+    )

@@ -865,3 +865,78 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_duplicate_rows"),
     )
+
+
+# --- sensitivity of diff-only CDC to processing order ---------------------------
+
+
+@register(
+    "diffonly_order_sensitivity",
+    oracle="""
+    , flags AS (
+        SELECT CASE WHEN lag(value_str) OVER (PARTITION BY topic
+                        ORDER BY ts, event_id) IS DISTINCT FROM value_str
+                    THEN 1 ELSE 0 END AS keep_ts,
+               CASE WHEN lag(value_str) OVER (PARTITION BY topic
+                        ORDER BY event_id)  IS DISTINCT FROM value_str
+                    THEN 1 ELSE 0 END AS keep_arr
+        FROM messages
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_messages,
+           CAST(sum(keep_ts) AS BIGINT) AS kept_event_time,
+           CAST(sum(keep_arr) AS BIGINT) AS kept_arrival_order,
+           CAST(sum(keep_ts * keep_arr) AS BIGINT) AS kept_both,
+           CAST(sum(CASE WHEN keep_ts <> keep_arr THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_disagree,
+           CAST((1000000 * sum(CASE WHEN keep_ts <> keep_arr
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS disagree_ppm
+    FROM flags
+    """,
+    doc="How much does out-of-order arrival corrupt diff-only history? "
+    " The A10 diffonly dedup (keep a message iff it differs from the "
+    "topic's previous value — mqtt2sql.py history_diffonly semantics) "
+    "evaluated under BOTH orderings: event time (ts, the batch/"
+    "backfill result) and arrival order (event_id, what a streaming "
+    "pass without event-time buffering would produce).  disagree_ppm "
+    "is the exact fraction of rows whose keep/drop decision flips — "
+    "the data-loss/duplication budget that justifies the watermarked "
+    "applyInPandasWithState design over naive arrival-order "
+    "processing (streaming/diffonly.py).  Two lag windows over the "
+    "same topic shuffle, one fold; IS DISTINCT FROM handles the "
+    "first-message NULL identically on both engines.",
+    tags=("core", "streaming"),
+)
+def diffonly_order_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    msgs = messages(spark, sf_dir)
+    w_ts = W.partitionBy("topic").orderBy("ts", "event_id")
+    w_arr = W.partitionBy("topic").orderBy("event_id")
+    flags = msgs.select(
+        F.when(
+            ~F.lag("value").over(w_ts).eqNullSafe(F.col("value")), 1
+        )
+        .otherwise(0)
+        .alias("keep_ts"),
+        F.when(
+            ~F.lag("value").over(w_arr).eqNullSafe(F.col("value")), 1
+        )
+        .otherwise(0)
+        .alias("keep_arr"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_messages"),
+        F.sum("keep_ts").cast("long").alias("kept_event_time"),
+        F.sum("keep_arr").cast("long").alias("kept_arrival_order"),
+        F.sum(F.col("keep_ts") * F.col("keep_arr"))
+        .cast("long")
+        .alias("kept_both"),
+        F.sum(
+            F.when(F.col("keep_ts") != F.col("keep_arr"), 1).otherwise(0)
+        ).cast("long").alias("n_disagree"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN keep_ts <> keep_arr"
+            " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("disagree_ppm"),
+    )

@@ -3209,3 +3209,63 @@ def dup_arrival_distance_histogram(
             " ROWS UNBOUNDED PRECEDING) DIV n AS BIGINT)"
         ).alias("cum_share_ppm"),
     )
+
+
+# --- LSH bucket fan-out audit -----------------------------------------------------
+
+
+@register(
+    "lsh_bucket_fanout_histogram",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS ({_LONG_BANDS_SQL}),
+    bsz AS (
+        SELECT band_idx, band_key, count(*) AS sz
+        FROM long_bands GROUP BY band_idx, band_key
+    ),
+    h AS (
+        SELECT length(bin(sz)) - 1 AS log2_size,
+               sz, sz * (sz - 1) // 2 AS pairs
+        FROM bsz
+    )
+    SELECT h.log2_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(h.sz) AS BIGINT) AS n_entries,
+           CAST(sum(h.pairs) AS BIGINT) AS candidate_pairs,
+           CAST(max(h.sz) AS BIGINT) AS max_bucket
+    FROM h GROUP BY h.log2_size
+    """,
+    doc="The join-explosion audit behind every LSH claim: the size "
+    "distribution of MinHash band buckets (power-of-two histogram) "
+    "with the candidate-pair count sz·(sz−1)/2 each size class "
+    "generates — the LSH equi-join's actual fan-out is Σpairs, and "
+    "one mega-bucket (a boilerplate band value) can dominate the "
+    "whole dedup cost; this is the skew check that says whether the "
+    "bucketed join needs salting at corpus scale.  One agg over the "
+    "band layout, exact integers.",
+    tags=("dedup", "ops"),
+)
+def lsh_bucket_fanout_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    bands = minhash_bands(spark, sf_dir)
+    stack_expr = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    long_bands = bands.select(
+        F.expr(
+            f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"
+        )
+    )
+    bsz = long_bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    h = bsz.select(
+        (F.length(F.bin("sz")) - 1).alias("log2_size"),
+        "sz",
+        F.expr("sz * (sz - 1) DIV 2").alias("pairs"),
+    )
+    return h.groupBy("log2_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_entries"),
+        F.sum("pairs").cast("long").alias("candidate_pairs"),
+        F.max("sz").cast("long").alias("max_bucket"),
+    )

@@ -4374,3 +4374,85 @@ def vocab_size_coverage_curve(
             ).alias("coverage_ppm"),
         )
     )
+
+
+# --- which quality-gate condition fails, per source -----------------------------------
+
+
+@register(
+    "quality_fail_reason_breakdown",
+    oracle=f"""
+    , lab AS (
+        SELECT source,
+               CASE WHEN n_toks < 20 THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN cpt < 3 THEN 1 ELSE 0 END AS f_cpt_low,
+               CASE WHEN cpt > 12 THEN 1 ELSE 0 END AS f_cpt_high,
+               CASE WHEN sw_ratio < 0.01 THEN 1 ELSE 0 END AS f_sw
+        FROM (
+            SELECT source,
+                   len(toks) AS n_toks,
+                   CAST(len(list_filter(toks, x -> x IN
+                        ({", ".join(repr(w) for w in STOPWORDS)})))
+                        AS DOUBLE) / greatest(len(toks), 1) AS sw_ratio,
+                   CAST(length(text) AS DOUBLE)
+                       / greatest(len(toks), 1) AS cpt
+            FROM (SELECT source, text, {duck_tokens()} AS toks
+                  FROM documents)
+        )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f_short + f_cpt_low + f_cpt_high + f_sw
+                              > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_failed,
+           CAST(sum(f_short) AS BIGINT) AS n_too_short,
+           CAST(sum(f_cpt_low) AS BIGINT) AS n_cpt_low,
+           CAST(sum(f_cpt_high) AS BIGINT) AS n_cpt_high,
+           CAST(sum(f_sw) AS BIGINT) AS n_stopword_poor
+    FROM lab GROUP BY source
+    """,
+    doc="Actionable quality triage: per source, WHICH condition of the "
+    "C4/Gopher gate (quality_filter_pass) rejects documents — too "
+    "short, chars-per-token too low (fragmented/CJK-misread), too "
+    "high (unbroken blobs), or stopword-poor (lists/code).  A source "
+    "failing 90 % on one reason gets a targeted extractor fix; the "
+    "pass/fail rate alone (corpus_pipeline_funnel) can't say that.  "
+    "Reasons are counted independently (a doc can fail several).  "
+    "One scan, one agg; the ratio comparisons reuse the gate's exact "
+    "expressions so this decomposition ties out with the filter.",
+    tags=("text", "dq"),
+)
+def quality_fail_reason_breakdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    sw_ratio = count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    )
+    cpt = F.length("text").cast("double") / F.greatest(n_toks, F.lit(1))
+    lab = docs.select(
+        "source",
+        F.when(n_toks < 20, 1).otherwise(0).alias("f_short"),
+        F.when(cpt < 3, 1).otherwise(0).alias("f_cpt_low"),
+        F.when(cpt > 12, 1).otherwise(0).alias("f_cpt_high"),
+        F.when(sw_ratio < 0.01, 1).otherwise(0).alias("f_sw"),
+    )
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("f_short")
+                + F.col("f_cpt_low")
+                + F.col("f_cpt_high")
+                + F.col("f_sw")
+                > 0,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_failed"),
+        F.sum("f_short").cast("long").alias("n_too_short"),
+        F.sum("f_cpt_low").cast("long").alias("n_cpt_low"),
+        F.sum("f_cpt_high").cast("long").alias("n_cpt_high"),
+        F.sum("f_sw").cast("long").alias("n_stopword_poor"),
+    )

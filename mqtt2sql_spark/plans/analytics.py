@@ -15209,3 +15209,109 @@ def peak_month_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * rev * 12) DIV tot - 1000000 AS BIGINT)"
         ).alias("amplitude_vs_uniform_ppm"),
     )
+
+
+# --- win-back rate after dormancy --------------------------------------------------
+
+
+@register(
+    "winback_rate",
+    oracle="""
+    , seq AS (
+        SELECT o_custkey,
+               (epoch_us(o_orderdate)
+                - epoch_us(lag(o_orderdate)
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)))
+               // 86400000000 AS gap_days
+        FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey,
+               count(*) + 1 AS n_orders,
+               sum(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END)
+                   AS n_dormancies
+        FROM seq WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    d AS (
+        SELECT gap_days, o_custkey,
+               row_number() OVER (ORDER BY gap_days, o_custkey) AS rn,
+               count(*) OVER () AS n
+        FROM seq WHERE gap_days > 180
+    )
+    SELECT CAST((SELECT count(*) FROM cust) AS BIGINT)
+               AS n_repeat_customers,
+           CAST((SELECT count(*) FROM cust WHERE n_dormancies > 0)
+               AS BIGINT) AS n_winback_customers,
+           CAST((1000000 * (SELECT count(*) FROM cust
+                            WHERE n_dormancies > 0))
+                // (SELECT count(*) FROM cust) AS BIGINT)
+               AS winback_ppm,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS n_dormancies,
+           CAST((SELECT max(CASE WHEN rn = (n + 1) // 2
+                                 THEN gap_days END) FROM d)
+               AS BIGINT) AS median_dormancy_days
+    """,
+    doc="Win-back measurement: among repeat customers, how many came "
+    "back after a dormancy of more than 180 days between consecutive "
+    "orders — every such gap IS a successful win-back by definition "
+    "(the next order ends it), so the rate bounds what a reactivation "
+    "campaign can claim credit for, and the median dormancy length "
+    "prices how long 'lost' actually lasts.  One customer-keyed lag "
+    "window, exact day integers, nearest-rank median with total "
+    "order.",
+    tags=("analytics", "retention"),
+)
+def winback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.expr(
+            "(unix_micros(o_orderdate) - unix_micros(lag(o_orderdate)"
+            " OVER (PARTITION BY o_custkey ORDER BY o_orderdate,"
+            " o_orderkey))) DIV 86400000000"
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    cust = seq.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("gap_days") > 180, 1).otherwise(0)
+        ).alias("n_dormancies")
+    )
+    n_repeat = cust.agg(F.count(F.lit(1)).alias("nr"))
+    n_winback = cust.filter(F.col("n_dormancies") > 0).agg(
+        F.count(F.lit(1)).alias("nw")
+    )
+    d = seq.filter(F.col("gap_days") > 180).select(
+        "gap_days",
+        F.row_number()
+        .over(W.orderBy("gap_days", "o_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    dd = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("gap_days"))
+        ).alias("med"),
+    )
+    return (
+        n_repeat.crossJoin(n_winback)
+        .crossJoin(dd)
+        .select(
+            F.col("nr").cast("long").alias("n_repeat_customers"),
+            F.col("nw").cast("long").alias("n_winback_customers"),
+            F.expr("CAST((1000000 * nw) DIV nr AS BIGINT)").alias(
+                "winback_ppm"
+            ),
+            F.col("nd").cast("long").alias("n_dormancies"),
+            F.col("med").cast("long").alias("median_dormancy_days"),
+        )
+    )

@@ -3269,3 +3269,106 @@ def lsh_bucket_fanout_histogram(
         F.sum("pairs").cast("long").alias("candidate_pairs"),
         F.max("sz").cast("long").alias("max_bucket"),
     )
+
+
+# --- do MinHash-LSH and SimHash agree on candidates? --------------------------------
+
+
+@register(
+    "lsh_simhash_agreement",
+    oracle=_DUCK_MINHASH
+    + f"""
+    , long_bands AS ({_LONG_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM long_bands x JOIN long_bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    tok_hash AS (SELECT doc_id, md5(tok) AS th FROM tokpos),
+    bits AS (
+        SELECT doc_id, r.b AS b,
+               CASE WHEN ((instr('{_HEXMAP}',
+                               substring(th, CAST(r.b // 4 AS INTEGER) + 1,
+                                         1)) - 1)
+                          // CAST(pow(2, r.b % 4) AS INTEGER)) % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok_hash, range({_SIMHASH_BITS}) r(b)
+    ),
+    sb AS (
+        SELECT doc_id, b,
+               CASE WHEN sum(sgn) > 0 THEN 1 ELSE 0 END AS bit
+        FROM bits GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(bit * CAST(pow(2, b) AS BIGINT)) AS BIGINT)
+                   AS simhash
+        FROM sb GROUP BY doc_id
+    ),
+    ham AS (
+        SELECT bit_count(CAST(xor(sa.simhash, sb2.simhash) AS BIGINT))
+                   AS dist
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb2 ON sb2.doc_id = p.doc_b
+    ),
+    tot AS (SELECT count(*) AS n FROM ham)
+    SELECT h.dist // 4 AS dist_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(h.dist) AS BIGINT) AS min_dist,
+           CAST(max(h.dist) AS BIGINT) AS max_dist,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS share_ppm
+    FROM ham h CROSS JOIN tot t
+    GROUP BY h.dist // 4
+    """,
+    doc="Cross-family near-dup agreement: for every MinHash-LSH "
+    "candidate pair, the SimHash Hamming distance (32-bit signatures, "
+    "banded by 4) — if LSH candidates concentrate at low Hamming "
+    "distance the two sketch families corroborate and either can "
+    "gate the other cheaply; a flat distribution means the LSH pairs "
+    "are band-collision noise (the fixture's expected shape, since "
+    "it has no true near-dups — the test data's own documentation).  "
+    "Bounded by the candidate set; signatures join in, never "
+    "all-pairs.  Exact integers, xor+bit_count on both engines.",
+    tags=("dedup", "sketch"),
+)
+def lsh_simhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY.specs()["dedup_minhash_pairs"].fn(spark, sf_dir)
+    sig = REGISTRY.specs()["dedup_simhash"].fn(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    sb2 = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    ham = (
+        pairs.join(sa, "doc_a")
+        .join(sb2, "doc_b")
+        .select(
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).alias("dist")
+        )
+    )
+    tot = ham.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ham.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("dist DIV 4").alias("dist_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .select(
+            F.col("dist_band").cast("long").alias("dist_band"),
+            "n_pairs",
+            "min_dist",
+            "max_dist",
+            "share_ppm",
+        )
+    )

@@ -15315,3 +15315,105 @@ def winback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("med").cast("long").alias("median_dormancy_days"),
         )
     )
+
+
+# --- account balance vs realized revenue correlation ---------------------------------
+
+
+@register(
+    "acctbal_revenue_corr",
+    oracle="""
+    , cr AS (
+        SELECT c.c_mktsegment,
+               CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS x,
+               coalesce(o.rev, 0) AS y
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS rev
+            FROM orders GROUP BY o_custkey
+        ) o ON o.o_custkey = c.c_custkey
+    ),
+    s AS (
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM cr GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(floor(
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS r_e6
+    FROM s
+    """,
+    doc="Does account balance predict realized revenue?  Pearson "
+    "correlation per market segment between a customer's c_acctbal "
+    "and their lifetime order total (zero for never-ordered "
+    "customers, via LEFT JOIN — excluding them would bias r upward). "
+    " Near-zero r means balance is NOT a spend proxy and any "
+    "credit-based targeting model needs real features.  Exact "
+    "HUGEINT/DECIMAL sufficient statistics, CAST-AS-DOUBLE "
+    "correctly-rounded final formula, floor-e6.",
+    tags=("analytics", "stats"),
+)
+def acctbal_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("rev")
+    )
+    cr = cust.join(
+        rev, cust["c_custkey"] == rev["o_custkey"], "left"
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("x"),
+        F.coalesce(F.col("rev"), F.lit(0)).alias("y"),
+    )
+    s = cr.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+            "syy"
+        ),
+    )
+    return s.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.expr(
+            "CAST(floor("
+            "(CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "   / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(sxx AS DOUBLE)"
+            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            "           / CAST(n AS DOUBLE))"
+            "        * (CAST(syy AS DOUBLE)"
+            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "             / CAST(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("r_e6"),
+    )

@@ -3372,3 +3372,106 @@ def lsh_simhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm",
         )
     )
+
+
+# --- duplicate leakage across the train/eval split -----------------------------------
+
+
+@register(
+    "split_dup_leakage",
+    oracle=f"""
+    , h AS (
+        SELECT doc_id,
+               md5({duck_normalized()}) AS norm_hash,
+               CASE WHEN instr('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                         - 1 < 13
+                    THEN 1 ELSE 0 END AS is_train
+        FROM documents
+    ),
+    grp AS (
+        SELECT norm_hash,
+               count(*) AS gsize,
+               sum(is_train) AS n_train
+        FROM h GROUP BY norm_hash
+        HAVING count(*) > 1
+    ),
+    ev AS (
+        SELECT count(*) AS n_eval FROM h WHERE is_train = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN n_train > 0 AND n_train < gsize
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaking_groups,
+           CAST(sum(CASE WHEN n_train > 0 THEN gsize - n_train
+                         ELSE 0 END) AS BIGINT)
+               AS n_contaminated_eval_docs,
+           CAST((1000000 * sum(CASE WHEN n_train > 0
+                                    THEN gsize - n_train ELSE 0 END))
+                // greatest((SELECT n_eval FROM ev), 1) AS BIGINT)
+               AS eval_contamination_ppm
+    FROM grp
+    """,
+    doc="The dedup-split interaction that silently inflates eval "
+    "scores: exact-dup groups with members on BOTH sides of the "
+    "train/eval hash split (train_test_split's 13/16 nibble rule) — "
+    "every eval doc whose duplicate sits in train is memorization "
+    "credit, not generalization.  Reports leaking groups and the "
+    "contaminated share of the eval split; the remedy (dedup BEFORE "
+    "splitting, or split by canonical group key) is exactly why "
+    "dedup_canonical_docs exists upstream.  One digest-shuffle agg; "
+    "exact integers.",
+    tags=("dedup", "training"),
+)
+def split_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    h = docs.select(
+        F.md5(normalized_text("text")).alias("norm_hash"),
+        F.when(nibble < 13, 1).otherwise(0).alias("is_train"),
+    )
+    grp = (
+        h.groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("gsize"),
+            F.sum("is_train").alias("n_train"),
+        )
+        .filter(F.col("gsize") > 1)
+    )
+    ev = h.filter(F.col("is_train") == 0).agg(
+        F.count(F.lit(1)).alias("n_eval")
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.sum(
+            F.when(
+                (F.col("n_train") > 0)
+                & (F.col("n_train") < F.col("gsize")),
+                1,
+            ).otherwise(0)
+        ).alias("n_leaking_groups"),
+        F.sum(
+            F.when(
+                F.col("n_train") > 0, F.col("gsize") - F.col("n_train")
+            ).otherwise(0)
+        ).alias("n_contaminated"),
+    )
+    return agg.crossJoin(F.broadcast(ev)).select(
+        F.col("n_dup_groups").cast("long").alias("n_dup_groups"),
+        F.col("n_leaking_groups").cast("long").alias(
+            "n_leaking_groups"
+        ),
+        F.col("n_contaminated").cast("long").alias(
+            "n_contaminated_eval_docs"
+        ),
+        F.expr(
+            "CAST((1000000 * n_contaminated)"
+            " DIV greatest(n_eval, 1) AS BIGINT)"
+        ).alias("eval_contamination_ppm"),
+    )

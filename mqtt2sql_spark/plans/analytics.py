@@ -15417,3 +15417,72 @@ def acctbal_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("r_e6"),
     )
+
+
+# --- supply-nation spread per order ------------------------------------------------------
+
+
+@register(
+    "order_supply_nation_spread",
+    oracle="""
+    , os AS (
+        SELECT l.l_orderkey,
+               count(DISTINCT s.s_nationkey) AS n_nations,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY l.l_orderkey
+    ),
+    tot AS (SELECT count(*) AS n FROM os)
+    SELECT o.n_nations,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.n_lines) AS BIGINT) AS n_lines,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS order_share_ppm
+    FROM os o CROSS JOIN tot t
+    GROUP BY o.n_nations
+    """,
+    doc="Fulfillment coordination cost: how many distinct supplier "
+    "NATIONS an order draws from, histogrammed — multi-nation orders "
+    "mean split customs/consolidation and are where "
+    "order_ship_span_histogram's long spans come from; the share of "
+    "single-nation orders is the ceiling for a 'regional "
+    "fulfillment' fast path.  One broadcast dim join, one "
+    "order-grain distinct-count agg; exact integers.",
+    tags=("analytics", "ops"),
+)
+def order_supply_nation_spread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    os_ = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("s_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    tot = os_.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        os_.crossJoin(F.broadcast(tot))
+        .groupBy("n_nations")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("order_share_ppm"),
+        )
+        .select(
+            F.col("n_nations").cast("long").alias("n_nations"),
+            "n_orders",
+            "n_lines",
+            "order_share_ppm",
+        )
+    )

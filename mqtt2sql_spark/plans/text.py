@@ -4456,3 +4456,73 @@ def quality_fail_reason_breakdown(
         F.sum("f_cpt_high").cast("long").alias("n_cpt_high"),
         F.sum("f_sw").cast("long").alias("n_stopword_poor"),
     )
+
+
+# --- boilerplate share at sentence grain -----------------------------------------------
+
+
+@register(
+    "boilerplate_sentence_share",
+    oracle="""
+    , sent AS (
+        SELECT source, md5(trim(s)) AS sk
+        FROM (
+            SELECT source,
+                   unnest(string_split_regex(text, '[.!?]+')) AS s
+            FROM documents
+        ) WHERE length(trim(s)) > 0
+    ),
+    df AS (
+        SELECT sk, count(*) AS occ FROM sent GROUP BY sk
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN d.occ > 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           CAST((1000000 * sum(CASE WHEN d.occ > 10 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS boilerplate_ppm,
+           CAST(max(d.occ) AS BIGINT) AS max_sentence_occ
+    FROM sent s JOIN df d USING (sk)
+    GROUP BY s.source
+    """,
+    doc="Boilerplate at sentence grain (the C4 practice): hash each "
+    "terminal-punctuation-delimited sentence, count corpus-wide "
+    "occurrences, and report per source the share of sentence "
+    "instances that repeat more than 10 times — cookie banners, "
+    "nav text and legal footers live here, below document-level "
+    "dedup's radar and above trigram noise "
+    "(boilerplate_trigrams/span_removal operate at n-gram grain; "
+    "this is the removal unit an extractor actually drops).  "
+    "One digest agg + one re-join keyed on the digest; exact "
+    "integers.",
+    tags=("text", "dedup"),
+)
+def boilerplate_sentence_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sent = (
+        docs.select(
+            "source", F.explode(F.split("text", "[.!?]+")).alias("s")
+        )
+        .filter(F.length(F.trim("s")) > 0)
+        .select("source", F.md5(F.trim("s")).alias("sk"))
+    )
+    df = sent.groupBy("sk").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        sent.join(df, "sk")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(
+                F.when(F.col("occ") > 10, 1).otherwise(0)
+            ).cast("long").alias("n_boilerplate"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN occ > 10 THEN 1"
+                " ELSE 0 END)) DIV count(*) AS BIGINT)"
+            ).alias("boilerplate_ppm"),
+            F.max("occ").cast("long").alias("max_sentence_occ"),
+        )
+    )

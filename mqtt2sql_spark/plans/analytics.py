@@ -15486,3 +15486,93 @@ def order_supply_nation_spread(
             "order_share_ppm",
         )
     )
+
+
+# --- price-size monotonicity inversions per brand ------------------------------------------
+
+
+@register(
+    "price_size_inversions_by_brand",
+    oracle="""
+    , p AS (
+        SELECT p_brand, p_partkey,
+               CAST(p_size AS BIGINT) AS sz,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.p_brand,
+               count(*) AS n_pairs,
+               sum(CASE WHEN a.pc > b.pc THEN 1 ELSE 0 END)
+                   AS n_inversions,
+               sum(CASE WHEN a.pc = b.pc THEN 1 ELSE 0 END) AS n_ties
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.sz < b.sz
+        GROUP BY a.p_brand
+    )
+    SELECT p_brand,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_inversions AS BIGINT) AS n_inversions,
+           CAST(n_ties AS BIGINT) AS n_ties,
+           CAST((1000000 * n_inversions) // greatest(n_pairs, 1)
+               AS BIGINT) AS inversion_ppm
+    FROM pairs
+    """,
+    doc="Price-ladder sanity per brand: among all part pairs where "
+    "size strictly increases, how often does retail price DECREASE — "
+    "the Kendall-style inversion count that says whether 'bigger "
+    "costs more' holds, catalog-wide, without assuming linearity "
+    "(the rank-order complement of size_price_slope_by_type's OLS). "
+    " High inversion_ppm on one brand is a mispriced ladder.  The "
+    "pairwise join is within-brand over the part DIMENSION "
+    "(25 brands × ~k² bounded pairs), never facts; exact integers.",
+    tags=("analytics", "dq", "pricing"),
+)
+def price_size_inversions_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("sz"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias(
+            "pc"
+        ),
+    )
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("sz").alias("sza"),
+        F.col("pc").alias("pca"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("sz").alias("szb"),
+        F.col("pc").alias("pcb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("brand") == F.col("brand_b"))
+            & (F.col("sza") < F.col("szb")),
+        )
+        .groupBy(F.col("brand").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("pca") > F.col("pcb"), 1).otherwise(0)
+            ).alias("n_inversions"),
+            F.sum(
+                F.when(F.col("pca") == F.col("pcb"), 1).otherwise(0)
+            ).alias("n_ties"),
+        )
+    )
+    return pairs.select(
+        "p_brand",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_inversions").cast("long").alias("n_inversions"),
+        F.col("n_ties").cast("long").alias("n_ties"),
+        F.expr(
+            "CAST((1000000 * n_inversions) DIV greatest(n_pairs, 1)"
+            " AS BIGINT)"
+        ).alias("inversion_ppm"),
+    )

@@ -5052,3 +5052,67 @@ def watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_ppm"),
         )
     )
+
+
+# --- instrumentation duplicate events ---------------------------------------------------
+
+
+@register(
+    "instrumentation_dup_events",
+    oracle="""
+    , g AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) // 1000000 AS sec,
+               count(*) AS k
+        FROM events
+        GROUP BY user_id, event_type, epoch_us(ts) // 1000000
+    ),
+    tot AS (SELECT sum(k) AS n FROM g)
+    SELECT g.k AS multiplicity,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(g.k * count(*) AS BIGINT) AS n_events,
+           CAST((1000000 * (g.k - 1) * count(*)) // max(t.n)
+               AS BIGINT) AS excess_share_ppm
+    FROM g CROSS JOIN tot t
+    GROUP BY g.k
+    """,
+    doc="Double-fire detection in the event instrumentation: "
+    "multiplicity histogram of (user, type, second) groups — "
+    "multiplicity ≥ 2 is the double-click/retry/SDK-replay "
+    "signature, and excess_share_ppm is exactly the over-counting "
+    "every downstream count-based metric carries if events aren't "
+    "deduplicated at ingest (the at-most-once QoS-0 reference "
+    "semantics make real dupes upstream unlikely, so these are "
+    "producer-side).  One second-grain agg; exact integers.",
+    tags=("timeseries", "dq"),
+)
+def instrumentation_dup_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) DIV 1000000").alias("sec"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    tot = g.agg(F.sum("k").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            (F.col("k") * F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_events"),
+            F.expr(
+                "CAST((1000000 * (k - 1) * count(*)) DIV max(n)"
+                " AS BIGINT)"
+            ).alias("excess_share_ppm"),
+        )
+        .select(
+            F.col("k").cast("long").alias("multiplicity"),
+            "n_groups",
+            "n_events",
+            "excess_share_ppm",
+        )
+    )

@@ -15576,3 +15576,72 @@ def price_size_inversions_by_brand(
             " AS BIGINT)"
         ).alias("inversion_ppm"),
     )
+
+
+# --- per-order rounding loss audit -----------------------------------------------------
+
+
+@register(
+    "rounding_loss_audit",
+    oracle="""
+    , per_line AS (
+        SELECT l_orderkey,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                   AS BIGINT) AS line_cents,
+               CAST(round(l_extendedprice * (1 - l_discount) * 1000000,
+                          0) AS BIGINT) AS line_microcents
+        FROM lineitem
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               sum(line_cents) AS sum_rounded,
+               (sum(line_microcents) + 5000) // 10000 AS rounded_sum
+        FROM per_line GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN sum_rounded <> rounded_sum
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orders_differ,
+           CAST(sum(abs(sum_rounded - rounded_sum)) AS BIGINT)
+               AS total_abs_diff_cents,
+           CAST(max(abs(sum_rounded - rounded_sum)) AS BIGINT)
+               AS max_abs_diff_cents
+    FROM per_order
+    """,
+    doc="Invoice rounding policy audit: per order, the difference "
+    "between summing line amounts rounded to cents (how line items "
+    "print) and rounding the exact order total once (how the ledger "
+    "books it) — the classic penny-drift that reconciliation jobs "
+    "chase.  n_orders_differ bounds how many invoices can disagree "
+    "with the ledger by construction, before any data error "
+    "(order_total_reconciliation then finds the REAL errors on "
+    "top).  The 'round once' side sums exact MICROCENT integers "
+    "per line and rounds half-up via (s+5000) DIV 10000 — even a "
+    "7-term float sum hits boundary divergence across engines "
+    "(witnessed at sf0.1), so no float sum exists anywhere here.",
+    tags=("analytics", "dq", "finance"),
+)
+def rounding_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(raw * 100, 0).cast("long")).alias("sum_rounded"),
+        F.expr(
+            "(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+            " * 1000000, 0) AS BIGINT)) + 5000) DIV 10000"
+        ).alias("rounded_sum"),
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("sum_rounded") != F.col("rounded_sum"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_orders_differ"),
+        F.sum(
+            F.abs(F.col("sum_rounded") - F.col("rounded_sum"))
+        ).cast("long").alias("total_abs_diff_cents"),
+        F.max(
+            F.abs(F.col("sum_rounded") - F.col("rounded_sum"))
+        ).cast("long").alias("max_abs_diff_cents"),
+    )

@@ -4526,3 +4526,103 @@ def boilerplate_sentence_share(
             F.max("occ").cast("long").alias("max_sentence_occ"),
         )
     )
+
+
+# --- token keyness of quality-failing documents -------------------------------------------
+
+
+@register(
+    "quality_fail_token_keyness",
+    oracle=f"""
+    , lab AS (
+        SELECT CASE WHEN len(toks) >= 20
+                         AND CAST(length(text) AS DOUBLE)
+                             / greatest(len(toks), 1) BETWEEN 3 AND 12
+                         AND CAST(len(list_filter(toks, x -> x IN
+                              ({", ".join(repr(w) for w in STOPWORDS)})))
+                              AS DOUBLE) / greatest(len(toks), 1) >= 0.01
+                    THEN 0 ELSE 1 END AS failed,
+               toks
+        FROM (SELECT text, {duck_tokens()} AS toks FROM documents)
+    ),
+    tok AS (
+        SELECT failed, unnest(toks) AS tok FROM lab
+    ),
+    cnt AS (
+        SELECT tok,
+               sum(failed) AS f,
+               sum(1 - failed) AS p
+        FROM tok GROUP BY tok
+    ),
+    tot AS (
+        SELECT sum(f) AS tf, sum(p) AS tp FROM cnt
+    )
+    SELECT tok,
+           CAST(f AS BIGINT) AS n_in_failed,
+           CAST(p AS BIGINT) AS n_in_passed,
+           CAST(((f + 1) * (t.tp + 1) * 1000)
+                // ((p + 1) * (t.tf + 1)) AS BIGINT) AS lift_e3,
+           CAST(row_number() OVER (
+               ORDER BY ((f + 1) * (t.tp + 1) * 1000)
+                        // ((p + 1) * (t.tf + 1)) DESC, tok
+           ) AS BIGINT) AS rank
+    FROM cnt CROSS JOIN tot t
+    QUALIFY rank <= 25
+    """,
+    doc="What do rejected documents SAY?  Add-one-smoothed relative "
+    "token rate between quality-gate failures and passes — top-25 "
+    "tokens by lift toward the failing class, the error signature "
+    "that tells an extractor owner what pattern the gate is "
+    "rejecting (nav text? code? a single broken source template?). "
+    " Integer-smoothed lift ((f+1)(P+1))/((p+1)(F+1)) in e3 "
+    "fixed-point — the log-odds keyness statistic without the log, "
+    "same ranking.  One exploded agg over (token, class), "
+    "vocabulary-sized ranking.",
+    tags=("text", "dq"),
+)
+def quality_fail_token_keyness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    sw_ratio = count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    )
+    cpt = F.length("text").cast("double") / F.greatest(n_toks, F.lit(1))
+    lab = docs.select(
+        F.when(
+            (n_toks >= 20)
+            & (cpt >= 3)
+            & (cpt <= 12)
+            & (sw_ratio >= 0.01),
+            0,
+        )
+        .otherwise(1)
+        .alias("failed"),
+        toks.alias("toks"),
+    )
+    tok = lab.select("failed", F.explode("toks").alias("tok"))
+    cnt = tok.groupBy("tok").agg(
+        F.sum("failed").alias("f"),
+        F.sum(1 - F.col("failed")).alias("p"),
+    )
+    tot = cnt.agg(F.sum("f").alias("tf"), F.sum("p").alias("tp"))
+    ranked = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.col("f").cast("long").alias("n_in_failed"),
+        F.col("p").cast("long").alias("n_in_passed"),
+        F.expr(
+            "CAST(((f + 1) * (tp + 1) * 1000)"
+            " DIV ((p + 1) * (tf + 1)) AS BIGINT)"
+        ).alias("lift_e3"),
+    ).select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("lift_e3"), "tok"))
+        .cast("long")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 25)

@@ -15645,3 +15645,67 @@ def rounding_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("sum_rounded") - F.col("rounded_sum"))
         ).cast("long").alias("max_abs_diff_cents"),
     )
+
+
+# --- priority mix by customer order rank ----------------------------------------------------
+
+
+@register(
+    "priority_by_order_rank",
+    oracle="""
+    , rk AS (
+        SELECT o_orderpriority,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                   AS order_rank
+        FROM orders
+    )
+    SELECT order_rank,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST((1000000 * sum(CASE WHEN o_orderpriority IN
+                                    ('1-URGENT', '2-HIGH')
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS urgent_share_ppm
+    FROM rk WHERE order_rank <= 10
+    GROUP BY order_rank
+    """,
+    doc="Do customers escalate?  The share of urgent/high-priority "
+    "orders at each position in a customer's order sequence (1st, "
+    "2nd, … 10th) — a rising curve means tenure breeds urgency "
+    "(expedite-dependence worth pricing), a flat one means priority "
+    "is order-intrinsic and lifecycle targeting won't move it.  One "
+    "customer-keyed rank window, one 10-group fold; exact integers.",
+    tags=("analytics", "behavior"),
+)
+def priority_by_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rk = orders.select(
+        "o_orderpriority",
+        F.row_number()
+        .over(
+            W.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("order_rank"),
+    ).filter(F.col("order_rank") <= 10)
+    return rk.groupBy("order_rank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_urgent"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN o_orderpriority IN"
+            " ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("urgent_share_ppm"),
+    ).select(
+        F.col("order_rank").cast("long").alias("order_rank"),
+        "n_orders",
+        "n_urgent",
+        "urgent_share_ppm",
+    )

@@ -4626,3 +4626,69 @@ def quality_fail_token_keyness(
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= 25)
+
+
+# --- source-language purity against the majority label ----------------------------------
+
+
+@register(
+    "source_lang_majority_purity",
+    oracle="""
+    , sl AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    mj AS (
+        SELECT source, lang AS major_lang, n AS major_n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS r
+        FROM sl
+    ),
+    tot AS (SELECT source, sum(n) AS total FROM sl GROUP BY source)
+    SELECT m.source,
+           m.major_lang,
+           CAST(t.total AS BIGINT) AS n_docs,
+           CAST(m.major_n AS BIGINT) AS n_major,
+           CAST((1000000 * m.major_n) // t.total AS BIGINT)
+               AS purity_ppm,
+           CAST(t.total - m.major_n AS BIGINT) AS n_off_major
+    FROM mj m JOIN tot t USING (source)
+    WHERE m.r = 1
+    """,
+    doc="Monolingual-source verification: each source's majority "
+    "language and how pure it is — a 'German news' source at 70 % "
+    "purity either has a langid problem or a scraping problem, and "
+    "either way its off-majority docs are the first place to audit "
+    "(simpson_diversity_by_source scores diversity; this names the "
+    "winner and isolates the residue).  One (source, lang) agg, "
+    "argmax with lang tie-break; exact integers.",
+    tags=("text", "langid", "dq"),
+)
+def source_lang_majority_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mj = sl.select(
+        "source",
+        F.col("lang").alias("major_lang"),
+        F.col("n").alias("major_n"),
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("n"), "lang"))
+        .alias("r"),
+    ).filter(F.col("r") == 1)
+    tot = sl.groupBy("source").agg(F.sum("n").alias("total"))
+    return mj.join(F.broadcast(tot), "source").select(
+        "source",
+        "major_lang",
+        F.col("total").cast("long").alias("n_docs"),
+        F.col("major_n").cast("long").alias("n_major"),
+        F.expr(
+            "CAST((1000000 * major_n) DIV total AS BIGINT)"
+        ).alias("purity_ppm"),
+        (F.col("total") - F.col("major_n"))
+        .cast("long")
+        .alias("n_off_major"),
+    )

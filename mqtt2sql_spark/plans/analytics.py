@@ -15709,3 +15709,81 @@ def priority_by_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_urgent",
         "urgent_share_ppm",
     )
+
+
+# --- shipment span vs order size ---------------------------------------------------------------
+
+
+@register(
+    "ship_span_by_line_count",
+    oracle="""
+    , per AS (
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               (max(epoch_us(l_shipdate)) - min(epoch_us(l_shipdate)))
+                   // 86400000000 AS span_days
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    r AS (
+        SELECT n_lines, span_days,
+               row_number() OVER (PARTITION BY n_lines
+                                  ORDER BY span_days, l_orderkey) AS rn,
+               count(*) OVER (PARTITION BY n_lines) AS n
+        FROM per
+    )
+    SELECT n_lines,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN span_days END)
+               AS BIGINT) AS median_span_days,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN span_days END)
+               AS BIGINT) AS p90_span_days,
+           CAST((10000 * sum(span_days)) // max(n) AS BIGINT)
+               AS mean_span_days_e4
+    FROM r GROUP BY n_lines
+    """,
+    doc="Does order size drive fulfillment spread?  Median/P90/mean "
+    "first-to-last-shipment span per line count — quantifies how "
+    "much each extra line item costs in consolidated-delivery time "
+    "(the curve behind order_ship_span_histogram, conditioned on "
+    "size), which prices 'split big orders' as an ops lever.  "
+    "Order-grain agg, then a line-count-partitioned rank for exact "
+    "medians with total-order tie-break.",
+    tags=("analytics", "ops"),
+)
+def ship_span_by_line_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "(max(unix_micros(l_shipdate))"
+            " - min(unix_micros(l_shipdate))) DIV 86400000000"
+        ).alias("span_days"),
+    )
+    wr = W.partitionBy("n_lines").orderBy("span_days", "l_orderkey")
+    wn = W.partitionBy("n_lines")
+    r = per.select(
+        "n_lines",
+        "span_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("n_lines").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("span_days"))
+        ).cast("long").alias("median_span_days"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("span_days"))
+        ).cast("long").alias("p90_span_days"),
+        F.expr(
+            "CAST((10000 * sum(span_days)) DIV max(n) AS BIGINT)"
+        ).alias("mean_span_days_e4"),
+    ).select(
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_orders",
+        "median_span_days",
+        "p90_span_days",
+        "mean_span_days_e4",
+    )

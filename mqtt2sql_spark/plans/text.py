@@ -4692,3 +4692,71 @@ def source_lang_majority_purity(
         .cast("long")
         .alias("n_off_major"),
     )
+
+
+# --- type-token ratio controlled by document length ---------------------------------------
+
+
+@register(
+    "ttr_by_length_bucket",
+    oracle=f"""
+    , d AS (
+        SELECT len(toks) AS n_tok,
+               len(list_distinct(toks)) AS n_types
+        FROM (SELECT {duck_tokens()} AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    b AS (
+        SELECT length(bin(n_tok + 1)) - 1 AS log2_bucket,
+               n_tok, n_types
+        FROM d
+    )
+    SELECT log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST((10000 * sum(n_types)) // sum(n_tok) AS BIGINT)
+               AS pooled_ttr_e4,
+           CAST(sum((10000 * n_types) // n_tok) // count(*) AS BIGINT)
+               AS mean_doc_ttr_e4
+    FROM b GROUP BY log2_bucket
+    """,
+    doc="Type-token ratio with the length confound controlled: TTR "
+    "falls mechanically as documents grow (Heaps), so raw corpus "
+    "TTR comparisons mislead — this reports pooled and per-doc mean "
+    "TTR within power-of-two length buckets, where same-bucket "
+    "comparisons are fair.  A bucket whose TTR sits far below its "
+    "neighbours is repetitive/template text the repetition_filter "
+    "should be catching.  Exact integer fixed-point (per-doc ratios "
+    "integer-divided before the mean, identically on both engines); "
+    "one scan, one small agg.",
+    tags=("text",),
+)
+def ttr_by_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    ).filter(F.col("n_tok") > 0)
+    b = d.select(
+        (F.length(F.bin(F.col("n_tok") + 1)) - 1).alias("log2_bucket"),
+        "n_tok",
+        "n_types",
+    )
+    return b.groupBy("log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((10000 * sum(n_types)) DIV sum(n_tok) AS BIGINT)"
+        ).alias("pooled_ttr_e4"),
+        F.expr(
+            "CAST(sum((10000 * n_types) DIV n_tok) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("mean_doc_ttr_e4"),
+    ).select(
+        F.col("log2_bucket").cast("long").alias("log2_bucket"),
+        "n_docs",
+        "n_tokens",
+        "pooled_ttr_e4",
+        "mean_doc_ttr_e4",
+    )

@@ -15787,3 +15787,132 @@ def ship_span_by_line_count(
         "p90_span_days",
         "mean_span_days_e4",
     )
+
+
+# --- session depth vs duration correlation ---------------------------------------------------
+
+
+@register(
+    "session_depth_duration_corr",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w
+                         <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid,
+               ts
+        FROM flagged
+    ),
+    per AS (
+        SELECT count(*) AS x,
+               (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS y
+        FROM sess GROUP BY user_id, sid
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM per
+    )
+    SELECT CAST(n AS BIGINT) AS n_sessions,
+           CAST((10000 * sx) // n AS BIGINT) AS mean_depth_e4,
+           CAST((10000 * sy) // n AS BIGINT) AS mean_duration_s_e4,
+           CAST(floor(
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS r_e6
+    FROM s
+    """,
+    doc="Are deep sessions long sessions?  Pearson correlation between "
+    "a session's event count and its wall-clock duration (30-min-gap "
+    "sessions) — near-1 means depth is just time and either metric "
+    "suffices; materially below 1 means some sessions are "
+    "rapid-fire (bots, bursts) and engagement dashboards need both "
+    "axes.  Exact HUGEINT/DECIMAL sufficient statistics off the "
+    "session grain, CAST-AS-DOUBLE floor-e6 for r.",
+    tags=("analytics", "sessions"),
+)
+def session_depth_duration_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= _SESSION_GAP_MIN * 60 * 1000000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+        "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts)))"
+            " DIV 1000000"
+        ).alias("y"),
+    )
+    s = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+            "syy"
+        ),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_sessions"),
+        F.expr("CAST((10000 * sx) DIV n AS BIGINT)").alias(
+            "mean_depth_e4"
+        ),
+        F.expr("CAST((10000 * sy) DIV n AS BIGINT)").alias(
+            "mean_duration_s_e4"
+        ),
+        F.expr(
+            "CAST(floor("
+            "(CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "   / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(sxx AS DOUBLE)"
+            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            "           / CAST(n AS DOUBLE))"
+            "        * (CAST(syy AS DOUBLE)"
+            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "             / CAST(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("r_e6"),
+    )

@@ -4760,3 +4760,75 @@ def ttr_by_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pooled_ttr_e4",
         "mean_doc_ttr_e4",
     )
+
+
+# --- single-token dominance (near-zero-information docs) ------------------------------------
+
+
+@register(
+    "token_dominance_by_source",
+    oracle=f"""
+    , tf AS (
+        SELECT doc_id, source, tok, count(*) AS c
+        FROM (SELECT doc_id, source, unnest({duck_tokens()}) AS tok
+              FROM documents)
+        GROUP BY doc_id, source, tok
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               max(c) AS top_c,
+               sum(c) AS n_tok
+        FROM tf GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN 10 * top_c > 3 * n_tok
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dominated,
+           CAST((1000000 * sum(CASE WHEN 10 * top_c > 3 * n_tok
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS dominated_ppm,
+           CAST((10000 * sum(top_c)) // sum(n_tok) AS BIGINT)
+               AS mean_top_share_e4
+    FROM per_doc GROUP BY source
+    """,
+    doc="Near-zero-information documents: per source, the share of "
+    "docs whose single most frequent token exceeds 30 % of all "
+    "occurrences (the 10·top > 3·n integer form — no ratio "
+    "rounding) — spam keyword stuffing, log dumps and broken "
+    "extractors all present this way, and a per-doc repeated-"
+    "phrase filter (repetition_filter) misses the single-token "
+    "case.  One (doc, token) agg then a doc-grain max/sum; exact "
+    "integers.",
+    tags=("text", "dq"),
+)
+def token_dominance_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tf = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens("text")).alias("tok")
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id", "source").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(10 * F.col("top_c") > 3 * F.col("n_tok"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_dominated"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN 10 * top_c > 3 * n_tok"
+            " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("dominated_ppm"),
+        F.expr(
+            "CAST((10000 * sum(top_c)) DIV sum(n_tok) AS BIGINT)"
+        ).alias("mean_top_share_e4"),
+    )

@@ -15916,3 +15916,72 @@ def session_depth_duration_corr(
             " * 1000000) AS BIGINT)"
         ).alias("r_e6"),
     )
+
+
+# --- supplier activity histogram ----------------------------------------------------------------
+
+
+@register(
+    "supplier_activity_histogram",
+    oracle="""
+    , per AS (
+        SELECT l_suppkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+        SELECT count(*) AS n_sup, sum(n_lines) AS n_total FROM per
+    )
+    SELECT length(bin(p.n_lines)) - 1 AS log2_lines,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(p.n_lines) AS BIGINT) AS n_lines,
+           CAST((1000000 * count(*)) // max(t.n_sup) AS BIGINT)
+               AS supplier_share_ppm,
+           CAST((1000000 * sum(p.n_lines)) // max(t.n_total)
+               AS BIGINT) AS volume_share_ppm
+    FROM per p CROSS JOIN tot t
+    GROUP BY length(bin(p.n_lines)) - 1
+    """,
+    doc="Supply-base activity distribution: suppliers histogrammed by "
+    "power-of-two shipment-line count, with each band's share of "
+    "suppliers vs share of volume — the long-tail picture behind "
+    "excess_share_suppliers: if the bottom bands hold half the "
+    "suppliers but 2 % of volume, consolidating them is cheap; if "
+    "volume is spread, the tail is load-bearing.  One fact agg to "
+    "supplier grain, exact integers, log2 via binary length.",
+    tags=("analytics", "ops"),
+)
+def supplier_activity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum("n_lines").alias("n_total"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.length(F.bin("n_lines")) - 1).alias("log2_lines")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n_sup) AS BIGINT)"
+            ).alias("supplier_share_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(n_lines)) DIV max(n_total)"
+                " AS BIGINT)"
+            ).alias("volume_share_ppm"),
+        )
+        .select(
+            F.col("log2_lines").cast("long").alias("log2_lines"),
+            "n_suppliers",
+            "n_lines",
+            "supplier_share_ppm",
+            "volume_share_ppm",
+        )
+    )

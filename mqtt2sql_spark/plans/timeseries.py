@@ -5116,3 +5116,76 @@ def instrumentation_dup_events(
             "excess_share_ppm",
         )
     )
+
+
+# --- weekend vs weekday rate lift per event type ---------------------------------------
+
+
+@register(
+    "weekend_lift_by_type",
+    oracle="""
+    , d AS (
+        SELECT event_type,
+               CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS is_we,
+               count(*) AS c,
+               count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                   AS n_days
+        FROM events
+        GROUP BY event_type, CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+    ),
+    p AS (
+        SELECT event_type,
+               max(CASE WHEN is_we = 1 THEN c END) AS we_c,
+               max(CASE WHEN is_we = 1 THEN n_days END) AS we_d,
+               max(CASE WHEN is_we = 0 THEN c END) AS wd_c,
+               max(CASE WHEN is_we = 0 THEN n_days END) AS wd_d
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(we_c AS BIGINT) AS weekend_events,
+           CAST(wd_c AS BIGINT) AS weekday_events,
+           CAST((1000000 * we_c * wd_d) // (we_d * wd_c) AS BIGINT)
+               AS weekend_lift_ppm
+    FROM p
+    """,
+    doc="Weekend behavior shift per event type: the ratio of "
+    "per-active-day weekend rate to weekday rate (normalizing by "
+    "distinct active days on each side, so a 2-vs-5-day week doesn't "
+    "masquerade as a lift) — purchases sagging on weekends while "
+    "errors hold steady changes on-call staffing and campaign "
+    "timing differently than a uniform dip (dow_hour_profile's "
+    "shape, reduced to one decision number per type).  ISO weekday "
+    "on both engines; exact integer rate ratio.",
+    tags=("timeseries", "events"),
+)
+def weekend_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.when(F.expr("weekday(ts) + 1") >= 6, 1).otherwise(0).alias(
+            "is_we"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct(F.to_date(F.date_trunc("day", "ts"))).alias(
+            "n_days"
+        ),
+    )
+    p = d.groupBy("event_type").agg(
+        F.max(F.when(F.col("is_we") == 1, F.col("c"))).alias("we_c"),
+        F.max(F.when(F.col("is_we") == 1, F.col("n_days"))).alias(
+            "we_d"
+        ),
+        F.max(F.when(F.col("is_we") == 0, F.col("c"))).alias("wd_c"),
+        F.max(F.when(F.col("is_we") == 0, F.col("n_days"))).alias(
+            "wd_d"
+        ),
+    )
+    return p.select(
+        "event_type",
+        F.col("we_c").cast("long").alias("weekend_events"),
+        F.col("wd_c").cast("long").alias("weekday_events"),
+        F.expr(
+            "CAST((1000000 * we_c * wd_d) DIV (we_d * wd_c) AS BIGINT)"
+        ).alias("weekend_lift_ppm"),
+    )

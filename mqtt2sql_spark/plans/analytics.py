@@ -15985,3 +15985,141 @@ def supplier_activity_histogram(
             "volume_share_ppm",
         )
     )
+
+
+# --- year-over-year customer retention -----------------------------------------------------------
+
+
+@register(
+    "customer_retention_by_year",
+    oracle="""
+    , cy AS (
+        SELECT DISTINCT o_custkey,
+               CAST(extract(year FROM o_orderdate) AS BIGINT) AS y
+        FROM orders
+    ),
+    sz AS (SELECT y, count(*) AS n FROM cy GROUP BY y),
+    ret AS (
+        SELECT a.y, count(*) AS retained
+        FROM cy a JOIN cy b
+          ON b.o_custkey = a.o_custkey AND b.y = a.y + 1
+        GROUP BY a.y
+    )
+    SELECT s.y AS order_year,
+           CAST(s.n AS BIGINT) AS n_active,
+           CAST(coalesce(r.retained, 0) AS BIGINT) AS n_retained_next,
+           CAST((1000000 * coalesce(r.retained, 0)) // s.n AS BIGINT)
+               AS retention_ppm
+    FROM sz s
+    JOIN sz nx ON nx.y = s.y + 1
+    LEFT JOIN ret r ON r.y = s.y
+    """,
+    doc="Annual customer retention: of the customers who ordered in "
+    "year y, the share who ordered again in y+1 — the yearly "
+    "macro-retention that cohort_retention (event-grain, weekly) "
+    "and repeat_order_hazard_curve (order-rank grain) both sit "
+    "under; years missing a successor year are excluded rather than "
+    "reported as 0.  Distinct (customer, year) pairs first, then an "
+    "adjacent-year self equi-join — never the raw fact table twice.",
+    tags=("analytics", "retention"),
+)
+def customer_retention_by_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cy = orders.select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+    ).distinct()
+    sz = cy.groupBy("y").agg(F.count(F.lit(1)).alias("n"))
+    b = cy.select(
+        F.col("o_custkey").alias("ck"), (F.col("y") - 1).alias("y")
+    )
+    ret = (
+        cy.join(
+            b, (cy["o_custkey"] == b["ck"]) & (cy["y"] == b["y"])
+        )
+        .groupBy(cy["y"].alias("yy"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    nx = sz.select((F.col("y") - 1).alias("y"))
+    return (
+        sz.join(nx, "y")
+        .join(ret, sz["y"] == ret["yy"], "left")
+        .select(
+            sz["y"].alias("order_year"),
+            F.col("n").cast("long").alias("n_active"),
+            F.coalesce(F.col("retained"), F.lit(0))
+            .cast("long")
+            .alias("n_retained_next"),
+            F.expr(
+                "CAST((1000000 * coalesce(retained, 0)) DIV n"
+                " AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
+# --- catalog grid coverage ------------------------------------------------------------------------
+
+
+@register(
+    "catalog_grid_coverage",
+    oracle="""
+    , grid AS (
+        SELECT p_type, p_size, count(*) AS n_parts
+        FROM part GROUP BY p_type, p_size
+    ),
+    dims AS (
+        SELECT (SELECT count(DISTINCT p_type) FROM part) AS n_types,
+               (SELECT count(DISTINCT p_size) FROM part) AS n_sizes,
+               (SELECT count(*) FROM grid) AS n_cells,
+               (SELECT count(*) FROM part) AS n_parts,
+               (SELECT max(n_parts) FROM grid) AS max_cell
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_sizes AS BIGINT) AS n_sizes,
+           CAST(n_cells AS BIGINT) AS n_populated_cells,
+           CAST(n_types * n_sizes AS BIGINT) AS n_grid_cells,
+           CAST((1000000 * n_cells) // (n_types * n_sizes) AS BIGINT)
+               AS occupancy_ppm,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(max_cell AS BIGINT) AS max_parts_per_cell
+    FROM dims
+    """,
+    doc="Assortment completeness: how much of the (type x size) "
+    "catalog grid is actually populated — occupancy well below 1e6 "
+    "means whole type-size combinations are unoffered (gaps a "
+    "substitution recommender (part_substitution_candidates) "
+    "cannot paper over), while a huge max cell is redundant "
+    "assortment.  Dimension-table-only aggregates; exact integers.",
+    tags=("analytics", "catalog"),
+)
+def catalog_grid_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    grid = part.groupBy("p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    a = part.agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    g = grid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n_parts").alias("max_cell"),
+    )
+    return a.crossJoin(g).select(
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_sizes").cast("long").alias("n_sizes"),
+        F.col("n_cells").cast("long").alias("n_populated_cells"),
+        (F.col("n_types") * F.col("n_sizes"))
+        .cast("long")
+        .alias("n_grid_cells"),
+        F.expr(
+            "CAST((1000000 * n_cells) DIV (n_types * n_sizes)"
+            " AS BIGINT)"
+        ).alias("occupancy_ppm"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.col("max_cell").cast("long").alias("max_parts_per_cell"),
+    )

@@ -16123,3 +16123,169 @@ def catalog_grid_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_parts").cast("long").alias("n_parts"),
         F.col("max_cell").cast("long").alias("max_parts_per_cell"),
     )
+
+
+# --- brand specialization across part types -------------------------------------------------------
+
+
+@register(
+    "brand_type_specialization",
+    oracle="""
+    , bt AS (
+        SELECT p_brand, p_type, count(*) AS n
+        FROM part GROUP BY p_brand, p_type
+    ),
+    s AS (
+        SELECT p_brand,
+               sum(n) AS total,
+               count(*) AS n_types,
+               sum(n * (n - 1)) AS coll,
+               max(n) AS top_n
+        FROM bt GROUP BY p_brand
+    )
+    SELECT p_brand,
+           CAST(total AS BIGINT) AS n_parts,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((10000 * total * (total - 1))
+                // greatest(coll, 1) AS BIGINT) AS effective_types_e4,
+           CAST((1000000 * top_n) // total AS BIGINT)
+               AS top_type_share_ppm
+    FROM s
+    """,
+    doc="Brand specialization: the inverse-Simpson 'effective number "
+    "of part types' each brand spans — a brand listing 40 types at "
+    "effective 3.1 is a specialist with a long vanity tail, which "
+    "changes how its supply risk (single_source_risk) and "
+    "substitution options should be read.  Dimension-only "
+    "collision arithmetic, exact integers.",
+    tags=("analytics", "catalog"),
+)
+def brand_type_specialization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bt = part.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = bt.groupBy("p_brand").agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("coll"),
+        F.max("n").alias("top_n"),
+    )
+    return s.select(
+        "p_brand",
+        F.col("total").cast("long").alias("n_parts"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr(
+            "CAST((10000 * total * (total - 1))"
+            " DIV greatest(coll, 1) AS BIGINT)"
+        ).alias("effective_types_e4"),
+        F.expr(
+            "CAST((1000000 * top_n) DIV total AS BIGINT)"
+        ).alias("top_type_share_ppm"),
+    )
+
+
+# --- year-over-year drift of the nation revenue mix ------------------------------------------------
+
+
+@register(
+    "nation_mix_drift_yoy",
+    oracle="""
+    , ny AS (
+        SELECT CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS y,
+               s.s_nationkey AS nk,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100, 0) AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    yt AS (SELECT y, sum(rev) AS t FROM ny GROUP BY y),
+    pairs AS (
+        SELECT a.y,
+               sum(abs(CAST(coalesce(a.rev, 0) AS HUGEINT) * tb.t
+                       - CAST(coalesce(b.rev, 0) AS HUGEINT) * ta.t))
+                   AS num,
+               max(CAST(ta.t AS HUGEINT) * tb.t) AS den
+        FROM ny a
+        JOIN yt ta ON ta.y = a.y
+        JOIN yt tb ON tb.y = a.y + 1
+        LEFT JOIN ny b ON b.nk = a.nk AND b.y = a.y + 1
+        GROUP BY a.y
+    )
+    SELECT y AS from_year,
+           CAST(y + 1 AS BIGINT) AS to_year,
+           CAST((1000000 * num) // (2 * den) AS BIGINT) AS tvd_ppm
+    FROM pairs
+    """,
+    doc="Is the supply-nation revenue mix drifting?  Total-variation "
+    "distance between consecutive years' nation revenue shares, "
+    "computed EXACTLY as Σ|rev_i·T' − rev'_i·T| / (2·T·T') in "
+    "HUGEINT/DECIMAL cross-multiplication — no per-share doubles, "
+    "no rounding, so a 1-cent mix change is representable.  "
+    "Sustained multi-1e4-ppm TVD is a supply-chain migration "
+    "(supplier_share_shift names the movers; this sizes the total "
+    "churn).  Note nations present only in year y+1 are outside the "
+    "LEFT JOIN's reach and contribute via the share deficit — "
+    "documented asymmetry, same on both engines.  One dim join, "
+    "year-grain aggregates.",
+    tags=("analytics", "drift"),
+)
+def nation_mix_drift_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    ny = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.col("s_nationkey").alias("nk"),
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+    yt = ny.groupBy("y").agg(F.sum("rev").alias("t"))
+    ta = yt.select(F.col("y").alias("ya"), F.col("t").alias("tta"))
+    tb = yt.select((F.col("y") - 1).alias("yb"), F.col("t").alias("ttb"))
+    b = ny.select(
+        F.col("nk").alias("nkb"),
+        (F.col("y") - 1).alias("yb2"),
+        F.col("rev").alias("revb"),
+    )
+    pairs = (
+        ny.join(ta, ny["y"] == ta["ya"])
+        .join(tb, ny["y"] == tb["yb"])
+        .join(
+            b,
+            (ny["nk"] == b["nkb"]) & (ny["y"] == b["yb2"]),
+            "left",
+        )
+        .groupBy(ny["y"].alias("y"))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("rev").cast("decimal(38,0)") * F.col("ttb")
+                    - F.coalesce(F.col("revb"), F.lit(0)).cast(
+                        "decimal(38,0)"
+                    )
+                    * F.col("tta")
+                )
+            ).alias("num"),
+            F.max(
+                F.col("tta").cast("decimal(38,0)") * F.col("ttb")
+            ).alias("den"),
+        )
+    )
+    return pairs.select(
+        F.col("y").alias("from_year"),
+        (F.col("y") + 1).cast("long").alias("to_year"),
+        F.expr(
+            "CAST((1000000 * CAST(num AS DECIMAL(38,0)))"
+            " DIV (2 * den) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    )

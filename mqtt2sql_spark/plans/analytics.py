@@ -16289,3 +16289,141 @@ def nation_mix_drift_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * den) AS BIGINT)"
         ).alias("tvd_ppm"),
     )
+
+
+# --- user lifecycle snapshot ------------------------------------------------------------------------
+
+
+@register(
+    "user_lifecycle_snapshot",
+    oracle="""
+    , mx AS (SELECT max(ts) AS t1 FROM events),
+    u AS (
+        SELECT e.user_id,
+               (max(epoch_us(mx.t1)) - max(epoch_us(e.ts)))
+                   // 86400000000 AS recency_d,
+               (max(epoch_us(mx.t1)) - min(epoch_us(e.ts)))
+                   // 86400000000 AS age_d,
+               count(*) AS n_events
+        FROM events e CROSS JOIN mx
+        GROUP BY e.user_id
+    ),
+    staged AS (
+        SELECT CASE WHEN age_d < 30 THEN 'new'
+                    WHEN recency_d <= 30 THEN 'active'
+                    WHEN recency_d <= 90 THEN 'at_risk'
+                    ELSE 'churned' END AS stage,
+               n_events
+        FROM u
+    ),
+    tot AS (SELECT count(*) AS n FROM staged)
+    SELECT s.stage,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(s.n_events) AS BIGINT) AS n_events,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS user_share_ppm
+    FROM staged s CROSS JOIN tot t
+    GROUP BY s.stage
+    """,
+    doc="Lifecycle census at the table's high-water mark: every user "
+    "classified new (<30 d old) / active (seen within 30 d) / "
+    "at-risk (30-90 d quiet) / churned (>90 d) with user and event "
+    "mass per stage — the four numbers a growth dashboard leads "
+    "with, derived reproducibly from max(ts) rather than wall "
+    "clock (dau_wau_stickiness gives the ratio view; this gives "
+    "the stock view).  One user-grain agg; exact integer day "
+    "arithmetic.",
+    tags=("analytics", "retention"),
+)
+def user_lifecycle_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("t1"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(max(unix_micros(t1)) - max(unix_micros(ts)))"
+                " DIV 86400000000"
+            ).alias("recency_d"),
+            F.expr(
+                "(max(unix_micros(t1)) - min(unix_micros(ts)))"
+                " DIV 86400000000"
+            ).alias("age_d"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    staged = u.select(
+        F.when(F.col("age_d") < 30, "new")
+        .when(F.col("recency_d") <= 30, "active")
+        .when(F.col("recency_d") <= 90, "at_risk")
+        .otherwise("churned")
+        .alias("stage"),
+        "n_events",
+    )
+    tot = staged.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("user_share_ppm"),
+        )
+    )
+
+
+# --- dead-stock share of the catalog ----------------------------------------------------------------
+
+
+@register(
+    "catalog_dead_stock_share",
+    oracle="""
+    , ordered AS (SELECT DISTINCT l_partkey FROM lineitem),
+    flags AS (
+        SELECT p.p_brand,
+               CASE WHEN o.l_partkey IS NULL THEN 1 ELSE 0 END AS dead
+        FROM part p LEFT JOIN ordered o ON o.l_partkey = p.p_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(dead) AS BIGINT) AS n_never_ordered,
+           CAST((1000000 * sum(dead)) // count(*) AS BIGINT)
+               AS dead_share_ppm
+    FROM flags GROUP BY p_brand
+    """,
+    doc="Dead catalog per brand: parts that appear in no line item "
+    "ever — the assortment carrying listing/maintenance cost with "
+    "zero revenue, per brand so merchandising knows where to prune "
+    "(the share view on top of the bare anti-join "
+    "semi_join_parts_ordered exposes).  Distinct part keys from the "
+    "fact table (one shuffle of keys only), LEFT JOIN against the "
+    "dimension, exact integers.",
+    tags=("analytics", "catalog"),
+)
+def catalog_dead_stock_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey"
+    ).distinct()
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    flags = part.join(
+        li, part["p_partkey"] == li["l_partkey"], "left"
+    ).select(
+        "p_brand",
+        F.when(F.col("l_partkey").isNull(), 1).otherwise(0).alias(
+            "dead"
+        ),
+    )
+    return flags.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("dead").cast("long").alias("n_never_ordered"),
+        F.expr(
+            "CAST((1000000 * sum(dead)) DIV count(*) AS BIGINT)"
+        ).alias("dead_share_ppm"),
+    )

@@ -16427,3 +16427,93 @@ def catalog_dead_stock_share(
             "CAST((1000000 * sum(dead)) DIV count(*) AS BIGINT)"
         ).alias("dead_share_ppm"),
     )
+
+
+# --- payload property vs event value correlation ----------------------------------------------
+
+
+@register(
+    "props_value_correlation",
+    oracle="""
+    , pts AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(floor(
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS r_e6
+    FROM s
+    """,
+    doc="Is the JSON payload property informative about the event's "
+    "value?  Pearson correlation per event type between the decoded "
+    "props.k integer and the value column — near-zero r licenses "
+    "dropping the JSON decode from hot paths entirely (a real cost: "
+    "get_json_object is the most expensive scalar in the scan), "
+    "material r means k belongs in the typed schema.  JSON "
+    "extraction is identical on both engines "
+    "(json_extract_string/get_json_object); exact integer "
+    "sufficient statistics, CAST-AS-DOUBLE floor-e6.",
+    tags=("analytics", "stats"),
+)
+def props_value_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+            "syy"
+        ),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(floor("
+            "(CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "   / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(sxx AS DOUBLE)"
+            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            "           / CAST(n AS DOUBLE))"
+            "        * (CAST(syy AS DOUBLE)"
+            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "             / CAST(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("r_e6"),
+    )

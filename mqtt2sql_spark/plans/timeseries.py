@@ -5189,3 +5189,59 @@ def weekend_lift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * we_c * wd_d) DIV (we_d * wd_c) AS BIGINT)"
         ).alias("weekend_lift_ppm"),
     )
+
+
+# --- share of weekly activity from new users -------------------------------------------------
+
+
+@register(
+    "new_user_activity_share_weekly",
+    oracle="""
+    , u0 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        GROUP BY user_id
+    ),
+    lab AS (
+        SELECT epoch_us(e.ts) // 604800000000 AS wk,
+               CASE WHEN epoch_us(e.ts) - u.t0 < 604800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events e JOIN u0 u USING (user_id)
+    )
+    SELECT wk,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_new) AS BIGINT) AS n_new_user_events,
+           CAST((1000000 * sum(is_new)) // count(*) AS BIGINT)
+               AS new_share_ppm
+    FROM lab GROUP BY wk
+    """,
+    doc="Acquisition dependence, weekly: the share of each week's "
+    "events produced by users within their first 7 days — a product "
+    "whose activity is mostly new-user activity is buying traffic, "
+    "not retaining it (the flow complement to "
+    "cumulative_new_users' stock and growth_accounting_weekly's "
+    "state machine).  First-seen per user via one agg, broadcast "
+    "back; exact integer week/age arithmetic.",
+    tags=("timeseries", "retention"),
+)
+def new_user_activity_share_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u0 = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0")
+    )
+    lab = ev.join(F.broadcast(u0), "user_id").select(
+        F.expr("unix_micros(ts) DIV 604800000000").alias("wk"),
+        F.when(
+            F.unix_micros("ts") - F.col("t0") < 604800000000, 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return lab.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_new").cast("long").alias("n_new_user_events"),
+        F.expr(
+            "CAST((1000000 * sum(is_new)) DIV count(*) AS BIGINT)"
+        ).alias("new_share_ppm"),
+    )

@@ -16517,3 +16517,205 @@ def props_value_correlation(
             " * 1000000) AS BIGINT)"
         ).alias("r_e6"),
     )
+
+
+# --- intraclass correlation of session depth within users -------------------------------------
+
+
+@register(
+    "session_depth_icc",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w
+                         <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    per AS (
+        SELECT user_id, count(*) AS x
+        FROM sess GROUP BY user_id, sid
+    ),
+    ug AS (
+        SELECT user_id, count(*) AS k, sum(x) AS sx,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM per GROUP BY user_id
+        HAVING count(*) >= 2
+    ),
+    g AS (
+        SELECT count(*) AS n_users,
+               sum(k) AS n,
+               sum(sx) AS s,
+               sum(sxx) AS ss,
+               sum((CAST(sx AS HUGEINT) * sx * 10000) // k)
+                   AS sb_e4
+        FROM ug
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n AS BIGINT) AS n_sessions,
+           CAST(floor(
+               ((CAST(sb_e4 AS DOUBLE) / 10000.0
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                / CAST(n_users - 1 AS DOUBLE)
+                - (CAST(ss AS DOUBLE)
+                   - CAST(sb_e4 AS DOUBLE) / 10000.0)
+                  / CAST(n - n_users AS DOUBLE))
+               / ((CAST(sb_e4 AS DOUBLE) / 10000.0
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / CAST(n_users - 1 AS DOUBLE)
+                  + (CAST(ss AS DOUBLE)
+                     - CAST(sb_e4 AS DOUBLE) / 10000.0)
+                    / CAST(n - n_users AS DOUBLE))
+               * 1000000) AS BIGINT) AS icc_proxy_e6
+    FROM g
+    """,
+    doc="Is session depth a USER trait or a session accident?  "
+    "One-way variance decomposition of session event-counts within "
+    "vs between users (users with ≥2 sessions): the reported proxy "
+    "is (MSB − MSW)/(MSB + MSW) — positive means depth is sticky "
+    "per user (personalization signal), ≈0 means sessions are "
+    "exchangeable and per-user depth features are noise.  The "
+    "between-group sum Σ(Sᵢ²/kᵢ) is kept exact in e4 fixed-point "
+    "HUGEINT (integer-divided per user, identically both engines); "
+    "the final ratio follows the CAST-AS-DOUBLE rule.  One session "
+    "window, two tiny aggs.",
+    tags=("analytics", "sessions", "stats"),
+)
+def session_depth_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= _SESSION_GAP_MIN * 60 * 1000000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ug = (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+                "sxx"
+            ),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    g = ug.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("k").alias("n"),
+        F.sum("sx").alias("s"),
+        F.sum("sxx").alias("ss"),
+        F.sum(
+            F.expr(
+                "(CAST(sx AS DECIMAL(38,0)) * sx * 10000) DIV k"
+            ).cast("decimal(38,0)")
+        ).alias("sb_e4"),
+    )
+    return g.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n").cast("long").alias("n_sessions"),
+        F.expr(
+            "CAST(floor("
+            "((CAST(sb_e4 AS DOUBLE) / 10000.0"
+            "  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            "    / CAST(n AS DOUBLE))"
+            " / CAST(n_users - 1 AS DOUBLE)"
+            " - (CAST(ss AS DOUBLE)"
+            "    - CAST(sb_e4 AS DOUBLE) / 10000.0)"
+            "   / CAST(n - n_users AS DOUBLE))"
+            " / ((CAST(sb_e4 AS DOUBLE) / 10000.0"
+            "     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            "       / CAST(n AS DOUBLE))"
+            "    / CAST(n_users - 1 AS DOUBLE)"
+            "    + (CAST(ss AS DOUBLE)"
+            "       - CAST(sb_e4 AS DOUBLE) / 10000.0)"
+            "      / CAST(n - n_users AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("icc_proxy_e6"),
+    )
+
+
+# --- order/line status consistency audit --------------------------------------------------------
+
+
+@register(
+    "status_consistency_audit",
+    oracle="""
+    , lm AS (
+        SELECT l_orderkey,
+               CASE WHEN min(l_linestatus) = max(l_linestatus)
+                    THEN min(l_linestatus) ELSE 'MIXED' END AS line_mix
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderstatus, lm.line_mix
+        FROM orders o JOIN lm ON lm.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus, line_mix,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CASE WHEN (o_orderstatus = 'F' AND line_mix = 'F')
+                       OR (o_orderstatus = 'O' AND line_mix = 'O')
+                       OR (o_orderstatus = 'P' AND line_mix = 'MIXED')
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_consistent
+    FROM j GROUP BY o_orderstatus, line_mix
+    """,
+    doc="Cross-table status invariant: TPC-H semantics say an order "
+    "is F iff every line is F, O iff every line is O, P otherwise — "
+    "the (order status × line mix) contingency with a consistency "
+    "flag per cell surfaces exactly which invariant a CDC replay or "
+    "partial load broke (referential_integrity_audit checks keys "
+    "exist; this checks the STATE MACHINE agrees).  One order-grain "
+    "line agg, one join, one fold; all integers/strings.",
+    tags=("analytics", "dq"),
+)
+def status_consistency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lm = li.groupBy("l_orderkey").agg(
+        F.when(
+            F.min("l_linestatus") == F.max("l_linestatus"),
+            F.min("l_linestatus"),
+        )
+        .otherwise("MIXED")
+        .alias("line_mix")
+    )
+    j = orders.join(lm, orders["o_orderkey"] == lm["l_orderkey"])
+    return j.groupBy("o_orderstatus", "line_mix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(CASE WHEN (o_orderstatus = 'F' AND line_mix = 'F')"
+            " OR (o_orderstatus = 'O' AND line_mix = 'O')"
+            " OR (o_orderstatus = 'P' AND line_mix = 'MIXED')"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_consistent"),
+    )

@@ -16719,3 +16719,136 @@ def status_consistency_audit(
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("is_consistent"),
     )
+
+
+# --- copurchase degree vs revenue correlation -----------------------------------------------------
+
+
+@register(
+    "part_degree_revenue_corr",
+    oracle="""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT x.l_partkey AS pk1, y.l_partkey AS pk2
+        FROM basket x JOIN basket y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+        SELECT pk, count(*) AS d FROM (
+            SELECT pk1 AS pk FROM edges
+            UNION ALL SELECT pk2 AS pk FROM edges
+        ) GROUP BY pk
+    ),
+    rev AS (
+        SELECT l_partkey AS pk,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS BIGINT)) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pts AS (
+        SELECT coalesce(d.d, 0) AS x, r.r AS y
+        FROM rev r LEFT JOIN deg d USING (pk)
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST((10000 * sx) // n AS BIGINT) AS mean_degree_e4,
+           CAST(floor(
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS r_e6
+    FROM s
+    """,
+    doc="Do hub products sell more, or just co-occur more?  Pearson "
+    "correlation across parts between copurchase-graph degree and "
+    "revenue — high r means the graph centrality signals "
+    "(pagerank_copurchase, rich_club) are revenue proxies and a "
+    "recommender optimizing clicks double-counts; low r means "
+    "centrality carries independent information worth a feature.  "
+    "Zero-degree parts included via LEFT JOIN (excluding them "
+    "inflates r).  Edge derivation is the bounded basket expansion; "
+    "exact integer sufficient statistics, CAST-AS-DOUBLE floor-e6.",
+    tags=("analytics", "graph", "stats"),
+)
+def part_degree_revenue_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    e1 = baskets.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    edges = (
+        e1.select("i", "pk1", F.posexplode("parts").alias("j", "pk2"))
+        .filter(F.col("j") > F.col("i"))
+        .select("pk1", "pk2")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pk1").alias("pk"))
+        .unionAll(edges.select(F.col("pk2").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * 100,
+                0,
+            ).cast("long")
+        ).alias("r")
+    )
+    pts = rev.join(F.broadcast(deg), "pk", "left").select(
+        F.coalesce(F.col("d"), F.lit(0)).alias("x"),
+        F.col("r").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+            "syy"
+        ),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.expr("CAST((10000 * sx) DIV n AS BIGINT)").alias(
+            "mean_degree_e4"
+        ),
+        F.expr(
+            "CAST(floor("
+            "(CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "   / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(sxx AS DOUBLE)"
+            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            "           / CAST(n AS DOUBLE))"
+            "        * (CAST(syy AS DOUBLE)"
+            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "             / CAST(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("r_e6"),
+    )

@@ -4832,3 +4832,82 @@ def token_dominance_by_source(
             "CAST((10000 * sum(top_c)) DIV sum(n_tok) AS BIGINT)"
         ).alias("mean_top_share_e4"),
     )
+
+
+# --- cross-language marker mixing rate ----------------------------------------------------------
+
+
+@register(
+    "marker_code_mixing_rate",
+    oracle=f"""
+    , lab AS (
+        SELECT lang,
+               CASE WHEN {_duck_marker_count(LANG_MARKERS["en"])} > 0
+                    THEN 1 ELSE 0 END AS has_en,
+               CASE WHEN {_duck_marker_count(LANG_MARKERS["de"])} > 0
+                    THEN 1 ELSE 0 END AS has_de,
+               CASE WHEN {_duck_marker_count(LANG_MARKERS["es"])} > 0
+                    THEN 1 ELSE 0 END AS has_es,
+               CASE WHEN {_duck_marker_count(LANG_MARKERS["fr"])} > 0
+                    THEN 1 ELSE 0 END AS has_fr
+        FROM (SELECT lang, {duck_tokens()} AS toks FROM documents)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_en) AS BIGINT) AS n_with_en,
+           CAST(sum(has_de) AS BIGINT) AS n_with_de,
+           CAST(sum(has_es) AS BIGINT) AS n_with_es,
+           CAST(sum(has_fr) AS BIGINT) AS n_with_fr,
+           CAST((1000000 * sum(has_en + has_de + has_es + has_fr
+                               - CASE lang WHEN 'en' THEN has_en
+                                           WHEN 'de' THEN has_de
+                                           WHEN 'es' THEN has_es
+                                           WHEN 'fr' THEN has_fr
+                                           ELSE 0 END))
+                // (count(*) * 3) AS BIGINT) AS mixing_ppm
+    FROM lab GROUP BY lang
+    """,
+    doc="Code-mixing / contamination screen: per gold language, the "
+    "share of documents containing marker words of OTHER languages "
+    "(own-language markers excluded from the numerator; normalized "
+    "by the 3 foreign marker sets) — high mixing for a language "
+    "both explains langid confusion (langid_confusion_matrix) and "
+    "flags genuinely multilingual docs that a one-label-per-doc "
+    "schema misrepresents.  Marker counting is the langid "
+    "machinery itself; one scan, one agg, exact integers.",
+    tags=("text", "langid"),
+)
+def marker_code_mixing_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    lab = docs.select(
+        "lang",
+        F.when(count_in_list(toks, LANG_MARKERS["en"]) > 0, 1)
+        .otherwise(0)
+        .alias("has_en"),
+        F.when(count_in_list(toks, LANG_MARKERS["de"]) > 0, 1)
+        .otherwise(0)
+        .alias("has_de"),
+        F.when(count_in_list(toks, LANG_MARKERS["es"]) > 0, 1)
+        .otherwise(0)
+        .alias("has_es"),
+        F.when(count_in_list(toks, LANG_MARKERS["fr"]) > 0, 1)
+        .otherwise(0)
+        .alias("has_fr"),
+    )
+    return lab.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("has_en").cast("long").alias("n_with_en"),
+        F.sum("has_de").cast("long").alias("n_with_de"),
+        F.sum("has_es").cast("long").alias("n_with_es"),
+        F.sum("has_fr").cast("long").alias("n_with_fr"),
+        F.expr(
+            "CAST((1000000 * sum(has_en + has_de + has_es + has_fr"
+            " - CASE lang WHEN 'en' THEN has_en"
+            " WHEN 'de' THEN has_de WHEN 'es' THEN has_es"
+            " WHEN 'fr' THEN has_fr ELSE 0 END))"
+            " DIV (count(*) * 3) AS BIGINT)"
+        ).alias("mixing_ppm"),
+    )

@@ -4942,3 +4942,113 @@ def index_memory_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vs_raw_ppm"),
         )
     )
+
+
+# --- mean-vs-median centroid robustness per label --------------------------------------------
+
+
+@register(
+    "label_centroid_median_shift",
+    oracle="""
+    , q AS (
+        SELECT label, i - 1 AS i,
+               CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                   AS qx,
+               vec_id
+        FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    mean_c AS (
+        SELECT label, i, sum(qx) // count(*) AS mq
+        FROM q GROUP BY label, i
+    ),
+    med_c AS (
+        SELECT label, i,
+               max(CASE WHEN rn = (n + 1) // 2 THEN qx END) AS dq
+        FROM (
+            SELECT label, i, qx,
+                   row_number() OVER (PARTITION BY label, i
+                                      ORDER BY qx, vec_id) AS rn,
+                   count(*) OVER (PARTITION BY label, i) AS n
+            FROM q
+        ) GROUP BY label, i
+    )
+    SELECT m.label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(CAST(m.mq - d.dq AS HUGEINT) * (m.mq - d.dq))
+               AS BIGINT) AS shift_sq,
+           CAST(sum(CAST(d.dq AS HUGEINT) * d.dq) AS BIGINT)
+               AS median_norm_sq,
+           CAST((1000000 * sum(CAST(m.mq - d.dq AS HUGEINT)
+                               * (m.mq - d.dq)))
+                // greatest(sum(CAST(d.dq AS HUGEINT) * d.dq), 1)
+               AS BIGINT) AS shift_ratio_ppm
+    FROM mean_c m JOIN med_c d USING (label, i)
+    GROUP BY m.label
+    """,
+    doc="Centroid robustness per label: squared distance between the "
+    "mean centroid (what label_centroids / kmeans use) and the "
+    "coordinate-wise median centroid, relative to the median's "
+    "norm — a large shift means a few outlier vectors are dragging "
+    "the mean and every centroid-based consumer (classification "
+    "margins, kmeans seeds, drift alarms) inherits that bias.  "
+    "Means are exact integer floor-divisions; medians are "
+    "nearest-rank with (value, vec_id) total order per (label, "
+    "dim); the shift is exact HUGEINT/DECIMAL arithmetic.  "
+    "Long-format explode, (label, dim)-keyed windows — 640 groups.",
+    tags=("similarity", "stats"),
+)
+def label_centroid_median_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "label",
+        "i",
+        F.round(F.col("x").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qx"),
+        "vec_id",
+    )
+    mean_c = q.groupBy("label", "i").agg(
+        F.expr("sum(qx) DIV count(*)").alias("mq")
+    )
+    wr = W.partitionBy("label", "i").orderBy("qx", "vec_id")
+    wn = W.partitionBy("label", "i")
+    med_c = (
+        q.select(
+            "label",
+            "i",
+            "qx",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("label", "i")
+        .agg(
+            F.max(
+                F.when(F.expr("rn = (n + 1) DIV 2"), F.col("qx"))
+            ).alias("dq")
+        )
+    )
+    j = mean_c.join(med_c, ["label", "i"])
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum(
+            (F.col("mq") - F.col("dq")).cast("decimal(38,0)")
+            * (F.col("mq") - F.col("dq"))
+        ).cast("long").alias("shift_sq"),
+        F.sum(
+            F.col("dq").cast("decimal(38,0)") * F.col("dq")
+        ).cast("long").alias("median_norm_sq"),
+        F.expr(
+            "CAST((1000000 * sum(CAST(mq - dq AS DECIMAL(38,0))"
+            " * (mq - dq)))"
+            " DIV greatest(sum(CAST(dq AS DECIMAL(38,0)) * dq), 1)"
+            " AS BIGINT)"
+        ).alias("shift_ratio_ppm"),
+    )

@@ -4911,3 +4911,79 @@ def marker_code_mixing_rate(
             " DIV (count(*) * 3) AS BIGINT)"
         ).alias("mixing_ppm"),
     )
+
+
+# --- quality-gate pass rate by length bucket (gate bias audit) ---------------------------------
+
+
+@register(
+    "quality_pass_by_length_bucket",
+    oracle=f"""
+    , lab AS (
+        SELECT length(bin(len(toks) + 1)) - 1 AS log2_bucket,
+               CASE WHEN len(toks) >= 20
+                         AND CAST(length(text) AS DOUBLE)
+                             / greatest(len(toks), 1) BETWEEN 3 AND 12
+                         AND CAST(len(list_filter(toks, x -> x IN
+                              ({", ".join(repr(w) for w in STOPWORDS)})))
+                              AS DOUBLE) / greatest(len(toks), 1) >= 0.01
+                    THEN 1 ELSE 0 END AS passed,
+               len(toks) AS n_tok
+        FROM (SELECT text, {duck_tokens()} AS toks FROM documents)
+    )
+    SELECT log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(passed) AS BIGINT) AS n_passed,
+           CAST((1000000 * sum(passed)) // count(*) AS BIGINT)
+               AS pass_ppm,
+           CAST(sum(passed * n_tok) AS BIGINT) AS tokens_passed
+    FROM lab GROUP BY log2_bucket
+    """,
+    doc="Is the quality gate secretly a length filter?  Pass rate of "
+    "the C4/Gopher gate per power-of-two length bucket — if pass_ppm "
+    "climbs monotonically with length beyond the explicit ≥20-token "
+    "floor, the ratio conditions are length-confounded and the "
+    "'quality-filtered' corpus is silently longer-document-biased "
+    "(which interacts with token_mass_by_doclen_bucket's long-"
+    "context budget).  Exact integers; one scan, one ~20-group agg.",
+    tags=("text", "dq"),
+)
+def quality_pass_by_length_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    sw_ratio = count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    )
+    cpt = F.length("text").cast("double") / F.greatest(n_toks, F.lit(1))
+    lab = docs.select(
+        (F.length(F.bin(n_toks + 1)) - 1).alias("log2_bucket"),
+        F.when(
+            (n_toks >= 20)
+            & (cpt >= 3)
+            & (cpt <= 12)
+            & (sw_ratio >= 0.01),
+            1,
+        )
+        .otherwise(0)
+        .alias("passed"),
+        n_toks.alias("n_tok"),
+    )
+    return lab.groupBy("log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("passed").cast("long").alias("n_passed"),
+        F.expr(
+            "CAST((1000000 * sum(passed)) DIV count(*) AS BIGINT)"
+        ).alias("pass_ppm"),
+        F.sum(F.col("passed") * F.col("n_tok"))
+        .cast("long")
+        .alias("tokens_passed"),
+    ).select(
+        F.col("log2_bucket").cast("long").alias("log2_bucket"),
+        "n_docs",
+        "n_passed",
+        "pass_ppm",
+        "tokens_passed",
+    )

@@ -16852,3 +16852,55 @@ def part_degree_revenue_corr(
             " * 1000000) AS BIGINT)"
         ).alias("r_e6"),
     )
+
+
+# --- weekday ordering share per market segment ---------------------------------------------------
+
+
+@register(
+    "weekday_share_by_segment",
+    oracle="""
+    , o AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN isodow(o.o_orderdate) <= 5 THEN 1 ELSE 0 END
+                   AS is_weekday
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(is_weekday) AS BIGINT) AS n_weekday,
+           CAST((1000000 * sum(is_weekday)) // count(*) AS BIGINT)
+               AS weekday_share_ppm
+    FROM o GROUP BY c_mktsegment
+    """,
+    doc="Business-rhythm segmentation: the share of each market "
+    "segment's orders placed Monday-Friday — procurement-driven "
+    "segments order on business days (high share), consumer-like "
+    "segments spread across the week; the one-number check on "
+    "whether segment labels carry the B2B/B2C distinction the "
+    "pricing team assumes.  ISO weekday normalized across engines; "
+    "one broadcast dim join, one agg.",
+    tags=("analytics", "behavior"),
+)
+def weekday_share_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == F.col("c_custkey")
+    ).select(
+        "c_mktsegment",
+        F.when(F.expr("weekday(o_orderdate) + 1") <= 5, 1)
+        .otherwise(0)
+        .alias("is_weekday"),
+    )
+    return o.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("is_weekday").cast("long").alias("n_weekday"),
+        F.expr(
+            "CAST((1000000 * sum(is_weekday)) DIV count(*) AS BIGINT)"
+        ).alias("weekday_share_ppm"),
+    )

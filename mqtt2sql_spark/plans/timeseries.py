@@ -5245,3 +5245,88 @@ def new_user_activity_share_weekly(
             "CAST((1000000 * sum(is_new)) DIV count(*) AS BIGINT)"
         ).alias("new_share_ppm"),
     )
+
+
+# --- event value percentiles per type -----------------------------------------------------------
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+    , v AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                 / 100.0, 2) AS p50,
+           round(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+                 / 100.0, 2) AS p90,
+           round(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+                 / 100.0, 2) AS p99,
+           round(sum(cents) / 100.0, 2) AS total_value
+    FROM r GROUP BY event_type
+    """,
+    doc="Value distribution per event type: exact nearest-rank "
+    "P50/P90/P99 of the value column in cents with the type's total "
+    "— the skeleton of any 'value at risk by stream' panel, and the "
+    "exact counterpart the quantile-sketch queries "
+    "(quantile_bins_estimate, median_of_medians_error) are measured "
+    "against.  Type-partitioned rank window with (cents, event_id) "
+    "total order; exact integers until the final display division.",
+    tags=("timeseries", "events"),
+)
+def value_percentiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    wr = W.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = W.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(
+            F.max(
+                F.when(F.expr("rn = (n + 1) DIV 2"), F.col("cents"))
+            )
+            / 100.0,
+            2,
+        ).alias("p50"),
+        F.round(
+            F.max(
+                F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("cents"))
+            )
+            / 100.0,
+            2,
+        ).alias("p90"),
+        F.round(
+            F.max(
+                F.when(
+                    F.expr("rn = (99 * n + 99) DIV 100"), F.col("cents")
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("p99"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+    )

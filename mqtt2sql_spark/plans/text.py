@@ -4987,3 +4987,80 @@ def quality_pass_by_length_bucket(
         "pass_ppm",
         "tokens_passed",
     )
+
+
+# --- source interleaving runs test over ingestion order ------------------------------------------
+
+
+@register(
+    "source_interleave_runs_test",
+    oracle="""
+    , seq AS (
+        SELECT source,
+               CASE WHEN lag(source) OVER (ORDER BY doc_id)
+                         IS DISTINCT FROM source
+                    THEN 1 ELSE 0 END AS is_run_start
+        FROM documents
+    ),
+    runs AS (SELECT sum(is_run_start) AS r FROM seq),
+    comp AS (
+        SELECT sum(CAST(n AS HUGEINT) * n) AS s2, sum(n) AS n
+        FROM (SELECT source, count(*) AS n
+              FROM documents GROUP BY source)
+    )
+    SELECT CAST(c.n AS BIGINT) AS n_docs,
+           CAST(r.r AS BIGINT) AS n_runs,
+           CAST((1000000 * (CAST(c.n AS HUGEINT) * c.n - c.s2))
+                // (CAST(c.n AS HUGEINT) * c.n) + 1000000 // c.n
+               AS BIGINT) AS expected_runs_per_doc_ppm,
+           CAST((1000000 * r.r) // c.n AS BIGINT)
+               AS actual_runs_per_doc_ppm
+    FROM runs r CROSS JOIN comp c
+    """,
+    doc="Is the corpus physically interleaved or block-loaded?  "
+    "Multi-category Wald-Wolfowitz: the observed number of "
+    "same-source runs in doc_id order vs the random-arrangement "
+    "expectation E[R]/n = (1 - Σpᵢ²) + 1/n, both in exact ppm "
+    "(HUGEINT cross-multiplication — Σpᵢ² never becomes a float).  "
+    "Far fewer runs than expected = sources loaded in contiguous "
+    "blocks, which makes ANY prefix/range sample source-biased and "
+    "explains dedup_survivor_source_bias's keep-min skew.  One "
+    "ordered lag over doc_id (two-phase at scale), one per-source "
+    "agg.",
+    tags=("text", "mixing", "dq"),
+)
+def source_interleave_runs_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.orderBy("doc_id")
+    seq = docs.select(
+        F.when(
+            ~F.lag("source").over(w).eqNullSafe(F.col("source")), 1
+        )
+        .otherwise(0)
+        .alias("is_run_start")
+    )
+    runs = seq.agg(F.sum("is_run_start").alias("r"))
+    comp = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.col("n").cast("decimal(38,0)") * F.col("n")
+            ).alias("s2"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return runs.crossJoin(comp).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.expr(
+            "CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * n - s2))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) + 1000000 DIV n"
+            " AS BIGINT)"
+        ).alias("expected_runs_per_doc_ppm"),
+        F.expr(
+            "CAST((1000000 * r) DIV n AS BIGINT)"
+        ).alias("actual_runs_per_doc_ppm"),
+    )

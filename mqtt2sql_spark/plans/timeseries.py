@@ -5330,3 +5330,68 @@ def value_percentiles_by_type(
         ).alias("p99"),
         F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
     )
+
+
+# --- event value by hour band --------------------------------------------------------------------
+
+
+@register(
+    "value_by_hour_band",
+    oracle="""
+    , b AS (
+        SELECT CASE WHEN extract(hour FROM ts) < 6 THEN 'night'
+                    WHEN extract(hour FROM ts) < 12 THEN 'morning'
+                    WHEN extract(hour FROM ts) < 18 THEN 'afternoon'
+                    ELSE 'evening' END AS band,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    tot AS (SELECT count(*) AS n, sum(cents) AS s FROM b)
+    SELECT b.band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((100 * sum(b.cents)) // count(*) AS BIGINT)
+               AS mean_value_e2,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS volume_share_ppm,
+           CAST((1000000 * sum(b.cents)) // max(t.s) AS BIGINT)
+               AS value_share_ppm
+    FROM b CROSS JOIN tot t
+    GROUP BY b.band
+    """,
+    doc="Do off-hours events carry different value?  Mean event value "
+    "and volume/value shares across four six-hour bands — a night "
+    "band whose value share exceeds its volume share is "
+    "high-stakes automated traffic (batch jobs, scripted "
+    "purchases) that diurnal volume charts (diurnal_dft_power) "
+    "render invisible.  One scan, 4-group agg, exact integers.",
+    tags=("timeseries", "events"),
+)
+def value_by_hour_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.when(F.hour("ts") < 6, "night")
+        .when(F.hour("ts") < 12, "morning")
+        .when(F.hour("ts") < 18, "afternoon")
+        .otherwise("evening")
+        .alias("band"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr(
+                "CAST((100 * sum(cents)) DIV count(*) AS BIGINT)"
+            ).alias("mean_value_e2"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("volume_share_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(cents)) DIV max(s) AS BIGINT)"
+            ).alias("value_share_ppm"),
+        )
+    )

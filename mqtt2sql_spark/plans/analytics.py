@@ -16904,3 +16904,195 @@ def weekday_share_by_segment(
             "CAST((1000000 * sum(is_weekday)) DIV count(*) AS BIGINT)"
         ).alias("weekday_share_ppm"),
     )
+
+
+# --- customer value trajectory sign test -----------------------------------------------------------
+
+
+@register(
+    "customer_value_trajectory",
+    oracle="""
+    , rk AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                   AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS k
+        FROM orders
+    ),
+    halves AS (
+        SELECT o_custkey,
+               sum(CASE WHEN rn <= k // 2 THEN cents ELSE 0 END) AS s1,
+               sum(CASE WHEN rn <= k // 2 THEN 1 ELSE 0 END) AS k1,
+               sum(CASE WHEN rn > k - k // 2 THEN cents ELSE 0 END)
+                   AS s2,
+               sum(CASE WHEN rn > k - k // 2 THEN 1 ELSE 0 END) AS k2
+        FROM rk WHERE k >= 4
+        GROUP BY o_custkey
+    ),
+    lab AS (
+        SELECT CASE
+                 WHEN CAST(s2 AS HUGEINT) * k1 > CAST(s1 AS HUGEINT) * k2
+                 THEN 1
+                 WHEN CAST(s2 AS HUGEINT) * k1 < CAST(s1 AS HUGEINT) * k2
+                 THEN -1 ELSE 0 END AS sgn
+        FROM halves
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_growing,
+           CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shrinking,
+           CAST(floor(
+               (CAST(sum(sgn) AS DOUBLE))
+               / sqrt(CAST(sum(abs(sgn)) AS DOUBLE))
+               * 1000000) AS BIGINT) AS sign_z_e6
+    FROM lab
+    """,
+    doc="Are customers growing or shrinking?  Per customer with ≥4 "
+    "orders, compare the mean order value of their first half vs "
+    "second half (by order sequence) using exact cross-"
+    "multiplication — no per-customer division — then the sign-test "
+    "z = (up − down)/√(up + down) across customers.  A "
+    "population-level drift detector that per-customer noise can't "
+    "fake (each customer contributes ±1, not their variance); "
+    "pairs with customer_value_migration's band matrix.  One "
+    "customer-keyed rank window, exact integers, CAST-AS-DOUBLE "
+    "final z.",
+    tags=("analytics", "retention", "stats"),
+)
+def customer_value_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rk = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+        F.row_number()
+        .over(
+            W.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_custkey"))
+        .alias("k"),
+    ).filter(F.col("k") >= 4)
+    halves = rk.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.expr("rn <= k DIV 2"), F.col("cents")).otherwise(0)
+        ).alias("s1"),
+        F.sum(F.when(F.expr("rn <= k DIV 2"), 1).otherwise(0)).alias(
+            "k1"
+        ),
+        F.sum(
+            F.when(F.expr("rn > k - k DIV 2"), F.col("cents"))
+            .otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(F.expr("rn > k - k DIV 2"), 1).otherwise(0)
+        ).alias("k2"),
+    )
+    lab = halves.select(
+        F.expr(
+            "CASE WHEN CAST(s2 AS DECIMAL(38,0)) * k1"
+            " > CAST(s1 AS DECIMAL(38,0)) * k2 THEN 1"
+            " WHEN CAST(s2 AS DECIMAL(38,0)) * k1"
+            " < CAST(s1 AS DECIMAL(38,0)) * k2 THEN -1"
+            " ELSE 0 END"
+        ).alias("sgn")
+    )
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_growing"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shrinking"),
+        F.expr(
+            "CAST(floor((CAST(sum(sgn) AS DOUBLE))"
+            " / sqrt(CAST(sum(abs(sgn)) AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("sign_z_e6"),
+    )
+
+
+# --- purchasing activity of negative-balance customers ---------------------------------------------
+
+
+@register(
+    "negative_balance_activity",
+    oracle="""
+    , lab AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END AS neg,
+               count(o.o_orderkey) AS n_orders,
+               coalesce(sum(CAST(round(o.o_totalprice * 100, 0)
+                                 AS BIGINT)), 0) AS cents
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, CASE WHEN c.c_acctbal < 0
+                                   THEN 1 ELSE 0 END
+    )
+    SELECT neg AS is_negative_balance,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST((10000 * sum(n_orders)) // count(*) AS BIGINT)
+               AS orders_per_customer_e4,
+           CAST((100 * sum(cents)) // greatest(sum(n_orders), 1)
+               AS BIGINT) AS mean_order_value_e2
+    FROM lab GROUP BY neg
+    """,
+    doc="Credit-risk behavior check: do negative-balance customers "
+    "order less, or at lower value, than positive-balance ones?  "
+    "Per balance sign: customers, order rate per customer, and mean "
+    "order value — identical rates mean the balance field carries "
+    "no behavioral signal and credit holds are not yet biting "
+    "(negative_balance_by_nation locates the exposure; this tests "
+    "whether it matters).  Never-ordered customers count in the "
+    "denominator via LEFT JOIN; exact integers.",
+    tags=("analytics", "risk"),
+)
+def negative_balance_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lab = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("neg"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                ),
+                F.lit(0),
+            ).alias("cents"),
+        )
+    )
+    return lab.groupBy(
+        F.col("neg").alias("is_negative_balance")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST((10000 * sum(n_orders)) DIV count(*) AS BIGINT)"
+        ).alias("orders_per_customer_e4"),
+        F.expr(
+            "CAST((100 * sum(cents)) DIV greatest(sum(n_orders), 1)"
+            " AS BIGINT)"
+        ).alias("mean_order_value_e2"),
+    )

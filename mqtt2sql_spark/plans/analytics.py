@@ -17096,3 +17096,179 @@ def negative_balance_activity(
             " AS BIGINT)"
         ).alias("mean_order_value_e2"),
     )
+
+
+# --- order-value coefficient-of-variation histogram --------------------------------------------
+
+
+@register(
+    "order_value_cv_histogram",
+    oracle="""
+    , per AS (
+        SELECT o_custkey,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS ss
+        FROM orders GROUP BY o_custkey
+        HAVING count(*) >= 3
+    ),
+    cv AS (
+        SELECT CAST(floor(
+                   sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 10) AS BIGINT) AS cv_band
+        FROM per
+    ),
+    tot AS (SELECT count(*) AS t FROM cv)
+    SELECT c.cv_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST((1000000 * count(*)) // max(t.t) AS BIGINT)
+               AS share_ppm
+    FROM cv c CROSS JOIN tot t
+    GROUP BY c.cv_band
+    """,
+    doc="How consistent is each customer's basket size?  Population "
+    "CV (σ/μ) of order value per customer with ≥3 orders, "
+    "histogrammed in 0.1-wide bands — the left mass is "
+    "subscription-like predictable buyers (forecastable at customer "
+    "grain), the right tail is project-driven lumpy demand where "
+    "only portfolio-level forecasts work.  Sufficient statistics "
+    "exact; the per-customer CV follows the CAST-AS-DOUBLE rule "
+    "(sqrt is correctly rounded) before the floor-band.  One "
+    "customer agg, one ~15-group agg.",
+    tags=("analytics", "stats"),
+)
+def order_value_cv_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("ss"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    cv = per.select(
+        F.expr(
+            "CAST(floor("
+            "sqrt((CAST(ss AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            "   / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 10) AS BIGINT)"
+        ).alias("cv_band")
+    )
+    tot = cv.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        cv.crossJoin(F.broadcast(tot))
+        .groupBy("cv_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(t) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+# --- same-brand share of basket pairs ----------------------------------------------------------
+
+
+@register(
+    "basket_brand_loyalty",
+    oracle="""
+    , basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pe AS (
+        SELECT b.l_orderkey, b.l_partkey, p.p_brand
+        FROM basket b JOIN part p ON p.p_partkey = b.l_partkey
+    ),
+    pairs AS (
+        SELECT sum(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END)
+                   AS same_brand,
+               count(*) AS n_pairs
+        FROM pe a JOIN pe b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+    ),
+    base AS (
+        SELECT sum(CAST(n AS HUGEINT) * (n - 1)) AS num,
+               CAST(sum(n) AS HUGEINT) * (sum(n) - 1) AS den
+        FROM (SELECT p_brand, count(*) AS n FROM pe GROUP BY p_brand)
+    )
+    SELECT CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CAST(p.same_brand AS BIGINT) AS n_same_brand,
+           CAST((1000000 * p.same_brand) // p.n_pairs AS BIGINT)
+               AS same_brand_ppm,
+           CAST((1000000 * b.num) // b.den AS BIGINT)
+               AS expected_random_ppm
+    FROM pairs p CROSS JOIN base b
+    """,
+    doc="Do baskets cluster by brand?  The share of within-order part "
+    "pairs that share a brand, against the random-mixing baseline "
+    "(the corpus-wide brand collision probability Σnᵢ(nᵢ−1)/N(N−1)) "
+    "— same_brand meaningfully above expected means brand pulls "
+    "co-purchase and brand-level recommendations "
+    "(copurchase_brand_modularity) have signal to work with.  "
+    "Basket pair expansion is the bounded ≤7-line form; baseline in "
+    "exact HUGEINT/DECIMAL collision arithmetic.",
+    tags=("analytics", "recsys"),
+)
+def basket_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    pe = li.join(
+        F.broadcast(part), li["l_partkey"] == F.col("p_partkey")
+    ).select("l_orderkey", "l_partkey", "p_brand")
+    a = pe.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pka"),
+        F.col("p_brand").alias("ba"),
+    )
+    b = pe.select(
+        F.col("l_orderkey").alias("okb"),
+        F.col("l_partkey").alias("pkb"),
+        F.col("p_brand").alias("bb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ok") == F.col("okb")) & (F.col("pka") < F.col("pkb")),
+    ).agg(
+        F.sum(
+            F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)
+        ).alias("same_brand"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    base = (
+        pe.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)
+            ).alias("num"),
+            F.expr(
+                "CAST(sum(n) AS DECIMAL(38,0)) * (sum(n) - 1)"
+            ).alias("den"),
+        )
+    )
+    return pairs.crossJoin(base).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("same_brand").cast("long").alias("n_same_brand"),
+        F.expr(
+            "CAST((1000000 * same_brand) DIV n_pairs AS BIGINT)"
+        ).alias("same_brand_ppm"),
+        F.expr(
+            "CAST((1000000 * num) DIV den AS BIGINT)"
+        ).alias("expected_random_ppm"),
+    )

@@ -5395,3 +5395,106 @@ def value_by_hour_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_share_ppm"),
         )
     )
+
+
+_SESSION_GAP_MIN = 30  # the events_sessionize convention
+
+
+# --- where in the session do purchases land? -------------------------------------------------------
+
+
+@register(
+    "purchase_position_in_session",
+    oracle=f"""
+    , flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w
+                         <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    pos AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, sid) AS k
+        FROM sess
+    ),
+    p AS (
+        SELECT ((rn - 1) * 4) // k + 1 AS quartile
+        FROM pos WHERE event_type = 'purchase' AND k >= 2
+    ),
+    tot AS (SELECT count(*) AS n FROM p)
+    SELECT p.quartile,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS share_ppm
+    FROM p CROSS JOIN tot t
+    GROUP BY p.quartile
+    """,
+    doc="Session phase of purchasing: each purchase event's quartile "
+    "position within its session (multi-event sessions) — front-"
+    "loaded purchases mean users arrive intending to buy (search-"
+    "driven, optimize landing), back-loaded means browsing converts "
+    "(optimize discovery depth); flat means position carries no "
+    "signal and session_depth_conversion's depth effect is pure "
+    "selection.  One session window + one position window on the "
+    "same shuffle; exact integer quartiles.",
+    tags=("timeseries", "sessions"),
+)
+def purchase_position_in_session(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= _SESSION_GAP_MIN * 60 * 1000000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    wp = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    wk = W.partitionBy("user_id", "sid")
+    pos = sess.select(
+        "event_type",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    p = pos.filter(
+        (F.col("event_type") == "purchase") & (F.col("k") >= 2)
+    ).select(F.expr("((rn - 1) * 4) DIV k + 1").alias("quartile"))
+    tot = p.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

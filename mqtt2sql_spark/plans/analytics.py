@@ -17372,3 +17372,87 @@ def export_partner_diversity(
             "CAST((1000000 * top_rev) DIV tot AS BIGINT)"
         ).alias("top_partner_share_ppm"),
     )
+
+
+# --- dominant line share within each order ------------------------------------------------------
+
+
+@register(
+    "dominant_line_share_histogram",
+    oracle="""
+    , per AS (
+        SELECT l_orderkey,
+               max(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS BIGINT)) AS top_c,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS BIGINT)) AS tot_c,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+        HAVING count(*) >= 2
+    ),
+    b AS (
+        SELECT ((1000000 * top_c) // tot_c) // 100000 AS share_band,
+               n_lines
+        FROM per
+    ),
+    tot AS (SELECT count(*) AS n FROM b)
+    SELECT b.share_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST((10000 * sum(b.n_lines)) // count(*) AS BIGINT)
+               AS mean_lines_e4,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS share_ppm
+    FROM b CROSS JOIN tot t
+    GROUP BY b.share_band
+    """,
+    doc="Basket concentration: per multi-line order, the revenue share "
+    "of its single largest line, banded in 10 % steps — a corpus of "
+    "orders living in the 90 %+ band is 'one big item plus "
+    "accessories' (anchor-item merchandising), an even spread is "
+    "true basket shopping; changes which item a picker should stage "
+    "first and what free-shipping thresholds do.  One order-grain "
+    "agg; exact integer shares.",
+    tags=("analytics", "behavior"),
+)
+def dominant_line_share_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max(cents).alias("top_c"),
+            F.sum(cents).alias("tot_c"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )
+    b = per.select(
+        F.expr(
+            "((1000000 * top_c) DIV tot_c) DIV 100000"
+        ).alias("share_band"),
+        "n_lines",
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("share_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr(
+                "CAST((10000 * sum(n_lines)) DIV count(*) AS BIGINT)"
+            ).alias("mean_lines_e4"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .select(
+            F.col("share_band").cast("long").alias("share_band"),
+            "n_orders",
+            "mean_lines_e4",
+            "share_ppm",
+        )
+    )

@@ -5052,3 +5052,104 @@ def label_centroid_median_shift(
             " AS BIGINT)"
         ).alias("shift_ratio_ppm"),
     )
+
+
+# --- label separability R^2 over the full embedding space --------------------------------------
+
+
+@register(
+    "label_separability_r2",
+    oracle="""
+    , q AS (
+        SELECT label, i,
+               CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                   AS qx
+        FROM (SELECT label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    per_lab AS (
+        SELECT label, i, count(*) AS n, sum(qx) AS s,
+               sum(CAST(qx AS HUGEINT) * qx) AS ss
+        FROM q GROUP BY label, i
+    ),
+    per_dim AS (
+        SELECT i,
+               sum(n) AS n,
+               sum(s) AS s,
+               sum(ss) AS ss,
+               sum((CAST(s AS HUGEINT) * s * 10000) // n) AS sb_e4
+        FROM per_lab GROUP BY i
+    ),
+    tot AS (
+        SELECT sum(ss) AS ss_all,
+               sum((CAST(s AS HUGEINT) * s * 10000) // n) AS sgm_e4,
+               sum(sb_e4) AS sb_e4
+        FROM per_dim
+    )
+    SELECT CAST((1000000 * (sb_e4 - sgm_e4))
+                // (10000 * ss_all - sgm_e4) AS BIGINT)
+               AS r2_ppm,
+           CAST(ss_all AS BIGINT) AS total_sq_e0,
+           CAST(sb_e4 // 10000 AS BIGINT) AS between_sq
+    FROM tot
+    """,
+    doc="How much of the embedding space's variance do the labels "
+    "explain?  One-way ANOVA R² pooled over all 64 dimensions: "
+    "R² = (SSB − SSG)/(SST − SSG) with SSB = ΣᵢΣ_lab Sᵢ,lab²/nᵢ,lab "
+    "and SSG the grand-mean term, all in exact e4 fixed-point "
+    "HUGEINT/DECIMAL integer divisions — near-zero means labels "
+    "don't structure the space and the per-label queries "
+    "(label_centroids, label_cosine_separation) are reading noise; "
+    "this is the one-number screen to run first.  Long-format "
+    "explode, (label, dim) then dim aggregates — fully "
+    "map-combinable, no window.",
+    tags=("similarity", "stats"),
+)
+def label_separability_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "label",
+        "i",
+        F.round(F.col("x").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qx"),
+    )
+    per_lab = q.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("s"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias(
+            "ss"
+        ),
+    )
+    per_dim = per_lab.groupBy("i").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(
+            F.expr(
+                "(CAST(s AS DECIMAL(38,0)) * s * 10000) DIV n"
+            ).cast("decimal(38,0)")
+        ).alias("sb_e4"),
+    )
+    tot = per_dim.agg(
+        F.sum("ss").alias("ss_all"),
+        F.sum(
+            F.expr(
+                "(CAST(s AS DECIMAL(38,0)) * s * 10000) DIV n"
+            ).cast("decimal(38,0)")
+        ).alias("sgm_e4"),
+        F.sum("sb_e4").alias("sb_e4"),
+    )
+    return tot.select(
+        F.expr(
+            "CAST((1000000 * (sb_e4 - sgm_e4))"
+            " DIV (10000 * ss_all - sgm_e4) AS BIGINT)"
+        ).alias("r2_ppm"),
+        F.col("ss_all").cast("long").alias("total_sq_e0"),
+        F.expr("CAST(sb_e4 DIV 10000 AS BIGINT)").alias("between_sq"),
+    )

@@ -5064,3 +5064,70 @@ def source_interleave_runs_test(
             "CAST((1000000 * r) DIV n AS BIGINT)"
         ).alias("actual_runs_per_doc_ppm"),
     )
+
+
+# --- language mix across ingestion deciles ----------------------------------------------------
+
+
+@register(
+    "lang_mix_by_ingestion_decile",
+    oracle="""
+    , rk AS (
+        SELECT lang,
+               row_number() OVER (ORDER BY doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    d AS (
+        SELECT ((rn - 1) * 10) // n + 1 AS decile, lang FROM rk
+    ),
+    per AS (
+        SELECT decile, lang, count(*) AS c FROM d
+        GROUP BY decile, lang
+    ),
+    tot AS (SELECT decile, sum(c) AS t FROM per GROUP BY decile)
+    SELECT p.decile, p.lang,
+           CAST(p.c AS BIGINT) AS n_docs,
+           CAST((1000000 * p.c) // t.t AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t USING (decile)
+    """,
+    doc="Language mix drift across ingestion order: per doc_id decile, "
+    "each language's share — a multilingual pipeline whose later "
+    "deciles skew toward one language will train differently under "
+    "sequential data loading than the corpus-level mix suggests "
+    "(the language cut of source_interleave_runs_test's layout "
+    "finding, and the drift curve corpus_snapshot_diff summarizes "
+    "at two points).  One global rank (two-phase at scale), one "
+    "agg; exact integers.",
+    tags=("text", "mixing", "drift"),
+)
+def lang_mix_by_ingestion_decile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rk = docs.select(
+        "lang",
+        F.row_number().over(W.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    d = rk.select(
+        F.expr("((rn - 1) * 10) DIV n + 1").alias("decile"), "lang"
+    )
+    per = d.groupBy("decile", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per.groupBy("decile").agg(F.sum("c").alias("t"))
+    return per.join(F.broadcast(tot), "decile").select(
+        "decile",
+        "lang",
+        F.col("c").cast("long").alias("n_docs"),
+        F.expr("CAST((1000000 * c) DIV t AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

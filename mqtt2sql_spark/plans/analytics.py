@@ -17532,3 +17532,71 @@ def list_vs_realized_price_gap(
             " DIV sum(CAST(list_c AS DECIMAL(38,0)) * qty) AS BIGINT)"
         ).alias("realization_ppm"),
     )
+
+
+# --- quarterly revenue with QoQ and YoY growth ------------------------------------------------------
+
+
+@register(
+    "quarterly_growth_qoq_yoy",
+    oracle="""
+    , q AS (
+        SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) * 4
+               + CAST((extract(month FROM l_shipdate) - 1) // 3
+                   AS BIGINT) AS qi,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    )
+    SELECT a.qi // 4 AS year,
+           a.qi % 4 + 1 AS quarter,
+           round(a.rev / 100.0, 2) AS revenue,
+           CAST((1000000 * a.rev) // p.rev - 1000000 AS BIGINT)
+               AS qoq_growth_ppm,
+           CAST((1000000 * a.rev) // y.rev - 1000000 AS BIGINT)
+               AS yoy_growth_ppm
+    FROM q a
+    JOIN q p ON p.qi = a.qi - 1
+    JOIN q y ON y.qi = a.qi - 4
+    """,
+    doc="The CFO's two growth numbers on one row: quarterly shipped "
+    "revenue with quarter-over-quarter AND year-over-year growth — "
+    "QoQ tells momentum but is seasonality-polluted; YoY removes "
+    "seasonality but lags; reading them together separates trend "
+    "from season without any decomposition model "
+    "(volume_decomposition_shares does the model version).  "
+    "Quarters index as year*4+q so adjacency is integer arithmetic; "
+    "lags via self equi-joins on the quarter index — no window, no "
+    "calendar table; exact cents.",
+    tags=("analytics", "finance"),
+)
+def quarterly_growth_qoq_yoy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    q = li.groupBy(
+        (
+            F.year("l_shipdate").cast("long") * 4
+            + ((F.month("l_shipdate") - 1) / 3).cast("long")
+        ).alias("qi")
+    ).agg(F.sum(cents).alias("rev"))
+    p = q.select((F.col("qi") + 1).alias("qi"), F.col("rev").alias("prev"))
+    y = q.select((F.col("qi") + 4).alias("qi"), F.col("rev").alias("yrev"))
+    return (
+        q.join(p, "qi")
+        .join(y, "qi")
+        .select(
+            F.expr("qi DIV 4").alias("year"),
+            F.expr("qi % 4 + 1").alias("quarter"),
+            F.round(F.col("rev") / 100.0, 2).alias("revenue"),
+            F.expr(
+                "CAST((1000000 * rev) DIV prev - 1000000 AS BIGINT)"
+            ).alias("qoq_growth_ppm"),
+            F.expr(
+                "CAST((1000000 * rev) DIV yrev - 1000000 AS BIGINT)"
+            ).alias("yoy_growth_ppm"),
+        )
+    )

@@ -5131,3 +5131,70 @@ def lang_mix_by_ingestion_decile(
             "share_ppm"
         ),
     )
+
+
+# --- document length percentiles per source ----------------------------------------------------
+
+
+@register(
+    "doclen_percentiles_by_source",
+    oracle=f"""
+    , d AS (
+        SELECT source, doc_id,
+               CAST(len({duck_tokens()}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT source, n_tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_tok, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM d
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_tok END)
+               AS BIGINT) AS p50_tokens,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tok END)
+               AS BIGINT) AS p90_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM r GROUP BY source
+    """,
+    doc="Document length profile per source: exact nearest-rank "
+    "P50/P90/max token counts and total mass — the per-source cut "
+    "of token_mass_by_doclen_bucket, and the first thing to check "
+    "when one source's documents are suspiciously uniform "
+    "(truncation at an extractor limit shows as P90 == max).  "
+    "Source-partitioned rank with (length, doc_id) total order; "
+    "exact integers.",
+    tags=("text",),
+)
+def doclen_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+    )
+    wr = W.partitionBy("source").orderBy("n_tok", "doc_id")
+    wn = W.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_tok",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("n_tok"))
+        ).cast("long").alias("p50_tokens"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("n_tok"))
+        ).cast("long").alias("p90_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )

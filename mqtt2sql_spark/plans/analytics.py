@@ -17600,3 +17600,102 @@ def quarterly_growth_qoq_yoy(
             ).alias("yoy_growth_ppm"),
         )
     )
+
+
+# --- shipping latency by supplier nation ------------------------------------------------------------
+
+
+@register(
+    "ship_latency_by_supplier_nation",
+    oracle="""
+    , lt AS (
+        SELECT n.n_name,
+               greatest(epoch_us(l.l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000, 0)
+                   AS days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    r AS (
+        SELECT n_name, days,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY days, l_orderkey,
+                                           l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY n_name) AS n
+        FROM lt
+    )
+    SELECT n_name,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END)
+               AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+               AS BIGINT) AS p90_days,
+           CAST((10000 * sum(days)) // max(n) AS BIGINT)
+               AS mean_days_e4
+    FROM r GROUP BY n_name
+    """,
+    doc="Fulfillment latency by supplier nation: exact nearest-rank "
+    "P50/P90 (plus fixed-point mean) of order-to-ship days per "
+    "nation — the customs/logistics geography that "
+    "latency_by_priority_percentiles cuts by priority and "
+    "supplier_latency_consistency cuts by supplier; nation is the "
+    "grain procurement can actually re-route around.  One fact-fact "
+    "join + broadcast dims, nation-partitioned rank with total "
+    "order.",
+    tags=("analytics", "ops"),
+)
+def ship_latency_by_supplier_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    lt = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.expr(
+                "greatest(unix_micros(l_shipdate) DIV 86400000000"
+                " - unix_micros(o_orderdate) DIV 86400000000, 0)"
+            ).alias("days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wr = W.partitionBy("n_name").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("n_name")
+    r = lt.select(
+        "n_name",
+        "days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("n_name").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("days"))
+        ).cast("long").alias("p50_days"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("days"))
+        ).cast("long").alias("p90_days"),
+        F.expr(
+            "CAST((10000 * sum(days)) DIV max(n) AS BIGINT)"
+        ).alias("mean_days_e4"),
+    )

@@ -5498,3 +5498,92 @@ def purchase_position_in_session(
             ).alias("share_ppm"),
         )
     )
+
+
+# --- user engagement breadth (effective event types) ---------------------------------------------
+
+
+@register(
+    "user_engagement_breadth_histogram",
+    oracle="""
+    , ut AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    per AS (
+        SELECT user_id,
+               sum(n) AS total,
+               sum(n * (n - 1)) AS coll,
+               count(*) AS n_types
+        FROM ut GROUP BY user_id
+        HAVING sum(n) >= 2
+    ),
+    b AS (
+        SELECT ((10000 * total * (total - 1))
+                // greatest(coll, 1)) // 10000 AS eff_band,
+               n_types
+        FROM per
+    ),
+    tot AS (SELECT count(*) AS n FROM b)
+    SELECT b.eff_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST((10000 * sum(b.n_types)) // count(*) AS BIGINT)
+               AS mean_raw_types_e4,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS share_ppm
+    FROM b CROSS JOIN tot t
+    GROUP BY b.eff_band
+    """,
+    doc="Engagement breadth: the inverse-Simpson effective number of "
+    "event types per user (≥2 events), floored to integer bands — a "
+    "user logging 5 types but effectively 1.2 is a single-behavior "
+    "user however long their type list; the histogram shows whether "
+    "the product has one core loop or several "
+    "(user_event_gini measures concentration of volume; this counts "
+    "effective behaviors).  Exact collision arithmetic per user, "
+    "two aggs.",
+    tags=("timeseries", "behavior"),
+)
+def user_engagement_breadth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = (
+        ut.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("total"),
+            F.sum(F.col("n") * (F.col("n") - 1)).alias("coll"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .filter(F.col("total") >= 2)
+    )
+    b = per.select(
+        F.expr(
+            "((10000 * total * (total - 1))"
+            " DIV greatest(coll, 1)) DIV 10000"
+        ).alias("eff_band"),
+        "n_types",
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("eff_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr(
+                "CAST((10000 * sum(n_types)) DIV count(*) AS BIGINT)"
+            ).alias("mean_raw_types_e4"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .select(
+            F.col("eff_band").cast("long").alias("eff_band"),
+            "n_users",
+            "mean_raw_types_e4",
+            "share_ppm",
+        )
+    )

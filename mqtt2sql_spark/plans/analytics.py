@@ -17699,3 +17699,83 @@ def ship_latency_by_supplier_nation(
             "CAST((10000 * sum(days)) DIV max(n) AS BIGINT)"
         ).alias("mean_days_e4"),
     )
+
+
+# --- price variance explained by part type ----------------------------------------------------------
+
+
+@register(
+    "price_variance_explained_by_type",
+    oracle="""
+    , p AS (
+        SELECT p_type,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS c
+        FROM part
+    ),
+    per AS (
+        SELECT p_type, count(*) AS n, sum(c) AS s,
+               sum(CAST(c AS HUGEINT) * c) AS ss
+        FROM p GROUP BY p_type
+    ),
+    tot AS (
+        SELECT count(*) AS n_types,
+               sum(n) AS n,
+               sum(s) AS s,
+               sum(ss) AS ss,
+               sum((CAST(s AS HUGEINT) * s * 10000) // n) AS sb_e4
+        FROM per
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           CAST(n AS BIGINT) AS n_parts,
+           CAST((1000000 * (sb_e4 - (CAST(s AS HUGEINT) * s * 10000)
+                                    // n))
+                // (10000 * ss - (CAST(s AS HUGEINT) * s * 10000) // n)
+               AS BIGINT) AS r2_ppm
+    FROM tot
+    """,
+    doc="Does part type explain price?  One-way ANOVA R² of retail "
+    "price on p_type in exact e4 fixed-point integer arithmetic "
+    "(between-type sum of squares over total, both via "
+    "Σ(Sᵢ²·10⁴ DIV nᵢ) — no float sums anywhere) — near-zero means "
+    "type is cosmetic for pricing and size/brand carry the signal "
+    "(size_price_slope_by_type / brand_price_premium test those); "
+    "the same pooled-ANOVA shape as label_separability_r2, on the "
+    "catalog dimension.  Two tiny aggs.",
+    tags=("analytics", "pricing", "stats"),
+)
+def price_variance_explained_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_type",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("c"),
+    )
+    per = p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+            "ss"
+        ),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(
+            F.expr(
+                "(CAST(s AS DECIMAL(38,0)) * s * 10000) DIV n"
+            ).cast("decimal(38,0)")
+        ).alias("sb_e4"),
+    )
+    return tot.select(
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n").cast("long").alias("n_parts"),
+        F.expr(
+            "CAST((1000000 * (sb_e4 - (CAST(s AS DECIMAL(38,0)) * s"
+            " * 10000) DIV n))"
+            " DIV (10000 * ss - (CAST(s AS DECIMAL(38,0)) * s * 10000)"
+            " DIV n) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )

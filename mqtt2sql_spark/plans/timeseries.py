@@ -5587,3 +5587,97 @@ def user_engagement_breadth_histogram(
             "share_ppm",
         )
     )
+
+
+# --- Mann-Kendall trend of the weekly error share --------------------------------------------------
+
+
+@register(
+    "error_share_trend_mk",
+    oracle="""
+    , wk AS (
+        SELECT epoch_us(ts) // 604800000000 AS w,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS e,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN CAST(b.e AS HUGEINT) * a.n
+                         > CAST(a.e AS HUGEINT) * b.n THEN 1
+                    WHEN CAST(b.e AS HUGEINT) * a.n
+                         < CAST(a.e AS HUGEINT) * b.n THEN -1
+                    ELSE 0 END AS sgn
+        FROM wk a JOIN wk b ON b.w > a.w
+    ),
+    s AS (
+        SELECT sum(sgn) AS mk_s, count(*) AS n_pairs,
+               (SELECT count(*) FROM wk) AS n_weeks
+        FROM pairs
+    )
+    SELECT CAST(n_weeks AS BIGINT) AS n_weeks,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(mk_s AS BIGINT) AS mk_s,
+           CAST(floor(
+               CAST(mk_s AS DOUBLE)
+               / sqrt(CAST(n_weeks AS DOUBLE)
+                      * CAST(n_weeks - 1 AS DOUBLE)
+                      * CAST(2 * n_weeks + 5 AS DOUBLE) / 18.0)
+               * 1000000) AS BIGINT) AS mk_z_e6
+    FROM s
+    """,
+    doc="Is reliability actually improving?  Mann-Kendall trend test "
+    "on the weekly error SHARE (not count — volume growth would "
+    "fake an error trend): S = Σ sign(share_j − share_i) over all "
+    "week pairs, with every share comparison done by exact integer "
+    "cross-multiplication so a 1-event difference is ranked "
+    "correctly.  The nonparametric complement to the per-entity "
+    "trend censuses (supplier_latency_trend_census uses the same "
+    "pair-sign idea per supplier; this is the global SRE number "
+    "with its normal-approximation z).  The O(weeks²) pair join is "
+    "over ~100 week aggregates.",
+    tags=("timeseries", "reliability", "stats"),
+)
+def error_share_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 604800000000").alias("w")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("e"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = wk.select(
+        F.col("w").alias("wa"), F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = wk.select(
+        F.col("w").alias("wb"), F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, F.col("wb") > F.col("wa")).select(
+        F.expr(
+            "CASE WHEN CAST(eb AS DECIMAL(38,0)) * na"
+            " > CAST(ea AS DECIMAL(38,0)) * nb THEN 1"
+            " WHEN CAST(eb AS DECIMAL(38,0)) * na"
+            " < CAST(ea AS DECIMAL(38,0)) * nb THEN -1"
+            " ELSE 0 END"
+        ).alias("sgn")
+    )
+    nw = wk.agg(F.count(F.lit(1)).alias("n_weeks"))
+    s = pairs.agg(
+        F.sum("sgn").alias("mk_s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    return s.crossJoin(F.broadcast(nw)).select(
+        F.col("n_weeks").cast("long").alias("n_weeks"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("mk_s").cast("long").alias("mk_s"),
+        F.expr(
+            "CAST(floor(CAST(mk_s AS DOUBLE)"
+            " / sqrt(CAST(n_weeks AS DOUBLE)"
+            "        * CAST(n_weeks - 1 AS DOUBLE)"
+            "        * CAST(2 * n_weeks + 5 AS DOUBLE) / 18.0)"
+            " * 1000000) AS BIGINT)"
+        ).alias("mk_z_e6"),
+    )

@@ -5681,3 +5681,150 @@ def error_share_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("mk_z_e6"),
     )
+
+
+# --- DAU distribution profile ----------------------------------------------------------------------
+
+
+@register(
+    "daily_active_users_profile",
+    oracle="""
+    , dau AS (
+        SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+               count(DISTINCT user_id) AS u
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT u, d,
+               row_number() OVER (ORDER BY u, d) AS rn,
+               count(*) OVER () AS n
+        FROM dau
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN u END) AS BIGINT)
+               AS p50_dau,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN u END)
+               AS BIGINT) AS p90_dau,
+           CAST(max(u) AS BIGINT) AS max_dau,
+           CAST((10000 * sum(u)) // max(n) AS BIGINT) AS mean_dau_e4
+    FROM r
+    """,
+    doc="What does a normal day look like?  The DAU distribution over "
+    "the observed span — exact nearest-rank P50/P90, the max (the "
+    "provisioning day), and the fixed-point mean; the P90/P50 gap "
+    "is the volatility number that decides whether capacity follows "
+    "the mean or the tail (dau_wau_stickiness tracks the ratio "
+    "to WAU; this profiles DAU itself).  One day-grain distinct "
+    "count, one rank over ~2.5k day rows.",
+    tags=("timeseries", "capacity"),
+)
+def daily_active_users_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) DIV 86400000000"
+        ).alias("d")
+    ).agg(F.countDistinct("user_id").alias("u"))
+    r = dau.select(
+        "u",
+        F.row_number().over(W.orderBy("u", "d")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("u"))
+        ).cast("long").alias("p50_dau"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("u"))
+        ).cast("long").alias("p90_dau"),
+        F.max("u").cast("long").alias("max_dau"),
+        F.expr(
+            "CAST((10000 * sum(u)) DIV max(n) AS BIGINT)"
+        ).alias("mean_dau_e4"),
+    )
+
+
+# --- user value concentration ------------------------------------------------------------------------
+
+
+@register(
+    "user_value_concentration",
+    oracle="""
+    , uv AS (
+        SELECT user_id,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, user_id) AS rn,
+               count(*) OVER () AS n,
+               sum(cents) OVER () AS tot
+        FROM uv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST((1000000 * sum(CASE WHEN rn <= (n + 99) // 100
+                                    THEN cents ELSE 0 END))
+                // max(tot) AS BIGINT) AS top1pct_share_ppm,
+           CAST((1000000 * sum(CASE WHEN rn <= (n + 9) // 10
+                                    THEN cents ELSE 0 END))
+                // max(tot) AS BIGINT) AS top10pct_share_ppm,
+           CAST((1000000 * sum(CASE WHEN rn <= (n + 1) // 2
+                                    THEN cents ELSE 0 END))
+                // max(tot) AS BIGINT) AS top50pct_share_ppm
+    FROM r
+    """,
+    doc="Whale concentration on the event stream: the share of total "
+    "event value held by the top 1 % / 10 % / 50 % of users (ranked "
+    "by their value total, total-order tie-break on user_id, "
+    "ceil-sized percentile cohorts) — the user-grain Pareto cut "
+    "that revenue_pareto_deciles does for line items; a "
+    "top-1 % share in the tens of percent makes every mean-based "
+    "user metric a whale artifact.  One user agg, one global rank "
+    "over users, exact integers.",
+    tags=("timeseries", "behavior"),
+)
+def user_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uv = ev.groupBy("user_id").agg(
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = uv.select(
+        "cents",
+        F.row_number()
+        .over(W.orderBy(F.desc("cents"), "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN rn <= (n + 99) DIV 100"
+            " THEN cents ELSE 0 END)) DIV max(tot) AS BIGINT)"
+        ).alias("top1pct_share_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN rn <= (n + 9) DIV 10"
+            " THEN cents ELSE 0 END)) DIV max(tot) AS BIGINT)"
+        ).alias("top10pct_share_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN rn <= (n + 1) DIV 2"
+            " THEN cents ELSE 0 END)) DIV max(tot) AS BIGINT)"
+        ).alias("top50pct_share_ppm"),
+    )

@@ -17779,3 +17779,83 @@ def price_variance_explained_by_type(
             " DIV n) AS BIGINT)"
         ).alias("r2_ppm"),
     )
+
+
+# --- uniform-discount orders screen ------------------------------------------------------------------
+
+
+@register(
+    "uniform_discount_orders",
+    oracle="""
+    , per AS (
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               min(CAST(round(l_discount * 100, 0) AS BIGINT)) AS dmin,
+               max(CAST(round(l_discount * 100, 0) AS BIGINT)) AS dmax
+        FROM lineitem GROUP BY l_orderkey
+        HAVING count(*) >= 3
+    ),
+    lab AS (
+        SELECT n_lines,
+               CASE WHEN dmin = dmax THEN 1 ELSE 0 END AS uniform,
+               CASE WHEN dmin = dmax AND dmin >= 8 THEN 1 ELSE 0 END
+                   AS uniform_high
+        FROM per
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(uniform) AS BIGINT) AS n_uniform,
+           CAST(sum(uniform_high) AS BIGINT) AS n_uniform_high,
+           CAST((1000000 * sum(uniform)) // count(*) AS BIGINT)
+               AS uniform_ppm
+    FROM lab GROUP BY n_lines
+    """,
+    doc="Discount-stacking screen: among orders with ≥3 lines, how "
+    "many carry the SAME discount on every line (and the same at "
+    "8 %+) — line discounts drawn independently almost never agree "
+    "across 3+ lines, so a high uniform rate at high discount is "
+    "the signature of manual override or a coupon code applied "
+    "order-wide where policy says per-line (the pricing-governance "
+    "cousin of suspected_duplicate_orders).  Discount is exact "
+    "integer percent; one order-grain agg.",
+    tags=("analytics", "dq", "pricing"),
+)
+def uniform_discount_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(d).alias("dmin"),
+            F.max(d).alias("dmax"),
+        )
+        .filter(F.col("n_lines") >= 3)
+    )
+    lab = per.select(
+        "n_lines",
+        F.when(F.col("dmin") == F.col("dmax"), 1).otherwise(0).alias(
+            "uniform"
+        ),
+        F.when(
+            (F.col("dmin") == F.col("dmax")) & (F.col("dmin") >= 8), 1
+        )
+        .otherwise(0)
+        .alias("uniform_high"),
+    )
+    return lab.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("uniform").cast("long").alias("n_uniform"),
+        F.sum("uniform_high").cast("long").alias("n_uniform_high"),
+        F.expr(
+            "CAST((1000000 * sum(uniform)) DIV count(*) AS BIGINT)"
+        ).alias("uniform_ppm"),
+    ).select(
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_orders",
+        "n_uniform",
+        "n_uniform_high",
+        "uniform_ppm",
+    )

@@ -5198,3 +5198,88 @@ def doclen_percentiles_by_source(
         F.max("n_tok").cast("long").alias("max_tokens"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+
+
+# --- marginal relaxation analysis of the quality gate ------------------------------------------
+
+
+@register(
+    "quality_gate_marginal_relaxation",
+    oracle=f"""
+    , lab AS (
+        SELECT CASE WHEN n_toks >= 20 THEN 1 ELSE 0 END AS ok_len,
+               CASE WHEN cpt >= 3 AND cpt <= 12 THEN 1 ELSE 0 END
+                   AS ok_cpt,
+               CASE WHEN sw_ratio >= 0.01 THEN 1 ELSE 0 END AS ok_sw
+        FROM (
+            SELECT len(toks) AS n_toks,
+                   CAST(len(list_filter(toks, x -> x IN
+                        ({", ".join(repr(w) for w in STOPWORDS)})))
+                        AS DOUBLE) / greatest(len(toks), 1) AS sw_ratio,
+                   CAST(length(text) AS DOUBLE)
+                       / greatest(len(toks), 1) AS cpt
+            FROM (SELECT text, {duck_tokens()} AS toks FROM documents)
+        )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ok_len * ok_cpt * ok_sw) AS BIGINT) AS n_pass,
+           CAST(sum((1 - ok_len) * ok_cpt * ok_sw) AS BIGINT)
+               AS gain_drop_len,
+           CAST(sum(ok_len * (1 - ok_cpt) * ok_sw) AS BIGINT)
+               AS gain_drop_cpt,
+           CAST(sum(ok_len * ok_cpt * (1 - ok_sw)) AS BIGINT)
+               AS gain_drop_sw,
+           CAST(sum(CASE WHEN ok_len + ok_cpt + ok_sw <= 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_fail
+    FROM lab
+    """,
+    doc="What would relaxing each quality condition buy?  For the "
+    "three gate conditions (length, chars-per-token, stopword "
+    "density): the count of documents failing ONLY that condition — "
+    "the exact marginal yield of dropping it — plus the multi-fail "
+    "mass no single relaxation recovers.  This is the "
+    "cost-of-strictness table that turns quality_fail_reason_"
+    "breakdown's raw counts into a decision (a condition whose "
+    "exclusive-fail count is near zero is free to keep).  One scan, "
+    "one fold; the condition expressions are the gate's own.",
+    tags=("text", "dq"),
+)
+def quality_gate_marginal_relaxation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    sw_ratio = count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    )
+    cpt = F.length("text").cast("double") / F.greatest(n_toks, F.lit(1))
+    lab = docs.select(
+        F.when(n_toks >= 20, 1).otherwise(0).alias("ok_len"),
+        F.when((cpt >= 3) & (cpt <= 12), 1).otherwise(0).alias(
+            "ok_cpt"
+        ),
+        F.when(sw_ratio >= 0.01, 1).otherwise(0).alias("ok_sw"),
+    )
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.col("ok_len") * F.col("ok_cpt") * F.col("ok_sw")
+        ).cast("long").alias("n_pass"),
+        F.sum(
+            (1 - F.col("ok_len")) * F.col("ok_cpt") * F.col("ok_sw")
+        ).cast("long").alias("gain_drop_len"),
+        F.sum(
+            F.col("ok_len") * (1 - F.col("ok_cpt")) * F.col("ok_sw")
+        ).cast("long").alias("gain_drop_cpt"),
+        F.sum(
+            F.col("ok_len") * F.col("ok_cpt") * (1 - F.col("ok_sw"))
+        ).cast("long").alias("gain_drop_sw"),
+        F.sum(
+            F.when(
+                F.col("ok_len") + F.col("ok_cpt") + F.col("ok_sw") <= 1,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_multi_fail"),
+    )

@@ -17859,3 +17859,71 @@ def uniform_discount_orders(
         "n_uniform_high",
         "uniform_ppm",
     )
+
+
+# --- SLA attainment sweep by priority ----------------------------------------------------------------
+
+
+@register(
+    "sla_attainment_by_priority",
+    oracle="""
+    , lt AS (
+        SELECT o.o_orderpriority,
+               greatest(epoch_us(l.l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000, 0)
+                   AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    sweep AS (SELECT unnest([30, 60, 90]) AS sla_days)
+    SELECT lt.o_orderpriority, s.sla_days,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN lt.days <= s.sla_days THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_within,
+           CAST((1000000 * sum(CASE WHEN lt.days <= s.sla_days
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS attainment_ppm
+    FROM lt CROSS JOIN sweep s
+    GROUP BY lt.o_orderpriority, s.sla_days
+    """,
+    doc="SLA attainment table: share of line shipments within "
+    "30/60/90 days of order date, per priority class — the "
+    "contract-facing number (percentiles answer 'how slow', "
+    "attainment answers 'what % met the promise', and pricing tiers "
+    "quote the latter).  Reading attainment flat across priorities "
+    "at every threshold is the strongest form of the 'priority is "
+    "theater' finding.  One fact-fact join, 3x literal fan-out "
+    "folded map-side; exact integers.",
+    tags=("analytics", "sla"),
+)
+def sla_attainment_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.expr(
+            "greatest(unix_micros(l_shipdate) DIV 86400000000"
+            " - unix_micros(o_orderdate) DIV 86400000000, 0)"
+        ).alias("days"),
+    )
+    sweep = spark.createDataFrame(
+        [(30,), (60,), (90,)], "sla_days INT"
+    )
+    return (
+        lt.crossJoin(F.broadcast(sweep))
+        .groupBy("o_orderpriority", "sla_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("days") <= F.col("sla_days"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_within"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN days <= sla_days"
+                " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+            ).alias("attainment_ppm"),
+        )
+    )

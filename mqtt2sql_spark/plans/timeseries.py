@@ -5828,3 +5828,73 @@ def user_value_concentration(
             " THEN cents ELSE 0 END)) DIV max(tot) AS BIGINT)"
         ).alias("top50pct_share_ppm"),
     )
+
+
+# --- single-event users profile ----------------------------------------------------------------------
+
+
+@register(
+    "single_event_users_profile",
+    oracle="""
+    , per AS (
+        SELECT user_id, count(*) AS n,
+               min(event_type) AS only_type
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS singles
+        FROM per
+    )
+    SELECT p.only_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_single_event_users,
+           CAST((1000000 * count(*)) // max(t.singles) AS BIGINT)
+               AS share_of_singles_ppm,
+           CAST((1000000 * max(t.singles)) // max(t.n_users)
+               AS BIGINT) AS single_user_share_ppm
+    FROM per p CROSS JOIN tot t
+    WHERE p.n = 1
+    GROUP BY p.only_type
+    """,
+    doc="One-and-done users: how many users have exactly one event "
+    "ever, and WHAT that single event was — a 'signup' single is an "
+    "onboarding drop, an 'error' single is a product failure at "
+    "first touch, a 'view' single is bounce traffic; three "
+    "different fixes behind one churn number "
+    "(user_activation_latency measures those who made it past this "
+    "point).  min(event_type) is exact for n=1 groups; one user "
+    "agg, one fold.",
+    tags=("timeseries", "retention"),
+)
+def single_event_users_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_type").alias("only_type"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+            "singles"
+        ),
+    )
+    return (
+        per.filter(F.col("n") == 1)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("only_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1))
+            .cast("long")
+            .alias("n_single_event_users"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(singles)"
+                " AS BIGINT)"
+            ).alias("share_of_singles_ppm"),
+            F.expr(
+                "CAST((1000000 * max(singles)) DIV max(n_users)"
+                " AS BIGINT)"
+            ).alias("single_user_share_ppm"),
+        )
+    )

@@ -17927,3 +17927,62 @@ def sla_attainment_by_priority(
             ).alias("attainment_ppm"),
         )
     )
+
+
+# --- return rate by shipping-latency band ------------------------------------------------------------
+
+
+@register(
+    "return_rate_by_latency_band",
+    oracle="""
+    , lt AS (
+        SELECT greatest(epoch_us(l.l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000, 0)
+                   // 15 AS lat_band,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT lat_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(ret) AS BIGINT) AS n_returned,
+           CAST((1000000 * sum(ret)) // count(*) AS BIGINT)
+               AS return_ppm
+    FROM lt GROUP BY lat_band
+    """,
+    doc="Do slow shipments come back?  Return rate per 15-day "
+    "shipping-latency band — a rising curve quantifies the revenue "
+    "cost of every fulfillment delay (the causal-flavored join of "
+    "the latency histograms and return_rate_wilson_rank's "
+    "supplier cut).  A flat curve kills the 'expedite to reduce "
+    "returns' proposal before it's funded.  One fact-fact join, "
+    "exact integer day bands.",
+    tags=("analytics", "ops"),
+)
+def return_rate_by_latency_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lt = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.expr(
+            "greatest(unix_micros(l_shipdate) DIV 86400000000"
+            " - unix_micros(o_orderdate) DIV 86400000000, 0) DIV 15"
+        ).alias("lat_band"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+            "ret"
+        ),
+    )
+    return lt.groupBy("lat_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returned"),
+        F.expr(
+            "CAST((1000000 * sum(ret)) DIV count(*) AS BIGINT)"
+        ).alias("return_ppm"),
+    ).select(
+        F.col("lat_band").cast("long").alias("lat_band"),
+        "n_lines",
+        "n_returned",
+        "return_ppm",
+    )

@@ -5898,3 +5898,97 @@ def single_event_users_profile(
             ).alias("single_user_share_ppm"),
         )
     )
+
+
+# --- engagement intensity by tenure band --------------------------------------------------------------
+
+
+@register(
+    "intensity_by_tenure_band",
+    oracle="""
+    , per AS (
+        SELECT user_id,
+               (max(epoch_us(ts)) - min(epoch_us(ts)))
+                   // 86400000000 AS tenure_d,
+               count(DISTINCT epoch_us(ts) // 86400000000)
+                   AS active_days,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT CASE WHEN tenure_d < 30 THEN 0
+                    WHEN tenure_d < 90 THEN 1
+                    WHEN tenure_d < 365 THEN 2
+                    ELSE 3 END AS tenure_band,
+               active_days, n_events, cents, tenure_d
+        FROM per
+    )
+    SELECT tenure_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST((10000 * sum(n_events)) // sum(active_days)
+               AS BIGINT) AS events_per_active_day_e4,
+           CAST((100 * sum(cents)) // sum(active_days) AS BIGINT)
+               AS value_per_active_day_e2,
+           CAST((10000 * sum(active_days))
+                // sum(greatest(tenure_d, 0) + 1) AS BIGINT)
+               AS active_day_density_e4
+    FROM b GROUP BY tenure_band
+    """,
+    doc="Does engagement deepen with tenure?  Per tenure band "
+    "(first-to-last-event span: <30 d, <90 d, <365 d, 1 y+): events "
+    "and value per ACTIVE day plus the active-day density "
+    "(active/calendar days) — separating 'veterans do more per "
+    "sitting' from 'veterans just show up more often', which "
+    "cohort_ltv_curves blends.  One user-grain agg with a distinct "
+    "day count; exact integers.",
+    tags=("timeseries", "retention"),
+)
+def intensity_by_tenure_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts)))"
+            " DIV 86400000000"
+        ).alias("tenure_d"),
+        F.countDistinct(
+            F.expr("unix_micros(ts) DIV 86400000000")
+        ).alias("active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("cents"),
+    )
+    b = per.select(
+        F.when(F.col("tenure_d") < 30, 0)
+        .when(F.col("tenure_d") < 90, 1)
+        .when(F.col("tenure_d") < 365, 2)
+        .otherwise(3)
+        .alias("tenure_band"),
+        "active_days",
+        "n_events",
+        "cents",
+        "tenure_d",
+    )
+    return b.groupBy("tenure_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr(
+            "CAST((10000 * sum(n_events)) DIV sum(active_days)"
+            " AS BIGINT)"
+        ).alias("events_per_active_day_e4"),
+        F.expr(
+            "CAST((100 * sum(cents)) DIV sum(active_days) AS BIGINT)"
+        ).alias("value_per_active_day_e2"),
+        F.expr(
+            "CAST((10000 * sum(active_days))"
+            " DIV sum(greatest(tenure_d, 0) + 1) AS BIGINT)"
+        ).alias("active_day_density_e4"),
+    ).select(
+        F.col("tenure_band").cast("long").alias("tenure_band"),
+        "n_users",
+        "events_per_active_day_e4",
+        "value_per_active_day_e2",
+        "active_day_density_e4",
+    )

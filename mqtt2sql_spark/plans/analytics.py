@@ -17986,3 +17986,158 @@ def return_rate_by_latency_band(
         "n_returned",
         "return_ppm",
     )
+
+
+# --- supplier risk scorecard --------------------------------------------------------------------------
+
+
+@register(
+    "supplier_risk_scorecard",
+    oracle="""
+    , vol AS (
+        SELECT l_suppkey,
+               count(*) AS n_lines,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                              0) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    lat AS (
+        SELECT l.l_suppkey,
+               max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+                   AS p90_days
+        FROM (
+            SELECT l_suppkey,
+                   greatest(epoch_us(l_shipdate) // 86400000000
+                            - epoch_us(o_orderdate) // 86400000000, 0)
+                       AS days,
+                   row_number() OVER (PARTITION BY l_suppkey
+                                      ORDER BY greatest(
+                                          epoch_us(l_shipdate)
+                                          // 86400000000
+                                          - epoch_us(o_orderdate)
+                                          // 86400000000, 0),
+                                          l_orderkey, l_linenumber)
+                       AS rn,
+                   count(*) OVER (PARTITION BY l_suppkey) AS n
+            FROM lineitem l2
+            JOIN orders o ON o.o_orderkey = l2.l_orderkey
+        ) l GROUP BY l.l_suppkey
+    ),
+    excl AS (
+        SELECT s1 AS l_suppkey, count(*) AS n_exclusive_parts
+        FROM (
+            SELECT l_partkey, min(l_suppkey) AS s1,
+                   count(DISTINCT l_suppkey) AS ns
+            FROM lineitem GROUP BY l_partkey
+        ) WHERE ns = 1
+        GROUP BY s1
+    ),
+    scored AS (
+        SELECT v.l_suppkey, v.n_lines, v.rev, la.p90_days,
+               coalesce(e.n_exclusive_parts, 0) AS n_exclusive_parts
+        FROM vol v
+        JOIN lat la ON la.l_suppkey = v.l_suppkey
+        LEFT JOIN excl e ON e.l_suppkey = v.l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           round(rev / 100.0, 2) AS revenue,
+           CAST(p90_days AS BIGINT) AS p90_latency_days,
+           CAST(n_exclusive_parts AS BIGINT) AS n_exclusive_parts,
+           CAST(row_number() OVER (
+               ORDER BY n_exclusive_parts DESC, rev DESC, l_suppkey
+           ) AS BIGINT) AS risk_rank
+    FROM scored
+    QUALIFY risk_rank <= 20
+    """,
+    doc="The procurement one-pager: per supplier, shipped volume and "
+    "revenue, P90 order-to-ship latency, and the count of parts "
+    "they exclusively supply — ranked by (exclusive parts, revenue) "
+    "so the top rows are the suppliers whose failure the network "
+    "cannot absorb (single_source_risk's part view re-keyed to the "
+    "supplier you'd actually call).  Composite of three "
+    "supplier-grain aggregates joined at dimension size; exact "
+    "integers, total-ordered ranking.",
+    tags=("analytics", "risk", "ops"),
+)
+def supplier_risk_scorecard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    vol = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum(cents).alias("rev")
+    )
+    days = F.expr(
+        "greatest(unix_micros(l_shipdate) DIV 86400000000"
+        " - unix_micros(o_orderdate) DIV 86400000000, 0)"
+    )
+    lt = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey", days.alias("days"), "l_orderkey", "l_linenumber"
+    )
+    wr = W.partitionBy("l_suppkey").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("l_suppkey")
+    lat = (
+        lt.select(
+            "l_suppkey",
+            "days",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("rn = (9 * n + 9) DIV 10"), F.col("days")
+                )
+            ).alias("p90_days")
+        )
+    )
+    excl = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("s1"),
+            F.countDistinct("l_suppkey").alias("ns"),
+        )
+        .filter(F.col("ns") == 1)
+        .groupBy(F.col("s1").alias("l_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_exclusive_parts"))
+    )
+    scored = (
+        vol.join(lat, "l_suppkey")
+        .join(excl, "l_suppkey", "left")
+        .select(
+            "l_suppkey",
+            "n_lines",
+            "rev",
+            "p90_days",
+            F.coalesce(F.col("n_exclusive_parts"), F.lit(0)).alias(
+                "n_exclusive_parts"
+            ),
+        )
+    )
+    ranked = scored.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(F.col("rev") / 100.0, 2).alias("revenue"),
+        F.col("p90_days").cast("long").alias("p90_latency_days"),
+        F.col("n_exclusive_parts").cast("long").alias(
+            "n_exclusive_parts"
+        ),
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.desc("n_exclusive_parts"), F.desc("rev"), "l_suppkey"
+            )
+        )
+        .cast("long")
+        .alias("risk_rank"),
+    )
+    return ranked.filter(F.col("risk_rank") <= 20)

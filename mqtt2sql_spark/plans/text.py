@@ -5283,3 +5283,66 @@ def quality_gate_marginal_relaxation(
             ).otherwise(0)
         ).cast("long").alias("n_multi_fail"),
     )
+
+
+# --- distinct-stopword presence profile ----------------------------------------------------------
+
+
+@register(
+    "stopword_presence_profile",
+    oracle=f"""
+    , d AS (
+        SELECT source,
+               len(list_distinct(list_filter(toks, x -> x IN
+                   ({", ".join(repr(w) for w in STOPWORDS)}))))
+                   AS n_distinct_sw
+        FROM (SELECT source, {duck_tokens()} AS toks FROM documents)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_distinct_sw >= 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_gopher_pass,
+           CAST((1000000 * sum(CASE WHEN n_distinct_sw >= 2
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS gopher_pass_ppm,
+           CAST((10000 * sum(n_distinct_sw)) // count(*) AS BIGINT)
+               AS mean_distinct_sw_e4
+    FROM d GROUP BY source
+    """,
+    doc="The Gopher stopword rule, measured: per source, how many "
+    "documents contain at least 2 DISTINCT stopwords (the published "
+    "Gopher heuristic — a different axis than the stopword RATIO "
+    "the current gate uses) and the mean distinct-stopword count — "
+    "quantifies what switching the gate's stopword condition from "
+    "ratio to presence would keep or drop, per source.  Pure "
+    "expression pipeline, one agg.",
+    tags=("text", "dq"),
+)
+def stopword_presence_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    lit_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_distinct_sw = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda x: F.array_contains(lit_arr, x))
+        )
+    )
+    d = docs.select(
+        "source", n_distinct_sw.alias("n_distinct_sw")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_distinct_sw") >= 2, 1).otherwise(0)
+        ).cast("long").alias("n_gopher_pass"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN n_distinct_sw >= 2"
+            " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("gopher_pass_ppm"),
+        F.expr(
+            "CAST((10000 * sum(n_distinct_sw)) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("mean_distinct_sw_e4"),
+    )

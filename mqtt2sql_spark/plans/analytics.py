@@ -18141,3 +18141,168 @@ def supplier_risk_scorecard(
         .alias("risk_rank"),
     )
     return ranked.filter(F.col("risk_rank") <= 20)
+
+
+# --- revenue shipped within the order's first week -----------------------------------------------------
+
+
+@register(
+    "early_fulfillment_revenue_share",
+    oracle="""
+    , lt AS (
+        SELECT o.o_orderpriority,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100,
+                          0) AS BIGINT) AS cents,
+               CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+                         - epoch_us(o.o_orderdate) // 86400000000 <= 7
+                    THEN 1 ELSE 0 END AS early
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(cents) / 100.0, 2) AS total_rev,
+           round(sum(early * cents) / 100.0, 2) AS early_rev,
+           CAST((1000000 * sum(early * cents)) // sum(cents)
+               AS BIGINT) AS early_share_ppm
+    FROM lt GROUP BY o_orderpriority
+    """,
+    doc="Cash-conversion speed: the share of line revenue shipped "
+    "within 7 days of order date, per priority — revenue-weighted "
+    "where the SLA views (sla_attainment_by_priority) are line-"
+    "weighted, because a priority class can hit 90 % line "
+    "attainment while its big-ticket lines all ship late.  Exact "
+    "cents; one fact-fact join, one fold.",
+    tags=("analytics", "finance", "ops"),
+)
+def early_fulfillment_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+            0,
+        )
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.expr(
+                "unix_micros(l_shipdate) DIV 86400000000"
+                " - unix_micros(o_orderdate) DIV 86400000000"
+            )
+            <= 7,
+            1,
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_rev"),
+        F.round(
+            F.sum(F.col("early") * F.col("cents")) / 100.0, 2
+        ).alias("early_rev"),
+        F.expr(
+            "CAST((1000000 * sum(early * cents)) DIV sum(cents)"
+            " AS BIGINT)"
+        ).alias("early_share_ppm"),
+    )
+
+
+# --- part-type mix shift between seasons ----------------------------------------------------------------
+
+
+@register(
+    "type_mix_seasonal_shift",
+    oracle="""
+    , seas AS (
+        SELECT p.p_type,
+               CASE WHEN extract(month FROM l.l_shipdate)
+                         IN (12, 1, 2) THEN 'winter'
+                    WHEN extract(month FROM l.l_shipdate)
+                         IN (6, 7, 8) THEN 'summer'
+                    ELSE NULL END AS season,
+               count(*) AS n
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE extract(month FROM l.l_shipdate) IN (12, 1, 2, 6, 7, 8)
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT season, sum(n) AS t FROM seas GROUP BY season),
+    w AS (
+        SELECT s.p_type, s.n AS n_w, t.t AS t_w
+        FROM seas s JOIN tot t USING (season)
+        WHERE s.season = 'winter'
+    ),
+    m AS (
+        SELECT s.p_type, s.n AS n_s, t.t AS t_s
+        FROM seas s JOIN tot t USING (season)
+        WHERE s.season = 'summer'
+    )
+    SELECT coalesce(w.p_type, m.p_type) AS p_type,
+           CAST(coalesce(w.n_w, 0) AS BIGINT) AS winter_lines,
+           CAST(coalesce(m.n_s, 0) AS BIGINT) AS summer_lines,
+           CAST((1000000 * coalesce(w.n_w, 0))
+                // coalesce(w.t_w, 1)
+                - (1000000 * coalesce(m.n_s, 0))
+                  // coalesce(m.t_s, 1) AS BIGINT)
+               AS winter_minus_summer_share_ppm
+    FROM w FULL OUTER JOIN m ON m.p_type = w.p_type
+    """,
+    doc="Seasonal product-mix contrast: each part type's share of "
+    "winter (Dec-Feb) vs summer (Jun-Aug) line volume and the "
+    "signed share gap — which SKU families actually swing with the "
+    "calendar (the mix view under seasonal_index_monthly's "
+    "aggregate seasonality), sized for inventory pre-positioning.  "
+    "FULL OUTER join keeps types absent from one season; exact "
+    "integer shares.",
+    tags=("analytics", "seasonality"),
+)
+def type_mix_seasonal_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    m = F.month("l_shipdate")
+    seas = (
+        li.join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .filter(m.isin(12, 1, 2, 6, 7, 8))
+        .groupBy(
+            "p_type",
+            F.when(m.isin(12, 1, 2), "winter")
+            .otherwise("summer")
+            .alias("season"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = seas.groupBy("season").agg(F.sum("n").alias("t"))
+    j = seas.join(F.broadcast(tot), "season")
+    w = j.filter(F.col("season") == "winter").select(
+        F.col("p_type").alias("tw"),
+        F.col("n").alias("n_w"),
+        F.col("t").alias("t_w"),
+    )
+    s = j.filter(F.col("season") == "summer").select(
+        F.col("p_type").alias("ts"),
+        F.col("n").alias("n_s"),
+        F.col("t").alias("t_s"),
+    )
+    return w.join(s, w["tw"] == s["ts"], "full").select(
+        F.coalesce(F.col("tw"), F.col("ts")).alias("p_type"),
+        F.coalesce(F.col("n_w"), F.lit(0))
+        .cast("long")
+        .alias("winter_lines"),
+        F.coalesce(F.col("n_s"), F.lit(0))
+        .cast("long")
+        .alias("summer_lines"),
+        F.expr(
+            "CAST((1000000 * coalesce(n_w, 0)) DIV coalesce(t_w, 1)"
+            " - (1000000 * coalesce(n_s, 0)) DIV coalesce(t_s, 1)"
+            " AS BIGINT)"
+        ).alias("winter_minus_summer_share_ppm"),
+    )

@@ -18306,3 +18306,107 @@ def type_mix_seasonal_shift(
             " AS BIGINT)"
         ).alias("winter_minus_summer_share_ppm"),
     )
+
+
+# --- catalog-level price vs demand correlation -----------------------------------------------------------
+
+
+@register(
+    "price_vs_demand_across_parts",
+    oracle="""
+    , d AS (
+        SELECT l_partkey, count(*) AS n_lines,
+               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pts AS (
+        SELECT CAST(round(p.p_retailprice * 100, 0) AS BIGINT) AS x,
+               coalesce(d.qty, 0) AS y
+        FROM part p LEFT JOIN d ON d.l_partkey = p.p_partkey
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST((10000 * sy) // n AS BIGINT) AS mean_qty_e4,
+           CAST(floor(
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS r_e6
+    FROM s
+    """,
+    doc="Cross-sectional demand curve: correlation across the catalog "
+    "between a part's list price and its total ordered quantity "
+    "(never-ordered parts included at zero via LEFT JOIN) — the "
+    "static complement of discount_elasticity_by_brand's "
+    "within-transaction slope; near-zero r says TPC-H-like demand "
+    "ignores price and any price-optimization pitch needs real "
+    "behavioral data.  Exact HUGEINT/DECIMAL sufficient stats, "
+    "CAST-AS-DOUBLE floor-e6.",
+    tags=("analytics", "pricing", "stats"),
+)
+def price_vs_demand_across_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    d = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias(
+            "qty"
+        )
+    )
+    pts = part.join(
+        d, part["p_partkey"] == d["l_partkey"], "left"
+    ).select(
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.col("qty"), F.lit(0)).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+            "syy"
+        ),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.expr("CAST((10000 * sy) DIV n AS BIGINT)").alias(
+            "mean_qty_e4"
+        ),
+        F.expr(
+            "CAST(floor("
+            "(CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "   / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(sxx AS DOUBLE)"
+            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            "           / CAST(n AS DOUBLE))"
+            "        * (CAST(syy AS DOUBLE)"
+            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "             / CAST(n AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("r_e6"),
+    )

@@ -5992,3 +5992,84 @@ def intensity_by_tenure_band(
         "value_per_active_day_e2",
         "active_day_density_e4",
     )
+
+
+# --- error signature of churned users' final events ----------------------------------------------------
+
+
+@register(
+    "pre_churn_error_signature",
+    oracle="""
+    , mx AS (SELECT max(epoch_us(ts)) AS t1 FROM events),
+    lastk AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts DESC,
+                                           e.event_id DESC) AS rk,
+               max(epoch_us(e.ts)) OVER (PARTITION BY e.user_id)
+                   AS last_us
+        FROM events e
+    ),
+    lab AS (
+        SELECT CASE WHEN (SELECT t1 FROM mx) - last_us
+                         > 90 * 86400000000 THEN 1 ELSE 0 END
+                   AS churned,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                   AS is_err
+        FROM lastk WHERE rk <= 5
+    )
+    SELECT churned,
+           CAST(count(*) AS BIGINT) AS n_final_events,
+           CAST(sum(is_err) AS BIGINT) AS n_errors,
+           CAST((1000000 * sum(is_err)) // count(*) AS BIGINT)
+               AS error_share_ppm
+    FROM lab GROUP BY churned
+    """,
+    doc="Did errors kill them?  Error share within each user's FINAL "
+    "five events, split by churned (quiet for >90 days before the "
+    "table's high-water mark) vs active — churned users exiting "
+    "through errors at twice the active baseline is the cleanest "
+    "observational evidence that reliability drives churn "
+    "(error_run_length_histogram shows the loops; this ties them to "
+    "the exit).  One user-keyed rank window in arrival-reverse "
+    "order, one fold; exact integers.",
+    tags=("timeseries", "retention", "reliability"),
+)
+def pre_churn_error_signature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    lastk = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rk"),
+        F.max(F.unix_micros("ts"))
+        .over(W.partitionBy("user_id"))
+        .alias("last_us"),
+    ).filter(F.col("rk") <= 5)
+    lab = lastk.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("t1") - F.col("last_us") > 90 * 86400000000, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+    )
+    return lab.groupBy("churned").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final_events"),
+        F.sum("is_err").cast("long").alias("n_errors"),
+        F.expr(
+            "CAST((1000000 * sum(is_err)) DIV count(*) AS BIGINT)"
+        ).alias("error_share_ppm"),
+    ).select(
+        F.col("churned").cast("long").alias("churned"),
+        "n_final_events",
+        "n_errors",
+        "error_share_ppm",
+    )

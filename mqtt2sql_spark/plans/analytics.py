@@ -18410,3 +18410,64 @@ def price_vs_demand_across_parts(
             " * 1000000) AS BIGINT)"
         ).alias("r_e6"),
     )
+
+
+# --- quantity uniformity chi-square ------------------------------------------------------------------
+
+
+@register(
+    "quantity_uniformity_chi2",
+    oracle="""
+    , o AS (
+        SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+               count(*) AS o
+        FROM lineitem GROUP BY 1
+    ),
+    n AS (SELECT sum(o) AS n, count(*) AS k FROM o),
+    terms AS (
+        SELECT (CAST(o.o * n.k - n.n AS HUGEINT)
+                * (o.o * n.k - n.n) * 10000)
+               // (CAST(n.n AS HUGEINT) * n.k) AS term_e4
+        FROM o CROSS JOIN n
+    )
+    SELECT CAST((SELECT k FROM n) AS BIGINT) AS n_levels,
+           CAST((SELECT n FROM n) AS BIGINT) AS n_lines,
+           CAST(sum(term_e4) // (SELECT k FROM n) AS BIGINT)
+               AS chi2_e4,
+           CAST((SELECT k FROM n) - 1 AS BIGINT) AS dof
+    FROM terms
+    """,
+    doc="Is line quantity drawn uniformly?  Chi-square "
+    "goodness-of-fit of the observed quantity histogram against the "
+    "uniform distribution over the observed levels — TPC-H "
+    "generators are uniform by spec, so a significant deviation "
+    "means the ingest dropped or duplicated rows non-uniformly "
+    "(same exact term-wise integer fixed-point construction as "
+    "discount_tax_independence_chi2: ((o·k − n)²·10⁴) DIV (n·k), "
+    "integer-summed — no float sum anywhere).  One tiny agg.",
+    tags=("analytics", "dq", "stats"),
+)
+def quantity_uniformity_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.round(F.col("l_quantity"), 0).cast("long").alias("q")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    n = o.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("k"))
+    terms = o.crossJoin(F.broadcast(n)).select(
+        F.expr(
+            "(CAST(o * k - n AS DECIMAL(38,0)) * (o * k - n) * 10000)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * k)"
+        ).alias("term_e4"),
+        "n",
+        "k",
+    )
+    return terms.agg(
+        F.max("k").cast("long").alias("n_levels"),
+        F.max("n").cast("long").alias("n_lines"),
+        F.expr("CAST(sum(term_e4) DIV max(k) AS BIGINT)").alias(
+            "chi2_e4"
+        ),
+        (F.max("k") - 1).cast("long").alias("dof"),
+    )

@@ -6073,3 +6073,70 @@ def pre_churn_error_signature(
         "n_errors",
         "error_share_ppm",
     )
+
+
+# --- weekly share range per event type ------------------------------------------------------------------
+
+
+@register(
+    "weekly_share_range_by_type",
+    oracle="""
+    , wt AS (
+        SELECT epoch_us(ts) // 604800000000 AS w,
+               event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT w, sum(c) AS t FROM wt GROUP BY w),
+    sh AS (
+        SELECT wt.event_type,
+               (1000000 * wt.c) // tot.t AS share_ppm
+        FROM wt JOIN tot USING (w)
+        WHERE tot.t >= 50
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           CAST(min(share_ppm) AS BIGINT) AS min_share_ppm,
+           CAST(max(share_ppm) AS BIGINT) AS max_share_ppm,
+           CAST(max(share_ppm) - min(share_ppm) AS BIGINT)
+               AS range_ppm,
+           CAST(sum(share_ppm) // count(*) AS BIGINT)
+               AS mean_share_ppm
+    FROM sh GROUP BY event_type
+    """,
+    doc="Mix stability in one row per type: the min/max/range of each "
+    "event type's weekly traffic share (weeks with ≥50 events, so "
+    "tiny boundary weeks don't fake a swing) — a range several "
+    "times the mean share is a mix regime change the drift "
+    "statistics (hellinger_half_drift, value_drift_ks_by_type) "
+    "will localize; this is the cheap always-on alarm.  Exact "
+    "integer shares; two aggs.",
+    tags=("timeseries", "drift"),
+)
+def weekly_share_range_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wt = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 604800000000").alias("w"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = wt.groupBy("w").agg(F.sum("c").alias("t"))
+    sh = (
+        wt.join(F.broadcast(tot), "w")
+        .filter(F.col("t") >= 50)
+        .select(
+            "event_type",
+            F.expr("(1000000 * c) DIV t").alias("share_ppm"),
+        )
+    )
+    return sh.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.min("share_ppm").cast("long").alias("min_share_ppm"),
+        F.max("share_ppm").cast("long").alias("max_share_ppm"),
+        (F.max("share_ppm") - F.min("share_ppm"))
+        .cast("long")
+        .alias("range_ppm"),
+        F.expr(
+            "CAST(sum(share_ppm) DIV count(*) AS BIGINT)"
+        ).alias("mean_share_ppm"),
+    )

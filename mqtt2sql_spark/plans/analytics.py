@@ -18471,3 +18471,67 @@ def quantity_uniformity_chi2(
         ),
         (F.max("k") - 1).cast("long").alias("dof"),
     )
+
+
+# --- brand competition density per part type ---------------------------------------------------------
+
+
+@register(
+    "brand_competition_by_type",
+    oracle="""
+    , tb AS (
+        SELECT p_type, p_brand, count(*) AS n
+        FROM part GROUP BY p_type, p_brand
+    ),
+    s AS (
+        SELECT p_type,
+               count(*) AS n_brands,
+               sum(n) AS n_parts,
+               sum(n * (n - 1)) AS coll,
+               max(n) AS top_n
+        FROM tb GROUP BY p_type
+    )
+    SELECT p_type,
+           CAST(n_brands AS BIGINT) AS n_brands,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST((10000 * n_parts * (n_parts - 1))
+                // greatest(coll, 1) AS BIGINT)
+               AS effective_brands_e4,
+           CAST((1000000 * top_n) // n_parts AS BIGINT)
+               AS top_brand_share_ppm
+    FROM s
+    """,
+    doc="Competitive density per part type: raw and inverse-Simpson "
+    "effective brand counts within each type — a type whose 20 "
+    "listed brands are effectively 2 is a duopoly shelf where "
+    "substitution (part_substitution_candidates) and price pressure "
+    "behave completely differently than the brand count implies; "
+    "the assortment mirror of brand_type_specialization.  Catalog-"
+    "dimension-only collision arithmetic.",
+    tags=("analytics", "catalog"),
+)
+def brand_competition_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    tb = part.groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = tb.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.sum("n").alias("n_parts"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("coll"),
+        F.max("n").alias("top_n"),
+    )
+    return s.select(
+        "p_type",
+        F.col("n_brands").cast("long").alias("n_brands"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.expr(
+            "CAST((10000 * n_parts * (n_parts - 1))"
+            " DIV greatest(coll, 1) AS BIGINT)"
+        ).alias("effective_brands_e4"),
+        F.expr(
+            "CAST((1000000 * top_n) DIV n_parts AS BIGINT)"
+        ).alias("top_brand_share_ppm"),
+    )

@@ -6140,3 +6140,54 @@ def weekly_share_range_by_type(
             "CAST(sum(share_ppm) DIV count(*) AS BIGINT)"
         ).alias("mean_share_ppm"),
     )
+
+
+# --- click-to-purchase conversion by hour of day ---------------------------------------------------------
+
+
+@register(
+    "conversion_rate_by_hour",
+    oracle="""
+    , h AS (
+        SELECT extract(hour FROM ts) AS hr,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicks,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchases
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(hr AS BIGINT) AS hour,
+           CAST(clicks AS BIGINT) AS clicks,
+           CAST(purchases AS BIGINT) AS purchases,
+           CAST((1000000 * purchases) // greatest(clicks, 1)
+               AS BIGINT) AS purchase_per_click_ppm
+    FROM h
+    """,
+    doc="Conversion clock: purchases per click by hour of day — "
+    "volume peaks (dow_hour_profile) say when users show up, this "
+    "says when they BUY; mismatched peaks move campaign spend to "
+    "the converting hours rather than the busy ones.  One 24-group "
+    "fold; exact integer rate.",
+    tags=("timeseries", "events"),
+)
+def conversion_rate_by_hour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").alias("hr")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicks"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchases"),
+    )
+    return h.select(
+        F.col("hr").cast("long").alias("hour"),
+        F.col("clicks").cast("long").alias("clicks"),
+        F.col("purchases").cast("long").alias("purchases"),
+        F.expr(
+            "CAST((1000000 * purchases) DIV greatest(clicks, 1)"
+            " AS BIGINT)"
+        ).alias("purchase_per_click_ppm"),
+    )

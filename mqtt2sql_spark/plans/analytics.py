@@ -18535,3 +18535,62 @@ def brand_competition_by_type(
             "CAST((1000000 * top_n) DIV n_parts AS BIGINT)"
         ).alias("top_brand_share_ppm"),
     )
+
+
+# --- first-time buyer share per month ---------------------------------------------------------------
+
+
+@register(
+    "new_customer_share_monthly",
+    oracle="""
+    , f AS (
+        SELECT o_custkey, min(o_orderdate) AS first_d
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                   AS month,
+               CASE WHEN date_trunc('month', o.o_orderdate)
+                         = date_trunc('month', f.first_d)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(is_new) AS BIGINT) AS n_first_month_orders,
+           CAST((1000000 * sum(is_new)) // count(*) AS BIGINT)
+               AS new_share_ppm
+    FROM m GROUP BY month
+    """,
+    doc="Acquisition dependence on the order book: per calendar month, "
+    "the share of orders placed by customers in their FIRST month "
+    "ever — the demand-side twin of new_user_activity_share_weekly; "
+    "a business whose order volume is mostly first-month customers "
+    "is churning through its market.  First-order month via one "
+    "customer-grain agg broadcast back; exact integers.",
+    tags=("analytics", "retention"),
+)
+def new_customer_share_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d")
+    )
+    m = orders.join(F.broadcast(f), "o_custkey").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.when(
+            F.date_trunc("month", "o_orderdate")
+            == F.date_trunc("month", "first_d"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return m.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("is_new").cast("long").alias("n_first_month_orders"),
+        F.expr(
+            "CAST((1000000 * sum(is_new)) DIV count(*) AS BIGINT)"
+        ).alias("new_share_ppm"),
+    )

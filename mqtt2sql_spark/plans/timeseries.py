@@ -6191,3 +6191,55 @@ def conversion_rate_by_hour(
             " AS BIGINT)"
         ).alias("purchase_per_click_ppm"),
     )
+
+
+# --- timestamp artifact audit ------------------------------------------------------------------------
+
+
+@register(
+    "timestamp_artifact_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN epoch_us(ts) % 1000000 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whole_second,
+           CAST(sum(CASE WHEN epoch_us(ts) % 60000000 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whole_minute,
+           CAST(sum(CASE WHEN epoch_us(ts) % 86400000000 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_midnight,
+           CAST((1000000 * sum(CASE WHEN epoch_us(ts) % 1000000 = 0
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS whole_second_ppm
+    FROM events
+    """,
+    doc="Clock-quality audit: how many event timestamps land exactly "
+    "on whole seconds / minutes / midnight — real microsecond "
+    "clocks land there at ~1 ppm / near-zero / never, so excess "
+    "mass is truncation or defaulted-value backfill upstream, which "
+    "silently breaks every sub-second latency metric "
+    "(conversion_latency_percentiles) and the sessionizer's tie "
+    "handling.  One scan, one fold, pure modular arithmetic.",
+    tags=("timeseries", "dq"),
+)
+def timestamp_artifact_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(us % 1000000 == 0, 1).otherwise(0)
+        ).cast("long").alias("n_whole_second"),
+        F.sum(
+            F.when(us % 60000000 == 0, 1).otherwise(0)
+        ).cast("long").alias("n_whole_minute"),
+        F.sum(
+            F.when(us % 86400000000 == 0, 1).otherwise(0)
+        ).cast("long").alias("n_midnight"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN unix_micros(ts) % 1000000"
+            " = 0 THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("whole_second_ppm"),
+    )

@@ -18594,3 +18594,59 @@ def new_customer_share_monthly(
             "CAST((1000000 * sum(is_new)) DIV count(*) AS BIGINT)"
         ).alias("new_share_ppm"),
     )
+
+
+# --- urgent revenue share trend ---------------------------------------------------------------------
+
+
+@register(
+    "priority_revenue_trend",
+    oracle="""
+    , y AS (
+        SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS total_c,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT) ELSE 0 END) AS urgent_c
+        FROM orders GROUP BY 1
+    )
+    SELECT y AS order_year,
+           round(total_c / 100.0, 2) AS total_value,
+           round(urgent_c / 100.0, 2) AS urgent_value,
+           CAST((1000000 * urgent_c) // total_c AS BIGINT)
+               AS urgent_share_ppm
+    FROM y
+    """,
+    doc="Expedite-mix drift: the share of order VALUE carried by "
+    "urgent/high priorities per year — a rising curve is margin "
+    "pressure building in fulfillment (expedites cost more to "
+    "serve) before latency metrics move; the temporal axis that "
+    "priority_mix_by_status (status cut) and priority_by_order_rank "
+    "(lifecycle cut) don't cover.  Exact cents, one agg.",
+    tags=("analytics", "finance"),
+)
+def priority_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    y = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y")
+    ).agg(
+        F.sum(cents).alias("total_c"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                cents,
+            ).otherwise(0)
+        ).alias("urgent_c"),
+    )
+    return y.select(
+        F.col("y").alias("order_year"),
+        F.round(F.col("total_c") / 100.0, 2).alias("total_value"),
+        F.round(F.col("urgent_c") / 100.0, 2).alias("urgent_value"),
+        F.expr(
+            "CAST((1000000 * urgent_c) DIV total_c AS BIGINT)"
+        ).alias("urgent_share_ppm"),
+    )

@@ -6243,3 +6243,49 @@ def timestamp_artifact_audit(
             " = 0 THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
         ).alias("whole_second_ppm"),
     )
+
+
+# --- zero/negative value audit per type ----------------------------------------------------------------
+
+
+@register(
+    "zero_value_share_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN round(value * 100, 0) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           CAST((1000000 * sum(CASE WHEN round(value * 100, 0) = 0
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS zero_ppm
+    FROM events GROUP BY event_type
+    """,
+    doc="Zero-inflation audit: per event type, the share of values "
+    "that round to zero cents and the count of outright negatives — "
+    "zero-heavy types make mean-value metrics meaningless (median "
+    "or zero-excluded means needed), and negatives in a "
+    "supposedly-nonnegative field are a producer bug.  The "
+    "precondition check for every value_* statistic in the "
+    "registry; one scan, one fold.",
+    tags=("timeseries", "dq"),
+)
+def zero_value_share_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.round(F.col("value") * 100, 0) == 0, 1)
+            .otherwise(0)
+        ).cast("long").alias("n_zero"),
+        F.sum(
+            F.when(F.col("value") < 0, 1).otherwise(0)
+        ).cast("long").alias("n_negative"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN round(value * 100, 0) = 0"
+            " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("zero_ppm"),
+    )

@@ -18650,3 +18650,68 @@ def priority_revenue_trend(
             "CAST((1000000 * urgent_c) DIV total_c AS BIGINT)"
         ).alias("urgent_share_ppm"),
     )
+
+
+# --- geographic concentration per market segment ------------------------------------------------------
+
+
+@register(
+    "segment_geo_concentration",
+    oracle="""
+    , sn AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    s AS (
+        SELECT c_mktsegment,
+               sum(n) AS total,
+               count(*) AS n_nations,
+               sum(CAST(n AS HUGEINT) * (n - 1)) AS coll,
+               max(n) AS top_n
+        FROM sn GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(total AS BIGINT) AS n_customers,
+           CAST(n_nations AS BIGINT) AS n_nations,
+           CAST((10000 * CAST(total AS HUGEINT) * (total - 1))
+                // greatest(coll, 1) AS BIGINT)
+               AS effective_nations_e4,
+           CAST((1000000 * top_n) // total AS BIGINT)
+               AS top_nation_share_ppm
+    FROM s
+    """,
+    doc="Is any segment geographically captive?  Effective number of "
+    "nations (inverse Simpson) per market segment's customer base — "
+    "a segment living in 3 effective nations is exposed to regional "
+    "shocks and regulation in a way its 25-nation listing hides; "
+    "the demand-side geography under cube_region_segment's revenue "
+    "grid.  Customer-dimension-only collision arithmetic.",
+    tags=("analytics", "risk"),
+)
+def segment_geo_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sn = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = sn.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)
+        ).alias("coll"),
+        F.max("n").alias("top_n"),
+    )
+    return s.select(
+        "c_mktsegment",
+        F.col("total").cast("long").alias("n_customers"),
+        F.col("n_nations").cast("long").alias("n_nations"),
+        F.expr(
+            "CAST((10000 * CAST(total AS DECIMAL(38,0))"
+            " * (total - 1)) DIV greatest(coll, 1) AS BIGINT)"
+        ).alias("effective_nations_e4"),
+        F.expr(
+            "CAST((1000000 * top_n) DIV total AS BIGINT)"
+        ).alias("top_nation_share_ppm"),
+    )

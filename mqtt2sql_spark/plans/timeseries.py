@@ -6289,3 +6289,77 @@ def zero_value_share_by_type(
             " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
         ).alias("zero_ppm"),
     )
+
+
+# --- what happens right after an error? -----------------------------------------------------------------
+
+
+@register(
+    "post_error_next_event",
+    oracle="""
+    , seq AS (
+        SELECT event_type,
+               lead(event_type) OVER w AS next_type,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    post AS (
+        SELECT CASE
+                 WHEN next_type IS NULL OR gap_us > 600000000
+                 THEN 'abandon'
+                 WHEN next_type = 'error' THEN 'retry_error'
+                 ELSE next_type END AS outcome
+        FROM seq WHERE event_type = 'error'
+    ),
+    tot AS (SELECT count(*) AS n FROM post)
+    SELECT p.outcome,
+           CAST(count(*) AS BIGINT) AS n_errors,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS share_ppm
+    FROM post p CROSS JOIN tot t
+    GROUP BY p.outcome
+    """,
+    doc="The ten minutes after an error: for every error event, what "
+    "the same user did next — another error within 10 min "
+    "(retry-into-failure), a product action (recovered), or nothing "
+    "in the window (abandoned) — the outcome split that turns error "
+    "counts into user-impact terms an SRE review can rank "
+    "(pre_churn_error_signature links this to churn; "
+    "error_recovery_percentiles times the recoveries).  One "
+    "user-keyed lead window, one fold; exact integers.",
+    tags=("timeseries", "reliability"),
+)
+def post_error_next_event(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    )
+    post = seq.filter(F.col("event_type") == "error").select(
+        F.when(
+            F.col("next_type").isNull()
+            | (F.col("gap_us") > 600000000),
+            "abandon",
+        )
+        .when(F.col("next_type") == "error", "retry_error")
+        .otherwise(F.col("next_type"))
+        .alias("outcome")
+    )
+    tot = post.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        post.crossJoin(F.broadcast(tot))
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

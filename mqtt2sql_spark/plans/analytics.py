@@ -18715,3 +18715,58 @@ def segment_geo_concentration(
             "CAST((1000000 * top_n) DIV total AS BIGINT)"
         ).alias("top_nation_share_ppm"),
     )
+
+
+# --- SKU-level repurchase rate --------------------------------------------------------------------------
+
+
+@register(
+    "part_repurchase_rate",
+    oracle="""
+    , cp AS (
+        SELECT o.o_custkey, l.l_partkey,
+               count(DISTINCT l.l_orderkey) AS n_orders
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cust_part_pairs,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_repurchased,
+           CAST((1000000 * sum(CASE WHEN n_orders >= 2
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS repurchase_ppm,
+           CAST(max(n_orders) AS BIGINT) AS max_orders_same_part
+    FROM cp
+    """,
+    doc="SKU loyalty: of all (customer, part) relationships, the "
+    "share where the same customer ordered the same part in two or "
+    "more DISTINCT orders — the consumable-vs-durable signature "
+    "that decides whether replenishment reminders "
+    "(reorder_interval_histogram sets their timing) have anything "
+    "to remind about.  One fact-fact join grouped at the "
+    "relationship grain; exact integers.",
+    tags=("analytics", "behavior"),
+)
+def part_repurchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    return cp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust_part_pairs"),
+        F.sum(
+            F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+        ).cast("long").alias("n_repurchased"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN n_orders >= 2 THEN 1"
+            " ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("repurchase_ppm"),
+        F.max("n_orders").cast("long").alias("max_orders_same_part"),
+    )

@@ -5346,3 +5346,58 @@ def stopword_presence_profile(
             " AS BIGINT)"
         ).alias("mean_distinct_sw_e4"),
     )
+
+
+# --- UTF-8 byte overhead per language -----------------------------------------------------------------
+
+
+@register(
+    "utf8_byte_overhead_by_lang",
+    oracle="""
+    , d AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                   AS n_bytes
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           CAST((10000 * sum(n_bytes)) // sum(n_chars) AS BIGINT)
+               AS bytes_per_char_e4,
+           CAST(sum(CASE WHEN n_bytes > n_chars THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_multibyte_docs
+    FROM d GROUP BY lang
+    """,
+    doc="Storage and tokenizer-cost geometry per language: UTF-8 "
+    "bytes per character (ASCII languages sit at 1.0000, CJK at "
+    "~3.0) and the count of documents containing any multibyte "
+    "character — the factor that converts every byte-budget "
+    "(storage_tier_advisor, index_memory_budget) into character "
+    "and token budgets per language, and a cheap mojibake screen "
+    "(an 'en' corpus with bytes-per-char 1.5 is double-encoded). "
+    " octet_length vs length on both engines; exact integers.",
+    tags=("text", "ops"),
+)
+def utf8_byte_overhead_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.expr(
+            "CAST((10000 * sum(n_bytes)) DIV sum(n_chars) AS BIGINT)"
+        ).alias("bytes_per_char_e4"),
+        F.sum(
+            F.when(F.col("n_bytes") > F.col("n_chars"), 1).otherwise(0)
+        ).cast("long").alias("n_multibyte_docs"),
+    )

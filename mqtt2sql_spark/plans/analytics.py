@@ -18770,3 +18770,63 @@ def part_repurchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repurchase_ppm"),
         F.max("n_orders").cast("long").alias("max_orders_same_part"),
     )
+
+
+# --- active-quarters histogram ----------------------------------------------------------------------
+
+
+@register(
+    "active_quarters_histogram",
+    oracle="""
+    , per AS (
+        SELECT o_custkey,
+               count(DISTINCT CAST(extract(year FROM o_orderdate)
+                        AS BIGINT) * 4
+                     + (CAST(extract(month FROM o_orderdate)
+                        AS BIGINT) - 1) // 3) AS n_quarters
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT count(*) AS n FROM per)
+    SELECT p.n_quarters,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST((1000000 * count(*)) // max(t.n) AS BIGINT)
+               AS share_ppm
+    FROM per p CROSS JOIN tot t
+    GROUP BY p.n_quarters
+    """,
+    doc="Purchase regularity at the quarter grain: how many distinct "
+    "calendar quarters each customer ordered in, histogrammed — the "
+    "cheap cadence census that separates always-on accounts "
+    "(quarters ≈ tenure) from one-burst buyers (1-2 quarters "
+    "regardless of tenure), without the window machinery of "
+    "cadence_acceleration_census.  One distinct-count agg; integer "
+    "quarter index.",
+    tags=("analytics", "retention"),
+)
+def active_quarters_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    qi = (
+        F.year("o_orderdate").cast("long") * 4
+        + ((F.month("o_orderdate").cast("long") - 1) / 3).cast("long")
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.countDistinct(qi).alias("n_quarters")
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n_quarters")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "CAST((1000000 * count(*)) DIV max(n) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .select(
+            F.col("n_quarters").cast("long").alias("n_quarters"),
+            "n_customers",
+            "share_ppm",
+        )
+    )

@@ -806,3 +806,93 @@ def doc_embedding_coverage(
             " DIV greatest(sum(n_tok), 1) AS BIGINT)"
         ).alias("token_coverage_ppm"),
     )
+
+
+# --- embedding coverage split by quality --------------------------------------------------------------
+
+
+@register(
+    "embedding_coverage_by_quality",
+    oracle=f"""
+    , lab AS (
+        SELECT d.doc_id,
+               CASE WHEN len(toks) >= 20
+                         AND CAST(length(d.text) AS DOUBLE)
+                             / greatest(len(toks), 1) BETWEEN 3 AND 12
+                         AND CAST(len(list_filter(toks, x -> x IN
+                              ({", ".join(repr(w) for w in __import__("mqtt2sql_spark.functions.text", fromlist=["STOPWORDS"]).STOPWORDS)})))
+                              AS DOUBLE) / greatest(len(toks), 1)
+                             >= 0.01
+                    THEN 1 ELSE 0 END AS passed
+        FROM (SELECT doc_id, text, {duck_tokens()} AS toks
+              FROM documents) d
+    )
+    SELECT l.passed,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_embedded,
+           CAST((1000000 * sum(CASE WHEN e.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS coverage_ppm
+    FROM lab l LEFT JOIN embeddings e ON e.vec_id = l.doc_id
+    GROUP BY l.passed
+    """,
+    doc="Is the embedding index quality-biased?  Coverage of the "
+    "vector index (vec_id = doc_id) split by the quality gate's "
+    "verdict — if failing docs are systematically unembedded, "
+    "semantic dedup and ANN retrieval silently operate on the "
+    "clean corpus only, and any 'semantic coverage' claim must be "
+    "quality-conditioned (the quality cut of "
+    "doc_embedding_coverage's source view).  One LEFT key join, "
+    "one fold; the gate expressions are the canonical ones.",
+    tags=("mixing", "similarity", "dq"),
+)
+def embedding_coverage_by_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mqtt2sql_spark.functions.text import (
+        STOPWORDS,
+        count_in_list,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    sw_ratio = count_in_list(toks, STOPWORDS).cast(
+        "double"
+    ) / F.greatest(n_toks, F.lit(1))
+    cpt = F.length("text").cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    )
+    lab = docs.select(
+        "doc_id",
+        F.when(
+            (n_toks >= 20)
+            & (cpt >= 3)
+            & (cpt <= 12)
+            & (sw_ratio >= 0.01),
+            1,
+        )
+        .otherwise(0)
+        .alias("passed"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
+    )
+    j = lab.join(F.broadcast(emb), "doc_id", "left")
+    return j.groupBy("passed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("has_vec"), F.lit(0)))
+        .cast("long")
+        .alias("n_embedded"),
+        F.expr(
+            "CAST((1000000 * sum(coalesce(has_vec, 0)))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    ).select(
+        F.col("passed").cast("long").alias("passed"),
+        "n_docs",
+        "n_embedded",
+        "coverage_ppm",
+    )

@@ -7,6 +7,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Materialization is via the noop sink (full plan execution, no driver
 collect), matching how a cluster job would be bounded by compute+shuffle
 rather than result transfer.
+
+Noise calibration (r03 vs r04, byte-identical code): per-query best-of-2
+ratios spanned 0.66x-1.36x on this box, i.e. a single-query delta under
+~1.4x is measurement noise, not signal.  The headline 35-query set is
+FROZEN — only the aggregate total is comparable round-over-round, and
+even it moves ~2% on identical code.  Do not chase sub-1.4x per-query
+regressions; do not add/remove bench=True flags without noting it here.
 """
 
 from __future__ import annotations

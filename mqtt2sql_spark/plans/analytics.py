@@ -1412,8 +1412,8 @@ PRICE_BUCKET_WIDTH = 50000.0
     oracle=f"""
     SELECT CAST(floor(o_totalprice / {PRICE_BUCKET_WIDTH}) AS BIGINT)
                AS bucket,
-           round(CAST(floor(o_totalprice / {PRICE_BUCKET_WIDTH}) AS BIGINT)
-                 * {PRICE_BUCKET_WIDTH}, 2) AS bucket_lo,
+           CAST(floor(o_totalprice / {PRICE_BUCKET_WIDTH}) AS BIGINT)
+                 * {int(PRICE_BUCKET_WIDTH)} AS bucket_lo,
            count(*) AS n,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
@@ -1433,7 +1433,7 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
-            F.round(F.col("bucket") * PRICE_BUCKET_WIDTH, 2)
+            (F.col("bucket") * int(PRICE_BUCKET_WIDTH))
             .alias("bucket_lo"),
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
@@ -1520,8 +1520,8 @@ def large_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT month,
-           round(promo_cents / 100.0, 2) AS promo_rev,
-           round(total_cents / 100.0, 2) AS total_rev,
+           CAST(promo_cents AS BIGINT) AS promo_cents,
+           CAST(total_cents AS BIGINT) AS total_cents,
            CAST((1000000 * promo_cents) // greatest(total_cents, 1)
                 AS BIGINT) AS promo_share_ppm
     FROM rev
@@ -1554,8 +1554,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rev.selectExpr(
         "month",
-        "round(promo_cents / 100.0, 2) AS promo_rev",
-        "round(total_cents / 100.0, 2) AS total_rev",
+        "promo_cents",
+        "total_cents",
         "CAST((1000000 * promo_cents) div greatest(total_cents, 1) "
         "AS BIGINT) AS promo_share_ppm",
     )
@@ -1606,8 +1606,8 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cust_nation, supp_nation,
            CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS volume,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) AS BIGINT) AS volume_cents,
            count(*) AS n_items
     FROM lineitem
     JOIN orders    ON o_orderkey = l_orderkey
@@ -1663,16 +1663,12 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation",
         F.year("l_shipdate").cast("int").alias("ship_year"),
     ).agg(
-        F.round(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
-                    0,
-                ).cast("long")
-            )
-            / 100.0,
-            2,
-        ).alias("volume"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            ).cast("long")
+        ).alias("volume_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1866,7 +1862,7 @@ PART_SHARE_MIN_PPM = 600  # keep parts above ~0.06% of total revenue
     ),
     tot AS (SELECT sum(part_cents) AS total_cents FROM pv)
     SELECT l_partkey,
-           round(part_cents / 100.0, 2) AS part_value,
+           CAST(part_cents AS BIGINT) AS part_cents,
            CAST((1000000 * part_cents) // total_cents AS BIGINT) AS share_ppm
     FROM pv CROSS JOIN tot
     WHERE (1000000 * part_cents) // total_cents >= {PART_SHARE_MIN_PPM}
@@ -1898,7 +1894,7 @@ def part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("share_ppm") >= PART_SHARE_MIN_PPM)
         .selectExpr(
             "l_partkey",
-            "round(part_cents / 100.0, 2) AS part_value",
+            "part_cents",
             "share_ppm",
         )
     )
@@ -2127,8 +2123,8 @@ def topic_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjunctive_filter_revenue",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_type = 'PROMO'    AND l_quantity BETWEEN 1  AND 15)
        OR (p_type = 'ECONOMY'  AND l_quantity BETWEEN 10 AND 25)
@@ -2159,7 +2155,7 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return j.filter(cond).agg(
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-        F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        F.sum(cents).alias("revenue_cents"),
     )
 
 
@@ -2180,7 +2176,7 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spend
     )
     SELECT c_custkey, c_name,
-           round(cents / 100.0, 2) AS total_spend, last_order
+           CAST(cents AS BIGINT) AS spend_cents, last_order
     FROM spend
     JOIN customer ON c_custkey = o_custkey
     CROSS JOIN avg_cents
@@ -2222,7 +2218,7 @@ def idle_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "c_custkey",
             "c_name",
-            "round(cents / 100.0, 2) AS total_spend",
+            "cents AS spend_cents",
             "last_order",
         )
     )
@@ -2279,8 +2275,8 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
-           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS revenue_cents
     FROM lineitem JOIN stats USING (l_partkey)
     WHERE CAST(round(l_quantity * 100, 0) AS BIGINT) * n * 5
           < qty_cents
@@ -2307,7 +2303,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(qty_cents * F.col("n") * 5 < F.col("qty_cents"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.round(F.sum(price_cents) / 100.0, 2).alias("revenue"),
+            F.sum(price_cents).alias("revenue_cents"),
         )
     )
 
@@ -2328,7 +2324,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
     ),
     m AS (SELECT max(cents) AS mc FROM rev)
-    SELECT s_suppkey, s_name, round(cents / 100.0, 2) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(cents AS BIGINT) AS revenue_cents
     FROM rev
     JOIN supplier ON s_suppkey = l_suppkey
     CROSS JOIN m
@@ -2364,7 +2360,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cents") == F.col("mc"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .selectExpr(
-            "s_suppkey", "s_name", "round(cents / 100.0, 2) AS total_revenue"
+            "s_suppkey", "s_name", "cents AS revenue_cents"
         )
     )
 
@@ -2391,9 +2387,9 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'ASIA' AND p_type = 'PROMO'
     )
     SELECT o_year,
-           sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
-               AS nation_cents,
-           sum(cents) AS total_cents,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+               AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
            CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
                 * 10000 // sum(cents) AS BIGINT) AS share_bp
     FROM scoped GROUP BY o_year
@@ -2482,7 +2478,7 @@ def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) * 1000
                - CAST(round(p_retailprice * 100, 0) AS BIGINT)
                  * CAST(round(l_quantity * 100, 0) AS BIGINT) * 2)
-               AS profit_e5
+               :: BIGINT AS profit_e5
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN part     ON p_partkey = l_partkey
@@ -2562,7 +2558,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_custkey
     )
     SELECT c_custkey, c_name, n_name,
-           round(cents / 100.0, 2) AS revenue
+           CAST(cents AS BIGINT) AS revenue_cents
     FROM rev
     JOIN customer ON c_custkey = o_custkey
     JOIN nation ON n_nationkey = c_nationkey
@@ -2607,7 +2603,7 @@ def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .selectExpr(
             "c_custkey", "c_name", "n_name",
-            "round(cents / 100.0, 2) AS revenue",
+            "cents AS revenue_cents",
         )
     )
 
@@ -2619,10 +2615,10 @@ def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_mix_by_status",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -2754,8 +2750,8 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND epoch_us(ts) - lt_us <= 604800000000
                 THEN lt_channel ELSE 'direct' END AS channel,
            count(*) AS n_purchases,
-           round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
-               AS attributed_value
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS attributed_cents
     FROM tagged WHERE event_type = 'purchase'
     GROUP BY 1
     """,
@@ -2801,7 +2797,7 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(channel.alias("channel"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum(cents) / 100.0, 2).alias("attributed_value"),
+            F.sum(cents).alias("attributed_cents"),
         )
     )
 
@@ -2814,8 +2810,8 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_lineitems,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
@@ -2854,7 +2850,7 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+            F.sum(cents).alias("revenue_cents"),
         )
     )
 
@@ -3463,7 +3459,7 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT week,
-           round(cents / 100.0, 2) AS revenue,
+           CAST(cents AS BIGINT) AS revenue_cents,
            CAST(n_orders AS BIGINT) AS n_orders,
            CAST(CASE WHEN lag(cents) OVER (ORDER BY week) IS NULL THEN NULL
                 ELSE (cents - lag(cents) OVER (ORDER BY week)) * 10000
@@ -3493,7 +3489,7 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("cents").over(w)
     return weekly.select(
         "week",
-        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.col("cents").alias("revenue_cents"),
         F.col("n_orders").cast("long").alias("n_orders"),
         F.when(prev.isNull(), F.lit(None).cast("long"))
         .otherwise(F.expr(
@@ -5036,8 +5032,8 @@ def fuzzy_join_deletion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "discount_band_revenue",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -5067,9 +5063,9 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
             F.expr(
-                "round(sum(CAST(round(l_extendedprice * l_discount * 100, 0)"
-                " AS BIGINT)) / 100.0, 2)"
-            ).alias("revenue"),
+                "sum(CAST(round(l_extendedprice * l_discount * 100, 0)"
+                " AS BIGINT))"
+            ).alias("revenue_cents"),
         )
     )
 
@@ -12948,9 +12944,9 @@ def latency_by_priority_percentiles(
     )
     SELECT day AS trough_day,
            CAST(n_days AS BIGINT) AS n_days,
-           round(peak / 100.0, 2) AS peak_rev,
-           round(cum / 100.0, 2) AS cum_rev,
-           round((peak - cum) / 100.0, 2) AS max_drawdown
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(cum AS BIGINT) AS cum_cents,
+           CAST(peak - cum AS BIGINT) AS max_drawdown_cents
     FROM d
     ORDER BY peak - cum DESC, day ASC
     LIMIT 1
@@ -12997,11 +12993,9 @@ def max_drawdown_daily_revenue(
         .select(
             F.col("day").alias("trough_day"),
             F.col("n_days").cast("long").alias("n_days"),
-            F.round(F.col("peak") / 100.0, 2).alias("peak_rev"),
-            F.round(F.col("cum") / 100.0, 2).alias("cum_rev"),
-            F.round((F.col("peak") - F.col("cum")) / 100.0, 2).alias(
-                "max_drawdown"
-            ),
+            F.col("peak").alias("peak_cents"),
+            F.col("cum").alias("cum_cents"),
+            (F.col("peak") - F.col("cum")).alias("max_drawdown_cents"),
         )
     )
 
@@ -13587,9 +13581,9 @@ def max_concurrent_sessions_daily(
     )
     SELECT q.n_name,
            CAST(q.n AS BIGINT) AS n_orders,
-           round(q.q1 / 100.0, 2) AS q1,
-           round(q.q2 / 100.0, 2) AS median,
-           round(q.q3 / 100.0, 2) AS q3,
+           CAST(q.q1 AS BIGINT) AS q1_cents,
+           CAST(q.q2 AS BIGINT) AS median_cents,
+           CAST(q.q3 AS BIGINT) AS q3_cents,
            CAST(sum(CASE WHEN o.cents
                               < q.q1 - 3 * (q.q3 - q.q1) // 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
@@ -13668,9 +13662,9 @@ def order_value_boxplot_by_nation(
     ).select(
         "n_name",
         F.col("n").cast("long").alias("n_orders"),
-        F.round(F.col("q1") / 100.0, 2).alias("q1"),
-        F.round(F.col("q2") / 100.0, 2).alias("median"),
-        F.round(F.col("q3") / 100.0, 2).alias("q3"),
+        F.col("q1").alias("q1_cents"),
+        F.col("q2").alias("median_cents"),
+        F.col("q3").alias("q3_cents"),
         "n_low_outliers",
         "n_high_outliers",
     )
@@ -14389,7 +14383,7 @@ def littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(cents) / 100.0, 2) AS total_rev,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
            CAST((1000000 * sum(CASE WHEN r = 1 THEN cents ELSE 0 END))
                 // sum(cents) AS BIGINT) AS top1_share_ppm,
            CAST((1000000 * sum(CASE WHEN r <= 5 THEN cents ELSE 0 END))
@@ -14443,7 +14437,7 @@ def customer_concentration_by_nation(
     )
     return rk.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.round(F.sum("cents") / 100.0, 2).alias("total_rev"),
+        F.sum("cents").alias("total_cents"),
         F.expr(
             "CAST((1000000 * sum(CASE WHEN r = 1 THEN cents ELSE 0 END))"
             " DIV sum(cents) AS BIGINT)"
@@ -14478,7 +14472,7 @@ def customer_concentration_by_nation(
     )
     SELECT y AS ship_year,
            CAST(n_brands AS BIGINT) AS n_brands,
-           round(tot / 100.0, 2) AS total_rev,
+           CAST(tot AS BIGINT) AS total_cents,
            CAST((10000 * CAST(tot AS HUGEINT) * tot) // ss AS BIGINT)
                AS effective_brands_e4
     FROM s
@@ -14520,7 +14514,7 @@ def brand_mix_effective_n_by_year(
     return s.select(
         F.col("y").alias("ship_year"),
         F.col("n_brands").cast("long").alias("n_brands"),
-        F.round(F.col("tot") / 100.0, 2).alias("total_rev"),
+        F.col("tot").alias("total_cents"),
         F.expr(
             "CAST((10000 * CAST(tot AS DECIMAL(38,0)) * tot) DIV ss"
             " AS BIGINT)"
@@ -15017,8 +15011,8 @@ def segment_brand_affinity_lift(
     )
     SELECT u.p_brand,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(max(d.med_c) / 100.0, 2) AS median_unit_price,
-           round(max(d.mad_c) / 100.0, 2) AS mad_unit_price,
+           CAST(max(d.med_c) AS BIGINT) AS median_unit_cents,
+           CAST(max(d.mad_c) AS BIGINT) AS mad_unit_cents,
            CAST(sum(CASE WHEN abs(u.unit_c - d.med_c)
                               > 5 * greatest(d.mad_c, 1)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
@@ -15104,10 +15098,8 @@ def unit_price_mad_outliers_by_brand(
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.round(F.max("med_c") / 100.0, 2).alias(
-                "median_unit_price"
-            ),
-            F.round(F.max("mad_c") / 100.0, 2).alias("mad_unit_price"),
+            F.max("med_c").alias("median_unit_cents"),
+            F.max("mad_c").alias("mad_unit_cents"),
             F.sum(
                 F.when(
                     F.abs(F.col("unit_c") - F.col("med_c"))
@@ -15145,7 +15137,7 @@ def unit_price_mad_outliers_by_brand(
     )
     SELECT rk.n_name,
            CAST(rk.m AS BIGINT) AS peak_month,
-           round(rk.rev / 100.0, 2) AS peak_month_rev,
+           CAST(rk.rev AS BIGINT) AS peak_month_cents,
            CAST((1000000 * rk.rev) // t.tot AS BIGINT)
                AS peak_share_ppm,
            CAST((1000000 * rk.rev * 12) // t.tot - 1000000 AS BIGINT)
@@ -15201,7 +15193,7 @@ def peak_month_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.join(F.broadcast(t), "n_name").select(
         "n_name",
         F.col("m").alias("peak_month"),
-        F.round(F.col("rev") / 100.0, 2).alias("peak_month_rev"),
+        F.col("rev").alias("peak_month_cents"),
         F.expr("CAST((1000000 * rev) DIV tot AS BIGINT)").alias(
             "peak_share_ppm"
         ),
@@ -17303,7 +17295,7 @@ def basket_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT supp_nation,
            CAST(n_partners AS BIGINT) AS n_partners,
-           round(tot / 100.0, 2) AS export_rev,
+           CAST(tot AS BIGINT) AS export_cents,
            CAST((10000 * CAST(tot AS HUGEINT) * tot) // ss AS BIGINT)
                AS effective_partners_e4,
            CAST((1000000 * top_rev) // tot AS BIGINT)
@@ -17363,7 +17355,7 @@ def export_partner_diversity(
     return s.select(
         "supp_nation",
         F.col("n_partners").cast("long").alias("n_partners"),
-        F.round(F.col("tot") / 100.0, 2).alias("export_rev"),
+        F.col("tot").alias("export_cents"),
         F.expr(
             "CAST((10000 * CAST(tot AS DECIMAL(38,0)) * tot) DIV ss"
             " AS BIGINT)"
@@ -17396,7 +17388,7 @@ def export_partner_diversity(
         FROM per
     ),
     tot AS (SELECT count(*) AS n FROM b)
-    SELECT b.share_band,
+    SELECT CAST(b.share_band AS BIGINT) AS share_band,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST((10000 * sum(b.n_lines)) // count(*) AS BIGINT)
                AS mean_lines_e4,
@@ -17550,7 +17542,7 @@ def list_vs_realized_price_gap(
     )
     SELECT a.qi // 4 AS year,
            a.qi % 4 + 1 AS quarter,
-           round(a.rev / 100.0, 2) AS revenue,
+           CAST(a.rev AS BIGINT) AS revenue_cents,
            CAST((1000000 * a.rev) // p.rev - 1000000 AS BIGINT)
                AS qoq_growth_ppm,
            CAST((1000000 * a.rev) // y.rev - 1000000 AS BIGINT)
@@ -17591,7 +17583,7 @@ def quarterly_growth_qoq_yoy(
         .select(
             F.expr("qi DIV 4").alias("year"),
             F.expr("qi % 4 + 1").alias("quarter"),
-            F.round(F.col("rev") / 100.0, 2).alias("revenue"),
+            F.col("rev").alias("revenue_cents"),
             F.expr(
                 "CAST((1000000 * rev) DIV prev - 1000000 AS BIGINT)"
             ).alias("qoq_growth_ppm"),
@@ -18041,7 +18033,7 @@ def return_rate_by_latency_band(
     )
     SELECT l_suppkey AS s_suppkey,
            CAST(n_lines AS BIGINT) AS n_lines,
-           round(rev / 100.0, 2) AS revenue,
+           CAST(rev AS BIGINT) AS revenue_cents,
            CAST(p90_days AS BIGINT) AS p90_latency_days,
            CAST(n_exclusive_parts AS BIGINT) AS n_exclusive_parts,
            CAST(row_number() OVER (
@@ -18126,7 +18118,7 @@ def supplier_risk_scorecard(
     ranked = scored.select(
         F.col("l_suppkey").alias("s_suppkey"),
         F.col("n_lines").cast("long").alias("n_lines"),
-        F.round(F.col("rev") / 100.0, 2).alias("revenue"),
+        F.col("rev").alias("revenue_cents"),
         F.col("p90_days").cast("long").alias("p90_latency_days"),
         F.col("n_exclusive_parts").cast("long").alias(
             "n_exclusive_parts"
@@ -18160,8 +18152,8 @@ def supplier_risk_scorecard(
     )
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(cents) / 100.0, 2) AS total_rev,
-           round(sum(early * cents) / 100.0, 2) AS early_rev,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(early * cents) AS BIGINT) AS early_cents,
            CAST((1000000 * sum(early * cents)) // sum(cents)
                AS BIGINT) AS early_share_ppm
     FROM lt GROUP BY o_orderpriority
@@ -18202,10 +18194,8 @@ def early_fulfillment_revenue_share(
     )
     return lt.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.round(F.sum("cents") / 100.0, 2).alias("total_rev"),
-        F.round(
-            F.sum(F.col("early") * F.col("cents")) / 100.0, 2
-        ).alias("early_rev"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("early") * F.col("cents")).alias("early_cents"),
         F.expr(
             "CAST((1000000 * sum(early * cents)) DIV sum(cents)"
             " AS BIGINT)"
@@ -18612,8 +18602,8 @@ def new_customer_share_monthly(
         FROM orders GROUP BY 1
     )
     SELECT y AS order_year,
-           round(total_c / 100.0, 2) AS total_value,
-           round(urgent_c / 100.0, 2) AS urgent_value,
+           CAST(total_c AS BIGINT) AS total_cents,
+           CAST(urgent_c AS BIGINT) AS urgent_cents,
            CAST((1000000 * urgent_c) // total_c AS BIGINT)
                AS urgent_share_ppm
     FROM y
@@ -18644,8 +18634,8 @@ def priority_revenue_trend(
     )
     return y.select(
         F.col("y").alias("order_year"),
-        F.round(F.col("total_c") / 100.0, 2).alias("total_value"),
-        F.round(F.col("urgent_c") / 100.0, 2).alias("urgent_value"),
+        F.col("total_c").alias("total_cents"),
+        F.col("urgent_c").alias("urgent_cents"),
         F.expr(
             "CAST((1000000 * urgent_c) DIV total_c AS BIGINT)"
         ).alias("urgent_share_ppm"),

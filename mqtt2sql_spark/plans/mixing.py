@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mqtt2sql_spark.fixtures import load_table
-from mqtt2sql_spark.functions.text import duck_tokens, tokens
+from mqtt2sql_spark.functions.text import STOPWORDS, duck_tokens, tokens
 from mqtt2sql_spark.operators.ids import dense_row_ids
 from mqtt2sql_spark.plans.base import register
 
@@ -178,7 +178,7 @@ PACK_MAX_LEN = 256  # tokens per training sequence
                ) - n_tok AS start_off
         FROM tk
     )
-    SELECT doc_id, source, n_tok, start_off,
+    SELECT doc_id, source, n_tok, CAST(start_off AS BIGINT) AS start_off,
            CAST(start_off // {PACK_MAX_LEN} AS BIGINT) AS seq_first,
            CAST(greatest(start_off + n_tok - 1, start_off)
                 // {PACK_MAX_LEN} AS BIGINT) AS seq_last,
@@ -820,7 +820,7 @@ def doc_embedding_coverage(
                          AND CAST(length(d.text) AS DOUBLE)
                              / greatest(len(toks), 1) BETWEEN 3 AND 12
                          AND CAST(len(list_filter(toks, x -> x IN
-                              ({", ".join(repr(w) for w in __import__("mqtt2sql_spark.functions.text", fromlist=["STOPWORDS"]).STOPWORDS)})))
+                              ({", ".join(repr(w) for w in STOPWORDS)})))
                               AS DOUBLE) / greatest(len(toks), 1)
                              >= 0.01
                     THEN 1 ELSE 0 END AS passed

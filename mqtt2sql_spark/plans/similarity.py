@@ -724,7 +724,7 @@ def _km_duck_iter(prev_assign: str, idx: int) -> str:
            FROM embeddings),
     {_km_duck_iter("a0", 1)},
     {_km_duck_iter("a1", 2)}
-    SELECT a2.vec_id, a2.cluster, a2.dist_fp,
+    SELECT a2.vec_id, a2.cluster, CAST(a2.dist_fp AS BIGINT) AS dist_fp,
            a1.cluster AS cluster_prev,
            CAST(CASE WHEN a1.cluster = a2.cluster THEN 0 ELSE 1 END
                 AS INTEGER) AS moved

@@ -5268,13 +5268,13 @@ def new_user_activity_share_weekly(
     )
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n_events,
-           round(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
-                 / 100.0, 2) AS p50,
-           round(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
-                 / 100.0, 2) AS p90,
-           round(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
-                 / 100.0, 2) AS p99,
-           round(sum(cents) / 100.0, 2) AS total_value
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+                AS BIGINT) AS p90_cents,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p99_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents
     FROM r GROUP BY event_type
     """,
     doc="Value distribution per event type: exact nearest-rank "
@@ -5305,30 +5305,16 @@ def value_percentiles_by_type(
     )
     return r.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_events"),
-        F.round(
-            F.max(
-                F.when(F.expr("rn = (n + 1) DIV 2"), F.col("cents"))
-            )
-            / 100.0,
-            2,
-        ).alias("p50"),
-        F.round(
-            F.max(
-                F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("cents"))
-            )
-            / 100.0,
-            2,
-        ).alias("p90"),
-        F.round(
-            F.max(
-                F.when(
-                    F.expr("rn = (99 * n + 99) DIV 100"), F.col("cents")
-                )
-            )
-            / 100.0,
-            2,
-        ).alias("p99"),
-        F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("cents"))
+        ).alias("p50_cents"),
+        F.max(
+            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("cents"))
+        ).alias("p90_cents"),
+        F.max(
+            F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("cents"))
+        ).alias("p99_cents"),
+        F.sum("cents").alias("total_cents"),
     )
 
 
@@ -5525,7 +5511,7 @@ def purchase_position_in_session(
         FROM per
     ),
     tot AS (SELECT count(*) AS n FROM b)
-    SELECT b.eff_band,
+    SELECT CAST(b.eff_band AS BIGINT) AS eff_band,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST((10000 * sum(b.n_types)) // count(*) AS BIGINT)
                AS mean_raw_types_e4,

@@ -55,50 +55,50 @@ _PRIORITY: tuple[str, ...] = (
     "tz_render",
     "hex_roundtrip",
     "flip_history_flag",
-    # never witnessed by the driver (absent from r01 AND r02 windows)
-    "anomaly_zscore",
-    "orders_price_histogram",
-    "large_orders_topk",
+    # driver hash-red in r03/r04 — fixed this round, must re-witness
     "promo_revenue_share",
-    "supplier_variety",
-    "nation_trade_volume",
-    "orders_percentile_rank",
-    "events_profile",
-    "topic_hierarchy_rollup",
-    "orders_positional_window",
-    "dedup_rate_by_source",
-    "minhash_jaccard_estimate",
-    "contamination_rate_by_source",
-    "ann_recall_eval",
-    "langid_confusion",
-    "text_chunk_overlap",
-    "pii_redact",
-    "word_bigrams_topk",
-    "sample_weighted",
-    "hll_daily_merge",
-    "multimodal_frame_sample",
-    "multimodal_audio_windows",
-    # queries added in round 3 (never witnessed) go here, displacing
-    # backfill slots below — keep the total at 50.
     "part_value_share",
-    "min_cost_supplier_per_part",
-    "order_priority_exists_count",
-    "straggler_supplier_per_order",
-    "boilerplate_trigrams",
-    "keyword_bm25_topk",
-    "importance_resample_mix",
-    "training_order_assignment",
-    "pack_sequences_greedy",
-    "corpus_pipeline_funnel",
-    "history_value_runs",
-    "history_retention_prune",
     "embedding_kmeans_assign",
-    "semantic_dedup_keep",
-    "events_ohlc_hourly",
+    "pack_sequences_greedy",
+    # never driver-witnessed, oldest-registered first
+    "scd2_topic_versions",
+    "topic_value_asof",
+    "history_sqlite_cadence",
+    "diffonly_compression_stats",
+    "scd2_asof_snapshot",
+    "payload_size_profile",
+    "sequence_gap_audit",
+    "diffonly_order_sensitivity",
+    "topic_key_skew_stats",
+    "disjunctive_filter_revenue",
+    "idle_big_customers",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "top_supplier_by_revenue",
+    "market_share_by_nation",
+    "profit_by_nation_year",
+    "returned_items_topk",
+    "priority_mix_by_status",
+    "excess_share_suppliers",
+    "last_touch_attribution",
+    "bloom_pruned_revenue",
+    "event_value_trend",
+    "dq_rule_violations",
+    "trimmed_mean_price",
+    "topic_ancestors_udtf",
+    "join_cardinality_estimate",
+    "event_transition_matrix",
+    "conversion_latency_percentiles",
+    "cep_triple_pattern",
+    "top_session_paths",
+    "weekly_revenue_wow",
+    "value_drift_stats",
+    "cumulative_new_users",
 )
-# window note: _PRIORITY is sized to exactly 50 (the driver gate's window);
-# names past slot 50 (topic_key_skew_stats etc.) queue for the round-4
-# rotation.
+# window note: _PRIORITY is sized to exactly 50 (the driver gate's window):
+# core 13 + the 4 r03/r04 hash-reds (fixed in r05) + 33 never-witnessed in
+# registration order.  Regenerate each round with `python
+# tools/rotation_plan.py 50` after the new CORRECTNESS_r*.json lands.
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -114,12 +114,36 @@ def main() -> int:
         try:
             res = con.execute(osql)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otable = res.arrow()
+            orows = list(
+                zip(*(otable.column(i).to_pylist()
+                      for i in range(otable.num_columns)))
+            ) if otable.num_columns else []
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
             continue
         problems = []
+        # Arrow-type parity gate: the driver compares via Arrow, where a
+        # DuckDB HUGEINT (e.g. any uncast sum(BIGINT)) surfaces as
+        # decimal128(38,0) and hash-mismatches a Spark BIGINT even when
+        # every value is identical.  Reject decimal-typed oracle columns
+        # unless the Spark side is genuinely DecimalType.
+        import pyarrow as pa
+
+        spark_decimal_cols = {
+            f.name for f in sdf.schema.fields
+            if f.dataType.typeName().startswith("decimal")
+        }
+        for field in otable.schema:
+            if (
+                pa.types.is_decimal(field.type)
+                and field.name not in spark_decimal_cols
+            ):
+                problems.append(
+                    f"oracle col '{field.name}' is Arrow {field.type} "
+                    "(uncast HUGEINT?) but Spark side is not decimal"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):

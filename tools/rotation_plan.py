@@ -6,9 +6,11 @@ exactly the FIRST 50 queries in registration order), so the registry's
 rows each round.  Policy (CLAUDE.md):
 
   1. SURVEY §2 core pipeline — inside EVERY window;
-  2. queries never witnessed by ANY recorded round, oldest-registered
+  2. queries whose LATEST witness is red (hash/rows/schema mismatch or
+     error) — these carry a pending fix that must be re-witnessed;
+  3. queries never witnessed by ANY recorded round, oldest-registered
      first (these are the evidence gaps);
-  3. backfill with the queries whose last witness is OLDEST, so
+  4. backfill with the queries whose last witness is OLDEST, so
      long-green rows get refreshed eventually.
 
 Usage:  python tools/rotation_plan.py [window_size]
@@ -43,6 +45,7 @@ def main() -> int:
     registration_order = list(REGISTRY.specs())
 
     witnessed: dict[str, int] = {}  # name -> last round witnessed
+    latest: dict[str, dict] = {}  # name -> record from the latest witness
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
@@ -50,24 +53,39 @@ def main() -> int:
             rows = json.loads(path.read_text())
         except json.JSONDecodeError:
             continue
-        for name in rows:
-            witnessed[name] = max(witnessed.get(name, 0), rnd)
+        for name, rec in rows.items():
+            if rnd >= witnessed.get(name, 0):
+                witnessed[name] = rnd
+                latest[name] = rec if isinstance(rec, dict) else {}
 
+    def _is_red(rec: dict) -> bool:
+        return bool(rec.get("err")) or not (
+            rec.get("rows_match", True)
+            and rec.get("schema_match", True)
+            and rec.get("hash_match", True)
+        )
+
+    reds = [
+        n for n in registration_order
+        if n in latest and _is_red(latest[n]) and n not in CORE
+    ]
     never = [
         n for n in registration_order
         if n not in witnessed and n not in CORE
     ]
     backfill = sorted(
-        (n for n in witnessed if n not in CORE),
+        (n for n in witnessed if n not in CORE and n not in reds),
         key=lambda n: (witnessed[n], registration_order.index(n)),
     )
 
-    plan = list(CORE) + never[: window - len(CORE)]
+    plan = list(CORE) + reds[: window - len(CORE)]
+    plan += never[: window - len(plan)]
     plan += backfill[: window - len(plan)]
 
     print(f"# registry: {len(registration_order)} queries; "
-          f"witnessed: {len(witnessed)}; never-witnessed: {len(never)}")
-    overflow = never[window - len(CORE):]
+          f"witnessed: {len(witnessed)}; red-at-latest: {len(reds)}; "
+          f"never-witnessed: {len(never)}")
+    overflow = [n for n in never if n not in plan]
     if overflow:
         print(f"# WARNING: {len(overflow)} never-witnessed queries do not "
               f"fit the {window}-slot window; they queue for the round "

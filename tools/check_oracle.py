@@ -47,6 +47,34 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+def arrow_type_violations(
+    oracle_schema, spark_decimal_cols: set[str]
+) -> list[str]:
+    """The Arrow-type parity gate.
+
+    The driver compares results via Arrow, where a DuckDB HUGEINT (any
+    uncast ``sum(BIGINT)`` — aggregate or window) surfaces as
+    decimal128(38,0) and hash-mismatches a Spark BIGINT even when every
+    value is identical (witnessed: pack_sequences_greedy.start_off,
+    embedding_kmeans_assign.dist_fp, red in CORRECTNESS_r03+r04).
+    Reject any decimal-typed oracle column unless the Spark side is
+    genuinely DecimalType.
+    """
+    import pyarrow as pa
+
+    problems = []
+    for field in oracle_schema:
+        if (
+            pa.types.is_decimal(field.type)
+            and field.name not in spark_decimal_cols
+        ):
+            problems.append(
+                f"oracle col '{field.name}' is Arrow {field.type} "
+                "(uncast HUGEINT?) but Spark side is not decimal"
+            )
+    return problems
+
+
 def df_digest(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -123,27 +151,11 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
             continue
-        problems = []
-        # Arrow-type parity gate: the driver compares via Arrow, where a
-        # DuckDB HUGEINT (e.g. any uncast sum(BIGINT)) surfaces as
-        # decimal128(38,0) and hash-mismatches a Spark BIGINT even when
-        # every value is identical.  Reject decimal-typed oracle columns
-        # unless the Spark side is genuinely DecimalType.
-        import pyarrow as pa
-
         spark_decimal_cols = {
             f.name for f in sdf.schema.fields
             if f.dataType.typeName().startswith("decimal")
         }
-        for field in otable.schema:
-            if (
-                pa.types.is_decimal(field.type)
-                and field.name not in spark_decimal_cols
-            ):
-                problems.append(
-                    f"oracle col '{field.name}' is Arrow {field.type} "
-                    "(uncast HUGEINT?) but Spark side is not decimal"
-                )
+        problems = arrow_type_violations(otable.schema, spark_decimal_cols)
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):

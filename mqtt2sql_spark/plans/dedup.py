@@ -457,16 +457,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ) WHERE cos >= {COSINE_MIN}
     """,
-    doc="Embedding-cosine near-dup pairs: tiled block matrix multiply — "
-    "the corpus is split into bounded-size tiles (TILE_ROWS each, "
-    "hash-assigned on vec_id); each pass broadcasts ONE normalized tile "
-    "and every Arrow batch of the full corpus is a single numpy matmul "
-    "against it, results unioned across tiles.  Driver/executor memory "
-    "per pass is O(TILE_ROWS·dim), never O(corpus): at 100 TB the loop "
-    "just has more passes.  Each ordered pair (a<b) surfaces exactly once "
-    "— in the pass whose tile holds b.  The LSH-bucketed path "
-    "(plans/similarity.py) avoids the O(n²) scan count entirely and is "
-    "the canonical scale path; this is the exact baseline.",
+    doc="Embedding-cosine near-dup pairs: distributed block-nested-loop "
+    "matrix multiply — vectors hash into bounded-size blocks (TILE_ROWS "
+    "each, crc32 on vec_id); every row replicates into each unordered "
+    "block pair it belongs to (one explode), and each (bi, bj) group "
+    "computes its cross-block (or within-block for bi=bj) cosines as "
+    "ONE numpy matmul inside applyInPandas.  No driver collect, no "
+    "broadcast, no serial pass loop: all O(B²/2) block pairs execute "
+    "concurrently, each task bounded at O(2·TILE_ROWS·dim) memory, so "
+    "at 100 TB the job is wider, never deeper.  Each ordered pair (a<b) "
+    "surfaces exactly once — cross pairs only in their (bi<bj) group, "
+    "within pairs only in the diagonal group.  Total shuffle is "
+    "O(n·B) rows — the inherent cost of exact all-pairs; the "
+    "LSH-bucketed path (plans/similarity.py) avoids the O(n²) work "
+    "entirely and is the canonical scale path; this is the exact "
+    "baseline.",
 )
 def dedup_embedding_pairs(
     spark: SparkSession, sf_dir: str, tile_rows: int = EMB_TILE_ROWS
@@ -475,63 +480,85 @@ def dedup_embedding_pairs(
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # bounded tile assignment: crc32 hash-bucket on vec_id so tile sizes
-    # stay ~uniform whatever the id pattern; n_tiles from an aggregate
+    # bounded block assignment: crc32 hash-bucket on vec_id so block sizes
+    # stay ~uniform whatever the id pattern; n_blocks from an aggregate
     # (count), never a data collect
     n = emb.count()
-    n_tiles = max(1, -(-n // tile_rows))
-    tile_col = F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(n_tiles))
+    n_blocks = max(1, -(-n // tile_rows))
 
-    scan = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    parts = []
-    for t in range(n_tiles):
-        # one bounded collect per pass — filter pushed to the parquet scan
-        local = emb.where(tile_col == t).collect()
-        if not local:
-            continue
-        ids = np.array([r.vec_id for r in local], dtype=np.int64)
-        mat = np.array([r.embedding for r in local], dtype=np.float64)
+    blk = F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(n_blocks))
+    # replicate each row into every unordered block pair it belongs to:
+    # a row in block i joins groups (min(i,j), max(i,j)) for all j —
+    # exactly once per group, including the diagonal (i, i)
+    tagged = emb.withColumn("blk", blk.cast("int")).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1))
+        ).alias("other"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least("blk", "other").alias("bi"),
+        F.greatest("blk", "other").alias("bj"),
+    )
+
+    def block_cosine(key, pdf):
+        bi, bj = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((ids, mat))
-
-        def block_cosine(batches, _bc=bc):
-            c_ids, c_mat = _bc.value
-            for pdf in batches:
-                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                a = np.array(list(pdf["embedding"]), dtype=np.float64)
-                a /= np.linalg.norm(a, axis=1, keepdims=True)
-                sims = np.round(a @ c_mat.T, 4)  # BLAS: batch × tile
-                # threshold on the ROUNDED value — the contract filters the
-                # rounded output column, so 0.34996 → 0.35 must be kept
-                ai, ci = np.where(sims >= COSINE_MIN)
-                keep = a_ids[ai] < c_ids[ci]
-                yield pd.DataFrame(
-                    {
-                        "doc_a": a_ids[ai][keep],
-                        "doc_b": c_ids[ci][keep],
-                        "cos": sims[ai, ci][keep],
-                    }
-                )
-
-        # materialize THIS tile's pass eagerly so the broadcast can be
-        # destroyed before the next tile ships — keeps live broadcast
-        # memory at O(TILE_ROWS·dim) for the whole loop, not
-        # O(n_tiles·TILE_ROWS·dim).  The checkpointed partitions hold only
-        # the (doc_a, doc_b, cos) survivor pairs, not vectors.
-        part = scan.mapInPandas(
-            block_cosine, "doc_a long, doc_b long, cos double"
-        ).localCheckpoint(eager=True)
-        bc.destroy()
-        parts.append(part)
-    if not parts:
-        # empty corpus (or every tile empty): stable schema, zero rows
-        return spark.createDataFrame(
-            [], "doc_a long, doc_b long, cos double"
+        if bi == bj:
+            a_ids, a_mat = ids, mat
+            c_ids, c_mat = ids, mat
+        else:
+            in_a = (pdf["blk"] == bi).to_numpy()
+            a_ids, a_mat = ids[in_a], mat[in_a]
+            c_ids, c_mat = ids[~in_a], mat[~in_a]
+        if not len(a_ids) or not len(c_ids):
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        sims = np.round(a_mat @ c_mat.T, 4)  # BLAS: block × block
+        # threshold on the ROUNDED value — the contract filters the
+        # rounded output column, so 0.34996 → 0.35 must be kept
+        ai, ci = np.where(sims >= COSINE_MIN)
+        # orient every pair doc_a < doc_b; the a<c keep also removes the
+        # diagonal and the (x,y)/(y,x) double-count in the bi==bj case
+        keep = a_ids[ai] < c_ids[ci]
+        out = pd.DataFrame(
+            {
+                "doc_a": a_ids[ai][keep],
+                "doc_b": c_ids[ci][keep],
+                "cos": sims[ai, ci][keep],
+            }
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        if bi != bj:
+            # cross group: pairs oriented the other way are found by
+            # scanning the transpose — emit them too (c side < a side)
+            keep_t = c_ids[ci] < a_ids[ai]
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "doc_a": c_ids[ci][keep_t],
+                            "doc_b": a_ids[ai][keep_t],
+                            "cos": sims[ai, ci][keep_t],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        block_cosine, "doc_a long, doc_b long, cos double"
+    )
 
 
 # --- transitive dup clusters (connected components) -------------------------

@@ -7324,6 +7324,9 @@ def degree_assortativity_copurchase(
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 2)
         .select("pk1", "pk2")
+        # referenced by deg (2x) and the edge join — materialize once
+        # instead of replaying the basket double-explode per branch
+        .localCheckpoint(eager=True)
     )
     deg = (
         pc.select(F.col("pk1").alias("pk"))
@@ -7335,8 +7338,13 @@ def degree_assortativity_copurchase(
     db = deg.select(F.col("pk").alias("pk2"), F.col("d").alias("dy"))
     joined = pc.join(F.broadcast(da), "pk1").join(F.broadcast(db), "pk2")
     ends = joined.select(
-        F.col("dx").alias("x"), F.col("dy").alias("y")
-    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+        F.explode(
+            F.array(
+                F.struct(F.col("dx").alias("x"), F.col("dy").alias("y")),
+                F.struct(F.col("dy").alias("x"), F.col("dx").alias("y")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
     s = ends.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

@@ -1875,8 +1875,10 @@ _BIT16_A_B = " + ".join(
     tags=("dedup", "sketch"),
 )
 def bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = dedup_minhash_pairs(spark, sf_dir)
-    mh = minhash_sigs(spark, sf_dir)
+    # cand/mh/sh are each referenced 2-3× below — materialize once
+    # instead of replaying the tokenize→shingle→sign pipeline per branch
+    cand = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    mh = minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
     a = mh.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -1903,7 +1905,7 @@ def bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit16.cast("long").alias("bit16"),
         )
     )
-    sh = shingles(spark, sf_dir)
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -2699,7 +2701,14 @@ def quality_dup_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph"),
 )
 def dup_pair_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = REGISTRY.specs()["dedup_minhash_pairs"].fn(spark, sf_dir)
+    # the LSH pipeline is referenced 5× below (both union sides, the
+    # closure join, the count) — materialize the small pair list once
+    # instead of recomputing shingles→signatures→bands per reference
+    pairs = (
+        REGISTRY.specs()["dedup_minhash_pairs"]
+        .fn(spark, sf_dir)
+        .localCheckpoint(eager=True)
+    )
     und = pairs.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionAll(
@@ -2828,9 +2837,15 @@ _LONG_BANDS_SQL = " UNION ALL ".join(
 def minhash_k_accuracy_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    pairs = REGISTRY.specs()["dedup_minhash_pairs"].fn(spark, sf_dir)
-    mh = minhash_sigs(spark, sf_dir)
-    sh = shingles(spark, sf_dir)
+    # each of these is referenced 2-3× below; materialize once so the
+    # tokenize→shingle→sign pipeline doesn't replay per plan branch
+    pairs = (
+        REGISTRY.specs()["dedup_minhash_pairs"]
+        .fn(spark, sf_dir)
+        .localCheckpoint(eager=True)
+    )
+    mh = minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=True)
     shc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     sa = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sha")

@@ -1973,6 +1973,8 @@ def ivf_nprobe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", F.col("cent_id").alias("cell"))
+        # referenced once per probe level below — materialize once
+        .localCheckpoint(eager=True)
     )
     probes = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -1993,11 +1995,12 @@ def ivf_nprobe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prank") <= N_PROBE)
         .select("query_id", "qe", F.col("cent_id").alias("cell"), "prank")
+        .localCheckpoint(eager=True)
     )
     exact = ann_cosine_topk(spark, sf_dir).select(
         F.col("query_id").alias("e_query_id"),
         F.col("vec_id").alias("e_vec_id"),
-    )
+    ).localCheckpoint(eager=True)
     outs = []
     for p in (1, 2, 3):
         wq = W.partitionBy("query_id").orderBy(
@@ -2468,10 +2471,13 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("j") > F.col("i"))
         .select("a", "b")
         .distinct()
+        # referenced by adj (2x) and the final anti-join — materialize
+        # once instead of replaying the basket double-explode per branch
+        .localCheckpoint(eager=True)
     )
     adj = edges.select(F.col("a").alias("z"), F.col("b").alias("nb")).unionAll(
         edges.select(F.col("b").alias("z"), F.col("a").alias("nb"))
-    )
+    ).localCheckpoint(eager=True)  # deg + both wedge sides read this
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("dg"))
     # exact 25th-percentile degree from the degree histogram: the histogram
     # has one row per DISTINCT degree value (tiny on any corpus), so the
@@ -2782,11 +2788,15 @@ _KCORE_ROUNDS = 3
     "below k and the edges touching them — the node/edge decay per "
     "round shows how much of the graph is a cohesive core vs "
     "periphery (dense-subgraph mining's first cut, and the standard "
-    "preprocessing before community detection).  Unrolled iterations "
-    "keep the whole computation one declarative plan (the "
-    "embedding_kmeans_assign model): per round one semi-join-shaped "
-    "edge filter + one degree re-aggregate, all keyed on part ids — "
-    "no driver loop state, no collect.",
+    "preprocessing before community detection).  Per round one "
+    "semi-join-shaped edge filter + one degree re-aggregate, all keyed "
+    "on part ids — no driver loop state, no collect.  Each round's "
+    "edge/degree sets are localCheckpointed (the dedup_components "
+    "Pregel pattern): every round is referenced by the next round AND "
+    "by its own counts row, and without lineage truncation the plan "
+    "tree multiplies per reference (audited at 2300+ exchanges); with "
+    "it, each round is one bounded job over the previous round's "
+    "materialized survivors.",
     tags=("similarity", "graph"),
 )
 def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2808,6 +2818,7 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.select(F.col("b").alias("z"))
         )
         return adj.groupBy("z").agg(F.count(F.lit(1)).alias("dg"))
+    edges = edges.localCheckpoint(eager=True)
     deg0 = degrees(edges)
     dh = deg0.groupBy("dg").agg(F.count(F.lit(1)).alias("cnt"))
     n_nodes0 = deg0.agg(F.count(F.lit(1)).alias("n"))
@@ -2817,6 +2828,7 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_nodes0))
         .filter(2 * F.col("cum") >= F.col("n"))
         .agg(F.min("dg").alias("k"))
+        .localCheckpoint(eager=True)  # 1 row, referenced every round
     )
     rounds = []
     ed, dg = edges, deg0
@@ -2831,12 +2843,15 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.join(surv.select(F.col("z").alias("a")), "a", "left_semi")
             .join(surv.select(F.col("z").alias("b")), "b", "left_semi")
             .select("a", "b")
+            .localCheckpoint(eager=True)
         )
         dg = surv.select("z").join(
             degrees(ed).select(F.col("z").alias("_dz"), "dg"),
             F.col("z") == F.col("_dz"),
             "left",
-        ).select("z", F.coalesce("dg", F.lit(0)).alias("dg"))
+        ).select(
+            "z", F.coalesce("dg", F.lit(0)).alias("dg")
+        ).localCheckpoint(eager=True)
         rounds.append((dg, ed))
     out = None
     for r, (dg_r, ed_r) in enumerate(rounds):

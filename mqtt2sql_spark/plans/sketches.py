@@ -710,6 +710,10 @@ def kmv_theta_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         kh.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= KMV_K)
         .drop("r")
+        # <= k rows per type; read by both the per-type estimates and the
+        # union sketch — materialize once instead of re-ranking the
+        # distinct-hash stream per branch
+        .localCheckpoint(eager=True)
     )
     esta = (
         sk.groupBy("event_type")

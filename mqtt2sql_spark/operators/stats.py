@@ -55,6 +55,10 @@ def _with_prefix(
 def ks_statistic(base: DataFrame, bucket: Column) -> DataFrame:
     """Two-sample KS over (value, ca, cb): one row with n_a, n_b,
     d_num, d_den (D = d_num/d_den), argmax_v_fp (1e-4 fixed point)."""
+    # base (value-grain, already aggregated) feeds both the prefix sums
+    # and the totals, and diffs feeds both the max and its argmax —
+    # materialize each once so the upstream fact scan runs once, not 4x
+    base = base.localCheckpoint(eager=True)
     cum = _with_prefix(base, bucket, {"ca": "cca", "cb": "ccb"})
     tot = base.agg(
         F.sum("ca").cast("long").alias("na"),
@@ -65,7 +69,7 @@ def ks_statistic(base: DataFrame, bucket: Column) -> DataFrame:
         F.abs(
             F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
         ).alias("dnum"),
-    )
+    ).localCheckpoint(eager=True)
     mx = diffs.agg(F.max("dnum").alias("d_num"))
     arg = diffs.join(F.broadcast(mx), F.col("dnum") == F.col("d_num")).agg(
         F.min(F.expr("CAST(floor(value * 10000) AS BIGINT)")).alias(
@@ -88,6 +92,9 @@ def ks_statistic(base: DataFrame, bucket: Column) -> DataFrame:
 def mannwhitney_u(base: DataFrame, bucket: Column) -> DataFrame:
     """Mann-Whitney U over (value, ca, cb): one row with n_a, n_b and
     the doubled statistics u2_a, u2_b (midranks stay integral at 2x)."""
+    # same two-consumer shape as ks_statistic: rank sum + totals both
+    # read base — one materialization, one upstream scan
+    base = base.localCheckpoint(eager=True)
     b = base.withColumn("c", F.col("ca") + F.col("cb"))
     cum = _with_prefix(b, bucket, {"c": "cinc"}).withColumn(
         "cprev", F.col("cinc") - F.col("c")

@@ -13322,6 +13322,9 @@ def hub_removal_edge_survival(
         .filter(F.col("j") > F.col("i"))
         .select("pk1", "pk2")
         .distinct()
+        # referenced by degrees (2x), the rank join and the edge count —
+        # materialize once instead of replaying the basket double-explode
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("pk1").alias("pk"))
@@ -14939,6 +14942,10 @@ def segment_brand_affinity_lift(
             F.col("p_brand").alias("brand"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
+        # seg x brand contingency (~125 rows) feeds the row/col/grand
+        # totals AND the lift join — materialize once so the 4-table
+        # fact join runs once, not 4x
+        .localCheckpoint(eager=True)
     )
     r = o.groupBy("seg").agg(F.sum("o").alias("rt"))
     c = o.groupBy("brand").agg(F.sum("o").alias("ct"))
@@ -16248,6 +16255,9 @@ def nation_mix_drift_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("nk"),
         )
         .agg(F.sum(cents).alias("rev"))
+        # year x nation (tiny) read by the totals, the lagged side and
+        # the drift join — materialize once, scan the fact once
+        .localCheckpoint(eager=True)
     )
     yt = ny.groupBy("y").agg(F.sum("rev").alias("t"))
     ta = yt.select(F.col("y").alias("ya"), F.col("t").alias("tta"))

@@ -1617,9 +1617,12 @@ _PP_T_NUM, _PP_T_DEN = 3, 5
     tags=("dedup", "join"),
 )
 def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tok feeds both the document-frequency agg and the ordered arrays;
+    # ordered feeds the prefix explode AND both verify-join sides —
+    # materialize each once instead of re-tokenizing per branch
     tok = shingles(spark, sf_dir).select(
         "doc_id", F.col("shingle").alias("w")
-    )
+    ).localCheckpoint(eager=True)
     df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
         tok.join(df, "w")
@@ -1635,6 +1638,7 @@ def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ws",
             F.size("ws").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     prefix = ordered.select(
         "doc_id",
@@ -3377,8 +3381,15 @@ def lsh_bucket_fanout_histogram(
     tags=("dedup", "sketch"),
 )
 def lsh_simhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sig joins in on both pair sides and ham feeds both the total and
+    # the final rollup — materialize each once instead of replaying the
+    # LSH and simhash pipelines per reference
     pairs = REGISTRY.specs()["dedup_minhash_pairs"].fn(spark, sf_dir)
-    sig = REGISTRY.specs()["dedup_simhash"].fn(spark, sf_dir)
+    sig = (
+        REGISTRY.specs()["dedup_simhash"]
+        .fn(spark, sf_dir)
+        .localCheckpoint(eager=True)
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
     )
@@ -3393,6 +3404,7 @@ def lsh_simhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ha").bitwiseXOR(F.col("hb"))
             ).alias("dist")
         )
+        .localCheckpoint(eager=True)
     )
     tot = ham.agg(F.count(F.lit(1)).alias("n"))
     return (

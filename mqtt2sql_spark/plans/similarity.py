@@ -4032,7 +4032,9 @@ def kmeans_calinski_harabasz(
     )
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
-    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    ).select(
+        "vec_id", "dim", F.col("fval").cast("double").alias("val")
+    ).localCheckpoint(eager=True)  # read 2x per Lloyd iteration
     assign = emb.select(
         "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
     )

@@ -3931,6 +3931,9 @@ def char_trigram_lang_overlap(
         )
         .filter(F.col("r") <= 100)
         .select("lang", "tri")
+        # <=100 rows per lang, read by the sizes and both join sides —
+        # materialize once so the trigram explode runs once, not 3x
+        .localCheckpoint(eager=True)
     )
     sz = top.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     a = top.select(F.col("lang").alias("lang_a"), "tri")

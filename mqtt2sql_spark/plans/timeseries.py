@@ -2004,7 +2004,9 @@ def transition_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = pairs.groupBy("cur", "nxt", "half").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    )
+        # tiny contingency read by three margins and the contrib join —
+        # materialize once so the sessionize window runs once, not 4x
+    ).localCheckpoint(eager=True)
     margins = cells.groupBy("cur", "nxt").agg(
         F.sum("o").cast("long").alias("rc")
     )
@@ -3029,7 +3031,11 @@ def volume_decomposition_shares(
     daily = ev.groupBy(
         "event_type",
         F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # day-grain series read by bounds, the trailing window and the
+        # decomposition join — materialize once, scan events once
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(
+        eager=True
+    )
     bounds = daily.groupBy("event_type").agg(
         F.min("d").alias("mind"), F.max("d").alias("maxd")
     )
@@ -3056,6 +3062,7 @@ def volume_decomposition_shares(
             F.expr("7 * y.c - t.t7").alias("dt7"),
             F.expr("y.d % 7").alias("dow"),
         )
+        .localCheckpoint(eager=True)  # seasonal means + residuals both read
     )
     seas = base.groupBy("event_type", "dow").agg(
         F.sum("dt7").cast("long").alias("ssum"),

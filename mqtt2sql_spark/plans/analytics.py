@@ -1282,22 +1282,24 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_topk",
     bench=True,
     oracle="""
-    SELECT l_orderkey, revenue, o_orderdate, rank FROM (
+    SELECT l_orderkey, revenue_cents, o_orderdate, rank FROM (
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                   AS revenue,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
                o.o_orderdate,
                CAST(row_number() OVER (
-                   ORDER BY round(sum(l.l_extendedprice
-                                      * (1 - l.l_discount)), 2) DESC,
+                   ORDER BY sum(CAST(round(l.l_extendedprice
+                                           * (1 - l.l_discount) * 100, 0)
+                                     AS BIGINT)) DESC,
                             l.l_orderkey
                ) AS BIGINT) AS rank
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '2024-06-01'
-          AND l.l_shipdate > TIMESTAMP '2024-06-01'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
         GROUP BY l.l_orderkey, o.o_orderdate
     ) WHERE rank <= 10
     """,
@@ -1316,10 +1318,10 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "2024-06-01"
+        F.col("o_orderdate") < "1998-06-01"
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "2024-06-01"
+        F.col("l_shipdate") > "1998-06-01"
     )
     # customer (post-filter, dim-sized) broadcasts explicitly; the
     # lineitem ⋈ orders join is left to AQE — at 100 TB the date-filtered
@@ -1335,22 +1337,25 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100,
+                    0,
+                ).cast("long")
+            ).alias("revenue_cents")
         )
     )
     # distributed top-k: TakeOrderedAndProject (per-partition 10-row heap,
     # driver heap-merge) instead of a single-partition ranking window over
     # the full per-order aggregate — the total-order sort key makes the
     # limit deterministic, and row_number then ranks only the 10 survivors
-    order = [F.desc("revenue"), F.asc("l_orderkey")]
+    order = [F.desc("revenue_cents"), F.asc("l_orderkey")]
     top = rev.orderBy(*order).limit(10)
     w = W.orderBy(*order)
     return top.select(
         "l_orderkey",
-        "revenue",
+        "revenue_cents",
         "o_orderdate",
         F.row_number().over(w).cast("long").alias("rank"),
     )
@@ -1848,7 +1853,7 @@ def orders_positional_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q11 shape: share-of-global HAVING -------------------------------
 
-PART_SHARE_MIN_PPM = 600  # keep parts above ~0.06% of total revenue
+PART_SHARE_MIN_MULT_E1 = 12  # keep parts above 1.2x the uniform 1/n share
 
 
 @register(
@@ -1860,16 +1865,20 @@ PART_SHARE_MIN_PPM = 600  # keep parts above ~0.06% of total revenue
                         AS BIGINT)) AS part_cents
         FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT sum(part_cents) AS total_cents FROM pv)
+    tot AS (SELECT sum(part_cents) AS total_cents,
+                   count(*) AS n_parts FROM pv)
     SELECT l_partkey,
            CAST(part_cents AS BIGINT) AS part_cents,
            CAST((1000000 * part_cents) // total_cents AS BIGINT) AS share_ppm
     FROM pv CROSS JOIN tot
-    WHERE (1000000 * part_cents) // total_cents >= {PART_SHARE_MIN_PPM}
+    WHERE (1000000 * part_cents) // total_cents
+          >= ({PART_SHARE_MIN_MULT_E1} * 100000) // n_parts
     """,
     doc="TPC-H Q11 shape (parts holding a significant share of global "
-    "value): per-part revenue filtered against a fraction of the GLOBAL "
-    "total.  The global total is an aggregate of the already-aggregated "
+    "value): per-part revenue filtered against a multiple of the "
+    "UNIFORM 1/n share of the global total, so the predicate stays "
+    "meaningful at every corpus size (an absolute ppm cutoff empties "
+    "as the catalog grows — witnessed at sf0.1).  The global total is an aggregate of the already-aggregated "
     "per-part relation — tiny — and joins back as a broadcast single "
     "row, so the fact table is scanned and shuffled exactly once "
     "(partial+final agg on l_partkey).  Revenue in exact integer cents, "
@@ -1884,14 +1893,20 @@ def part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("part_cents"))
-    tot = pv.agg(F.sum("part_cents").alias("total_cents"))
+    tot = pv.agg(
+        F.sum("part_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         pv.crossJoin(F.broadcast(tot))
         .withColumn(
             "share_ppm",
             F.expr("CAST((1000000 * part_cents) div total_cents AS BIGINT)"),
         )
-        .filter(F.col("share_ppm") >= PART_SHARE_MIN_PPM)
+        .filter(
+            F.col("share_ppm")
+            >= F.expr(f"({PART_SHARE_MIN_MULT_E1} * 100000) div n_parts")
+        )
         .selectExpr(
             "l_partkey",
             "part_cents",

@@ -5829,66 +5829,84 @@ def user_value_concentration(
 @register(
     "single_event_users_profile",
     oracle="""
-    , per AS (
-        SELECT user_id, count(*) AS n,
-               min(event_type) AS only_type
-        FROM events GROUP BY user_id
+    , ut AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
     ),
-    tot AS (
-        SELECT count(*) AS n_users,
-               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS singles
-        FROM per
+    per AS (
+        SELECT user_id, sum(c) AS n,
+               max(CASE WHEN rk = 1 THEN event_type END) AS modal_type
+        FROM (
+            SELECT user_id, event_type, c,
+                   sum(c) OVER (PARTITION BY user_id) AS nn,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, event_type) AS rk
+            FROM ut
+        ) GROUP BY user_id
+    ),
+    mn AS (
+        SELECT min(n) AS min_n, count(*) AS n_users FROM per
     )
-    SELECT p.only_type AS event_type,
-           CAST(count(*) AS BIGINT) AS n_single_event_users,
-           CAST((1000000 * count(*)) // max(t.singles) AS BIGINT)
-               AS share_of_singles_ppm,
-           CAST((1000000 * max(t.singles)) // max(t.n_users)
-               AS BIGINT) AS single_user_share_ppm
-    FROM per p CROSS JOIN tot t
-    WHERE p.n = 1
-    GROUP BY p.only_type
+    SELECT p.modal_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_lightest_users,
+           CAST(max(m.min_n) AS BIGINT) AS min_events,
+           CAST((1000000 * count(*)) // max(m.n_users)
+               AS BIGINT) AS share_of_users_ppm
+    FROM per p CROSS JOIN mn m
+    WHERE p.n = m.min_n
+    GROUP BY p.modal_type
     """,
-    doc="One-and-done users: how many users have exactly one event "
-    "ever, and WHAT that single event was — a 'signup' single is an "
-    "onboarding drop, an 'error' single is a product failure at "
-    "first touch, a 'view' single is bounce traffic; three "
-    "different fixes behind one churn number "
-    "(user_activation_latency measures those who made it past this "
-    "point).  min(event_type) is exact for n=1 groups; one user "
-    "agg, one fold.",
+    doc="Lightest-touch users: the users at the global minimum event "
+    "count, profiled by their modal event type — a 'signup' mode is "
+    "an onboarding drop, an 'error' mode is failure at first touch, "
+    "a 'view' mode is bounce traffic; three different fixes behind "
+    "one churn number (user_activation_latency measures those who "
+    "made it past this point).  The threshold is the OBSERVED "
+    "minimum, not a literal n=1, so the query stays non-degenerate "
+    "on any corpus (an absolute cutoff returns nothing when every "
+    "user clears it — witnessed on the fixture).  Modal type via a "
+    "user-partitioned rank with total-order tie-break; the scalar "
+    "minimum broadcasts.",
     tags=("timeseries", "retention"),
 )
 def single_event_users_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("event_type").alias("only_type"),
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    tot = per.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
-            "singles"
-        ),
+    wn = W.partitionBy("user_id")
+    wr = W.partitionBy("user_id").orderBy(F.desc("c"), "event_type")
+    per = (
+        ut.select(
+            "user_id",
+            "event_type",
+            F.sum("c").over(wn).alias("nn"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("nn").alias("n"),
+            F.max(
+                F.when(F.col("rk") == 1, F.col("event_type"))
+            ).alias("modal_type"),
+        )
+    )
+    mn = per.agg(
+        F.min("n").alias("min_n"), F.count(F.lit(1)).alias("n_users")
     )
     return (
-        per.filter(F.col("n") == 1)
-        .crossJoin(F.broadcast(tot))
-        .groupBy(F.col("only_type").alias("event_type"))
+        per.crossJoin(F.broadcast(mn))
+        .filter(F.col("n") == F.col("min_n"))
+        .groupBy(F.col("modal_type").alias("event_type"))
         .agg(
-            F.count(F.lit(1))
-            .cast("long")
-            .alias("n_single_event_users"),
+            F.count(F.lit(1)).cast("long").alias("n_lightest_users"),
+            F.max("min_n").cast("long").alias("min_events"),
             F.expr(
-                "CAST((1000000 * count(*)) DIV max(singles)"
+                "CAST((1000000 * count(*)) DIV max(n_users)"
                 " AS BIGINT)"
-            ).alias("share_of_singles_ppm"),
-            F.expr(
-                "CAST((1000000 * max(singles)) DIV max(n_users)"
-                " AS BIGINT)"
-            ).alias("single_user_share_ppm"),
+            ).alias("share_of_users_ppm"),
         )
     )
 

@@ -105,6 +105,38 @@ def test_embedding_pairs_threshold(spark, tmp_path):
     assert (1, 3) not in pairs
 
 
+def test_embedding_pairs_block_count_invariance(spark, tmp_path):
+    """The distributed block-nested-loop must emit the identical pair set
+    whatever the block partitioning: every unordered pair appears exactly
+    once (cross pairs in their (bi<bj) group, within pairs on the
+    diagonal), with bit-equal cosines."""
+    import random
+
+    from mqtt2sql_spark.plans.dedup import dedup_embedding_pairs
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    results = []
+    for tile_rows in (10**9, 31, 7):  # 1 block, 2 blocks, 9 blocks
+        rows = dedup_embedding_pairs(
+            spark, str(tmp_path), tile_rows=tile_rows
+        ).collect()
+        pairs = {(r.doc_a, r.doc_b): r.cos for r in rows}
+        assert len(pairs) == len(rows)  # no duplicate pair under any split
+        assert all(a < b for a, b in pairs)
+        results.append(pairs)
+    assert results[0] == results[1] == results[2]
+    assert results[0]  # threshold keeps some pairs on this data
+
+
 def test_embedding_pairs_empty_corpus_stable_schema(spark, tmp_path):
     from mqtt2sql_spark.plans.dedup import dedup_embedding_pairs
 

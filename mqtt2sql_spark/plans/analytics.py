@@ -383,14 +383,23 @@ def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_customers_no_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
     """,
-    doc="Anti join (NOT EXISTS): customers without orders — left_anti "
-    "broadcast join.",
+    doc="Anti join (NOT EXISTS): customers with no order since 2000 — "
+    "left_anti join with the date filter pushed to the probe-side "
+    "scan.  The recency predicate keeps the result non-degenerate on "
+    "this data (every customer has SOME order, so the unrestricted "
+    "variant verified an empty set).",
 )
 def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
     return c.join(
         o, c["c_custkey"] == o["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")

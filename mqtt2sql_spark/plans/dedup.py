@@ -2937,7 +2937,7 @@ _DUCK_DOC_SHARD = "(" + " + ".join(
     oracle=f"""
     , h AS (
         SELECT doc_id,
-               md5({duck_normalized()}) AS norm_hash,
+               md5(substring({duck_normalized()}, 1, 40)) AS norm_hash,
                {_DUCK_DOC_SHARD} AS shard
         FROM documents
     ),
@@ -2961,7 +2961,10 @@ _DUCK_DOC_SHARD = "(" + " + ".join(
     """,
     doc="Can dedup run shard-locally?  Hash every document into the 64 "
     "dataloader shards (the shard_token_balance split) and, for each "
-    "exact-dup group, count how many shards the group straddles — "
+    "duplicate-family group (40-char normalized-prefix key — the "
+    "template_prefix_clusters family notion; full-hash exact dups "
+    "are empty on this corpus below sf0.1, which would make the "
+    "check vacuous), count how many shards the group straddles — "
     "the histogram of n_shards answers whether per-shard dedup "
     "catches duplicates (n_shards=1) or a global shuffle on the "
     "content hash is mandatory (n_shards>1, the common case, since "
@@ -2974,7 +2977,9 @@ _DUCK_DOC_SHARD = "(" + " + ".join(
 def dedup_shard_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
-        F.md5(normalized_text("text")).alias("norm_hash"),
+        F.md5(F.substring(normalized_text("text"), 1, 40)).alias(
+            "norm_hash"
+        ),
         (
             F.conv(
                 F.substring(
@@ -3192,7 +3197,8 @@ def dedup_survivor_source_bias(
     "dup_arrival_distance_histogram",
     oracle=f"""
     , h AS (
-        SELECT doc_id, md5({duck_normalized()}) AS norm_hash
+        SELECT doc_id,
+               md5(substring({duck_normalized()}, 1, 40)) AS norm_hash
         FROM documents
     ),
     gaps AS (
@@ -3215,7 +3221,9 @@ def dedup_survivor_source_bias(
     GROUP BY g.log2_gap
     """,
     doc="How big must a streaming dedup buffer be?  For every "
-    "successive pair of exact duplicates (same normalized-text md5), "
+    "successive pair of duplicate-family members (same 40-char "
+    "normalized-prefix md5 — the template-family key; full-hash "
+    "exact dups are empty on this corpus below sf0.1), "
     "the arrival distance in doc_id order, histogrammed by "
     "power-of-two buckets with the cumulative share — cum_share at "
     "bucket b is exactly the recall a bounded window of 2^(b+1) "
@@ -3230,7 +3238,10 @@ def dup_arrival_distance_histogram(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
-        "doc_id", F.md5(normalized_text("text")).alias("norm_hash")
+        "doc_id",
+        F.md5(F.substring(normalized_text("text"), 1, 40)).alias(
+            "norm_hash"
+        ),
     )
     w = W.partitionBy("norm_hash").orderBy("doc_id")
     gaps = h.select(

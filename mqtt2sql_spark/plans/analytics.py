@@ -7659,7 +7659,9 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = flows.groupBy("supp_nation", "cust_nation").agg(
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         F.sum("cents").cast("long").alias("cents"),
-    )
+        # <=25x25 matrix read by the grand total and the share select —
+        # materialize once so the 5-join fact pipeline runs once, not 2x
+    ).localCheckpoint(eager=True)
     tot = agg.agg(F.sum("cents").cast("long").alias("t"))
     return agg.crossJoin(F.broadcast(tot)).select(
         "supp_nation",
@@ -8941,10 +8943,18 @@ def simpson_reversal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("long").alias("sxx"),
         F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("long").alias("syy"),
     ]
-    per = pts.groupBy("nation").agg(*moments)
-    pool = pts.agg(*moments).select(
-        F.expr(_SIMPSON_CORR).alias("pooled_corr_x1e6")
-    )
+    per = pts.groupBy("nation").agg(*moments).localCheckpoint(eager=True)
+    # the pooled moments are the SUMS of the per-nation moments (all six
+    # are additive), so the pooled correlation derives from the 25-row
+    # rollup — the fact join runs once, not twice
+    pool = per.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxy").cast("long").alias("sxy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum("syy").cast("long").alias("syy"),
+    ).select(F.expr(_SIMPSON_CORR).alias("pooled_corr_x1e6"))
     return per.crossJoin(F.broadcast(pool)).select(
         "nation",
         F.col("n").alias("n_lineitems"),
@@ -13266,6 +13276,9 @@ def kruskal_wallis_rank_stats(
         pts.join(rk, "cents")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_i"), F.sum("avg2").alias("s2"))
+        # 5-row rollup read by the total and the final select —
+        # materialize once so the rank join runs once, not 2x
+        .localCheckpoint(eager=True)
     )
     tot = per_seg.agg(F.sum("n_i").alias("n"))
     return per_seg.crossJoin(F.broadcast(tot)).select(
@@ -15219,6 +15232,9 @@ def peak_month_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", F.month("l_shipdate").cast("long").alias("m")
         )
         .agg(F.sum(cents).alias("rev"))
+        # 25x12 rollup read by the totals and the argmax rank —
+        # materialize once so the 4-table fact join runs once, not 2x
+        .localCheckpoint(eager=True)
     )
     t = nm.groupBy("n_name").agg(F.sum("rev").alias("tot"))
     rk = nm.select(
@@ -18311,9 +18327,12 @@ def type_mix_seasonal_shift(
             .alias("season"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        # type x season contingency read by the totals and both season
+        # arms — materialize once so the fact join runs once, not 3x
+        .localCheckpoint(eager=True)
     )
     tot = seas.groupBy("season").agg(F.sum("n").alias("t"))
-    j = seas.join(F.broadcast(tot), "season")
+    j = seas.join(F.broadcast(tot), "season").localCheckpoint(eager=True)
     w = j.filter(F.col("season") == "winter").select(
         F.col("p_type").alias("tw"),
         F.col("n").alias("n_w"),

@@ -41,7 +41,6 @@ _load()
 # CORRECTNESS_r01 only). Names absent from this tuple keep their
 # registration order after it.
 _PRIORITY: tuple[str, ...] = (
-    # SURVEY §2 core (A1-A14) — must stay inside every window
     "scan_events",
     "filter_exclude_topic",
     "filter_topic_wildcard",
@@ -55,50 +54,48 @@ _PRIORITY: tuple[str, ...] = (
     "tz_render",
     "hex_roundtrip",
     "flip_history_flag",
-    # driver hash-red in r03/r04 — fixed this round, must re-witness
-    "promo_revenue_share",
-    "part_value_share",
-    "embedding_kmeans_assign",
-    "pack_sequences_greedy",
-    # never driver-witnessed, oldest-registered first
-    "scd2_topic_versions",
-    "topic_value_asof",
-    "history_sqlite_cadence",
-    "diffonly_compression_stats",
-    "scd2_asof_snapshot",
-    "payload_size_profile",
-    "sequence_gap_audit",
-    "diffonly_order_sensitivity",
-    "topic_key_skew_stats",
-    "disjunctive_filter_revenue",
-    "idle_big_customers",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "top_supplier_by_revenue",
-    "market_share_by_nation",
-    "profit_by_nation_year",
-    "returned_items_topk",
-    "priority_mix_by_status",
-    "excess_share_suppliers",
-    "last_touch_attribution",
-    "bloom_pruned_revenue",
-    "event_value_trend",
-    "dq_rule_violations",
-    "trimmed_mean_price",
-    "topic_ancestors_udtf",
-    "join_cardinality_estimate",
-    "event_transition_matrix",
-    "conversion_latency_percentiles",
-    "cep_triple_pattern",
-    "top_session_paths",
-    "weekly_revenue_wow",
-    "value_drift_stats",
-    "cumulative_new_users",
+    "benford_first_digit",
+    "throttle_events_5min",
+    "user_event_gini",
+    "event_type_lift",
+    "session_bounce_rate",
+    "part_supplier_hhi",
+    "rolling_wau",
+    "topic_rank_shift",
+    "user_dwell_time",
+    "referential_integrity_audit",
+    "event_type_daily_corr",
+    "weighted_median_price_by_flag",
+    "revenue_pareto_deciles",
+    "robust_outliers_mad",
+    "linear_attribution",
+    "ship_latency_histogram",
+    "reorder_interval_histogram",
+    "copurchase_part_pairs",
+    "skyline_parts",
+    "fuzzy_join_deletion_index",
+    "discount_band_revenue",
+    "pagerank_copurchase",
+    "triangle_count_copurchase",
+    "ks_statistic_click_purchase",
+    "mannwhitney_u_click_purchase",
+    "exact_median_price",
+    "k_anonymity_audit",
+    "association_rules_parts",
+    "bfs_hops_from_hub",
+    "rfm_banded_segments",
+    "item_item_cosine_topk",
+    "chi_square_type_dow",
+    "seasonal_index_monthly",
+    "fd_discovery_audit",
+    "business_day_ship_latency",
+    "open_orders_backlog_monthly",
+    "supplier_latency_consistency",
 )
 # window note: _PRIORITY is sized to exactly 50 (the driver gate's window):
-# core 13 + the 4 r03/r04 hash-reds (fixed in r05) + 33 never-witnessed in
-# registration order.  Regenerate each round with `python
-# tools/rotation_plan.py 50` after the new CORRECTNESS_r*.json lands.
+# core 13 + 37 never-witnessed (zero reds at r05, so the whole tail burns
+# witness debt, oldest-registered first).  Regenerate each round with
+# `python tools/rotation_plan.py 50` after the new CORRECTNESS_r*.json lands.
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -9,6 +9,17 @@ distributive aggregate.  Nothing global is ever sorted or windowed over
 the full relation, and every emitted number is an exact integer
 (rationals cross-multiplied), so results are bit-stable across engines
 and partitionings.
+
+localCheckpoint note: the ``eager=True`` snapshots here (and in ~20
+plan functions) are a deliberate LOCAL-BENCH tradeoff — they execute
+Spark jobs at plan-construction time (so plan-only consumers such as
+tools/audit_plans.py run the upstream pipeline when they call fn()),
+and localCheckpoint blocks are non-recoverable on executor loss.  On a
+real multi-executor cluster, swap these for ``persist(StorageLevel.
+MEMORY_AND_DISK)`` + reliable ``checkpoint()`` (recomputable /
+replicated lineage truncation); eager local snapshots are kept here
+because they guarantee a single deterministic materialization across
+plan branches (the operators/ids.py determinism contract) on local[N].
 """
 
 from __future__ import annotations

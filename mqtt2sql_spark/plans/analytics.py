@@ -1880,14 +1880,18 @@ PART_SHARE_MIN_MULT_E1 = 12  # keep parts above 1.2x the uniform 1/n share
            CAST(part_cents AS BIGINT) AS part_cents,
            CAST((1000000 * part_cents) // total_cents AS BIGINT) AS share_ppm
     FROM pv CROSS JOIN tot
-    WHERE (1000000 * part_cents) // total_cents
-          >= ({PART_SHARE_MIN_MULT_E1} * 100000) // n_parts
+    WHERE CAST(part_cents AS HUGEINT) * n_parts * 10
+          >= CAST(total_cents AS HUGEINT) * {PART_SHARE_MIN_MULT_E1}
     """,
     doc="TPC-H Q11 shape (parts holding a significant share of global "
     "value): per-part revenue filtered against a multiple of the "
     "UNIFORM 1/n share of the global total, so the predicate stays "
     "meaningful at every corpus size (an absolute ppm cutoff empties "
-    "as the catalog grows — witnessed at sf0.1).  The global total is an aggregate of the already-aggregated "
+    "as the catalog grows — witnessed at sf0.1).  The threshold "
+    "compares cross-multiplied exact integers (part_cents * n_parts * "
+    "10 >= total_cents * 12, widened to DECIMAL(38,0)/HUGEINT): the "
+    "pre-divided ppm form floored to 0 past ~1.2M parts, inverting the "
+    "predicate at scale.  The global total is an aggregate of the already-aggregated "
     "per-part relation — tiny — and joins back as a broadcast single "
     "row, so the fact table is scanned and shuffled exactly once "
     "(partial+final agg on l_partkey).  Revenue in exact integer cents, "
@@ -1913,8 +1917,16 @@ def part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * part_cents) div total_cents AS BIGINT)"),
         )
         .filter(
-            F.col("share_ppm")
-            >= F.expr(f"({PART_SHARE_MIN_MULT_E1} * 100000) div n_parts")
+            # Cross-multiplied exact integers: the pre-divided ppm form
+            # ((12 * 100000) // n_parts) floors to 0 once n_parts exceeds
+            # 1.2M, silently keeping every part at large scale.  Widen to
+            # DECIMAL(38,0) (HUGEINT on the oracle side): BIGINT products
+            # overflow silently in non-ANSI Spark at 100 TB magnitudes.
+            F.col("part_cents").cast("decimal(38,0)")
+            * F.col("n_parts")
+            * F.lit(10)
+            >= F.col("total_cents").cast("decimal(38,0)")
+            * F.lit(PART_SHARE_MIN_MULT_E1)
         )
         .selectExpr(
             "l_partkey",
@@ -10096,10 +10108,10 @@ _SPEARMAN_CORR = (
     "so Spearman reduces to the integer-moment Pearson formula the "
     "repo already pins cross-engine (error_load_correlation model); "
     "ties cannot occur (user_id breaks them), so no tie-correction "
-    "term.  The ranked table is user-dimension-sized; the oracle's "
-    "global OVER () would be a two-phase banded prefix rank at "
-    "100 TB (operators/ids model) — the moment fold after it is one "
-    "row.",
+    "term.  The ranked table is user-dimension-sized, so BOTH rank "
+    "columns run through the two-phase banded prefix rank "
+    "(operators/ids.dense_row_ids, monotonic value buckets) — no "
+    "single-partition window; the moment fold after it is one row.",
     tags=("analytics", "statistics"),
 )
 def spearman_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10115,12 +10127,23 @@ def spearman_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_cents"),
     )
-    wx = W.orderBy("activity", "user_id")
-    wy = W.orderBy("spend_cents", "user_id")
-    rk = u.select(
-        F.row_number().over(wx).alias("x"),
-        F.row_number().over(wy).alias("y"),
+    # both rank columns via the two-phase banded prefix rank
+    # (operators/ids.dense_row_ids, monotonic value-derived buckets) —
+    # users are a SCALING dimension, so no single-partition row_number
+    from mqtt2sql_spark.operators.ids import dense_row_ids
+
+    rkx = dense_row_ids(
+        u,
+        ["activity", "user_id"],
+        id_col="x",
+        bucket=F.expr("activity div 16"),
     )
+    rk = dense_row_ids(
+        rkx,
+        ["spend_cents", "user_id"],
+        id_col="y",
+        bucket=F.expr("spend_cents div 100000"),
+    ).select("x", "y")
     mo = rk.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
@@ -12334,12 +12357,23 @@ def supplier_load_latency_corr(
             ).alias("mean_lat"),
         )
     )
-    wx = W.orderBy("load", "l_suppkey")
-    wy = W.orderBy("mean_lat", "l_suppkey")
-    rk = st.select(
-        F.row_number().over(wx).alias("x"),
-        F.row_number().over(wy).alias("y"),
+    # two-phase banded prefix ranks (dense_row_ids) for BOTH rank
+    # columns — suppliers are a scaling dimension, never rank them
+    # through a single-partition window
+    from mqtt2sql_spark.operators.ids import dense_row_ids
+
+    rkx = dense_row_ids(
+        st,
+        ["load", "l_suppkey"],
+        id_col="x",
+        bucket=F.expr("load div 64"),
     )
+    rk = dense_row_ids(
+        rkx,
+        ["mean_lat", "l_suppkey"],
+        id_col="y",
+        bucket=F.expr("mean_lat div 16"),
+    ).select("x", "y")
     mo = rk.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
@@ -12445,12 +12479,29 @@ def bot_score_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sg2"
         ),
     )
-    wr = W.orderBy("n_events", "user_id")
-    wn = W.partitionBy()
+    # median user event count WITHOUT a global row_number over the
+    # scaling user dimension: value-grain counts + two-phase prefix sum
+    # (running_totals), median = value whose cumulative range contains
+    # rank (n+1) DIV 2 — tie-insensitive, identical to the oracle's
+    # row_number selection
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    vc = u.groupBy("n_events").agg(F.count(F.lit(1)).alias("c"))
+    cum = running_totals(
+        vc,
+        ["n_events"],
+        "c",
+        bucket=F.expr("n_events div 64"),
+        out_col="cr",
+    )
+    tot = cum.agg(F.max("cr").alias("nn"))
     med = (
-        u.withColumn("rn", F.row_number().over(wr))
-        .withColumn("nn", F.count(F.lit(1)).over(wn))
-        .filter(F.expr("rn = (nn + 1) DIV 2"))
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr(
+                "cr - c < (nn + 1) DIV 2 AND cr >= (nn + 1) DIV 2"
+            )
+        )
         .select(F.col("n_events").alias("m"))
     )
     sc = (
@@ -12587,9 +12638,9 @@ def brand_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     "already predicts worth (license early VIP treatment), a flat "
     "matrix means first orders are noise.  Quartiles are exact "
     "rank-based cuts with (value, custkey) total order over the "
-    "customer dimension (the oracle's global windows would be the "
-    "two-phase banded rank at 100 TB — operators/ids model); one "
-    "customer rollup feeds both rankings.",
+    "customer dimension, both computed via the two-phase banded "
+    "prefix rank (operators/ids.dense_row_ids) — no single-partition "
+    "window; one materialized customer rollup feeds both rankings.",
     tags=("analytics", "predictive"),
 )
 def first_order_predictiveness(
@@ -12613,18 +12664,29 @@ def first_order_predictiveness(
         )
         .filter(F.col("n_orders") >= 2)
     )
-    wf = W.orderBy("first_cents", "o_custkey")
-    wl = W.orderBy("ltv_cents", "o_custkey")
-    wn = W.partitionBy()
-    rk = cu.select(
-        F.expr(
-            "least(3, (row_number() OVER (ORDER BY first_cents, o_custkey)"
-            " - 1) * 4 DIV (count(*) OVER ()))"
-        ).alias("fq"),
-        F.expr(
-            "least(3, (row_number() OVER (ORDER BY ltv_cents, o_custkey)"
-            " - 1) * 4 DIV (count(*) OVER ()))"
-        ).alias("lq"),
+    # quartile cuts over the SCALING customer dimension: both ranks via
+    # the two-phase banded prefix rank (dense_row_ids, monotonic value
+    # buckets); materialize the customer rollup once — it feeds both
+    # rankings and the scalar count
+    from mqtt2sql_spark.operators.ids import dense_row_ids
+
+    cu = cu.localCheckpoint(eager=False)
+    nn = cu.agg(F.count(F.lit(1)).alias("n"))
+    ranked = dense_row_ids(
+        cu,
+        ["first_cents", "o_custkey"],
+        id_col="rf",
+        bucket=F.expr("first_cents div 100000"),
+    )
+    ranked = dense_row_ids(
+        ranked,
+        ["ltv_cents", "o_custkey"],
+        id_col="rl",
+        bucket=F.expr("ltv_cents div 100000"),
+    )
+    rk = ranked.crossJoin(F.broadcast(nn)).select(
+        F.expr("least(3, (rf - 1) * 4 DIV n)").alias("fq"),
+        F.expr("least(3, (rl - 1) * 4 DIV n)").alias("lq"),
     )
     tot = rk.agg(F.count(F.lit(1)).cast("long").alias("n"))
     return (

@@ -468,7 +468,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 100 TB the job is wider, never deeper.  Each ordered pair (a<b) "
     "surfaces exactly once — cross pairs only in their (bi<bj) group, "
     "within pairs only in the diagonal group.  Total shuffle is "
-    "O(n·B) rows — the inherent cost of exact all-pairs; the "
+    "O(n·B) rows INCLUDING the embedding vectors, i.e. O(n²·dim/"
+    "TILE_ROWS) bytes through one shuffle stage — quadratic in corpus "
+    "size, so TILE_ROWS should scale UP with the corpus (shuffle bytes "
+    "fall linearly in it while per-task memory rises) — the inherent "
+    "cost of exact all-pairs; the "
     "LSH-bucketed path (plans/similarity.py) avoids the O(n²) work "
     "entirely and is the canonical scale path; this is the exact "
     "baseline.",

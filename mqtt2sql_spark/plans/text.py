@@ -3540,20 +3540,22 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "curation"),
 )
 def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mqtt2sql_spark.operators.ids import dense_row_ids
+
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    base = docs.select(
-        "doc_id", F.size(tokens("text")).alias("n_tok")
-    ).withColumn(
-        "rn", F.row_number().over(W.orderBy("doc_id"))
-    ).withColumn(
-        "n_docs",
-        F.count(F.lit(1)).over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ),
+    # rn = global doc_id rank over a SCALING dimension: two-phase
+    # prefix rank (dense_row_ids, bucket = doc_id div 4096 — monotonic
+    # pure function of the data), never a single-partition row_number;
+    # n_docs likewise via aggregate + broadcast, not a global window
+    base = dense_row_ids(
+        docs.select("doc_id", F.size(tokens("text")).alias("n_tok")),
+        ["doc_id"],
+        id_col="rn",
+        bucket=F.expr("doc_id div 4096"),
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     )
     dd = base.select(
         "doc_id",
@@ -5036,15 +5038,45 @@ def source_interleave_runs_test(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = W.orderBy("doc_id")
-    seq = docs.select(
-        F.when(
-            ~F.lag("source").over(w).eqNullSafe(F.col("source")), 1
-        )
-        .otherwise(0)
-        .alias("is_run_start")
+    # two-phase global lag over a SCALING dimension (the ids/stats
+    # skeleton): within-bucket lag in parallel (bucket = doc_id div
+    # 4096, monotonic pure function), then stitch bucket boundaries on
+    # the tiny bucket list — a run starts at a row whose predecessor
+    # differs, where the first row of a bucket compares against the
+    # LAST row of the previous bucket
+    b = docs.withColumn("_bkt", F.expr("doc_id div 4096"))
+    w_in = W.partitionBy("_bkt").orderBy("doc_id")
+    seq = b.select(
+        "_bkt",
+        "doc_id",
+        "source",
+        F.lag("source").over(w_in).alias("_prev"),
     )
-    runs = seq.agg(F.sum("is_run_start").alias("r"))
+    per_bkt = seq.groupBy("_bkt").agg(
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull()
+                & ~F.col("_prev").eqNullSafe(F.col("source")),
+                1,
+            ).otherwise(0)
+        ).alias("_internal"),
+        F.min_by("source", "doc_id").alias("_first_src"),
+        F.max_by("source", "doc_id").alias("_last_src"),
+    )
+    w_bkt = W.orderBy("_bkt")
+    stitched = per_bkt.withColumn(
+        "_prev_last", F.lag("_last_src").over(w_bkt)
+    ).select(
+        (
+            F.col("_internal")
+            + F.when(
+                F.col("_prev_last").isNull()
+                | ~F.col("_prev_last").eqNullSafe(F.col("_first_src")),
+                1,
+            ).otherwise(0)
+        ).alias("_starts")
+    )
+    runs = stitched.agg(F.sum("_starts").alias("r"))
     comp = (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -5107,18 +5139,18 @@ def source_interleave_runs_test(
 def lang_mix_by_ingestion_decile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from mqtt2sql_spark.operators.ids import dense_row_ids
+
     docs = load_table(spark, sf_dir, "documents")
-    rk = docs.select(
-        "lang",
-        F.row_number().over(W.orderBy("doc_id")).alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("n"),
-    )
+    # global doc_id rank over a SCALING dimension: two-phase prefix
+    # rank (dense_row_ids, monotonic doc_id div 4096 buckets) + a
+    # broadcast scalar count — never a single-partition window
+    rk = dense_row_ids(
+        docs.select("lang", "doc_id"),
+        ["doc_id"],
+        id_col="rn",
+        bucket=F.expr("doc_id div 4096"),
+    ).crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))
     d = rk.select(
         F.expr("((rn - 1) * 10) DIV n + 1").alias("decile"), "lang"
     )

@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -2642,8 +2644,8 @@ def ewma_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the plans/sketches.py constants pattern); the harmonic sums are then
 # exact BIGINT dot products and only the final sqrt/divide is float, in
 # one textually-identical expression.
-_DIURNAL_COS = [round(__import__("math").cos(2 * __import__("math").pi * h / 24) * 10**6) for h in range(24)]
-_DIURNAL_SIN = [round(__import__("math").sin(2 * __import__("math").pi * h / 24) * 10**6) for h in range(24)]
+_DIURNAL_COS = [round(math.cos(2 * math.pi * h / 24) * 10**6) for h in range(24)]
+_DIURNAL_SIN = [round(math.sin(2 * math.pi * h / 24) * 10**6) for h in range(24)]
 _DIURNAL_FORMULA = (
     "CAST(floor(2.0 * sqrt(CAST(sc_e6 AS DOUBLE) * CAST(sc_e6 AS DOUBLE)"
     " + CAST(ss_e6 AS DOUBLE) * CAST(ss_e6 AS DOUBLE))"
@@ -4145,22 +4147,39 @@ def error_recovery_percentiles(
             F.expr("unix_micros(next_ok_ts) - unix_micros(ts)")
         ).alias("rec_us")
     )
-    wr = W.orderBy("rec_us")
-    wn = W.partitionBy()
-    r = rec.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    # nearest-rank percentiles WITHOUT a global row_number (the error
+    # set scales with the corpus): fold to value grain (count per
+    # distinct rec_us), two-phase exact prefix sum of the counts
+    # (operators/ids.running_totals, monotonic minute buckets), then
+    # the value at rank k is the one whose cumulative range
+    # (cum - c, cum] contains k — identical to row_number selection
+    # for any tie order, with no single-partition window anywhere
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    vc = rec.groupBy("rec_us").agg(F.count(F.lit(1)).alias("c"))
+    cum = running_totals(
+        vc,
+        ["rec_us"],
+        "c",
+        bucket=F.expr("rec_us div 60000000"),
+        out_col="cr",
     )
+    tot = cum.agg(F.max("cr").alias("n"))
+    r = cum.crossJoin(F.broadcast(tot))
+
+    def at_rank(k_expr: str, name: str):
+        return F.max(
+            F.when(
+                F.expr(f"cr - c < {k_expr} AND cr >= {k_expr}"),
+                F.col("rec_us"),
+            )
+        ).cast("long").alias(name)
+
     return r.agg(
         F.max("n").cast("long").alias("n_errors_recovered"),
-        F.max(
-            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("rec_us"))
-        ).cast("long").alias("p50_us"),
-        F.max(
-            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("rec_us"))
-        ).cast("long").alias("p90_us"),
-        F.max(
-            F.when(F.expr("rn = (99 * n + 99) DIV 100"), F.col("rec_us"))
-        ).cast("long").alias("p99_us"),
+        at_rank("(n + 1) DIV 2", "p50_us"),
+        at_rank("(9 * n + 9) DIV 10", "p90_us"),
+        at_rank("(99 * n + 99) DIV 100", "p99_us"),
     )
 
 
@@ -4309,18 +4328,34 @@ def user_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("days").isNotNull())
     )
-    wr = W.orderBy("days", "user_id")
-    wn = W.partitionBy()
-    q = lat.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    # nearest-rank percentiles over a SCALING user-grain relation:
+    # value-grain counts + two-phase prefix sum (running_totals), then
+    # value-at-rank-k by cumulative range — no single-partition
+    # row_number (ties on days are rank-order-insensitive by value)
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    vc = lat.groupBy("days").agg(F.count(F.lit(1)).alias("c"))
+    cum = running_totals(
+        vc, ["days"], "c", bucket=F.expr("days div 32"), out_col="cr"
     )
+    tot = cum.agg(F.max("cr").alias("n"))
+    q = cum.crossJoin(F.broadcast(tot))
     return q.agg(
         F.max("n").cast("long").alias("n_activated_users"),
         F.max(
-            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("days"))
+            F.when(
+                F.expr("cr - c < (n + 1) DIV 2 AND cr >= (n + 1) DIV 2"),
+                F.col("days"),
+            )
         ).cast("long").alias("p50_days"),
         F.max(
-            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("days"))
+            F.when(
+                F.expr(
+                    "cr - c < (9 * n + 9) DIV 10"
+                    " AND cr >= (9 * n + 9) DIV 10"
+                ),
+                F.col("days"),
+            )
         ).cast("long").alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
     )
@@ -4656,29 +4691,32 @@ def first_passage_cumulative_value(
             "(t_star - unix_micros(t0)) DIV 86400000000"
         ).alias("days"),
     )
-    r = d.select(
-        "days",
-        F.row_number().over(W.orderBy("days", "user_id")).alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("n"),
+    # nearest-rank percentiles over a SCALING user-grain relation:
+    # value-grain counts + two-phase prefix sum (running_totals) and
+    # value-at-rank-k by cumulative range — no single-partition window
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    vc = d.groupBy("days").agg(F.count(F.lit(1)).alias("c"))
+    cum = running_totals(
+        vc, ["days"], "c", bucket=F.expr("days div 32"), out_col="cr"
     )
+    tot = cum.agg(F.max("cr").alias("n"))
+    r = cum.crossJoin(F.broadcast(tot))
+
+    def at_rank(k_expr: str, name: str):
+        return F.max(
+            F.when(
+                F.expr(f"cr - c < {k_expr} AND cr >= {k_expr}"),
+                F.col("days"),
+            )
+        ).alias(name)
+
     n_users = u0.agg(F.count(F.lit(1)).alias("n_users"))
     agg = r.agg(
         F.max("n").alias("n_reached"),
-        F.max(
-            F.when(F.expr("rn = (n + 3) DIV 4"), F.col("days"))
-        ).alias("p25_days"),
-        F.max(
-            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("days"))
-        ).alias("p50_days"),
-        F.max(
-            F.when(F.expr("rn = (3 * n + 1) DIV 4"), F.col("days"))
-        ).alias("p75_days"),
+        at_rank("(n + 3) DIV 4", "p25_days"),
+        at_rank("(n + 1) DIV 2", "p50_days"),
+        at_rank("(3 * n + 1) DIV 4", "p75_days"),
     )
     return n_users.crossJoin(agg).select(
         F.col("n_users").cast("long").alias("n_users"),
@@ -5720,28 +5758,44 @@ def daily_active_users_profile(
             "unix_micros(date_trunc('day', ts)) DIV 86400000000"
         ).alias("d")
     ).agg(F.countDistinct("user_id").alias("u"))
-    r = dau.select(
-        "u",
-        F.row_number().over(W.orderBy("u", "d")).alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("n"),
+    # two consumers below (value-grain counts + the n/sum totals):
+    # materialize the tiny day-grain relation once so the fact scan
+    # and distinct-count run once, not twice
+    dau = dau.localCheckpoint(eager=False)
+    # the day list is bounded (~thousands of rows even at decades of
+    # data), but route the rank through the same value-grain two-phase
+    # prefix sum as the user-grain percentile queries so NO registered
+    # plan carries a single-partition row_number over a growing input
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    vc = dau.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+    cum = running_totals(
+        vc, ["u"], "c", bucket=F.expr("u div 1024"), out_col="cr"
     )
+    totals = dau.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("u").alias("su")
+    )
+    r = cum.crossJoin(F.broadcast(totals))
     return r.agg(
         F.max("n").cast("long").alias("n_days"),
         F.max(
-            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("u"))
+            F.when(
+                F.expr("cr - c < (n + 1) DIV 2 AND cr >= (n + 1) DIV 2"),
+                F.col("u"),
+            )
         ).cast("long").alias("p50_dau"),
         F.max(
-            F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("u"))
+            F.when(
+                F.expr(
+                    "cr - c < (9 * n + 9) DIV 10"
+                    " AND cr >= (9 * n + 9) DIV 10"
+                ),
+                F.col("u"),
+            )
         ).cast("long").alias("p90_dau"),
         F.max("u").cast("long").alias("max_dau"),
         F.expr(
-            "CAST((10000 * sum(u)) DIV max(n) AS BIGINT)"
+            "CAST((10000 * max(su)) DIV max(n) AS BIGINT)"
         ).alias("mean_dau_e4"),
     )
 
@@ -5795,31 +5849,39 @@ def user_value_concentration(
             F.round(F.col("value") * 100, 0).cast("long")
         ).alias("cents")
     )
-    wall = W.partitionBy().rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    # top-k cohort sums WITHOUT a global row_number over SCALING users:
+    # fold to value grain (count per distinct cents), two-phase DESC
+    # prefix sum (running_totals over -cents, monotonic buckets), then
+    # each value contributes clamp(k - (cr - c), 0, c) of its rows to
+    # the top-k cohort — exact for any user_id tie order because tied
+    # rows share the cents value
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    vc = uv.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = running_totals(
+        vc.withColumn("_neg", -F.col("cents")),
+        ["_neg"],
+        "c",
+        bucket=F.expr("_neg div 100000"),
+        out_col="cr",
     )
-    r = uv.select(
-        "cents",
-        F.row_number()
-        .over(W.orderBy(F.desc("cents"), "user_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("tot"),
+    tot = cum.agg(
+        F.max("cr").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).alias("tot"),
     )
+    r = cum.crossJoin(F.broadcast(tot))
+
+    def share(k_expr: str, name: str):
+        return F.expr(
+            "CAST((1000000 * sum(cents * greatest(0, least(c, "
+            f"{k_expr} - (cr - c))))) DIV max(tot) AS BIGINT)"
+        ).alias(name)
+
     return r.agg(
         F.max("n").cast("long").alias("n_users"),
-        F.expr(
-            "CAST((1000000 * sum(CASE WHEN rn <= (n + 99) DIV 100"
-            " THEN cents ELSE 0 END)) DIV max(tot) AS BIGINT)"
-        ).alias("top1pct_share_ppm"),
-        F.expr(
-            "CAST((1000000 * sum(CASE WHEN rn <= (n + 9) DIV 10"
-            " THEN cents ELSE 0 END)) DIV max(tot) AS BIGINT)"
-        ).alias("top10pct_share_ppm"),
-        F.expr(
-            "CAST((1000000 * sum(CASE WHEN rn <= (n + 1) DIV 2"
-            " THEN cents ELSE 0 END)) DIV max(tot) AS BIGINT)"
-        ).alias("top50pct_share_ppm"),
+        share("(n + 99) DIV 100", "top1pct_share_ppm"),
+        share("(n + 9) DIV 10", "top10pct_share_ppm"),
+        share("(n + 1) DIV 2", "top50pct_share_ppm"),
     )
 
 

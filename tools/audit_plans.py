@@ -7,6 +7,12 @@ row-at-a-time Python UDFs, and unpartitioned windows over non-aggregate
 inputs.  Plans are ANALYZED, not executed (except where noted AQE
 re-planning would change the picture, which the per-query tests cover).
 
+Caveat: ~20 plan functions call localCheckpoint(eager=True) for a
+deterministic single materialization across branches, so fn() itself
+HAS execution side effects — "plan-only" audit still runs those
+upstream jobs (at the tiny default sf0.001 this is seconds, not
+minutes; see operators/stats.py module docstring for the tradeoff).
+
 Usage:  python tools/audit_plans.py [sf_dir] > PLANS.md
 """
 

@@ -99,10 +99,19 @@ def test_no_dollar_render_on_compared_surfaces():
     non-compared intermediate, restructure so the pattern string does
     not appear (compute the double on the consumer side)."""
     offenders = []
+    # Whole-file, whitespace-tolerant match: the pattern must not evade
+    # the guard just because house style puts the closing paren (or an
+    # optional trailing comma) on the next line, e.g.
+    #   F.round(
+    #       x / 100.0, 2
+    #   ).alias(...)
+    pat = re.compile(r"/\s*100\.0\s*,\s*2\s*,?\s*\)")
     for f in (REPO / "mqtt2sql_spark" / "plans").glob("*.py"):
-        for i, line in enumerate(f.read_text().splitlines(), 1):
-            if re.search(r"/ *100\.0, *2\)", line):
-                offenders.append(f"{f.name}:{i}: {line.strip()}")
+        text = f.read_text()
+        for m in pat.finditer(text):
+            lineno = text.count("\n", 0, m.start()) + 1
+            snippet = " ".join(m.group(0).split())
+            offenders.append(f"{f.name}:{lineno}: {snippet}")
     assert not offenders, "\n".join(offenders)
 
 

@@ -41,7 +41,18 @@ def canon_cell(v) -> str:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return repr(float(v))
+            # Exact canonicalization: repr(float(v)) collided distinct
+            # decimals above 2^53 to the same float repr — a false pass
+            # in the very gate built to catch type-level divergence.
+            # Normalize scale (1.50 / 1.500 → 1.5) and keep the
+            # int-vs-decimal distinction by FORMAT (the "dec:" prefix),
+            # not by lossy conversion.
+            if v.is_nan():
+                return "dec:NaN"
+            s = format(v.normalize(), "f")
+            if s in ("-0", "-0.0"):
+                s = "0"
+            return "dec:" + s
     except Exception:
         pass
     return str(v)

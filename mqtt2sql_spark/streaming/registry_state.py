@@ -45,10 +45,16 @@ STATE_SCHEMA = (
 )
 
 
-def topic_registry_stream(
-    messages: DataFrame, ttl_ms: int | None = None
-) -> DataFrame:
-    """messages (streaming, with value_str) → per-batch registry updates."""
+def make_topic_registry_processor(ttl_ms: int | None = None):
+    """Build the StatefulProcessor holding the registry state logic.
+
+    Factory-scoped class (cloudpickle by-value — see packaging note in
+    the module docstring).  Exposed separately from the stream wiring so
+    the state-transition contract is testable OFFLINE with a fake
+    ValueState handle: the transformWithState RUNTIME needs
+    google.protobuf, but this logic does not
+    (tests/test_streaming.py::test_registry_processor_contract_offline).
+    """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -99,8 +105,15 @@ def topic_registry_stream(
         def close(self) -> None:
             pass
 
+    return TopicRegistryProcessor()
+
+
+def topic_registry_stream(
+    messages: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """messages (streaming, with value_str) → per-batch registry updates."""
     return messages.groupBy("topic").transformWithStateInPandas(
-        TopicRegistryProcessor(),
+        make_topic_registry_processor(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",

@@ -449,7 +449,12 @@ def test_registry_state_matches_batch(spark, staged, tmp_path):
     row per topic == (count(*), max_by(value, (ts, event_id))).
 
     Environment gate: transformWithState's Python state protocol needs
-    google.protobuf, which this container lacks — skip, don't fake."""
+    google.protobuf, which this container lacks and cannot install (no
+    network egress — `pip download` fails DNS; proof in
+    tests/test_multimodal_codecs.py's module docstring) — skip the
+    RUNTIME integration, don't fake it.  The state-transition logic
+    itself is covered offline by
+    test_registry_processor_contract_offline below."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState state protocol requires protobuf",
@@ -698,3 +703,80 @@ def test_stream_static_broadcast_enrichment(spark, staged, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_registry_processor_contract_offline():
+    """Offline contract for the transformWithState registry logic: the
+    RUNTIME needs google.protobuf (absent here — the integration test
+    above skips), but the state-transition function itself does not.
+    Drive handleInputRows directly with a fake ValueState handle across
+    micro-batches — per-topic state must converge to the batch twin
+    (count(*), max_by(value, (ts, event_id))), including the
+    late-arriving-batch case where the newest batch's tail is OLDER
+    than the current registry row (count bumps, last_* stay put)."""
+    import pandas as pd
+
+    from mqtt2sql_spark.streaming.registry_state import (
+        make_topic_registry_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["ts", "event_id", "value_str"]
+        ).assign(ts=lambda d: pd.to_datetime(d["ts"]))
+
+    t = "sensor/a"
+    batches = [
+        # unsorted within the batch: the sort must pick ts=3 as tail
+        batch([("2024-01-01 00:00:03", 30, "v3"),
+               ("2024-01-01 00:00:01", 10, "v1"),
+               ("2024-01-01 00:00:02", 20, "v2")]),
+        # equal-ts tie: higher event_id wins
+        batch([("2024-01-01 00:00:03", 31, "v3b")]),
+        # late data only — older than current state: count bumps,
+        # last_value must NOT regress
+        batch([("2024-01-01 00:00:00", 5, "stale")]),
+    ]
+
+    proc = make_topic_registry_processor()
+    proc.init(FakeHandle())
+    emitted = []
+    for b in batches:
+        emitted.extend(
+            out for out in proc.handleInputRows((t,), [b], None)
+        )
+    proc.close()
+
+    # one update row per micro-batch
+    assert len(emitted) == 3
+    final = emitted[-1].iloc[0]
+    # batch twin: count(*) + max_by(value_str, (ts, event_id))
+    allb = pd.concat(batches, ignore_index=True)
+    tail = allb.sort_values(["ts", "event_id"]).iloc[-1]
+    assert final["topic"] == t
+    assert int(final["n_messages"]) == len(allb) == 5
+    assert final["last_value"] == tail["value_str"] == "v3b"
+    assert int(final["last_event_id"]) == int(tail["event_id"]) == 31
+    assert final["last_ts"] == tail["ts"]
+    # intermediate rows carried the running count
+    assert [int(e.iloc[0]["n_messages"]) for e in emitted] == [3, 4, 5]

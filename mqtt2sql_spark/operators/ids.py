@@ -113,7 +113,10 @@ def running_totals(
     local = with_b.withColumn("_cum_in", F.sum(value_col).over(w_in))
     if materialize:
         local = local.localCheckpoint(eager=False)
-    totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
+    # bucket totals must be sum(value), NOT max(cumulative): the two
+    # agree only for non-negative values (monotone prefix), and signed
+    # inputs (e.g. +1/-1 interval-boundary deltas) break the max form
+    totals = local.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "_bkt", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
@@ -121,5 +124,48 @@ def running_totals(
     return (
         local.join(F.broadcast(offsets), "_bkt")
         .withColumn(out_col, (F.col("_off") + F.col("_cum_in")).cast("long"))
+        .drop("_bkt", "_cum_in", "_off")
+    )
+
+
+def running_max(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    bucket: Column | None = None,
+    out_col: str = "running_max",
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact global running (inclusive prefix) MAX of ``value_col`` in
+    ``order_cols`` order — the two-phase ``running_totals`` shape with
+    max in place of sum: per-bucket cumulative max (parallel across
+    buckets), then each row takes the greater of its in-bucket prefix
+    max and the broadcast max of all PRECEDING buckets.  Never a
+    single-partition window over the fact.
+
+    Same contracts as running_totals: ``order_cols`` total order,
+    ``bucket`` monotonic w.r.t. it and a pure function of the data.
+    """
+    if bucket is None:
+        bucket = F.to_date(F.col(order_cols[0]))
+    cols = [F.col(c) for c in order_cols]
+    with_b = df.withColumn("_bkt", bucket)
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = with_b.withColumn("_cum_in", F.max(value_col).over(w_in))
+    if materialize:
+        local = local.localCheckpoint(eager=False)
+    totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
+    w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    # _off is NULL for the first bucket; greatest() skips nulls
+    offsets = totals.select(
+        "_bkt", F.max("_tot").over(w_off).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, F.greatest(F.col("_cum_in"), F.col("_off")))
         .drop("_bkt", "_cum_in", "_off")
     )

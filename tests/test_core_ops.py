@@ -197,6 +197,74 @@ def test_running_totals_matches_global_window(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_running_totals_signed_values(spark):
+    """Bucket totals must be sum(value), not max(cumulative): the two
+    agree only for non-negative inputs, and the +1/-1 interval-boundary
+    deltas of max_concurrent_sessions_daily exposed the max form
+    (witnessed r06: off-by-bucket-residual at every day boundary)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    # alternating signs with negative bucket partial sums
+    rows = [(i, 1 if (i * 7) % 3 else -2) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    want = {
+        (r["k"], r["c"])
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    got = {
+        (r["k"], r["running_total"])
+        for r in running_totals(
+            df, order_cols=["k"], value_col="v", bucket=F.expr("k DIV 17")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_max_matches_global_window(spark):
+    """Two-phase prefix max == single global window cummax, at any
+    shuffle-partition count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from mqtt2sql_spark.operators.ids import running_max
+
+    rows = [(i, ((i * 193) % 97) - 20) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    want = {
+        (r["k"], r["m"])
+        for r in df.withColumn(
+            "m",
+            F.max("v").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            got = {
+                (r["k"], r["running_max"])
+                for r in running_max(
+                    df,
+                    order_cols=["k"],
+                    value_col="v",
+                    bucket=F.expr("k DIV 25"),
+                ).collect()
+            }
+            assert got == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_throttle_keeps_first_and_counts(spark):
     from tests.conftest import SF_DIR
 

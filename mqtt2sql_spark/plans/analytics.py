@@ -13329,10 +13329,20 @@ def kruskal_wallis_rank_stats(
         ),
     )
     g = pts.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    rk = g.select(
+    # the distinct-cents histogram grows with the price domain at
+    # scale: cumulative counts via the two-phase prefix sum
+    # (running_totals, monotonic cents buckets), not a global window
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    rk = running_totals(
+        g,
+        ["cents"],
+        "cnt",
+        bucket=F.expr("cents div 1000000"),
+        out_col="cum",
+    ).select(
         "cents",
-        (2 * F.sum("cnt").over(wc) - F.col("cnt") + 1).alias("avg2"),
+        (2 * F.col("cum") - F.col("cnt") + 1).alias("avg2"),
     )
     per_seg = (
         pts.join(rk, "cents")
@@ -13400,8 +13410,10 @@ def kruskal_wallis_rank_stats(
     "flat curve means the co-purchase structure is distributed.  "
     "Complements degree_assortativity_copurchase (correlation) and "
     "rich_club_coefficient (hub-hub density) with the operational "
-    "what-if.  Degree ranking is total-ordered (d DESC, pk); the rank "
-    "window runs over the part dimension, not facts; all integers.",
+    "what-if.  Degree ranking is total-ordered (d DESC, pk); only the "
+    "top-20 hubs can matter, so the plan takes a distributed top-k "
+    "and left-joins the tiny hub list (absent = rank +inf) — the part "
+    "dimension is never globally ranked or broadcast; all integers.",
     tags=("analytics", "graph"),
 )
 def hub_removal_edge_survival(
@@ -13431,22 +13443,34 @@ def hub_removal_edge_survival(
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    rk = deg.select(
+    # only ranks <= max(k)=20 can change the survival predicate, so
+    # never rank (or broadcast) the whole SCALING part dimension:
+    # distributed top-k (TakeOrderedAndProject on the total order
+    # (d DESC, pk)), rank the 20 survivors, left-join edges against the
+    # tiny hub list — absent endpoints rank as +inf (they survive)
+    top = deg.orderBy(F.desc("d"), "pk").limit(20)
+    rk = top.select(
         "pk",
         F.row_number().over(W.orderBy(F.desc("d"), "pk")).alias("r"),
     )
+    big = F.lit(1 << 30)
     er = (
         edges.join(
             F.broadcast(rk.select(F.col("pk").alias("pk1"),
-                                  F.col("r").alias("ra"))),
+                                  F.col("r").alias("_ra"))),
             "pk1",
+            "left",
         )
         .join(
             F.broadcast(rk.select(F.col("pk").alias("pk2"),
-                                  F.col("r").alias("rb"))),
+                                  F.col("r").alias("_rb"))),
             "pk2",
+            "left",
         )
-        .select("ra", "rb")
+        .select(
+            F.coalesce("_ra", big).alias("ra"),
+            F.coalesce("_rb", big).alias("rb"),
+        )
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     sweep = spark.range(1).select(
@@ -13643,13 +13667,14 @@ def max_concurrent_sessions_daily(
         .groupBy("t")
         .agg(F.sum("d").alias("net"))
     )
-    curve = deltas.select(
-        "t",
-        F.sum("net")
-        .over(
-            W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        .alias("conc"),
+    # the boundary-event stream scales with sessions: global running
+    # sum via the two-phase prefix sum (running_totals, calendar-day
+    # buckets — its default — monotonic in t), never a single-partition
+    # window
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    curve = running_totals(deltas, ["t"], "net", out_col="conc").select(
+        "t", "conc"
     )
     return curve.groupBy(
         F.date_trunc("day", "t").alias("day")
@@ -15392,23 +15417,32 @@ def winback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_winback = cust.filter(F.col("n_dormancies") > 0).agg(
         F.count(F.lit(1)).alias("nw")
     )
-    d = seq.filter(F.col("gap_days") > 180).select(
-        "gap_days",
-        F.row_number()
-        .over(W.orderBy("gap_days", "o_custkey"))
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("n"),
+    # median dormancy gap WITHOUT a global row_number over the SCALING
+    # dormancy-event relation: value-grain counts + two-phase prefix
+    # sum (running_totals), median = value whose cumulative range
+    # contains rank (n+1) DIV 2 — tie-insensitive by value
+    from mqtt2sql_spark.operators.ids import running_totals
+
+    vc = (
+        seq.filter(F.col("gap_days") > 180)
+        .groupBy("gap_days")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    dd = d.agg(
-        F.count(F.lit(1)).alias("nd"),
+    cum = running_totals(
+        vc,
+        ["gap_days"],
+        "c",
+        bucket=F.expr("gap_days div 64"),
+        out_col="cr",
+    )
+    tot = cum.agg(F.max("cr").alias("n"))
+    dd = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("nd"),
         F.max(
-            F.when(F.expr("rn = (n + 1) DIV 2"), F.col("gap_days"))
+            F.when(
+                F.expr("cr - c < (n + 1) DIV 2 AND cr >= (n + 1) DIV 2"),
+                F.col("gap_days"),
+            )
         ).alias("med"),
     )
     return (
@@ -18235,24 +18269,33 @@ def supplier_risk_scorecard(
             ),
         )
     )
-    ranked = scored.select(
-        F.col("l_suppkey").alias("s_suppkey"),
-        F.col("n_lines").cast("long").alias("n_lines"),
-        F.col("rev").alias("revenue_cents"),
-        F.col("p90_days").cast("long").alias("p90_latency_days"),
-        F.col("n_exclusive_parts").cast("long").alias(
-            "n_exclusive_parts"
-        ),
-        F.row_number()
-        .over(
-            W.orderBy(
-                F.desc("n_exclusive_parts"), F.desc("rev"), "l_suppkey"
-            )
+    # top-20 via distributed top-k on the total order, then rank only
+    # the survivors — no global row_number over the SCALING supplier
+    # dimension
+    return (
+        scored.orderBy(
+            F.desc("n_exclusive_parts"), F.desc("rev"), "l_suppkey"
         )
-        .cast("long")
-        .alias("risk_rank"),
+        .limit(20)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("rev").alias("revenue_cents"),
+            F.col("p90_days").cast("long").alias("p90_latency_days"),
+            F.col("n_exclusive_parts").cast("long").alias(
+                "n_exclusive_parts"
+            ),
+            F.row_number()
+            .over(
+                W.orderBy(
+                    F.desc("n_exclusive_parts"), F.desc("rev"),
+                    "l_suppkey",
+                )
+            )
+            .cast("long")
+            .alias("risk_rank"),
+        )
     )
-    return ranked.filter(F.col("risk_rank") <= 20)
 
 
 # --- revenue shipped within the order's first week -----------------------------------------------------

@@ -4007,8 +4007,8 @@ def char_trigram_lang_overlap(
     "is built from: stage 1 trains first, stage 4 (low-stopword = "
     "listy/boilerplate/code-ish text) lands late or gets downweighted."
     "  Integer fixed-point score, total-ordered ranking "
-    "(sw_e4 DESC, doc_id); at cluster scale the global rank becomes a "
-    "range-partitioned two-phase rank, the stage math is unchanged.",
+    "(sw_e4 DESC, doc_id) via the two-phase banded prefix rank "
+    "(operators/ids.dense_row_ids) — no single-partition window.",
     tags=("text", "training"),
 )
 def curriculum_quality_stages(
@@ -4026,19 +4026,19 @@ def curriculum_quality_stages(
         "sw_e4",
         F.expr("CAST(sw_num DIV greatest(n_toks, 1) AS BIGINT)"),
     )
-    rk = scored.select(
-        "n_toks",
-        "sw_e4",
-        F.row_number()
-        .over(W.orderBy(F.desc("sw_e4"), "doc_id"))
-        .alias("rn"),
-        F.count(F.lit(1))
-        .over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("n"),
+    # global DESC rank over the SCALING document dimension: two-phase
+    # banded prefix rank (dense_row_ids over the negated score, bucket
+    # monotonic in it) + broadcast scalar count — never a
+    # single-partition row_number
+    from mqtt2sql_spark.operators.ids import dense_row_ids
+
+    rk = dense_row_ids(
+        scored.withColumn("_neg", -F.col("sw_e4")),
+        ["_neg", "doc_id"],
+        id_col="rn",
+        bucket=F.expr("_neg div 100"),
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
     )
     st = rk.select(
         F.expr("((rn - 1) * 4) DIV n + 1").alias("stage"),
@@ -4131,14 +4131,22 @@ def bigram_branching_factor(
         F.sum("c").alias("total"),
         F.max("c").alias("top_c"),
     )
-    head = per_head.select(
-        "n_succ",
-        "total",
-        "top_c",
-        F.row_number()
-        .over(W.orderBy(F.desc("total"), "t1"))
-        .alias("rk"),
-    ).filter(F.col("rk") <= 1000)
+    # only the top 1000 head tokens matter: distributed top-k
+    # (TakeOrderedAndProject on the (total DESC, t1) total order), then
+    # rank just the 1000 survivors — never a global row_number over the
+    # SCALING vocabulary dimension
+    head = (
+        per_head.orderBy(F.desc("total"), "t1")
+        .limit(1000)
+        .select(
+            "n_succ",
+            "total",
+            "top_c",
+            F.row_number()
+            .over(W.orderBy(F.desc("total"), "t1"))
+            .alias("rk"),
+        )
+    )
     return head.groupBy(
         F.expr("(rk - 1) DIV 100").alias("rank_band")
     ).agg(
@@ -4355,11 +4363,20 @@ def vocab_size_coverage_curve(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    rk = tf.select(
-        "c",
-        F.row_number().over(W.orderBy(F.desc("c"), "tok")).alias("r"),
+    # coverage only needs ranks <= max(vocab_size)=10000: distributed
+    # top-k on the (c DESC, tok) total order, rank the survivors — the
+    # SCALING full-vocabulary relation is never globally ranked; totals
+    # come from one aggregate over the materialized frequency table
+    tf = tf.localCheckpoint(eager=False)
+    rk = (
+        tf.orderBy(F.desc("c"), "tok")
+        .limit(10000)
+        .select(
+            "c",
+            F.row_number().over(W.orderBy(F.desc("c"), "tok")).alias("r"),
+        )
     )
-    tot = rk.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    tot = tf.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
     sweep = spark.createDataFrame(
         [(100,), (1000,), (10000,)], "vocab_size INT"
     )
@@ -4615,7 +4632,7 @@ def quality_fail_token_keyness(
         F.sum(1 - F.col("failed")).alias("p"),
     )
     tot = cnt.agg(F.sum("f").alias("tf"), F.sum("p").alias("tp"))
-    ranked = cnt.crossJoin(F.broadcast(tot)).select(
+    scored = cnt.crossJoin(F.broadcast(tot)).select(
         "tok",
         F.col("f").cast("long").alias("n_in_failed"),
         F.col("p").cast("long").alias("n_in_passed"),
@@ -4623,14 +4640,21 @@ def quality_fail_token_keyness(
             "CAST(((f + 1) * (tp + 1) * 1000)"
             " DIV ((p + 1) * (tf + 1)) AS BIGINT)"
         ).alias("lift_e3"),
-    ).select(
-        "*",
-        F.row_number()
-        .over(W.orderBy(F.desc("lift_e3"), "tok"))
-        .cast("long")
-        .alias("rank"),
     )
-    return ranked.filter(F.col("rank") <= 25)
+    # top-25 via distributed top-k on the (lift DESC, tok) total order,
+    # then rank only the survivors — no global row_number over the
+    # SCALING vocabulary
+    return (
+        scored.orderBy(F.desc("lift_e3"), "tok")
+        .limit(25)
+        .select(
+            "*",
+            F.row_number()
+            .over(W.orderBy(F.desc("lift_e3"), "tok"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
 
 
 # --- source-language purity against the majority label ----------------------------------

@@ -5060,21 +5060,24 @@ def forecast_wape_by_horizon(
     "that picks withWatermark()'s argument for the streaming "
     "windowed aggregations (events_tumbling/sliding_window): the "
     "smallest D under the pipeline's loss budget.  The running max "
-    "is one ordered scan (two-phase prefix-max at cluster scale); "
+    "runs as the two-phase banded prefix max "
+    "(operators/ids.running_max — no single-partition window); "
     "exact integer seconds.",
     tags=("timeseries", "streaming"),
 )
 def watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    arr = ev.select(
-        F.unix_micros("ts").alias("t_us"),
-        F.max(F.unix_micros("ts"))
-        .over(
-            W.orderBy("event_id").rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        )
-        .alias("hw_us"),
+    # running max of the event-time high watermark over the SCALING
+    # events fact: two-phase prefix max (operators/ids.running_max,
+    # monotonic event_id buckets) — never a single-partition window
+    from mqtt2sql_spark.operators.ids import running_max
+
+    arr = running_max(
+        ev.select("event_id", F.unix_micros("ts").alias("t_us")),
+        ["event_id"],
+        "t_us",
+        bucket=F.expr("event_id div 4096"),
+        out_col="hw_us",
     )
     lateness = arr.select(
         F.expr("(hw_us - t_us) DIV 1000000").alias("late_s")

@@ -87,6 +87,49 @@ def test_canonical_hash_distinguishes_decimal_from_int():
     assert hi != hd
 
 
+def test_canon_cell_decimal_exact_above_float_precision():
+    """Decimal canonicalization must be exact, not via float: two
+    decimals differing only beyond 2^53 used to collide to the same
+    repr(float(v)) and hash green in the gate built to catch
+    type-level divergence (r06 ADVICE)."""
+    import decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    a = decimal.Decimal(2**60)
+    b = a + 1  # float(a) == float(b)
+    assert float(a) == float(b)
+    assert canon_cell(a) != canon_cell(b)
+    # scale-insensitive equality: 1.50 and 1.5 are the same value
+    assert canon_cell(decimal.Decimal("1.50")) == canon_cell(
+        decimal.Decimal("1.5")
+    )
+    assert canon_cell(decimal.Decimal("-0.00")) == canon_cell(
+        decimal.Decimal("0")
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.decimals(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-(10**30),
+            max_value=10**30,
+        ),
+        st.decimals(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-(10**30),
+            max_value=10**30,
+        ),
+    )
+    def eq_iff_equal(x, y):
+        assert (canon_cell(x) == canon_cell(y)) == (x == y)
+
+    eq_iff_equal()
+
+
 # --- the compared-surface invariant -------------------------------------------
 
 

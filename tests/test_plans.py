@@ -321,6 +321,16 @@ _INVARIANCE_KEYS = [
     "hot_topics_heavy_hitters",
     "revenue_pareto_deciles",  # two-measure prefix sum over revenue bands
     "count_min_topic_freq",    # sketch cells must not depend on layout
+    # r06 window migrations — two-phase prefix rank/sum/max and
+    # distributed-top-k-then-rank shapes must stay layout-independent
+    "spearman_activity_value",     # two dense_row_ids passes
+    "user_value_concentration",    # DESC value-grain prefix + clamp
+    "error_recovery_percentiles",  # value-at-rank via running_totals
+    "watermark_delay_sweep",       # running_max over the events fact
+    "max_concurrent_sessions_daily",  # SIGNED running_totals deltas
+    "curriculum_quality_stages",   # doc-grain DESC prefix rank
+    "hub_removal_edge_survival",   # top-k hubs + left-join survival
+    "supplier_risk_scorecard",     # limit(20) then rank the survivors
 ]
 
 

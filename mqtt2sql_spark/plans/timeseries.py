@@ -1289,10 +1289,17 @@ def lerp_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
         F.last("ous", ignorenulls=True).over(wb).alias("prev_us"),
     )
-    wf = (
+    # "first non-null at or after the current row" as a REVERSED running
+    # frame: Spark re-evaluates shrinking (currentRow..unboundedFollowing)
+    # frames from scratch per row — O(n^2) per partition (measured 40+ s
+    # at sf0.1) — while growing frames update incrementally.  first
+    # non-null ahead in ascending order == last non-null up to the
+    # current row when ordered descending; same exchange (partitionBy et),
+    # one extra in-partition sort.
+    wf_rev = (
         W.partitionBy("et")
-        .orderBy("us", (F.lit(1) - F.col("sk")))
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("us").desc(), (F.lit(1) - F.col("sk")).desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     nextpass = prevpass.select(
         "et",
@@ -1300,11 +1307,11 @@ def lerp_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sk",
         "prev_c",
         "prev_us",
-        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
-        F.first(
+        F.last("cents", ignorenulls=True).over(wf_rev).alias("next_c"),
+        F.last(
             F.when(F.col("sk") == 0, F.col("us")), ignorenulls=True
         )
-        .over(wf)
+        .over(wf_rev)
         .alias("next_us"),
     )
     return nextpass.where(
@@ -4131,14 +4138,22 @@ def error_recovery_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wf = w.rowsBetween(1, W.unboundedFollowing)
+    # "min over the strictly-following frame" as a REVERSED running
+    # frame: Spark re-evaluates shrinking (1..unboundedFollowing)
+    # frames from scratch per row — O(n^2) per user timeline — while
+    # the descending-order growing frame (unboundedPreceding..-1)
+    # computes the identical suffix-min incrementally.
+    w_rev = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     nxt = ev.select(
         "event_type",
         "ts",
         F.min(
             F.when(F.col("event_type") != "error", F.col("ts"))
-        ).over(wf).alias("next_ok_ts"),
+        ).over(w_rev).alias("next_ok_ts"),
     )
     rec = nxt.filter(
         (F.col("event_type") == "error") & F.col("next_ok_ts").isNotNull()

@@ -1792,8 +1792,15 @@ def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "eval"),
 )
 def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = dedup_minhash_pairs(spark, sf_dir)
-    truth = ppjoin_prefix_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # each pipeline feeds TWO actions (the recall join and its own
+    # count) — materialize both once, or the full minhash/ppjoin chains
+    # re-execute per action (measured 12.2 s -> materialized run below)
+    cand = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    truth = (
+        ppjoin_prefix_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     n_docs = load_table(spark, sf_dir, "documents").count()
     found = truth.join(cand, ["doc_a", "doc_b"]).count()
     n_truth = truth.count()

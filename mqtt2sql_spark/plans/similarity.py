@@ -2494,14 +2494,19 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = deg.crossJoin(F.broadcast(thr)).filter(
         F.col("dg") <= F.col("cap")
     )
+    # restrict the adjacency to low-degree hubs BEFORE the self-join:
+    # joining adj x adj first materializes degree^2 wedge rows per hub
+    # (dominated by exactly the high-degree hubs the cap discards) and
+    # only then filters them — pre-filtering never generates them, and
+    # the two self-join branches share one exchange (ReusedExchange)
+    hub = adj.join(small.select("z", "dg"), "z")
     wedge = (
-        adj.alias("p")
-        .join(adj.alias("q"), F.expr("p.z = q.z AND p.nb < q.nb"))
-        .join(small.alias("d"), F.expr("d.z = p.z"))
+        hub.alias("p")
+        .join(hub.alias("q"), F.expr("p.z = q.z AND p.nb < q.nb"))
         .select(
             F.col("p.nb").alias("i"),
             F.col("q.nb").alias("j"),
-            F.expr(f"{_RA_PREC} DIV d.dg").alias("w"),
+            F.expr(f"{_RA_PREC} DIV p.dg").alias("w"),
         )
     )
     ra = wedge.groupBy("i", "j").agg(

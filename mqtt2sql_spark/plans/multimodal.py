@@ -630,34 +630,49 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("s") > 0)
     fp = hp.select(
         "doc_id", F.expr(f"CAST({_spark_phash_bits()} AS BIGINT)").alias("f")
-    ).localCheckpoint(eager=False)
+    )
+    # the 16-bit fingerprint space is BOUNDED (65536 values), so never
+    # pair documents directly (O(n²) in corpus size): fold to distinct
+    # fingerprint VALUES with counts, band-join the value relation
+    # (bounded O(V²/16) work whatever the corpus), and weight each value
+    # pair by cnt_a * cnt_b — plus the within-value diagonal C(cnt, 2)
+    # at hamming 0.  Exact: the pair histogram only depends on the
+    # fingerprint multiset.
+    vf = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     bands = None
     for b in range(4):
-        part = fp.select(
-            "doc_id",
+        part = vf.select(
             F.lit(b).alias("band"),
             F.expr(f"shiftright(f, {4 * b}) & 15").alias("key"),
             "f",
+            "cnt",
         )
         bands = part if bands is None else bands.unionAll(part)
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
-            F.expr(
-                "x.band = y.band AND x.key = y.key"
-                " AND x.doc_id < y.doc_id"
-            ),
+            F.expr("x.band = y.band AND x.key = y.key AND x.f < y.f"),
         )
         .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
+            F.col("x.f").alias("f1"),
+            F.col("y.f").alias("f2"),
             F.expr("bit_count(x.f ^ y.f)").alias("ham"),
+            (F.col("x.cnt") * F.col("y.cnt")).alias("np"),
         )
         .distinct()
     )
+    cross = cand.filter(F.col("ham") <= _PHASH_HAM_MAX).select("ham", "np")
+    diag = vf.select(
+        F.lit(0).alias("ham"),
+        F.expr("cnt * (cnt - 1) DIV 2").alias("np"),
+    ).filter(F.col("np") > 0)
     return (
-        cand.filter(F.col("ham") <= _PHASH_HAM_MAX)
+        cross.unionAll(diag)
         .groupBy(F.col("ham").cast("long").alias("hamming"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .agg(F.sum("np").cast("long").alias("n_pairs"))
     )

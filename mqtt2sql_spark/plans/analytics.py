@@ -5277,52 +5277,15 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")
     )
-    # Degree-based orientation (compact-forward, Latapy 2008): direct
-    # each edge from the (degree, id)-smaller endpoint to the larger.
-    # The orientation is acyclic and every triangle has exactly one
-    # source/middle/sink, so the count is unchanged — but hub vertices
-    # get tiny OUT-degree, collapsing the wedge fan-out (measured at
-    # sf0.1: 148M id-order wedges → ~8M degree-order wedges, 12.4 s →
-    # ~2 s).  Identical result to the oracle's id-order formulation.
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    keyed = edges.join(da, "a").join(db, "b")
-    fwd = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    e_dir = keyed.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).localCheckpoint(eager=False)
-    # Edge-iterator with adjacency intersection: triangles through edge
-    # (u,v) = |N+(u) ∩ N+(v)|.  The wedge stream (41M rows at sf0.1
-    # even degree-oriented — the graph is dense) never materializes;
-    # instead the out-adjacency lists (|V| rows, arrays bounded by the
-    # oriented out-degree ≤ 97 at sf0.1) broadcast into a single scan
-    # of the edge list and a codegen'd array_intersect does the
-    # per-edge counting.  At a scale where the adjacency relation
-    # outgrows the broadcast budget this degrades gracefully to a
-    # shuffle join — still no wedge materialization.
-    adj = e_dir.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nb")
-    )
-    tri = (
-        e_dir.join(
-            F.broadcast(
-                adj.select(F.col("src").alias("u"), F.col("nb").alias("nu"))
-            ),
-            F.col("src") == F.col("u"),
-        )
-        .join(
-            F.broadcast(
-                adj.select(F.col("src").alias("v"), F.col("nb").alias("nv"))
-            ),
-            F.col("dst") == F.col("v"),
-        )
-        .agg(
-            F.sum(F.size(F.array_intersect("nu", "nv"))).alias("n_tri")
-        )
-    )
+    # Degree-oriented exact count (compact-forward, Latapy 2008 —
+    # measured at sf0.1: 148M id-order wedges → never-materialized
+    # adjacency intersections, 12.4 s → ~2 s).  Extracted to
+    # operators/triangles.py and shared with
+    # global_clustering_coefficient; identical result to the oracle's
+    # id-order formulation.
+    from mqtt2sql_spark.operators.triangles import oriented_triangle_count
+
+    tri = oriented_triangle_count(edges, deg)
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         tri.crossJoin(F.broadcast(wedges))

@@ -3390,25 +3390,26 @@ def global_clustering_coefficient(
         .localCheckpoint(eager=False)
     )
     deg = (
-        edges.select(F.col("a").alias("z"))
-        .unionAll(edges.select(F.col("b").alias("z")))
-        .groupBy("z")
-        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)  # wedge sum + orientation both read
     )
-    tri = (
-        edges.alias("ab")
-        .join(edges.alias("bc"), F.expr("bc.a = ab.b"))
-        .join(edges.alias("ac"), F.expr("ac.a = ab.a AND ac.b = bc.b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-    )
+    # degree-oriented exact triangle count (operators/triangles.py) —
+    # the naive edges³ join materializes every wedge; the oriented
+    # edge-iterator never does (the triangle_count_copurchase skeleton)
+    from mqtt2sql_spark.operators.triangles import oriented_triangle_count
+
+    tri = oriented_triangle_count(edges, deg)
     wdg = deg.agg(
-        F.sum(F.expr("dg * (dg - 1) DIV 2")).cast("long").alias("w")
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("w")
     )
     return tri.crossJoin(F.broadcast(wdg)).select(
-        F.col("t").alias("n_triangles"),
+        F.col("n_tri").alias("n_triangles"),
         F.col("w").alias("n_wedges"),
         F.expr(
-            "CAST(3 * t * 1000000 DIV greatest(w, 1) AS BIGINT)"
+            "CAST(3 * n_tri * 1000000 DIV greatest(w, 1) AS BIGINT)"
         ).alias("clustering_ppm"),
     )
 

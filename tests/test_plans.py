@@ -331,6 +331,10 @@ _INVARIANCE_KEYS = [
     "curriculum_quality_stages",   # doc-grain DESC prefix rank
     "hub_removal_edge_survival",   # top-k hubs + left-join survival
     "supplier_risk_scorecard",     # limit(20) then rank the survivors
+    # r06 perf rewrites — value-pair folding and shared triangle counter
+    "multimodal_phash_neardup",    # fingerprint-value pairing + counts
+    "global_clustering_coefficient",  # oriented adjacency intersection
+    "lerp_hourly_by_type",         # reversed running frames
 ]
 
 

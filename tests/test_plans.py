@@ -335,6 +335,14 @@ _INVARIANCE_KEYS = [
     "multimodal_phash_neardup",    # fingerprint-value pairing + counts
     "global_clustering_coefficient",  # oriented adjacency intersection
     "lerp_hourly_by_type",         # reversed running frames
+    # remaining r06 value-grain percentile / top-k migrations
+    "user_activation_latency",
+    "first_passage_cumulative_value",
+    "winback_rate",
+    "bigram_branching_factor",
+    "vocab_size_coverage_curve",
+    "quality_fail_token_keyness",
+    "kruskal_wallis_rank_stats",
 ]
 
 

@@ -887,8 +887,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("sb_id"), F.col("n_sh").alias("n_sh_b")
     )
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb_id"))
+        # sizes is DOC-GRAIN (scales with the corpus) — no broadcast
+        # hint; AQE still broadcasts it under the threshold locally and
+        # degrades to a shuffle join at cluster scale instead of OOMing
+        # the driver
+        pairs.join(sa, F.col("doc_a") == F.col("sa_id"))
+        .join(sb, F.col("doc_b") == F.col("sb_id"))
         .join(
             inter,
             (F.col("doc_a") == F.col("i_doc_a"))
@@ -2203,8 +2207,11 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("p.d1 = ac.d1 AND p.d2 = ac.d2"),
             "left",
         )
-        .join(F.broadcast(sz.alias("za")), F.expr("za.doc_id = ac.d1"))
-        .join(F.broadcast(sz.alias("zb")), F.expr("zb.doc_id = ac.d2"))
+        # sz is DOC-GRAIN (scales with the corpus) — no broadcast hint;
+        # AQE broadcasts under the threshold locally, shuffle-joins at
+        # cluster scale instead of OOMing the driver
+        .join(sz.alias("za"), F.expr("za.doc_id = ac.d1"))
+        .join(sz.alias("zb"), F.expr("zb.doc_id = ac.d2"))
         .select(
             F.col("ac.d1").alias("d1"),
             F.col("ac.d2").alias("d2"),

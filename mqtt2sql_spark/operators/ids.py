@@ -19,6 +19,16 @@ Unlike ``repartitionByRange``-based numbering, the bucket is a pure
 function of the data, so the offset branch and the numbering branch can
 never disagree (range-partition boundary *sampling* is seeded per-RDD and
 is not reproducible across plan branches — observed at sf0.01).
+
+Bucket-width sizing at scale: the offsets list has one row per bucket
+and is broadcast, so the bucket WIDTH (the divisor in ``x div W``, or
+the calendar grain) must grow with the data — size it so the bucket
+COUNT stays in the 10³-10⁶ range (broadcastable list, per-bucket sorts
+that fit an executor).  The fixed widths used by the registered queries
+(4096 ids, a calendar day, etc.) are calibrated for the fixture scales;
+a 100 TB deployment passes a wider ``bucket`` expression — the
+correctness contract (monotonic pure function of the order) is
+unchanged by the width.
 """
 
 from __future__ import annotations

@@ -54,48 +54,49 @@ _PRIORITY: tuple[str, ...] = (
     "tz_render",
     "hex_roundtrip",
     "flip_history_flag",
-    "benford_first_digit",
-    "throttle_events_5min",
-    "user_event_gini",
-    "event_type_lift",
-    "session_bounce_rate",
-    "part_supplier_hhi",
-    "rolling_wau",
-    "topic_rank_shift",
-    "user_dwell_time",
-    "referential_integrity_audit",
-    "event_type_daily_corr",
-    "weighted_median_price_by_flag",
-    "revenue_pareto_deciles",
-    "robust_outliers_mad",
-    "linear_attribution",
-    "ship_latency_histogram",
-    "reorder_interval_histogram",
-    "copurchase_part_pairs",
-    "skyline_parts",
-    "fuzzy_join_deletion_index",
-    "discount_band_revenue",
-    "pagerank_copurchase",
-    "triangle_count_copurchase",
-    "ks_statistic_click_purchase",
-    "mannwhitney_u_click_purchase",
-    "exact_median_price",
-    "k_anonymity_audit",
-    "association_rules_parts",
-    "bfs_hops_from_hub",
-    "rfm_banded_segments",
-    "item_item_cosine_topk",
-    "chi_square_type_dow",
-    "seasonal_index_monthly",
-    "fd_discovery_audit",
-    "business_day_ship_latency",
-    "open_orders_backlog_monthly",
-    "supplier_latency_consistency",
+    "customer_value_migration",
+    "time_decay_attribution",
+    "exposure_conversion_lift",
+    "cohort_ltv_curves",
+    "next_order_backtest",
+    "single_source_risk",
+    "repeat_revenue_share",
+    "revenue_bridge_yoy",
+    "hockey_stick_ratio",
+    "degree_assortativity_copurchase",
+    "backlog_age_histogram",
+    "suspected_duplicate_orders",
+    "order_count_dispersion",
+    "trade_flow_matrix",
+    "fiscal_445_revenue",
+    "return_rate_wilson_rank",
+    "frequent_triples_topk",
+    "t_closeness_audit",
+    "part_price_spread",
+    "revenue_reconciliation_sources",
+    "dom_order_profile",
+    "priority_inversion_audit",
+    "value_drift_ks_by_type",
+    "price_ending_profile",
+    "tables_row_audit",
+    "z_chart_weekly_revenue",
+    "discount_cost_by_year",
+    "negative_balance_by_nation",
+    "abc_parts_classification",
+    "l_diversity_audit",
+    "simpson_reversal_screen",
+    "fuzzy_part_name_pairs_lev",
+    "demand_variability_xyz",
+    "copurchase_hitrate_at_k",
+    "part_adoption_latency_histogram",
+    "diff_in_diff_conversion",
+    "safety_stock_by_brand",
 )
 # window note: _PRIORITY is sized to exactly 50 (the driver gate's window):
-# core 13 + 37 never-witnessed (zero reds at r05, so the whole tail burns
-# witness debt, oldest-registered first).  Regenerate each round with
-# `python tools/rotation_plan.py 50` after the new CORRECTNESS_r*.json lands.
+# core 13 + 37 never-witnessed (zero reds at r06, so the whole tail burns
+# witness debt, oldest-registered first; 334 never-witnessed queue after).
+# Regenerate each round with `python tools/rotation_plan.py 50` after the
+# new CORRECTNESS_r*.json lands.
 
 
 def all_specs() -> dict[str, QuerySpec]:

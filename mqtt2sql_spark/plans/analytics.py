@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+
 from mqtt2sql_spark.fixtures import load_table, messages
 from mqtt2sql_spark.plans.base import register
 
@@ -5497,10 +5498,21 @@ def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(med_bin),
         F.expr(f"CAST(cents DIV {BIN} AS BIGINT)") == F.col("bkt"),
     )
-    w_rank = W.orderBy("cents")  # one-bin subset: bounded by bin width
+    # rank VALUES, not rows: the bin's row count scales with data, but
+    # its distinct cents values are bounded by the bin width (<= BIN),
+    # so aggregate to value-grain counts first and pick the value whose
+    # cumulative range [cum-cnt, cum) contains the in-bin offset —
+    # the ordered window then runs over a bounded (<= BIN rows) input
+    vals = in_bin.groupBy("cents", "off").agg(
+        F.count(F.lit(1)).alias("vc")
+    )
+    w_rank = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
     kth = (
-        in_bin.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == F.col("off"))
+        vals.withColumn("vcum", F.sum("vc").over(w_rank))
+        .filter(
+            (F.col("vcum") >= F.col("off"))
+            & (F.col("vcum") - F.col("vc") < F.col("off"))
+        )
         .select(F.col("cents").alias("median_cents"))
     )
     return tot.crossJoin(F.broadcast(kth)).select(
@@ -15400,7 +15412,9 @@ def winback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = cum.agg(F.max("cr").alias("n"))
     dd = cum.crossJoin(F.broadcast(tot)).agg(
-        F.max("n").alias("nd"),
+        # empty cum (no gap > 180d) must yield 0 like the oracle's
+        # scalar `(SELECT count(*) FROM d)`, not max-over-empty NULL
+        F.coalesce(F.max("n"), F.lit(0)).alias("nd"),
         F.max(
             F.when(
                 F.expr("cr - c < (n + 1) DIV 2 AND cr >= (n + 1) DIV 2"),

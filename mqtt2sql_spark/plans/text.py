@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+
 from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.functions.text import (
     BPE_RE,
@@ -5068,35 +5069,48 @@ def source_interleave_runs_test(
     # the tiny bucket list — a run starts at a row whose predecessor
     # differs, where the first row of a bucket compares against the
     # LAST row of the previous bucket
-    b = docs.withColumn("_bkt", F.expr("doc_id div 4096"))
+    # NULL-safe run detection: encode source into a non-null total tag
+    # (NULL -> sentinel, s -> 'v:'+s, injective), so lag(tag) IS NULL
+    # means exactly "no predecessor" — never "predecessor's source is
+    # NULL" — and the oracle's `lag(source) IS DISTINCT FROM source`
+    # becomes a plain inequality on tags.  The corpus-first-row case
+    # (oracle: NULL IS DISTINCT FROM src) falls out of coalescing the
+    # first bucket's predecessor tag to the NULL sentinel.
+    b = docs.withColumn("_bkt", F.expr("doc_id div 4096")).withColumn(
+        "_tag",
+        F.coalesce(
+            F.concat(F.lit("v:"), F.col("source")), F.lit("Ø")
+        ),
+    )
     w_in = W.partitionBy("_bkt").orderBy("doc_id")
     seq = b.select(
         "_bkt",
         "doc_id",
-        "source",
-        F.lag("source").over(w_in).alias("_prev"),
+        "_tag",
+        F.lag("_tag").over(w_in).alias("_prev"),
     )
     per_bkt = seq.groupBy("_bkt").agg(
         F.sum(
             F.when(
                 F.col("_prev").isNotNull()
-                & ~F.col("_prev").eqNullSafe(F.col("source")),
+                & (F.col("_prev") != F.col("_tag")),
                 1,
             ).otherwise(0)
         ).alias("_internal"),
-        F.min_by("source", "doc_id").alias("_first_src"),
-        F.max_by("source", "doc_id").alias("_last_src"),
+        F.min_by("_tag", "doc_id").alias("_first_tag"),
+        F.max_by("_tag", "doc_id").alias("_last_tag"),
     )
     w_bkt = W.orderBy("_bkt")
     stitched = per_bkt.withColumn(
-        "_prev_last", F.lag("_last_src").over(w_bkt)
+        "_prev_last",
+        F.coalesce(
+            F.lag("_last_tag").over(w_bkt), F.lit("Ø")
+        ),
     ).select(
         (
             F.col("_internal")
             + F.when(
-                F.col("_prev_last").isNull()
-                | ~F.col("_prev_last").eqNullSafe(F.col("_first_src")),
-                1,
+                F.col("_prev_last") != F.col("_first_tag"), 1
             ).otherwise(0)
         ).alias("_starts")
     )

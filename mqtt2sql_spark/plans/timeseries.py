@@ -30,6 +30,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+
 from mqtt2sql_spark.fixtures import load_table, messages
 from mqtt2sql_spark.plans.base import register
 
@@ -762,7 +763,7 @@ def survival_table_user_lifetime(
         )
         .crossJoin(F.broadcast(anchor))
         .select(
-            F.datediff("last_d", "first_d").alias("dur"),
+            F.datediff("last_d", "first_d").alias("dur_days"),
             F.when(
                 F.datediff("d1", "last_d") < _SURV_CENSOR_DAYS, 1
             )
@@ -771,15 +772,16 @@ def survival_table_user_lifetime(
         )
     )
     tot = life.agg(F.count(F.lit(1)).alias("n_users"))
-    pts = life.groupBy("dur").agg(
+    pts = life.groupBy("dur_days").agg(
         F.sum(1 - F.col("censored")).alias("n_events"),
         F.sum("censored").alias("n_censored"),
     )
-    w = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    # days-grain window: bounded by the corpus calendar span
+    w = W.orderBy("dur_days").rowsBetween(W.unboundedPreceding, -1)
     return (
         pts.crossJoin(F.broadcast(tot))
         .select(
-            F.col("dur").cast("long").alias("dur_days"),
+            F.col("dur_days").cast("long").alias("dur_days"),
             F.col("n_events").cast("long").alias("n_events"),
             F.col("n_censored").cast("long").alias("n_censored"),
             (

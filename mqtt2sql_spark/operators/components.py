@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 
 def connected_components(
     edges: DataFrame,
@@ -55,7 +57,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(snapshot)
         )
         changed = (
             new_labels.alias("n")

@@ -38,6 +38,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 
 def dense_row_ids(
     df: DataFrame,
@@ -76,7 +78,7 @@ def dense_row_ids(
         "_rn", F.row_number().over(W.partitionBy("_bkt").orderBy(*cols))
     )
     if materialize:
-        local = local.localCheckpoint(eager=False)
+        local = local.transform(snapshot, eager=False)
     # bucket sizes = max(_rn) on the window output: the groupBy consumes
     # the window's hash(_bkt) partitioning, so the offsets branch adds no
     # extra shuffle of the big side.
@@ -122,7 +124,7 @@ def running_totals(
     )
     local = with_b.withColumn("_cum_in", F.sum(value_col).over(w_in))
     if materialize:
-        local = local.localCheckpoint(eager=False)
+        local = local.transform(snapshot, eager=False)
     # bucket totals must be sum(value), NOT max(cumulative): the two
     # agree only for non-negative values (monotone prefix), and signed
     # inputs (e.g. +1/-1 interval-boundary deltas) break the max form
@@ -167,7 +169,7 @@ def running_max(
     )
     local = with_b.withColumn("_cum_in", F.max(value_col).over(w_in))
     if materialize:
-        local = local.localCheckpoint(eager=False)
+        local = local.transform(snapshot, eager=False)
     totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     # _off is NULL for the first bucket; greatest() skips nulls

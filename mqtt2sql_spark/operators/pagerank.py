@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 Q_MASS = 10**12
 
 
@@ -42,7 +44,7 @@ def pagerank_int(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     # deterministic in layout; the checkpoint stops re-reading upstream
     edges = edges.repartition(
         spark.sparkContext.defaultParallelism, "src"
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     ).withColumnRenamed("src", "v")
@@ -52,7 +54,7 @@ def pagerank_int(edges: DataFrame, n_iter: int = 8) -> DataFrame:
         "v",
         "deg",
         F.expr(f"CAST({Q_MASS} DIV n_nodes AS BIGINT)").alias("s0"),
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
 
     p = base.select("v", "deg", F.col("s0").alias("s"))
     for k in range(n_iter):
@@ -76,5 +78,5 @@ def pagerank_int(edges: DataFrame, n_iter: int = 8) -> DataFrame:
             )
         )
         if k % 3 == 2:  # truncate the growing lineage
-            p = p.localCheckpoint(eager=False)
+            p = p.transform(snapshot, eager=False)
     return p

@@ -10,22 +10,25 @@ the full relation, and every emitted number is an exact integer
 (rationals cross-multiplied), so results are bit-stable across engines
 and partitionings.
 
-localCheckpoint note: the ``eager=True`` snapshots here (and in ~20
-plan functions) are a deliberate LOCAL-BENCH tradeoff — they execute
-Spark jobs at plan-construction time (so plan-only consumers such as
-tools/audit_plans.py run the upstream pipeline when they call fn()),
-and localCheckpoint blocks are non-recoverable on executor loss.  On a
-real multi-executor cluster, swap these for ``persist(StorageLevel.
-MEMORY_AND_DISK)`` + reliable ``checkpoint()`` (recomputable /
-replicated lineage truncation); eager local snapshots are kept here
-because they guarantee a single deterministic materialization across
-plan branches (the operators/ids.py determinism contract) on local[N].
+Snapshot note: the ``eager=True`` snapshots here (and in ~20 plan
+functions) go through ``operators/materialize.snapshot`` — by default
+a localCheckpoint (deliberate LOCAL-BENCH tradeoff: executes Spark
+jobs at plan-construction time, so plan-only consumers such as
+tools/audit_plans.py run the upstream pipeline when they call fn(),
+and blocks are non-recoverable on executor loss), switchable to
+``persist(StorageLevel.DISK_ONLY)`` with recoverable lineage via
+``MQTT2SQL_RELIABLE_SNAPSHOT=1`` for multi-executor cluster runs.
+Eager local snapshots stay the local default because they guarantee a
+single deterministic materialization across plan branches (the
+operators/ids.py determinism contract) on local[N].
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+from mqtt2sql_spark.operators.materialize import snapshot
 
 
 def _with_prefix(
@@ -41,7 +44,7 @@ def _with_prefix(
     loc = b
     for src, out in cols.items():
         loc = loc.withColumn(f"_in_{out}", F.sum(src).over(w_in))
-    loc = loc.localCheckpoint(eager=False)
+    loc = loc.transform(snapshot, eager=False)
     bkt_tot = loc.groupBy("_bkt").agg(
         *[F.sum(src).alias(f"_t_{out}") for src, out in cols.items()]
     )
@@ -69,7 +72,7 @@ def ks_statistic(base: DataFrame, bucket: Column) -> DataFrame:
     # base (value-grain, already aggregated) feeds both the prefix sums
     # and the totals, and diffs feeds both the max and its argmax —
     # materialize each once so the upstream fact scan runs once, not 4x
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(snapshot, eager=True)
     cum = _with_prefix(base, bucket, {"ca": "cca", "cb": "ccb"})
     tot = base.agg(
         F.sum("ca").cast("long").alias("na"),
@@ -80,7 +83,7 @@ def ks_statistic(base: DataFrame, bucket: Column) -> DataFrame:
         F.abs(
             F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
         ).alias("dnum"),
-    ).localCheckpoint(eager=True)
+    ).transform(snapshot, eager=True)
     mx = diffs.agg(F.max("dnum").alias("d_num"))
     arg = diffs.join(F.broadcast(mx), F.col("dnum") == F.col("d_num")).agg(
         F.min(F.expr("CAST(floor(value * 10000) AS BIGINT)")).alias(
@@ -105,7 +108,7 @@ def mannwhitney_u(base: DataFrame, bucket: Column) -> DataFrame:
     the doubled statistics u2_a, u2_b (midranks stay integral at 2x)."""
     # same two-consumer shape as ks_statistic: rank sum + totals both
     # read base — one materialization, one upstream scan
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(snapshot, eager=True)
     b = base.withColumn("c", F.col("ca") + F.col("cb"))
     cum = _with_prefix(b, bucket, {"c": "cinc"}).withColumn(
         "cprev", F.col("cinc") - F.col("c")

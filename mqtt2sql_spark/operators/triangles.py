@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 
 def oriented_triangle_count(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """Exact triangle count.
@@ -40,7 +42,7 @@ def oriented_triangle_count(edges: DataFrame, deg: DataFrame) -> DataFrame:
     e_dir = keyed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     adj = e_dir.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nb")
     )

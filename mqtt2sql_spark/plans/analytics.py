@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-
+from mqtt2sql_spark.operators.materialize import snapshot
 from mqtt2sql_spark.fixtures import load_table, messages
 from mqtt2sql_spark.plans.base import register
 
@@ -3876,7 +3876,7 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("ts").cast("date").alias("day"), "event_type"
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     totals = baskets.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).alias("nb")
@@ -4093,7 +4093,7 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = (
         ev.select("user_id", F.col("ts").cast("date").alias("day"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     span = ud.agg(F.max("day").alias("max_day"))
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
@@ -4167,7 +4167,7 @@ def topic_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lazy localCheckpoint) instead of recomputing scan+agg+window twice
     ranked = weekly.withColumn(
         "rk", F.row_number().over(w).cast("long")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     b = ranked.alias("b")
     a = ranked.select(
         F.col("topic").alias("a_topic"),
@@ -4394,7 +4394,7 @@ def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"), "event_type"
     ).agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     a = daily.select(
         "day", F.col("event_type").alias("type_a"), F.col("cents").alias("x")
     )
@@ -4563,7 +4563,7 @@ def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = (
         base.withColumn("_cum_rev_in", F.sum("rev").over(w_in))
         .withColumn("_cum_n_in", F.count(F.lit(1)).over(w_in))
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     totals = local.groupBy("_bkt").agg(
         F.max("_cum_rev_in").alias("_tot_rev"),
@@ -5267,14 +5267,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # the wedge join probes this relation twice; materialize the
         # dedup'd edge list once instead of re-running the basket explode
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     deg = (
         edges.select(F.col("a").alias("v"))
         .union(edges.select("b"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")
     )
@@ -5623,7 +5623,7 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    basket = li.distinct().localCheckpoint(eager=False)
+    basket = li.distinct().transform(snapshot, eager=False)
     items = basket.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("supp")
     )
@@ -5759,7 +5759,7 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(und.select(F.col("b"), F.col("a")))
         .repartition(spark.sparkContext.defaultParallelism, "src")
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     hub = deg.orderBy(F.desc("d"), "src").limit(1).select(
@@ -5783,7 +5783,7 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", F.least("dist", "reach").alias("dist"))
         )
         if k % 2 == 1:
-            dist = dist.localCheckpoint(eager=False)
+            dist = dist.transform(snapshot, eager=False)
     return dist.groupBy(
         F.coalesce("dist", F.lit(-1)).cast("long").alias("hop")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
@@ -7337,7 +7337,7 @@ def degree_assortativity_copurchase(
         .select("pk1", "pk2")
         # referenced by deg (2x) and the edge join — materialize once
         # instead of replaying the basket double-explode per branch
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     deg = (
         pc.select(F.col("pk1").alias("pk"))
@@ -7648,7 +7648,7 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("cents"),
         # <=25x25 matrix read by the grand total and the share select —
         # materialize once so the 5-join fact pipeline runs once, not 2x
-    ).localCheckpoint(eager=True)
+    ).transform(snapshot, eager=True)
     tot = agg.agg(F.sum("cents").cast("long").alias("t"))
     return agg.crossJoin(F.broadcast(tot)).select(
         "supp_nation",
@@ -8757,7 +8757,7 @@ def abc_parts_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = base.withColumn(
         "_cum_in", F.sum("rev").over(w_in)
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
@@ -8930,7 +8930,7 @@ def simpson_reversal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("long").alias("sxx"),
         F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("long").alias("syy"),
     ]
-    per = pts.groupBy("nation").agg(*moments).localCheckpoint(eager=True)
+    per = pts.groupBy("nation").agg(*moments).transform(snapshot, eager=True)
     # the pooled moments are the SUMS of the per-nation moments (all six
     # are additive), so the pooled correlation derives from the 25-row
     # rollup — the fact join runs once, not twice
@@ -9157,7 +9157,7 @@ _HITRATE_K = 10
 )
 def copurchase_hitrate_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    basket = li.distinct().localCheckpoint(eager=False)
+    basket = li.distinct().transform(snapshot, eager=False)
     baskets = basket.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
@@ -9170,7 +9170,7 @@ def copurchase_hitrate_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("j") != F.col("i"))
         .select("l_orderkey", "xp", "yp")
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     cnt = pr.groupBy("xp", "yp").agg(F.count(F.lit(1)).alias("c"))
     wr = W.partitionBy("xp").orderBy(F.desc("c"), F.asc("yp"))
@@ -10402,7 +10402,7 @@ def shapley_channel_attribution(
         F.expr("CAST(sum(conv) * 1000000 DIV count(*) AS BIGINT)").alias(
             "v_ppm"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     ch = spark.createDataFrame(_SHAP_CHANNELS, "channel STRING, bit INT")
     masks = spark.range(0, 16).select(F.col("id").cast("int").alias("s"))
     sub = (
@@ -10688,7 +10688,7 @@ def abc_xyz_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = base.withColumn(
         "_cum_in", F.sum("rev").over(w_in)
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     totals = local.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
     w_off = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
@@ -10872,7 +10872,7 @@ def supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
         .cast("long")
         .alias("rev")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     mt = sm.groupBy("ym").agg(F.sum("rev").cast("long").alias("tot"))
     months = mt.select("ym")
     pairs = (
@@ -12002,7 +12002,7 @@ def laspeyres_paasche_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
         .cast("long")
         .alias("qty"),
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     pairs = (
         py.alias("a")
         .join(
@@ -12169,7 +12169,7 @@ def price_stickiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10 DIV sum(CAST(round(l_quantity, 0) AS BIGINT))"
             " AS BIGINT)"
         ).alias("price_tc")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     ch = (
         py.alias("a")
         .join(
@@ -12645,7 +12645,7 @@ def first_order_predictiveness(
     # rankings and the scalar count
     from mqtt2sql_spark.operators.ids import dense_row_ids
 
-    cu = cu.localCheckpoint(eager=False)
+    cu = cu.transform(snapshot, eager=False)
     nn = cu.agg(F.count(F.lit(1)).alias("n"))
     ranked = dense_row_ids(
         cu,
@@ -13325,7 +13325,7 @@ def kruskal_wallis_rank_stats(
         .agg(F.count(F.lit(1)).alias("n_i"), F.sum("avg2").alias("s2"))
         # 5-row rollup read by the total and the final select —
         # materialize once so the rank join runs once, not 2x
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     tot = per_seg.agg(F.sum("n_i").alias("n"))
     return per_seg.crossJoin(F.broadcast(tot)).select(
@@ -13410,7 +13410,7 @@ def hub_removal_edge_survival(
         .distinct()
         # referenced by degrees (2x), the rank join and the edge count —
         # materialize once instead of replaying the basket double-explode
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     deg = (
         edges.select(F.col("pk1").alias("pk"))
@@ -15044,7 +15044,7 @@ def segment_brand_affinity_lift(
         # seg x brand contingency (~125 rows) feeds the row/col/grand
         # totals AND the lift join — materialize once so the 4-table
         # fact join runs once, not 4x
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     r = o.groupBy("seg").agg(F.sum("o").alias("rt"))
     c = o.groupBy("brand").agg(F.sum("o").alias("ct"))
@@ -15296,7 +15296,7 @@ def peak_month_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("rev"))
         # 25x12 rollup read by the totals and the argmax rank —
         # materialize once so the 4-table fact join runs once, not 2x
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     t = nm.groupBy("n_name").agg(F.sum("rev").alias("tot"))
     rk = nm.select(
@@ -16370,7 +16370,7 @@ def nation_mix_drift_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("rev"))
         # year x nation (tiny) read by the totals, the lagged side and
         # the drift join — materialize once, scan the fact once
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     yt = ny.groupBy("y").agg(F.sum("rev").alias("t"))
     ta = yt.select(F.col("y").alias("ya"), F.col("t").alias("tta"))
@@ -18411,10 +18411,10 @@ def type_mix_seasonal_shift(
         .agg(F.count(F.lit(1)).alias("n"))
         # type x season contingency read by the totals and both season
         # arms — materialize once so the fact join runs once, not 3x
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     tot = seas.groupBy("season").agg(F.sum("n").alias("t"))
-    j = seas.join(F.broadcast(tot), "season").localCheckpoint(eager=True)
+    j = seas.join(F.broadcast(tot), "season").transform(snapshot, eager=True)
     w = j.filter(F.col("season") == "winter").select(
         F.col("p_type").alias("tw"),
         F.col("n").alias("n_w"),

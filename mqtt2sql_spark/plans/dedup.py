@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.functions.text import (
     STOPWORDS,
@@ -1290,7 +1292,7 @@ def dup_rate_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy local checkpoint: the shingle stream is computed and shuffled
     # once, then served to both aggregates from executor-local blocks
-    pairs = shingles(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = shingles(spark, sf_dir).transform(snapshot, eager=False)
     tot = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     uniq = (
         pairs.groupBy("shingle")
@@ -1496,7 +1498,7 @@ def label_propagation_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(prs.select(F.col("doc_b"), F.col("doc_a")))
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     seeds = docs.filter(F.col("doc_id") % _LP_SEED_MOD == 0).select(
@@ -1532,7 +1534,7 @@ def label_propagation_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.coalesce("s_lang", "w_lang").alias("lang")
         )
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     w2 = one_round(l1)
     l2 = (
@@ -1630,7 +1632,7 @@ def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize each once instead of re-tokenizing per branch
     tok = shingles(spark, sf_dir).select(
         "doc_id", F.col("shingle").alias("w")
-    ).localCheckpoint(eager=True)
+    ).transform(snapshot, eager=True)
     df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
         tok.join(df, "w")
@@ -1646,7 +1648,7 @@ def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ws",
             F.size("ws").alias("n"),
         )
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     prefix = ordered.select(
         "doc_id",
@@ -1799,11 +1801,11 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each pipeline feeds TWO actions (the recall join and its own
     # count) — materialize both once, or the full minhash/ppjoin chains
     # re-execute per action (measured 12.2 s -> materialized run below)
-    cand = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    cand = dedup_minhash_pairs(spark, sf_dir).transform(snapshot, eager=False)
     truth = (
         ppjoin_prefix_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     n_docs = load_table(spark, sf_dir, "documents").count()
     found = truth.join(cand, ["doc_a", "doc_b"]).count()
@@ -1896,8 +1898,8 @@ _BIT16_A_B = " + ".join(
 def bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cand/mh/sh are each referenced 2-3× below — materialize once
     # instead of replaying the tokenize→shingle→sign pipeline per branch
-    cand = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    mh = minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    cand = dedup_minhash_pairs(spark, sf_dir).transform(snapshot, eager=True)
+    mh = minhash_sigs(spark, sf_dir).transform(snapshot, eager=True)
     a = mh.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -1924,7 +1926,7 @@ def bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit16.cast("long").alias("bit16"),
         )
     )
-    sh = shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sh = shingles(spark, sf_dir).transform(snapshot, eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -2149,7 +2151,7 @@ _LSH_SENS_ORACLE = (
     tags=("dedup", "llm-pipeline"),
 )
 def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh = shingles(spark, sf_dir).transform(snapshot, eager=False)
     hv = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     shv = sh.select("doc_id", hv.alias("hv"))
     mh = shv.groupBy("doc_id").agg(
@@ -2160,7 +2162,7 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     cands = {}
     for b, r in _LSH_CONFIGS:
         band_cols = ", ".join(
@@ -2186,12 +2188,12 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
             )
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(snapshot, eager=False)
         )
     allc = None
     for c in cands.values():
         allc = c if allc is None else allc.unionAll(c)
-    allc = allc.distinct().localCheckpoint(eager=False)
+    allc = allc.distinct().transform(snapshot, eager=False)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     inter = (
         allc.alias("c")
@@ -2223,7 +2225,7 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("is_true"),
         )
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     out = None
     for b, r in _LSH_CONFIGS:
@@ -2729,7 +2731,7 @@ def dup_pair_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         REGISTRY.specs()["dedup_minhash_pairs"]
         .fn(spark, sf_dir)
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     und = pairs.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
@@ -2864,10 +2866,10 @@ def minhash_k_accuracy_sweep(
     pairs = (
         REGISTRY.specs()["dedup_minhash_pairs"]
         .fn(spark, sf_dir)
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
-    mh = minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
-    sh = shingles(spark, sf_dir).localCheckpoint(eager=True)
+    mh = minhash_sigs(spark, sf_dir).transform(snapshot, eager=True)
+    sh = shingles(spark, sf_dir).transform(snapshot, eager=True)
     shc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     sa = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sha")
@@ -3417,7 +3419,7 @@ def lsh_simhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         REGISTRY.specs()["dedup_simhash"]
         .fn(spark, sf_dir)
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
@@ -3433,7 +3435,7 @@ def lsh_simhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ha").bitwiseXOR(F.col("hb"))
             ).alias("dist")
         )
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     tot = ham.agg(F.count(F.lit(1)).alias("n"))
     return (

@@ -18,6 +18,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.plans.base import register
 
@@ -641,7 +643,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vf = (
         fp.groupBy("f")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     bands = None
     for b in range(4):

@@ -21,6 +21,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.plans.base import REGISTRY, register
 
@@ -894,7 +896,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         embedding_kmeans_assign(spark, sf_dir)
         .select("vec_id", "cluster")
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
@@ -917,7 +919,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(assign, "vec_id")
         .select("vec_id", "cluster", "e", qfp.alias("n2_fp"))
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     x = base.select(
         F.col("vec_id").alias("doc_a"),
@@ -1540,7 +1542,7 @@ def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(f"CAST(vec_id % {KM_K} AS BIGINT)").alias("cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).select("vec_id", "cell", "e", qfp.alias("n2_fp")).localCheckpoint(
+    ).select("vec_id", "cell", "e", qfp.alias("n2_fp")).transform(snapshot, 
         eager=False
     )
     x = base.select(
@@ -1974,7 +1976,7 @@ def ivf_nprobe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", F.col("cent_id").alias("cell"))
         # referenced once per probe level below — materialize once
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     probes = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -1995,12 +1997,12 @@ def ivf_nprobe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prank") <= N_PROBE)
         .select("query_id", "qe", F.col("cent_id").alias("cell"), "prank")
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     exact = ann_cosine_topk(spark, sf_dir).select(
         F.col("query_id").alias("e_query_id"),
         F.col("vec_id").alias("e_vec_id"),
-    ).localCheckpoint(eager=True)
+    ).transform(snapshot, eager=True)
     outs = []
     for p in (1, 2, 3):
         wq = W.partitionBy("query_id").orderBy(
@@ -2473,11 +2475,11 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # referenced by adj (2x) and the final anti-join — materialize
         # once instead of replaying the basket double-explode per branch
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     adj = edges.select(F.col("a").alias("z"), F.col("b").alias("nb")).unionAll(
         edges.select(F.col("b").alias("z"), F.col("a").alias("nb"))
-    ).localCheckpoint(eager=True)  # deg + both wedge sides read this
+    ).transform(snapshot, eager=True)  # deg + both wedge sides read this
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("dg"))
     # exact 25th-percentile degree from the degree histogram: the histogram
     # has one row per DISTINCT degree value (tiny on any corpus), so the
@@ -2823,7 +2825,7 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.select(F.col("b").alias("z"))
         )
         return adj.groupBy("z").agg(F.count(F.lit(1)).alias("dg"))
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(snapshot, eager=True)
     deg0 = degrees(edges)
     dh = deg0.groupBy("dg").agg(F.count(F.lit(1)).alias("cnt"))
     n_nodes0 = deg0.agg(F.count(F.lit(1)).alias("n"))
@@ -2833,7 +2835,7 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_nodes0))
         .filter(2 * F.col("cum") >= F.col("n"))
         .agg(F.min("dg").alias("k"))
-        .localCheckpoint(eager=True)  # 1 row, referenced every round
+        .transform(snapshot, eager=True)  # 1 row, referenced every round
     )
     rounds = []
     ed, dg = edges, deg0
@@ -2848,7 +2850,7 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.join(surv.select(F.col("z").alias("a")), "a", "left_semi")
             .join(surv.select(F.col("z").alias("b")), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(snapshot, eager=True)
         )
         dg = surv.select("z").join(
             degrees(ed).select(F.col("z").alias("_dz"), "dg"),
@@ -2856,7 +2858,7 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         ).select(
             "z", F.coalesce("dg", F.lit(0)).alias("dg")
-        ).localCheckpoint(eager=True)
+        ).transform(snapshot, eager=True)
         rounds.append((dg, ed))
     out = None
     for r, (dg_r, ed_r) in enumerate(rounds):
@@ -3059,14 +3061,14 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("j") > F.col("i"))
         .select("a", "b")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     deg = (
         edges.select(F.col("a").alias("z"))
         .unionAll(edges.select(F.col("b").alias("z")))
         .groupBy("z")
         .agg(F.count(F.lit(1)).alias("dg"))
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     dh = deg.groupBy("dg").agg(F.count(F.lit(1)).alias("cnt"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -3084,7 +3086,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr.alias("t")
         .join(deg.alias("d"), F.expr("d.dg > t.k"))
         .select("t.q", "t.k", "d.z")
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     within = (
         edges.join(
@@ -3387,14 +3389,14 @@ def global_clustering_coefficient(
         .filter(F.col("j") > F.col("i"))
         .select("a", "b")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=False)  # wedge sum + orientation both read
+        .transform(snapshot, eager=False)  # wedge sum + orientation both read
     )
     # degree-oriented exact triangle count (operators/triangles.py) —
     # the naive edges³ join materializes every wedge; the oriented
@@ -3480,7 +3482,7 @@ _PI_SYMDIV = (
 def top_pc_variance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     gm = embedding_gram_matrix(spark, sf_dir).select(
         "i", "j", F.col("gram_q6").alias("g")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     w1 = gm.groupBy("i").agg((F.sum("g") * 1000).cast("long").alias("w"))
     m1 = w1.agg(F.greatest(F.max(F.abs("w")), F.lit(1)).alias("m"))
     v1 = (
@@ -3491,7 +3493,7 @@ def top_pc_variance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _PI_SYMDIV.format(x="w * 1000", div="DIV", n="m")
             ).cast("long").alias("v"),
         )
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     w2 = (
         gm.join(
@@ -3611,7 +3613,7 @@ def metric_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
         )
 
-    cosk = topk(cos).localCheckpoint(eager=False)
+    cosk = topk(cos).transform(snapshot, eager=False)
     dotk = topk(dot)
     ov = (
         cosk.alias("a")
@@ -3826,7 +3828,7 @@ def copurchase_brand_modularity(
                                    F.col("p_brand").alias("bb"))), "b"
         )
         .select("ba", "bb")
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     m = el.agg(F.count(F.lit(1)).cast("long").alias("m"))
     br = lab.select("p_brand").distinct()
@@ -4040,7 +4042,7 @@ def kmeans_calinski_harabasz(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select(
         "vec_id", "dim", F.col("fval").cast("double").alias("val")
-    ).localCheckpoint(eager=True)  # read 2x per Lloyd iteration
+    ).transform(snapshot, eager=True)  # read 2x per Lloyd iteration
     assign = emb.select(
         "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
     )
@@ -4219,7 +4221,7 @@ def dim_truncation_rank_overlap(
             .select("query_id", "vec_id")
         )
 
-    full = topk(cos_cols(F.col("qe"), F.col("e"))).localCheckpoint(
+    full = topk(cos_cols(F.col("qe"), F.col("e"))).transform(snapshot, 
         eager=False
     )
     tr = topk(
@@ -4320,7 +4322,7 @@ def label_confusable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.groupBy("label", "dim").agg(
         F.sum("q").cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     diff = (
         "(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)"
         " - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))"

@@ -40,6 +40,8 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mqtt2sql_spark.operators.materialize import snapshot
+
 from mqtt2sql_spark.fixtures import load_table, messages
 from mqtt2sql_spark.plans.base import register
 
@@ -713,7 +715,7 @@ def kmv_theta_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # <= k rows per type; read by both the per-type estimates and the
         # union sketch — materialize once instead of re-ranking the
         # distinct-hash stream per branch
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     esta = (
         sk.groupBy("event_type")
@@ -1599,10 +1601,10 @@ def bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(({a} * h + {b}) % {_BLOOM_P}) % m").alias("pos"),
         )
         pos = part if pos is None else pos.unionAll(part)
-    pos = pos.localCheckpoint(eager=False)
+    pos = pos.transform(snapshot, eager=False)
     mset = (
         pos.filter(F.col("is_member") == 1).select("m", "pos").distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     probe = (
         pos.filter(F.col("is_member") == 0)
         .alias("p")
@@ -1731,7 +1733,7 @@ def cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(({a} * h + {b}) % {_BLOOM_P}) % w").alias("pos"),
         )
         pos = part if pos is None else pos.unionAll(part)
-    pos = pos.localCheckpoint(eager=False)
+    pos = pos.transform(snapshot, eager=False)
     counters = pos.groupBy("w", "r", "pos").agg(
         F.sum("cnt").cast("long").alias("c")
     )

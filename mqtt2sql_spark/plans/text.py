@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-
+from mqtt2sql_spark.operators.materialize import snapshot
 from mqtt2sql_spark.fixtures import load_table
 from mqtt2sql_spark.functions.text import (
     BPE_RE,
@@ -1512,7 +1512,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         docs.select("source", F.explode(tokens("text")).alias("tok"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(snapshot, eager=False)
     )
     sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a = v.select(F.col("source").alias("src_a"), "tok")
@@ -2763,7 +2763,7 @@ def bigram_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = big.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     tot = cnt.agg(
         F.sum("c").alias("n_tot"), F.count(F.lit(1)).alias("types_tot")
     )
@@ -3365,7 +3365,7 @@ def lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     rows_ = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     cols_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
     nn = cells.agg(
@@ -3936,7 +3936,7 @@ def char_trigram_lang_overlap(
         .select("lang", "tri")
         # <=100 rows per lang, read by the sizes and both join sides —
         # materialize once so the trigram explode runs once, not 3x
-        .localCheckpoint(eager=True)
+        .transform(snapshot, eager=True)
     )
     sz = top.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     a = top.select(F.col("lang").alias("lang_a"), "tri")
@@ -4368,7 +4368,7 @@ def vocab_size_coverage_curve(
     # top-k on the (c DESC, tok) total order, rank the survivors — the
     # SCALING full-vocabulary relation is never globally ranked; totals
     # come from one aggregate over the materialized frequency table
-    tf = tf.localCheckpoint(eager=False)
+    tf = tf.transform(snapshot, eager=False)
     rk = (
         tf.orderBy(F.desc("c"), "tok")
         .limit(10000)

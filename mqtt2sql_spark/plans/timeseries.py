@@ -30,7 +30,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-
+from mqtt2sql_spark.operators.materialize import snapshot
 from mqtt2sql_spark.fixtures import load_table, messages
 from mqtt2sql_spark.plans.base import register
 
@@ -533,7 +533,7 @@ def hourly_autocorr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "unix_micros(date_trunc('hour', ts)) DIV 3600000000"
         ).alias("h"),
-    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("c")).transform(snapshot, eager=False)
     lags = F.explode(
         F.array(*[F.lit(x) for x in ACF_LAGS])
     ).alias("lag")
@@ -2017,7 +2017,7 @@ def transition_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("o")
         # tiny contingency read by three margins and the contrib join —
         # materialize once so the sessionize window runs once, not 4x
-    ).localCheckpoint(eager=True)
+    ).transform(snapshot, eager=True)
     margins = cells.groupBy("cur", "nxt").agg(
         F.sum("o").cast("long").alias("rc")
     )
@@ -3044,7 +3044,7 @@ def volume_decomposition_shares(
         F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
         # day-grain series read by bounds, the trailing window and the
         # decomposition join — materialize once, scan events once
-    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).transform(snapshot, 
         eager=True
     )
     bounds = daily.groupBy("event_type").agg(
@@ -3073,7 +3073,7 @@ def volume_decomposition_shares(
             F.expr("7 * y.c - t.t7").alias("dt7"),
             F.expr("y.d % 7").alias("dow"),
         )
-        .localCheckpoint(eager=True)  # seasonal means + residuals both read
+        .transform(snapshot, eager=True)  # seasonal means + residuals both read
     )
     seas = base.groupBy("event_type", "dow").agg(
         F.sum("dt7").cast("long").alias("ssum"),
@@ -3418,7 +3418,7 @@ def best_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     lg = spark.range(0, _LAG_MAX_DAYS + 1).select(
         F.col("id").cast("int").alias("lag")
     )
@@ -3944,7 +3944,7 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice"), 0).cast("long"))
         .cast("long")
         .alias("rev")
-    ).localCheckpoint(eager=False)
+    ).transform(snapshot, eager=False)
     chg = (
         dr.alias("a")
         .join(dr.alias("b"), F.expr("b.d = a.d - 1"))
@@ -5781,7 +5781,7 @@ def daily_active_users_profile(
     # two consumers below (value-grain counts + the n/sum totals):
     # materialize the tiny day-grain relation once so the fact scan
     # and distinct-count run once, not twice
-    dau = dau.localCheckpoint(eager=False)
+    dau = dau.transform(snapshot, eager=False)
     # the day list is bounded (~thousands of rows even at decades of
     # data), but route the rank through the same value-grain two-phase
     # prefix sum as the user-grain percentile queries so NO registered

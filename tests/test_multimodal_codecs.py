@@ -2,10 +2,11 @@
 codecs (skipped here — this container has none), and the stub contract
 when it does not.
 
-Uninstallability proof (r06): ``pip download pillow --no-deps`` fails
-with DNS resolution errors on every retry (`Failed to establish a new
-connection: [Errno -2] Name or service not known` against the configured
-index) — the sandbox has no network egress, so Pillow cannot be
+Uninstallability proof (r06, re-probed r07 2026-08-15): ``pip install
+pillow protobuf`` fails with DNS resolution errors on every retry
+(`Failed to establish a new connection: [Errno -2] Name or service not
+known` against the configured index, final `No matching distribution
+found`) — the sandbox has no network egress, so Pillow cannot be
 installed.  The real-codec CODE PATH is therefore exercised offline via
 tests/_fake_pil.py (stdlib-only PNG codec) in
 test_real_codec_path_offline below; the remaining skip is only the

@@ -5503,17 +5503,17 @@ def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so aggregate to value-grain counts first and pick the value whose
     # cumulative range [cum-cnt, cum) contains the in-bin offset —
     # the ordered window then runs over a bounded (<= BIN rows) input
-    vals = in_bin.groupBy("cents", "off").agg(
-        F.count(F.lit(1)).alias("vc")
-    )
-    w_rank = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    vals = in_bin.groupBy(
+        F.col("cents").alias("bin_cents"), F.col("off")
+    ).agg(F.count(F.lit(1)).alias("vc"))
+    w_rank = W.orderBy("bin_cents").rowsBetween(W.unboundedPreceding, 0)
     kth = (
         vals.withColumn("vcum", F.sum("vc").over(w_rank))
         .filter(
             (F.col("vcum") >= F.col("off"))
             & (F.col("vcum") - F.col("vc") < F.col("off"))
         )
-        .select(F.col("cents").alias("median_cents"))
+        .select(F.col("bin_cents").alias("median_cents"))
     )
     return tot.crossJoin(F.broadcast(kth)).select(
         F.col("n").cast("long").alias("n"),

@@ -277,8 +277,59 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF coarse-quantizer ANN ----------------------------------------------
 
-CELL_MOD = 37  # centroid seed stride → ~N/37 cells (K grows ~linearly w/ N)
+CELL_MOD = 37  # base centroid seed stride (corpora under 10k vectors)
 N_PROBE = 3    # cells probed per query
+
+# Adaptive stride stairs: seed-stride centroid selection must keep
+# K = n/stride in a bounded, broadcastable band at EVERY corpus size.
+# A fixed stride makes K grow linearly with N, which turns the O(N*K)
+# cell-assignment compare quadratic — caught by the r07 100x stress
+# replica (200k vectors -> 5405 centroids -> 1.08e9 interpreted dot
+# products; the run had to be killed).  The stairs approximate the
+# standard nlist ~ sqrt(N) sizing (FAISS practice); each band's K stays
+# in the low thousands: n=2e5 -> stride 1811 (K~110), n=1e8 -> stride
+# 199999 (K~500); beyond ~1e10 vectors a trained coarse quantizer
+# (embedding_kmeans_assign) should replace seed-stride selection.
+# Fixture scales (20..2000 vectors) all fall in the base band, so
+# results are unchanged at every oracle-gated scale factor.
+_IVF_STAIRS: tuple[tuple[int, int], ...] = (
+    (10**8, 199999),
+    (10**7, 63029),
+    (10**6, 20011),
+    (10**5, 1811),
+    (10**4, 389),
+)
+
+
+def ivf_cell_mod(n: int) -> int:
+    """Centroid seed stride for an n-vector corpus (see _IVF_STAIRS)."""
+    for lo, mod in _IVF_STAIRS:
+        if n >= lo:
+            return mod
+    return CELL_MOD
+
+
+# the identical stairs as a DuckDB scalar subquery, so both engines
+# derive the same stride from the same corpus count
+_DUCK_CELL_MOD = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN count(*) >= {lo} THEN {mod}" for lo, mod in _IVF_STAIRS
+    )
+    + f" ELSE {CELL_MOD} END FROM embeddings)"
+)
+
+
+def _ivf_cent(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """Deterministic seed-stride centroid set with scale-adaptive K.
+
+    The corpus count is a single-scalar driver action at plan-build
+    time (same cost class as the eager snapshots); metadata-only over
+    the parquet footer."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return emb.filter(F.col("vec_id") % ivf_cell_mod(n) == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
 
 
 def _cos_expr(u, v):
@@ -298,7 +349,7 @@ def _duck_cos(a: str, b: str) -> str:
     oracle=f"""
     , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS cent_id, e AS ce FROM emb
-             WHERE vec_id % {CELL_MOD} = 1),
+             WHERE vec_id % {_DUCK_CELL_MOD} = 1),
     assigned AS (
         SELECT vec_id, e, cell FROM (
             SELECT v.vec_id, v.e, c.cent_id AS cell,
@@ -336,7 +387,8 @@ def _duck_cos(a: str, b: str) -> str:
     """,
     doc="IVF (inverted-file) ANN — the coarse-quantizer scale path "
     "alongside sign-LSH: deterministic data-derived centroid seeds "
-    f"(vec_id % {CELL_MOD} = 1, so K grows with the corpus), every "
+    "(vec_id % stride = 1 with the scale-adaptive _IVF_STAIRS stride, "
+    "so K ~ sqrt(N) stays broadcastable at every corpus size), every "
     "corpus vector assigned to its nearest cell (O(N·K) broadcast "
     f"compare, K ≪ N), queries probe their {N_PROBE} nearest cells and "
     "re-rank exactly inside them.  At 100 TB the per-cell postings are "
@@ -345,9 +397,7 @@ def _duck_cos(a: str, b: str) -> str:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") % CELL_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-    )
+    cent = _ivf_cent(spark, sf_dir, emb)
     # cell assignment: argmin over the (small, broadcast) centroid set —
     # per-vector window over K rows, shuffle carries (vec_id, cell) only
     cos_vc = _cos_expr(F.col("e"), F.col("ce"))
@@ -384,7 +434,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a corpus vector lives in exactly one cell ⇒ (query, candidate)
     # pairs are already unique across the probed cells — no distinct
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        # probes scale with the query count — no broadcast pin, AQE
+        # picks the strategy (r06 lesson: never pin a scaling relation)
+        assigned.join(probes, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1049,7 +1101,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     , emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS cent_id, e AS ce FROM emb
-             WHERE vec_id % {CELL_MOD} = 1),
+             WHERE vec_id % {_DUCK_CELL_MOD} = 1),
     assigned AS (
         SELECT vec_id, cell FROM (
             SELECT v.vec_id, c.cent_id AS cell,
@@ -1087,9 +1139,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") % CELL_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-    )
+    cent = _ivf_cent(spark, sf_dir, emb)
     w_assign = W.partitionBy("vec_id").orderBy(
         F.desc(F.round(F.col("ccos"), 6)), F.asc("cent_id")
     )
@@ -1879,7 +1929,7 @@ def triplet_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CAND_SQL = f"""
     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS cent_id, e AS ce FROM emb
-             WHERE vec_id % {CELL_MOD} = 1),
+             WHERE vec_id % {_DUCK_CELL_MOD} = 1),
     assigned AS (
         SELECT vec_id, e, cell FROM (
             SELECT v.vec_id, v.e, c.cent_id AS cell,
@@ -1958,9 +2008,7 @@ def _ivf_recall_sql(p: int) -> str:
 )
 def ivf_nprobe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") % CELL_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-    )
+    cent = _ivf_cent(spark, sf_dir, emb)
     w_assign = W.partitionBy("vec_id").orderBy(
         F.desc(F.round(F.col("ccos"), 6)), F.asc("cent_id")
     )

@@ -14,6 +14,15 @@ ratios spanned 0.66x-1.36x on this box, i.e. a single-query delta under
 FROZEN — only the aggregate total is comparable round-over-round, and
 even it moves ~2% on identical code.  Do not chase sub-1.4x per-query
 regressions; do not add/remove bench=True flags without noting it here.
+
+r06-vs-r07 drift verdict: the r06 artifact's 31.15 s (vs r05's 27.80 s,
+29/35 queries uniformly slower, both >1.4x movers in files untouched by
+the r06 diff) was box-level measurement drift, NOT a plan regression —
+the r07 idle-box re-measure on a functionally identical tree returned
+26.56 s, with upsert_latest_per_topic back at 0.51 s (r06 artifact:
+0.87 s; r05: 0.49 s) and count_min_topic_freq back at 0.98 s (r06:
+1.41 s; r05: 0.93 s).  The per-run spread is now recorded under "runs"
+so future artifacts carry their own noise evidence.
 """
 
 from __future__ import annotations

@@ -250,8 +250,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
+    # equi-join on (tbl, bucket): the query side scales with the corpus
+    # (N/QUERY_MOD rows x L tables), so it must not be pinned to a
+    # driver broadcast — AQE converts to broadcast-hash at runtime
+    # whenever the built side is actually small (it is at every fixture
+    # scale), and falls back to a shuffled join at 100 TB
     pairs = bkt.join(
-        F.broadcast(q),
+        q,
         (F.col("tbl") == F.col("qtbl"))
         & (F.col("bucket") == F.col("qbucket"))
         & (F.col("vec_id") != F.col("query_id")),

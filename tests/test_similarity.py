@@ -377,3 +377,32 @@ def test_cosine_histogram_sums_to_population(spark):
     assert sum(r.n_pairs for r in rows) == n_q * (n - 1)
     for r in rows:
         assert 0 <= r.cos_band <= 19
+
+
+def test_ivf_stairs_python_sql_agree_and_bound_k():
+    """The scale-adaptive centroid stride must be the SAME function of
+    the corpus count in Python (Spark builders) and SQL (DuckDB
+    oracles), and must keep K = n/stride in a broadcastable band at
+    every corpus size."""
+    import duckdb
+
+    from mqtt2sql_spark.plans.similarity import (
+        _DUCK_CELL_MOD,
+        _IVF_STAIRS,
+        ivf_cell_mod,
+    )
+
+    con = duckdb.connect()
+    probe_ns = [1, 20, 200, 2000, 9999, 10**4, 10**5 - 1, 10**5,
+                10**6, 10**7, 10**8, 5 * 10**8, 10**9]
+    # add each band edge +-1
+    for lo, _mod in _IVF_STAIRS:
+        probe_ns += [lo - 1, lo, lo + 1]
+    for n in sorted(set(probe_ns)):
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT * FROM range({n})")
+        sql_mod = con.execute(f"SELECT {_DUCK_CELL_MOD}").fetchone()[0]
+        assert sql_mod == ivf_cell_mod(n), (n, sql_mod, ivf_cell_mod(n))
+        # K stays in a broadcastable band up to 1e9 vectors
+        k = n // ivf_cell_mod(n)
+        assert k <= 20000, (n, k)

@@ -423,8 +423,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
+    # Catalyst's static row estimate for the pair aggregate collapses,
+    # so without a hint it BROADCASTS inter (the largest relation here)
+    # and the driver-side broadcast collect dies at scale (witnessed at
+    # the 100x replica: >1 GB over spark.driver.maxResultSize; AQE
+    # cannot demote a statically planned broadcast).  Pin the size
+    # joins to shuffle-hash: fully distributed, and the doc-grain sizes
+    # relation scales too, so it must not be broadcast-pinned either.
+    na = sizes.alias("na").hint("shuffle_hash")
+    nb = sizes.alias("nb").hint("shuffle_hash")
     return (
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
@@ -1302,9 +1309,12 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # tot/uniq are doc-grain and scale with the corpus — pin the joins
+    # to shuffle-hash so Catalyst's static misestimate cannot broadcast
+    # a corpus-grain build side (AQE cannot demote a static broadcast)
     per_doc = (
-        docs.join(tot, "doc_id", "left")
-        .join(uniq, "doc_id", "left")
+        docs.join(tot.hint("shuffle_hash"), "doc_id", "left")
+        .join(uniq.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "lang",
             F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
@@ -1381,8 +1391,15 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
+    # Catalyst's static row estimate for the pair aggregate collapses,
+    # so without a hint it BROADCASTS inter (the largest relation here)
+    # and the driver-side broadcast collect dies at scale (witnessed at
+    # the 100x replica: >1 GB over spark.driver.maxResultSize; AQE
+    # cannot demote a statically planned broadcast).  Pin the size
+    # joins to shuffle-hash: fully distributed, and the doc-grain sizes
+    # relation scales too, so it must not be broadcast-pinned either.
+    na = sizes.alias("na").hint("shuffle_hash")
+    nb = sizes.alias("nb").hint("shuffle_hash")
     return (
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))

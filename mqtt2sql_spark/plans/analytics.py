@@ -2915,10 +2915,10 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM obs GROUP BY event_type
     )
     SELECT event_type, n,
-           n * sxy - sx * sy AS slope_num,
-           n * sxx - sx * sx AS slope_den,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                      / CAST(n * sxx - sx * sx AS DOUBLE) * 10000)
+           CAST(floor(CAST(CAST(n AS HUGEINT) * sxy
+                           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 10000)
                 AS BIGINT) AS slope_e4
     FROM s
     """,
@@ -2928,10 +2928,11 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle carries five numbers per group — the distributed way to "
     "fit millions of per-key models (per-topic drift, per-sensor "
     "degradation) with no ML library, no iteration, and no Python.  "
-    "All sums are exact BIGINTs (x in minutes from a fixed origin, y "
-    "in cents; magnitudes stay < 2^63 through sf1), numerator/"
-    "denominator are returned exactly, and the rendered slope is a "
-    "floor of one shared double division (engine-identical inputs → "
+    "Sums are exact BIGINTs (fit through ~1e9 rows/group); the final "
+    "cross-multiplications run in 128-bit (DECIMAL(38,0)/HUGEINT — the "
+    "r07 100x sweep caught the former BIGINT form overflowing at 10M "
+    "events), and the rendered slope is a floor of one shared double "
+    "division of the exact wide integers (engine-identical inputs → "
     "identical result).  Slope unit: 1e-4 cents/minute.",
 )
 def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2951,13 +2952,18 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x_min") * F.col("y_cents")).cast("long").alias("sxy"),
         F.sum(F.col("x_min") * F.col("x_min")).cast("long").alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("n").cast(d38) * F.col("sxy")
+        - F.col("sx").cast(d38) * F.col("sy")
+    )
+    den = (
+        F.col("n").cast(d38) * F.col("sxx")
+        - F.col("sx").cast(d38) * F.col("sx")
+    )
     return s.select(
         "event_type",
         "n",
-        num.alias("slope_num"),
-        den.alias("slope_den"),
         F.floor(num.cast("double") / den.cast("double") * 10000)
         .cast("long")
         .alias("slope_e4"),
@@ -4368,25 +4374,37 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily a JOIN daily b
           ON a.day = b.day AND a.event_type < b.event_type
     )
-    SELECT type_a, type_b,
-           CAST(count(*) AS BIGINT) AS n_days,
-           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS r_num,
-           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS r_den_x,
-           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS r_den_y
-    FROM pairs GROUP BY type_a, type_b
+    SELECT type_a, type_b, n_days,
+           CASE WHEN r_den_x = 0 OR r_den_y = 0 THEN NULL
+                ELSE CAST(floor(CAST(r_num AS DOUBLE)
+                                / (sqrt(CAST(r_den_x AS DOUBLE))
+                                   * sqrt(CAST(r_den_y AS DOUBLE)))
+                                * 1000000) AS BIGINT) END AS corr_fp
+    FROM (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS n_days,
+               count(*) * sum(CAST(x AS HUGEINT) * y)
+                   - sum(CAST(x AS HUGEINT)) * sum(y) AS r_num,
+               count(*) * sum(CAST(x AS HUGEINT) * x)
+                   - sum(CAST(x AS HUGEINT)) * sum(x) AS r_den_x,
+               count(*) * sum(CAST(y AS HUGEINT) * y)
+                   - sum(CAST(y AS HUGEINT)) * sum(y) AS r_den_y
+        FROM pairs GROUP BY type_a, type_b
+    )
     """,
-    doc="Exact Pearson-correlation components between every pair of "
-    "event-type daily revenue series: r = r_num/√(r_den_x·r_den_y), "
-    "with the three terms emitted as exact BIGINTs (per-row cent "
-    "quantization, integer sums — the sqrt and division stay "
-    "consumer-side, so no float touches the compared surface and "
-    "summation order is irrelevant).  sign(r_num) is the correlation "
-    "direction; r_num=0 ⇔ uncorrelated days.  Shape: one (day, type) "
-    "partial-agg shuffle collapses the fact table to |days|·|types| "
-    "rows, the self-join rides the day key, and the final aggregate is "
-    "|types|² rows.  The cross-metric co-movement matrix a metrics "
-    "store derives continuously — at petabyte daily volumes upgrade "
-    "the products to DECIMAL(38,0); the plan is unchanged.",
+    doc="Pearson correlation between every pair of event-type daily "
+    "revenue series: the five sums and the three cross-multiplied "
+    "terms r_num, r_den_x, r_den_y are exact 128-bit integers "
+    "(DECIMAL(38,0)/HUGEINT — the r07 100x sweep caught the former "
+    "BIGINT products overflowing at 10M events; summation order stays "
+    "irrelevant because the integers are exact), rendered as one "
+    "floor-fixed-point r in ppm from a shared double expression "
+    "(exact-int → double is correctly rounded on both engines, and "
+    "/, *, sqrt on identical doubles are bit-identical).  Shape: one "
+    "(day, type) partial-agg shuffle collapses the fact table to "
+    "|days|·|types| rows, the self-join rides the day key, and the "
+    "final aggregate is |types|² rows — the cross-metric co-movement "
+    "matrix a metrics store derives continuously.",
 )
 def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -4402,26 +4420,43 @@ def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.col("event_type").alias("type_b"), F.col("cents").alias("y")
     )
     pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
-    return pairs.groupBy("type_a", "type_b").agg(
+    d38 = "decimal(38,0)"
+    xd = F.col("x").cast(d38)
+    yd = F.col("y").cast(d38)
+    comp = pairs.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         (
-            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
-            - F.sum("x") * F.sum("y")
-        )
-        .cast("long")
-        .alias("r_num"),
+            F.count(F.lit(1)) * F.sum(xd * F.col("y"))
+            - F.sum(xd) * F.sum("y")
+        ).alias("r_num"),
         (
-            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-            - F.sum("x") * F.sum("x")
-        )
-        .cast("long")
-        .alias("r_den_x"),
+            F.count(F.lit(1)) * F.sum(xd * F.col("x"))
+            - F.sum(xd) * F.sum("x")
+        ).alias("r_den_x"),
         (
-            F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y"))
-            - F.sum("y") * F.sum("y")
+            F.count(F.lit(1)) * F.sum(yd * F.col("y"))
+            - F.sum(yd) * F.sum("y")
+        ).alias("r_den_y"),
+    )
+    return comp.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.when(
+            (F.col("r_den_x") == 0) | (F.col("r_den_y") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.floor(
+                F.col("r_num").cast("double")
+                / (
+                    F.sqrt(F.col("r_den_x").cast("double"))
+                    * F.sqrt(F.col("r_den_y").cast("double"))
+                )
+                * 1000000
+            )
         )
         .cast("long")
-        .alias("r_den_y"),
+        .alias("corr_fp"),
     )
 
 

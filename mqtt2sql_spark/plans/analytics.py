@@ -7334,10 +7334,14 @@ def hockey_stick_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ends
     )
     SELECT n AS n_edge_ends, sx AS sum_deg,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                       * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
-                AS BIGINT) AS assortativity_x1e6
+           CAST(floor(
+               CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                           - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                      * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                             - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+               * 1000000) AS BIGINT) AS assortativity_x1e6
     FROM s
     """,
     doc="Degree assortativity of the co-purchase graph (Newman 2002): "
@@ -7409,10 +7413,14 @@ def degree_assortativity_copurchase(
         F.col("n").alias("n_edge_ends"),
         F.col("sx").alias("sum_deg"),
         F.expr(
-            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
-            " * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
-            " AS BIGINT)"
+            "CAST(floor("
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+            "     - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            "             - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            "        * CAST(CAST(n AS DECIMAL(38,0)) * syy"
+            "               - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
         ).alias("assortativity_x1e6"),
     )
 
@@ -8878,11 +8886,18 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Simpson's-paradox screen: discount vs quantity, per nation vs pooled ---
 
+# cross-multiplications in DECIMAL(38,0) — valid on BOTH engines; the
+# BIGINT form overflows once per-group row counts pass ~1e6 (r07 100x
+# survivability sweep lesson, see _SPEARMAN_CORR)
 _SIMPSON_CORR = (
-    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
-    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
-    "        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
-    " AS BIGINT)"
+    "CAST(floor("
+    "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+    "     - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+    " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+    "             - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+    "        * CAST(CAST(n AS DECIMAL(38,0)) * syy"
+    "               - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+    " * 1000000) AS BIGINT)"
 )
 
 
@@ -10075,11 +10090,18 @@ def brand_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Spearman rank correlation: user activity vs spend ----------------------
 
+# cross-multiplications in DECIMAL(38,0): n ~ 1e6 users puts n*sxy near
+# 1e24, past BIGINT — the 128-bit decimal form is valid on BOTH engines
+# (caught by the r07 100x survivability sweep)
 _SPEARMAN_CORR = (
-    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
-    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
-    "        * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
-    " AS BIGINT)"
+    "CAST(floor("
+    "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+    "     - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+    " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+    "             - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+    "        * CAST(CAST(n AS DECIMAL(38,0)) * syy"
+    "               - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+    " * 1000000) AS BIGINT)"
 )
 
 
@@ -13135,8 +13157,11 @@ def max_drawdown_daily_revenue(
     )
     SELECT p_brand,
            CAST(n AS BIGINT) AS n_lines,
-           CAST((10000 * (n * sxy - sx * sy))
-                // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS slope_e4,
+           CAST((10000 * (CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy))
+                // greatest(CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx, 1)
+                AS BIGINT) AS slope_e4,
            CAST((10000 * sy) // n AS BIGINT) AS mean_qty_e4,
            CAST((10000 * sx) // n AS BIGINT) AS mean_disc_pct_e4
     FROM s
@@ -13176,8 +13201,15 @@ def discount_elasticity_by_brand(
         "p_brand",
         F.col("n").cast("long").alias("n_lines"),
         F.expr(
-            "CAST((10000 * (n * sxy - sx * sy))"
-            " DIV greatest(n * sxx - sx * sx, 1) AS BIGINT)"
+            # 128-bit cross-multiplication (r07 sweep lesson): n ~ 1e9
+            # lines/brand at warehouse scale puts n*sxy past BIGINT;
+            # integer DIV on the wide exact values truncates toward
+            # zero identically on both engines
+            "CAST((10000 * (CAST(n AS DECIMAL(38,0)) * sxy"
+            "               - CAST(sx AS DECIMAL(38,0)) * sy))"
+            " DIV greatest(CAST(n AS DECIMAL(38,0)) * sxx"
+            "              - CAST(sx AS DECIMAL(38,0)) * sx, 1)"
+            " AS BIGINT)"
         ).alias("slope_e4"),
         F.expr("CAST((10000 * sy) DIV n AS BIGINT)").alias("mean_qty_e4"),
         F.expr("CAST((10000 * sx) DIV n AS BIGINT)").alias(
@@ -14378,9 +14410,11 @@ def supplier_weekly_turnover(
     )
     SELECT p_type,
            CAST(n AS BIGINT) AS n_parts,
-           CAST((10000 * (n * sxy - sx * sy))
-                // greatest(n * sxx - sx * sx, 1) AS BIGINT)
-               AS slope_cents_per_size_e4,
+           CAST((10000 * (CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy))
+                // greatest(CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx, 1)
+                AS BIGINT) AS slope_cents_per_size_e4,
            CAST((100 * sy) // n AS BIGINT) AS mean_price_e2_cents
     FROM s
     """,
@@ -14413,8 +14447,11 @@ def size_price_slope_by_type(
         "p_type",
         F.col("n").cast("long").alias("n_parts"),
         F.expr(
-            "CAST((10000 * (n * sxy - sx * sy))"
-            " DIV greatest(n * sxx - sx * sx, 1) AS BIGINT)"
+            "CAST((10000 * (CAST(n AS DECIMAL(38,0)) * sxy"
+            "               - CAST(sx AS DECIMAL(38,0)) * sy))"
+            " DIV greatest(CAST(n AS DECIMAL(38,0)) * sxx"
+            "              - CAST(sx AS DECIMAL(38,0)) * sx, 1)"
+            " AS BIGINT)"
         ).alias("slope_cents_per_size_e4"),
         F.expr("CAST((100 * sy) DIV n AS BIGINT)").alias(
             "mean_price_e2_cents"

@@ -2417,10 +2417,14 @@ def session_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     )
     SELECT n AS n_buckets, sx AS n_events, sy AS n_errors,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                       * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
-                AS BIGINT) AS pearson_x1e6
+           CAST(floor(
+               CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                           - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                      * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                             - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+               * 1000000) AS BIGINT) AS pearson_x1e6
     FROM s
     """,
     doc="Error-vs-load correlation over 5-minute buckets: Pearson r "
@@ -2462,10 +2466,14 @@ def error_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("n_events"),
         F.col("sy").alias("n_errors"),
         F.expr(
-            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
-            " * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)"
-            " AS BIGINT)"
+            "CAST(floor("
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+            "     - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            "             - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            "        * CAST(CAST(n AS DECIMAL(38,0)) * syy"
+            "               - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
         ).alias("pearson_x1e6"),
     )
 
@@ -3002,12 +3010,12 @@ _STL_SYMDIV = (
     en AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_days,
-               CAST(count(*) * sum(t7 * t7) - sum(t7) * sum(t7) AS BIGINT)
-                   AS e_t,
-               CAST(count(*) * sum(s7 * s7) - sum(s7) * sum(s7) AS BIGINT)
-                   AS e_s,
-               CAST(count(*) * sum(r7 * r7) - sum(r7) * sum(r7) AS BIGINT)
-                   AS e_r
+               count(*) * sum(CAST(t7 AS HUGEINT) * t7)
+                   - sum(CAST(t7 AS HUGEINT)) * sum(t7) AS e_t,
+               count(*) * sum(CAST(s7 AS HUGEINT) * s7)
+                   - sum(CAST(s7 AS HUGEINT)) * sum(s7) AS e_s,
+               count(*) * sum(CAST(r7 AS HUGEINT) * r7)
+                   - sum(CAST(r7 AS HUGEINT)) * sum(r7) AS e_r
         FROM comp GROUP BY event_type
     )
     SELECT event_type, n_days,
@@ -3089,16 +3097,22 @@ def volume_decomposition_shares(
             F.expr(f"dt7 - ({s7})").alias("r7"),
         )
     )
+    # energies in DECIMAL(38,0): weekly totals square past BIGINT at
+    # warehouse volumes (r07 100x-sweep overflow class); the ppm shares
+    # below stay exact integer DIV on the wide values
     en = comp.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.expr(
-            "CAST(count(*) * sum(t7 * t7) - sum(t7) * sum(t7) AS BIGINT)"
+            "count(*) * sum(CAST(t7 AS DECIMAL(38,0)) * t7)"
+            " - sum(CAST(t7 AS DECIMAL(38,0))) * sum(t7)"
         ).alias("e_t"),
         F.expr(
-            "CAST(count(*) * sum(s7 * s7) - sum(s7) * sum(s7) AS BIGINT)"
+            "count(*) * sum(CAST(s7 AS DECIMAL(38,0)) * s7)"
+            " - sum(CAST(s7 AS DECIMAL(38,0))) * sum(s7)"
         ).alias("e_s"),
         F.expr(
-            "CAST(count(*) * sum(r7 * r7) - sum(r7) * sum(r7) AS BIGINT)"
+            "count(*) * sum(CAST(r7 AS DECIMAL(38,0)) * r7)"
+            " - sum(CAST(r7 AS DECIMAL(38,0))) * sum(r7)"
         ).alias("e_r"),
     )
     tot = "greatest(e_t + e_s + e_r, 1)"

@@ -439,9 +439,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a corpus vector lives in exactly one cell ⇒ (query, candidate)
     # pairs are already unique across the probed cells — no distinct
     scored = (
-        # probes scale with the query count — no broadcast pin, AQE
-        # picks the strategy (r06 lesson: never pin a scaling relation)
-        assigned.join(probes, "cell")
+        # probes scale with the query count — no broadcast pin (r06
+        # lesson: never pin a scaling relation to driver memory); the
+        # shuffle_hash hint keeps the cell join sort-free (no SMJ sort
+        # of the corpus side) while AQE remains free to build the hash
+        # side locally when the probe set is small
+        assigned.join(probes.hint("shuffle_hash"), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

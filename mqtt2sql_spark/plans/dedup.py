@@ -36,6 +36,7 @@ from mqtt2sql_spark.functions.text import (
 )
 
 __all__ = ["shingles", "minhash_bands"]
+from mqtt2sql_spark.operators.partitioning import fan_out
 from mqtt2sql_spark.plans.base import REGISTRY, register
 
 N_MINHASH = 16
@@ -90,9 +91,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture is one small parquet file → one input split; fan out
     # before the explode so shingling parallelizes (at corpus scale the
     # scan has thousands of splits and this repartition is a no-op cost)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     # posexplode evaluates the regex tokenizer ONCE per doc; building the
     # shingle array with transform+get(t, i) instead would re-evaluate the
     # tokenizer per element (observed 7× slowdown) — generator + lead
@@ -326,9 +325,7 @@ _HEXMAP = "0123456789abcdef"
     "few bits (Hamming).  Pure expression pipeline: explode → groupBy.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     tok_hash = docs.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     ).select("doc_id", F.md5("tok").alias("th"))
@@ -2550,9 +2547,7 @@ _PREFIX_LENS = [10, 20, 40]
 def prefix_length_dedup_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     t = tokens("text")
     keys = None
     for k in _PREFIX_LENS:

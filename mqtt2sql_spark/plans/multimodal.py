@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mqtt2sql_spark.operators.materialize import snapshot
 
 from mqtt2sql_spark.fixtures import load_table
+from mqtt2sql_spark.operators.partitioning import fan_out
 from mqtt2sql_spark.plans.base import register
 
 try:  # optional-import escape hatch: real codecs when the machine has them
@@ -399,7 +400,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(fan_out, spark)
         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
 
@@ -466,7 +467,7 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(fan_out, spark)
         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
 
@@ -621,9 +622,7 @@ def _spark_phash_bits() -> str:
     tags=("multimodal", "dedup"),
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     hp = docs.select(
         "doc_id",
         F.expr(

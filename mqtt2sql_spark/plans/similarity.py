@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from mqtt2sql_spark.operators.materialize import snapshot
 
 from mqtt2sql_spark.fixtures import load_table
+from mqtt2sql_spark.operators.partitioning import fan_out
 from mqtt2sql_spark.plans.base import REGISTRY, register
 
 DIM = 64
@@ -65,7 +66,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out to use all cores — at corpus scale the scan is already split
     return (
         load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .transform(fan_out, spark, "vec_id")
         .select(
             "vec_id",
             "label",
@@ -811,9 +812,7 @@ def _km_duck_iter(prev_assign: str, idx: int) -> str:
     "convergence signal a pipeline monitors.",
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
@@ -958,9 +957,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster")
         .transform(snapshot, eager=False)
     )
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     # array form: one row per vector.  The pair join then shuffles
     # cluster-size^2 ROWS instead of cluster-size^2 x dim (the previous
     # long-format join moved 16M rows at sf0.1; this moves 250k —
@@ -1289,9 +1286,7 @@ _DUCK_PQ = f"""
 
 def _pq_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized long layout (vec_id, sub, dim, vq, seed_cluster)."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("d", "fval")
     ).select(
@@ -1589,9 +1584,7 @@ DB_MIN_PTS = 3  # neighbors (excluding self) required for a core point
     "one union-aggregate.  All-integer surface.",
 )
 def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     qfp = F.expr(
         f"aggregate(transform(e, v -> CAST(floor(v * v * {_Q_DIST}) "
         "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
@@ -1792,9 +1785,7 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "stats"),
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark)
     expl = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim", "val"
@@ -2643,9 +2634,7 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_silhouette_by_cluster(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
@@ -2762,9 +2751,7 @@ def _sq_err_fp(v: str, s: str) -> str:
     tags=("similarity", "quantization"),
 )
 def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select("vec_id", F.col("fval").cast("double").alias("val"))
@@ -3333,9 +3320,7 @@ def twonn_ratio_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "drift"),
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     hmax = emb.agg(F.max("vec_id").alias("mx"))
     e = emb.select(
         "vec_id",
@@ -3984,9 +3969,7 @@ _DIMF_TOPK = 10
     tags=("similarity", "feature-selection"),
 )
 def dim_fstat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "label", F.posexplode("embedding").alias("dim", "fval")
     ).select(
@@ -4091,9 +4074,7 @@ def dim_fstat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_calinski_harabasz(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select(
@@ -4363,9 +4344,7 @@ _CONFUSABLE_TOPK = 5
     tags=("similarity", "eval"),
 )
 def label_confusable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "label", F.posexplode("embedding").alias("dim", "fval")
     ).select(
@@ -4491,9 +4470,7 @@ _RP_SIGNS = [
 def random_projection_distortion(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     q = emb.select(
         "vec_id",
         F.posexplode("embedding").alias("i", "x"),
@@ -4603,9 +4580,7 @@ def random_projection_distortion(
 def quantization_bits_error_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     q = emb.select(
         "vec_id",
         F.explode("embedding").alias("x"),
@@ -4777,9 +4752,7 @@ def pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def cosine_radius_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     ql = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select(
@@ -4897,9 +4870,7 @@ def cosine_radius_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_participation_ratio(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     q = emb.select(F.posexplode("embedding").alias("i", "x")).select(
         "i",
         F.round(F.col("x").cast("double") * 1000000, 0)
@@ -5083,9 +5054,7 @@ def index_memory_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_centroid_median_shift(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     q = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("i", "x")
     ).select(
@@ -5188,9 +5157,7 @@ def label_centroid_median_shift(
     tags=("similarity", "stats"),
 )
 def label_separability_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     q = emb.select(
         "label", F.posexplode("embedding").alias("i", "x")
     ).select(

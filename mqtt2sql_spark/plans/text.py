@@ -25,6 +25,7 @@ from mqtt2sql_spark.functions.text import (
     normalized_text,
     tokens,
 )
+from mqtt2sql_spark.operators.partitioning import fan_out
 from mqtt2sql_spark.plans.base import register
 
 # DuckDB string literals are escape-free — the regex goes in verbatim
@@ -421,9 +422,7 @@ DUP5_MAX_FP = 3000  # 0.30
     "compared surface has no float.",
 )
 def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
@@ -637,7 +636,7 @@ CHUNK_STRIDE = 60  # stride between chunk starts (overlap = 20)
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(fan_out, spark)
         .filter(F.length("text") > 0)
     )
     n_chunks_last = F.floor((F.length("text") - 1) / CHUNK_STRIDE)
@@ -750,9 +749,7 @@ BIGRAM_TOPK = 20
     "top-k — no single-partition window over the full vocabulary.",
 )
 def word_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
@@ -857,9 +854,7 @@ BOILER_TOPK = 50
     "TakeOrderedAndProject, never a full sort.",
 )
 def boilerplate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
@@ -1064,9 +1059,7 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted-higher-order-function regression in CLAUDE.md).  The
     # whole query runs in two shuffles: the span-df rollup and the
     # per-doc rebuild.
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     toks = docs.select("doc_id", tokens("text").alias("t"))
     last_cid = F.floor((F.size("t") - 1) / SPAN_WORDS).cast("long")
     chunks = (
@@ -1241,9 +1234,7 @@ _PMI_EXPR = (
     "is TakeOrderedAndProject with (score, x, y) total order.",
 )
 def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
@@ -1441,9 +1432,7 @@ def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the explode (single-file fixture = one input split otherwise).",
 )
 def vocab_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tf = (
         docs.select("lang", F.explode(tokens("text")).alias("tok"))
         .groupBy("lang", "tok")
@@ -1503,9 +1492,7 @@ def vocab_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "All-integer output, non-negative integer division.",
 )
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     # postings feed three branches (sizes + both join sides): materialize
     # the distinct once (lazy localCheckpoint, operators/ids.py pattern)
     # rather than re-shingling the corpus per branch
@@ -1813,9 +1800,7 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "vocab"),
 )
 def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tf = (
         docs.select("lang", F.explode(tokens("text")).alias("w"))
         .groupBy("lang", "w")
@@ -1862,9 +1847,7 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "vocab"),
 )
 def good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tf = (
         docs.select("lang", F.explode(tokens("text")).alias("w"))
         .groupBy("lang", "w")
@@ -1923,9 +1906,7 @@ PHRASE = ("value", "table")
     tags=("text", "search"),
 )
 def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
     )
@@ -1993,9 +1974,7 @@ _DROP_MOD = 10  # drop tokens whose hash bucket is 0 → ~10% dropout
     tags=("text", "augment"),
 )
 def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
     )
@@ -2068,9 +2047,7 @@ def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tokenizer"),
 )
 def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tf = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -2133,9 +2110,7 @@ VOCAB_K = 1000  # fixed vocabulary size for OOV-rate evaluation
     tags=("text", "vocab"),
 )
 def oov_rate_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tok = docs.select("lang", F.explode(tokens("text")).alias("w"))
     vocab = (
         tok.groupBy("w")
@@ -2199,9 +2174,7 @@ def oov_rate_fixed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "search"),
 )
 def phrase_kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
     )
@@ -2277,9 +2250,7 @@ KEYNESS_SOURCE = "src0"  # focus corpus; reference = all other sources
     tags=("text", "stats"),
 )
 def source_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     tok = docs.select(
         F.when(F.col("source") == KEYNESS_SOURCE, 1)
         .otherwise(0)
@@ -2356,9 +2327,7 @@ CHUNK_SIZES = (128, 256, 512)
     tags=("text", "packing"),
 )
 def chunk_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     nt = docs.select(
         F.size(tokens("text")).cast("long").alias("t")
     ).where(F.col("t") > 0)
@@ -2505,9 +2474,7 @@ _FH_DUCK_HV16 = " + ".join(
 def feature_hash_collision_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     vocab = (
         docs.select(F.explode(tokens("text")).alias("tok")).distinct()
     )
@@ -2591,9 +2558,7 @@ def feature_hash_collision_stats(
 def bigram_lm_next_token_accuracy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
@@ -2746,9 +2711,7 @@ _PRUNE_THRESHOLDS = [1, 2, 4, 8]
     tags=("text", "llm-pipeline"),
 )
 def bigram_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
@@ -2835,9 +2798,7 @@ def bigram_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stopword_pruning_index_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     post = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .distinct()
@@ -2918,9 +2879,7 @@ _GAP_MIN_DF = 10  # size the estimate on tokens with enough postings
 def postings_gap_bits_estimate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     post = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .distinct()
@@ -3050,9 +3009,7 @@ _BURST_TOPK = 20
     tags=("text", "lexical"),
 )
 def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     occ = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     stats = occ.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("cf"),
@@ -3253,9 +3210,7 @@ _EMERGE_MIN = 10  # min total occurrences
     tags=("text", "trend"),
 )
 def emerging_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     sp = docs.agg(
         F.expr("(min(doc_id) + max(doc_id) + 1) DIV 2").alias("mid")
     )
@@ -3451,9 +3406,7 @@ def lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "curation"),
 )
 def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     per_doc = (
@@ -3543,9 +3496,7 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mqtt2sql_spark.operators.ids import dense_row_ids
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     # rn = global doc_id rank over a SCALING dimension: two-phase
     # prefix rank (dense_row_ids, bucket = doc_id div 4096 — monotonic
     # pure function of the data), never a single-partition row_number;
@@ -3904,9 +3855,7 @@ def simpson_diversity_by_source(
 def char_trigram_lang_overlap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     norm = docs.select(
         "lang",
         F.substring(normalized_text("text"), 1, 200).alias("nt"),
@@ -4111,9 +4060,7 @@ def curriculum_quality_stages(
 def bigram_branching_factor(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark)
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
@@ -4208,9 +4155,7 @@ def bigram_branching_factor(
 def sentence_length_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     sent = (
         docs.select(
             "lang",
@@ -4356,9 +4301,7 @@ def token_mass_by_doclen_bucket(
 def vocab_size_coverage_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     tf = (
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
@@ -4523,9 +4466,7 @@ def quality_fail_reason_breakdown(
 def boilerplate_sentence_share(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     sent = (
         docs.select(
             "source", F.explode(F.split("text", "[.!?]+")).alias("s")
@@ -4606,9 +4547,7 @@ def boilerplate_sentence_share(
 def quality_fail_token_keyness(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     toks = tokens("text")
     n_toks = F.size(toks)
     sw_ratio = count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
@@ -4835,9 +4774,7 @@ def ttr_by_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_dominance_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents").transform(fan_out, spark, "doc_id")
     tf = (
         docs.select(
             "doc_id", "source", F.explode(tokens("text")).alias("tok")

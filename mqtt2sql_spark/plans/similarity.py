@@ -2543,27 +2543,39 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = deg.crossJoin(F.broadcast(thr)).filter(
         F.col("dg") <= F.col("cap")
     )
-    # restrict the adjacency to low-degree hubs BEFORE the self-join:
-    # joining adj x adj first materializes degree^2 wedge rows per hub
-    # (dominated by exactly the high-degree hubs the cap discards) and
-    # only then filters them — pre-filtering never generates them, and
-    # the two self-join branches share one exchange (ReusedExchange)
+    # restrict the adjacency to low-degree hubs BEFORE generating wedges:
+    # generating from the full adjacency first materializes degree^2
+    # wedge rows per hub (dominated by exactly the high-degree hubs the
+    # cap discards) and only then filters them — pre-filtering never
+    # generates them
     hub = adj.join(small.select("z", "dg"), "z")
+    # r07 (guide §2.4): wedges come from per-center sorted neighbor
+    # ARRAYS via one grouped double-posexplode — the proven
+    # copurchase_part_pairs shape — instead of the hub⋈hub self-join.
+    # The collect_list reuses the hub join's hash(z) partitioning (no
+    # new exchange), the self-join's two sorts and its probe disappear,
+    # and the per-task array is bounded by the degree cap.  adj rows are
+    # unique per (z, nb) (edges are distinct), so the sorted array is
+    # strictly increasing and pj > pi reproduces nb_i < nb_j exactly.
+    nbrs = hub.groupBy("z", "dg").agg(
+        F.sort_array(F.collect_list("nb")).alias("nbs")
+    )
     wedge = (
-        hub.alias("p")
-        .join(hub.alias("q"), F.expr("p.z = q.z AND p.nb < q.nb"))
-        .select(
-            F.col("p.nb").alias("i"),
-            F.col("q.nb").alias("j"),
-            F.expr(f"{_RA_PREC} DIV p.dg").alias("w"),
-        )
+        nbrs.select("dg", "nbs", F.posexplode("nbs").alias("pi", "i"))
+        .select("dg", "i", "pi", F.posexplode("nbs").alias("pj", "j"))
+        .filter(F.col("pj") > F.col("pi"))
+        .select("i", "j", F.expr(f"{_RA_PREC} DIV dg").alias("w"))
     )
     ra = wedge.groupBy("i", "j").agg(
         F.sum("w").cast("long").alias("ra_e9"),
         F.count(F.lit(1)).cast("long").alias("n_common"),
     )
+    # left-anti against the edge list: without a hint this plans as a
+    # SortMergeJoin that SORTS the pair-grain ra relation (the largest
+    # relation in the query) just to drop known edges; shuffle_hash
+    # builds on the edge side and streams ra unsorted (guide §3.1)
     cand = ra.alias("r").join(
-        edges.alias("e"),
+        edges.alias("e").hint("shuffle_hash"),
         F.expr("e.a = r.i AND e.b = r.j"),
         "left_anti",
     )

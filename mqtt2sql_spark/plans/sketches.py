@@ -519,8 +519,20 @@ def count_min_topic_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     i_col = F.explode(
         F.array(*[F.lit(i) for i in range(CM_DEPTH)])
     ).alias("i")
-    hashed = msg.select("topic", i_col).select(
-        "topic",
+    # r07 (guide §2.3 "aggregate before you shuffle"): the cell address
+    # depends only on the TOPIC, so aggregate the stream to topic grain
+    # once and build the sketch from per-topic counts — md5 runs on
+    # 4x|topics| rows instead of 4x|messages|, the 4x explode fans out a
+    # topic-grain relation, and the same aggregation subtree feeds the
+    # true-count top-k branch (one events scan + one shuffle, shared via
+    # ReusedExchange, instead of two of each).  Cell values are
+    # identical: count of stream rows per cell == sum of the counts of
+    # the topics hashing there.
+    true_counts = msg.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    hashed = true_counts.select("true_n", i_col, F.col("topic")).select(
+        "true_n",
         "i",
         (
             F.conv(
@@ -535,10 +547,7 @@ def count_min_topic_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CM_WIDTH
         ).alias("bkt"),
     )
-    sketch = hashed.groupBy("i", "bkt").agg(F.count(F.lit(1)).alias("c"))
-    true_counts = msg.groupBy("topic").agg(
-        F.count(F.lit(1)).alias("true_n")
-    )
+    sketch = hashed.groupBy("i", "bkt").agg(F.sum("true_n").alias("c"))
     topk = (
         true_counts.orderBy(F.desc("true_n"), F.asc("topic"))
         .limit(CM_TOPK)

@@ -42,6 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r07 (guide §3.1): let AQE rewrite a SortMergeJoin to a
+        # ShuffledHashJoin when every post-shuffle partition of the
+        # build side is small AT RUNTIME (observed bytes, not
+        # estimates — so unlike a global preferSortMergeJoin flip or a
+        # static hint this cannot pick a hash build the data outgrows).
+        # Default 0 disables the rule; 64 MB per-partition build keeps
+        # task memory bounded on any cluster and drops both sorts from
+        # the ~30 registry joins whose build side is modest.  Override
+        # per deployment via SPARK_GRAFT_SHJ_THRESHOLD (bytes).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -8416,41 +8416,80 @@ def _ks_drift_ctes(t: str) -> str:
     tags=("analytics", "drift"),
 )
 def value_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mqtt2sql_spark.operators.stats import ks_statistic
-
+    # r07 (guide §1.2/§2.4): one GROUPED pass instead of a Python loop of
+    # five ks_statistic calls — the loop scanned events once per type and
+    # paid ks_statistic's two eager snapshots (and its argmax subchain,
+    # whose output this query discards) five times over.  Identical
+    # arithmetic, computed with event_type carried through the same
+    # two-phase prefix-sum skeleton: in-bucket cumulative windows
+    # partitioned by (type, bucket), bucket offsets per type (bounded:
+    # |types| x |buckets| rows, broadcast back), exact cross-multiplied
+    # rationals.  The oracle keeps its per-type CTE form — results are
+    # row-identical.
     ev = load_table(spark, sf_dir, "events")
     split = F.lit(_KS_SPLIT).cast("timestamp")
-    outs = []
-    for t in _KS_TYPES:
-        base = (
-            ev.where(F.col("event_type") == t)
-            .groupBy("value")
-            .agg(
-                F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias(
-                    "ca"
-                ),
-                F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias(
-                    "cb"
-                ),
-            )
+    base = (
+        ev.where(F.col("event_type").isin(*_KS_TYPES))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("cb"),
         )
-        ks = ks_statistic(base, F.expr("CAST(floor(value) AS BIGINT) div 50"))
-        outs.append(
-            ks.select(
-                F.lit(t).alias("event_type"),
-                "n_a",
-                "n_b",
-                "d_num",
-                "d_den",
-                F.expr("CAST(d_num * 1000000 div d_den AS BIGINT)").alias(
-                    "d_ppm"
-                ),
-            )
+        .withColumn("_bkt", F.expr("CAST(floor(value) AS BIGINT) div 50"))
+        # feeds the prefix windows AND the per-type totals — one
+        # materialization, one upstream scan (ks_statistic contract)
+        .transform(snapshot, eager=True)
+    )
+    w_in = W.partitionBy("event_type", "_bkt").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    loc = base.withColumn("cca_in", F.sum("ca").over(w_in)).withColumn(
+        "ccb_in", F.sum("cb").over(w_in)
+    )
+    bkt_tot = base.groupBy("event_type", "_bkt").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_off = (
+        W.partitionBy("event_type")
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = bkt_tot.select(
+        "event_type",
+        "_bkt",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    cum = loc.join(F.broadcast(offs), ["event_type", "_bkt"]).select(
+        "event_type",
+        (F.col("cca_in") + F.col("oa")).alias("cca"),
+        (F.col("ccb_in") + F.col("ob")).alias("ccb"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    mx = (
+        cum.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.abs(
+                F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
+            ).alias("dnum"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        .groupBy("event_type")
+        .agg(F.max("dnum").alias("d_num"))
+    )
+    return tot.join(F.broadcast(mx), "event_type").select(
+        "event_type",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        (F.col("na") * F.col("nb")).cast("long").alias("d_den"),
+        F.expr(
+            "CAST(d_num * 1000000 div (na * nb) AS BIGINT)"
+        ).alias("d_ppm"),
+    )
 
 
 @register(

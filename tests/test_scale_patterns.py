@@ -924,3 +924,29 @@ def test_negative_balance_and_error_corr_bounds(spark):
     c = error_load_correlation(spark, SF_DIR).collect()[0]
     assert -1_000_000 <= c.pearson_x1e6 <= 1_000_000
     assert c.n_errors <= c.n_events
+
+
+def test_fan_out_is_scale_adaptive(spark, tmp_path):
+    """fan_out must repartition a single-split scan (the local fixture
+    shape) but become a no-op once the scan already yields at least the
+    session parallelism — the unconditional post-scan repartition it
+    replaced would shuffle the whole corpus at 100 TB for nothing."""
+    from mqtt2sql_spark.fixtures import load_table
+    from mqtt2sql_spark.operators.partitioning import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+
+    # single parquet file -> one input split -> the fan-out must fire
+    docs = load_table(spark, SF_DIR, "documents")
+    assert docs.rdd.getNumPartitions() < target
+    fanned = docs.transform(fan_out, spark, "doc_id")
+    assert fanned.rdd.getNumPartitions() == target
+    assert "REPARTITION_BY_NUM" in fanned._jdf.queryExecution().toString()
+
+    # pre-split input at/above the target -> identical plan, no exchange
+    out = str(tmp_path / "many")
+    docs.repartition(target).write.parquet(out)
+    many = spark.read.parquet(out)
+    assert many.rdd.getNumPartitions() >= target
+    passed = many.transform(fan_out, spark, "doc_id")
+    assert passed is many  # returned untouched, no repartition node

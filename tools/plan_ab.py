@@ -45,6 +45,12 @@ sys.path.insert(0, str(REPO))
 def _normalize(plan: str) -> str:
     plan = re.sub(r"#\d+", "#x", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+    # snapshot/localCheckpoint scans embed the process-global RDD id
+    # (`MapPartitionsRDD[78] at localCheckpoint ...`): it counts every
+    # RDD created earlier in the process, so ONE real plan change
+    # early in a full-registry dump would cascade false diffs onto
+    # every later snapshot-bearing query
+    plan = re.sub(r"RDD\[\d+\]", "RDD[x]", plan)
     return plan
 
 

@@ -109,7 +109,7 @@ def test_canon_cell_decimal_exact_above_float_precision():
         decimal.Decimal("0")
     )
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=500, deadline=None)
     @given(
         st.decimals(
             allow_nan=False,

@@ -49,7 +49,16 @@ def canon_cell(v) -> str:
             # not by lossy conversion.
             if v.is_nan():
                 return "dec:NaN"
-            s = format(v.normalize(), "f")
+            # normalize() rounds at the ambient context precision
+            # (default 28 significant digits), collapsing distinct
+            # >=29-digit decimals to one canonical string — a
+            # non-injective canonicalizer in a parity gate is a
+            # false-pass hazard.  Normalize under a context wide
+            # enough for the operand so it only strips trailing
+            # zeros, never rounds.
+            with decimal.localcontext() as ctx:
+                ctx.prec = max(80, len(v.as_tuple().digits) + 2)
+                s = format(v.normalize(), "f")
             if s in ("-0", "-0.0"):
                 s = "0"
             return "dec:" + s

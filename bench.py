@@ -23,6 +23,14 @@ the r07 idle-box re-measure on a functionally identical tree returned
 0.87 s; r05: 0.49 s) and count_min_topic_freq back at 0.98 s (r06:
 1.41 s; r05: 0.93 s).  The per-run spread is now recorded under "runs"
 so future artifacts carry their own noise evidence.
+
+r08 (additions-only, methodology unchanged): queries whose in-window
+spread ratio exceeds 1.5x are re-run in a later pass (burst windows are
+minutes long; temporal separation de-contaminates the min) and entries
+still spread-suspect after the re-run are flagged under
+"suspect_queries"; /proc/loadavg is sampled before and after
+("load_before"/"load_after").  Extra runs can only lower minima, so
+round-over-round totals remain comparable.
 """
 
 from __future__ import annotations
@@ -86,8 +94,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
 
+    def loadavg() -> list[float]:
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except Exception:
+            return []
+
+    load_before = loadavg()
+
     # one warmup action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    def timed_run(spec) -> float:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
 
     for name, spec in sorted(specs.items()):
         # one untimed warmup run per query excludes whole-stage-codegen /
@@ -101,12 +124,34 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs: list[float] = []
         for _ in range(3):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(round(time.perf_counter() - t0, 3))
+            runs.append(timed_run(spec))
         timings[name] = min(runs)
         spreads[name] = runs
+
+    # Contamination self-adjudication (r07 verdict item: the box's
+    # co-tenant bursts span whole best-of-3 windows; r07's 50.9 s
+    # artifact needed manual adjudication against an 8-core run).
+    # A spread ratio (max/min) > 1.5 inside one query's window is the
+    # burst signature — re-run those queries in a LATER, temporally
+    # separated pass (bursts last minutes; by the end of the bench the
+    # window has usually moved on) and keep the min over all runs.
+    # Additions-only: queries/runs keep their meaning, extra runs can
+    # only lower minima, and any query whose spread STILL exceeds 1.5x
+    # after the re-run is flagged under "suspect_queries" so the
+    # round-over-round comparison can discount it mechanically.
+    reruns: dict[str, list[float]] = {}
+    for name, spec in sorted(specs.items()):
+        runs = spreads[name]
+        if max(runs) / max(min(runs), 1e-9) > 1.5:
+            extra = [timed_run(specs[name]) for _ in range(2)]
+            reruns[name] = extra
+            spreads[name] = runs + extra
+            timings[name] = min(spreads[name])
+    suspect = sorted(
+        n for n, rs in spreads.items()
+        if max(rs) / max(min(rs), 1e-9) > 1.5
+    )
+    load_after = loadavg()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -117,6 +162,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": spreads,
+                "reruns": reruns,
+                "suspect_queries": suspect,
+                "load_before": load_before,
+                "load_after": load_after,
                 "sf": sf,
             }
         )

@@ -78,10 +78,17 @@ def ks_statistic(base: DataFrame, bucket: Column) -> DataFrame:
         F.sum("ca").cast("long").alias("na"),
         F.sum("cb").cast("long").alias("nb"),
     )
+    # cross-multiplied rationals in DECIMAL(38,0): cca*nb products
+    # overflow int64 past ~3e9 rows per side; the oracle's arithmetic
+    # is already 128-bit (DuckDB window sums surface as HUGEINT), so
+    # the widened Spark side matches it at any scale.  The compared
+    # surface stays BIGINT (d_num cast below).
+    dec = "decimal(38,0)"
     diffs = cum.crossJoin(F.broadcast(tot)).select(
         "value",
         F.abs(
-            F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
+            F.col("cca").cast(dec) * F.col("nb").cast(dec)
+            - F.col("ccb").cast(dec) * F.col("na").cast(dec)
         ).alias("dnum"),
     ).transform(snapshot, eager=True)
     mx = diffs.agg(F.max("dnum").alias("d_num"))
@@ -113,19 +120,30 @@ def mannwhitney_u(base: DataFrame, bucket: Column) -> DataFrame:
     cum = _with_prefix(b, bucket, {"c": "cinc"}).withColumn(
         "cprev", F.col("cinc") - F.col("c")
     )
+    # rank-sum products in DECIMAL(38,0): ca * (2*cprev + c + 1) sums
+    # to ~2N^2, past int64 at ~2e9 rows; DuckDB's sum is HUGEINT.
+    dec = "decimal(38,0)"
     r = cum.agg(
-        F.sum(F.col("ca") * (2 * F.col("cprev") + F.col("c") + 1)).alias(
-            "r2a"
-        )
+        F.sum(
+            F.col("ca").cast(dec)
+            * (2 * F.col("cprev") + F.col("c") + 1).cast(dec)
+        ).alias("r2a")
     )
     tot = base.agg(
         F.sum("ca").cast("long").alias("na"),
         F.sum("cb").cast("long").alias("nb"),
     )
-    u2a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    u2a = F.col("r2a") - (
+        F.col("na").cast(dec) * (F.col("na") + 1).cast(dec)
+    )
     return r.crossJoin(F.broadcast(tot)).select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
         u2a.cast("long").alias("u2_a"),
-        (2 * F.col("na") * F.col("nb") - u2a).cast("long").alias("u2_b"),
+        (
+            F.lit(2).cast(dec)
+            * F.col("na").cast(dec)
+            * F.col("nb").cast(dec)
+            - u2a
+        ).cast("long").alias("u2_b"),
     )

@@ -772,7 +772,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("o_totalprice").alias("cavg")
     )
     return (
-        o.join((avgs), o["o_custkey"] == avgs["ck"])
+        o.join(avgs, o["o_custkey"] == avgs["ck"])
         .filter(F.col("o_totalprice") > 1.5 * F.col("cavg"))
         .select(
             "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
@@ -1165,7 +1165,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     return (
-        act.join((first), "user_id")
+        act.join(first, "user_id")
         .select(
             F.col("d0").alias("cohort_day"),
             F.floor(F.datediff("d", "d0") / 7).cast("int").alias(
@@ -1224,7 +1224,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join((v), "user_id")
+        .join(v, "user_id")
         .filter(
             (F.col("ts") > F.col("t_view"))
             & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOUR"))
@@ -1234,7 +1234,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join((c), "user_id")
+        .join(c, "user_id")
         .filter(
             (F.col("ts") > F.col("t_click"))
             & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOUR"))
@@ -1501,7 +1501,7 @@ def large_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
-        .join((cust), orders["o_custkey"] == F.col("c_custkey"))
+        .join(cust, orders["o_custkey"] == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -1558,7 +1558,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     cents = F.round(disc * 100, 0).cast("long")
     rev = (
-        li.join((part), li["l_partkey"] == F.col("p_partkey"))
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
         .agg(
             F.sum(
@@ -1602,7 +1602,7 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_type"
     )
     return (
-        li.join((part), li["l_partkey"] == F.col("p_partkey"))
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
         .filter(F.col("p_brand") != "Brand#1")
         .groupBy("p_brand", "p_type")
         .agg(
@@ -1667,9 +1667,9 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join((cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
-        .join((supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
     )
@@ -2180,7 +2180,7 @@ def topic_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join((part), li["l_partkey"] == F.col("p_partkey"))
+    j = li.join(part, li["l_partkey"] == F.col("p_partkey"))
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_type") == "PROMO") & q.between(1, 15))
@@ -2251,7 +2251,7 @@ def idle_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.crossJoin(F.broadcast(avg_cents))
         .filter(F.col("cents").cast("double") > F.col("a"))
         .join(recent, "o_custkey", "left_anti")
-        .join((cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .selectExpr(
             "c_custkey",
             "c_name",
@@ -2395,7 +2395,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(m))
         .filter(F.col("cents") == F.col("mc"))
-        .join((supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .selectExpr(
             "s_suppkey", "s_name", "cents AS revenue_cents"
         )
@@ -2486,10 +2486,10 @@ def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(F.lit(0))
     )
     scoped = (
-        li.join((part), li["l_partkey"] == F.col("p_partkey"))
-        .join((supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
+        .join(supp_nation, li["l_suppkey"] == F.col("s_suppkey"))
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join((asia_cust), orders["o_custkey"] == F.col("c_custkey"))
+        .join(asia_cust, orders["o_custkey"] == F.col("c_custkey"))
     )
     return (
         scoped.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -2567,8 +2567,8 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 2
     )
     return (
-        li.join((part), li["l_partkey"] == F.col("p_partkey"))
-        .join((supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
+        .join(supp_nation, li["l_suppkey"] == F.col("s_suppkey"))
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -2636,7 +2636,7 @@ def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return (
-        top.join((cust), top["o_custkey"] == cust["c_custkey"])
+        top.join(cust, top["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .selectExpr(
             "c_custkey", "c_name", "n_name",
@@ -2747,7 +2747,7 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
-        .join((part), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .join(part, li["l_partkey"] == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(qty_centi).alias("qty_centi"))
     )
@@ -7103,7 +7103,7 @@ def repeat_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
     )
     return (
-        seq.join((cust), seq.o_custkey == cust.c_custkey)
+        seq.join(cust, seq.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -7188,7 +7188,7 @@ def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .where(F.col("y").isin(_RB_Y0, _RB_Y1))
-        .join((part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "y")
         .agg(
             F.sum(
@@ -7386,7 +7386,7 @@ def degree_assortativity_copurchase(
     )
     da = deg.select(F.col("pk").alias("pk1"), F.col("d").alias("dx"))
     db = deg.select(F.col("pk").alias("pk2"), F.col("d").alias("dy"))
-    joined = pc.join((da), "pk1").join((db), "pk2")
+    joined = pc.join(da, "pk1").join(db, "pk2")
     ends = joined.select(
         F.explode(
             F.array(
@@ -7588,7 +7588,7 @@ def order_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     pc = (
-        orders.join((cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -7664,7 +7664,7 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flows = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join((supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(
                 nation.select(
@@ -7674,7 +7674,7 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("s_nationkey") == F.col("sn_key"),
         )
-        .join((cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(
                 nation.select(
@@ -7830,7 +7830,7 @@ def return_rate_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     br = (
-        li.join((part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -8469,27 +8469,41 @@ def value_drift_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("long").alias("na"),
         F.sum("cb").cast("long").alias("nb"),
     )
+    # cross-multiplied rationals in DECIMAL(38,0) (the ks_statistic
+    # widening): cca*nb and d_num*1e6 overflow int64 past ~3e9 / ~3e6
+    # rows per side; DuckDB's window sums are already HUGEINT.
+    dec = "decimal(38,0)"
     mx = (
         cum.join(F.broadcast(tot), "event_type")
         .select(
             "event_type",
             F.abs(
-                F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")
+                F.col("cca").cast(dec) * F.col("nb").cast(dec)
+                - F.col("ccb").cast(dec) * F.col("na").cast(dec)
             ).alias("dnum"),
         )
         .groupBy("event_type")
         .agg(F.max("dnum").alias("d_num"))
     )
-    return tot.join(F.broadcast(mx), "event_type").select(
+    res = tot.join(F.broadcast(mx), "event_type").select(
         "event_type",
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
         F.col("d_num").cast("long").alias("d_num"),
         (F.col("na") * F.col("nb")).cast("long").alias("d_den"),
         F.expr(
-            "CAST(d_num * 1000000 div (na * nb) AS BIGINT)"
+            "CAST(d_num * 1000000"
+            " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
         ).alias("d_ppm"),
     )
+    # the oracle emits one row per type UNCONDITIONALLY (scalar
+    # aggregates over a possibly-empty diffs_<t> give NULL stats); the
+    # grouped pipeline emits no group for a type with zero events —
+    # preserve the row set from the bounded type literal (ADVICE r07).
+    types_df = spark.createDataFrame(
+        [(t,) for t in _KS_TYPES], "event_type string"
+    )
+    return types_df.join(res, "event_type", "left")
 
 
 @register(
@@ -9007,7 +9021,7 @@ def simpson_reversal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join((cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("nation", "x", "y")
     )
@@ -9599,7 +9613,7 @@ def safety_stock_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.round(F.col("l_quantity"), 0).cast("long")
     dd = (
-        li.join((part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             "p_brand",
             F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("d"),
@@ -9613,7 +9627,7 @@ def safety_stock_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lt = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join((part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("lt_n"),
@@ -9887,7 +9901,7 @@ def diversified_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = W.partitionBy("p_brand").orderBy(F.desc("rev"), F.asc("l_partkey"))
     pb = (
-        pr.join((part), pr.l_partkey == part.p_partkey)
+        pr.join(part, pr.l_partkey == part.p_partkey)
         .select("p_brand", "l_partkey", "rev")
         .withColumn("brand_rank", F.row_number().over(wb))
         .filter(F.col("brand_rank") <= _DIV_PER_BRAND)
@@ -10090,7 +10104,7 @@ def brand_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     br = (
-        li.join((part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_b"),
@@ -10285,7 +10299,7 @@ def kendall_tau_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", F.col("n_name").alias("nation")
     )
     nm = (
-        orders.join((cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("nation")
         .agg(
@@ -10679,7 +10693,7 @@ def eoq_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.round(F.col("l_quantity"), 0).cast("long")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     d = (
-        li.join((part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(q).cast("long").alias("demand_qty"),
@@ -11367,7 +11381,7 @@ def part_name_token_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev")
     )
     nt = (
-        pr.join((part), pr.l_partkey == part.p_partkey)
+        pr.join(part, pr.l_partkey == part.p_partkey)
         .select(F.explode(F.split("p_name", " ")).alias("tok"), "rev")
     )
     return (
@@ -11478,7 +11492,7 @@ def cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", "r_name"
     )
     j = (
-        orders.join((cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(
@@ -11567,9 +11581,9 @@ def brand_continuity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        orders.join((cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
-        .join((part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             "o_custkey",
             "o_orderkey",
@@ -11898,7 +11912,7 @@ def part_geographic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join((cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_partkey")
         .agg(
             F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
@@ -14719,7 +14733,7 @@ def brand_mix_effective_n_by_year(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     br = (
-        li.join((part), li["l_partkey"] == F.col("p_partkey"))
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
         .groupBy(
             F.year("l_shipdate").cast("long").alias("y"), "p_brand"
         )
@@ -15145,8 +15159,8 @@ def segment_brand_affinity_lift(
     )
     o = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join((cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join((part), li["l_partkey"] == F.col("p_partkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, li["l_partkey"] == F.col("p_partkey"))
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("p_brand").alias("brand"),
@@ -15396,7 +15410,7 @@ def peak_month_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     nm = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join((cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(nat),
             F.col("c_nationkey") == F.col("n_nationkey"),
@@ -15692,7 +15706,7 @@ def order_supply_nation_spread(
         "s_suppkey", "s_nationkey"
     )
     os_ = (
-        li.join((sup), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(sup, li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_orderkey")
         .agg(
             F.countDistinct("s_nationkey").alias("n_nations"),
@@ -16473,7 +16487,7 @@ def nation_mix_drift_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     ny = (
-        li.join((sup), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(sup, li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy(
             F.year("l_shipdate").cast("long").alias("y"),
             F.col("s_nationkey").alias("nk"),
@@ -17573,7 +17587,7 @@ def export_partner_diversity(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     flow = (
-        li.join((sup), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(sup, li["l_suppkey"] == F.col("s_suppkey"))
         .join(
             F.broadcast(nat.select(
                 F.col("n_nationkey").alias("snk"),
@@ -17582,7 +17596,7 @@ def export_partner_diversity(
             F.col("s_nationkey") == F.col("snk"),
         )
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join((cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("supp_nation", F.col("c_nationkey").alias("cust_nk"))
         .agg(F.sum(cents).alias("rev"))
     )
@@ -17896,7 +17910,7 @@ def ship_latency_by_supplier_nation(
     )
     lt = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join((sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(sup, li["l_suppkey"] == F.col("s_suppkey"))
         .join(
             F.broadcast(nat),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -18511,7 +18525,7 @@ def type_mix_seasonal_shift(
     )
     m = F.month("l_shipdate")
     seas = (
-        li.join((part), li["l_partkey"] == F.col("p_partkey"))
+        li.join(part, li["l_partkey"] == F.col("p_partkey"))
         .filter(m.isin(12, 1, 2, 6, 7, 8))
         .groupBy(
             "p_type",

@@ -790,7 +790,7 @@ def doc_embedding_coverage(
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
     )
-    cov = docs.join((emb), "doc_id", "left").select(
+    cov = docs.join(emb, "doc_id", "left").select(
         "source",
         F.size(tokens("text")).cast("long").alias("n_tok"),
         F.coalesce(F.col("has_vec"), F.lit(0)).alias("has_vec"),
@@ -880,7 +880,7 @@ def embedding_coverage_by_quality(
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
     )
-    j = lab.join((emb), "doc_id", "left")
+    j = lab.join(emb, "doc_id", "left")
     return j.groupBy("passed").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.coalesce(F.col("has_vec"), F.lit(0)))

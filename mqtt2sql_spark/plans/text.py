@@ -342,7 +342,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
     scored = (
-        tf.join((df), "tok")
+        tf.join(df, "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1086,7 +1086,7 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") > SPAN_MAX_DF)
         .select("ch")
     )
-    kept = chunks.join((boiler), "ch", "left_anti")
+    kept = chunks.join(boiler, "ch", "left_anti")
     reb = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.array_join(
@@ -1254,8 +1254,8 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uy = uni.select(F.col("tok").alias("_yt"), F.col("n").alias("ny"))
     scored = (
         big.filter(F.col("nxy") >= PMI_MIN_SUPPORT)
-        .join((ux), F.col("x") == F.col("_xt"))
-        .join((uy), F.col("y") == F.col("_yt"))
+        .join(ux, F.col("x") == F.col("_xt"))
+        .join(uy, F.col("y") == F.col("_yt"))
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_big))
         .withColumn("pmi_e3", F.expr(_PMI_EXPR))

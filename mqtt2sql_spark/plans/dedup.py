@@ -2176,38 +2176,47 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
-    ).transform(snapshot, eager=False)
-    cands = {}
-    for b, r in _LSH_CONFIGS:
-        band_cols = ", ".join(
-            f"{i}, md5(concat_ws('|', "
-            + ", ".join(f"CAST(h{i * r + j} AS STRING)" for j in range(r))
-            + "))"
-            for i in range(b)
+    )
+    # ONE pass for the whole sweep (the value_drift_ks_by_type pattern):
+    # stack every config's bands into one long (config, band_idx,
+    # band_key) relation and self-join ONCE on the 3-part key, instead
+    # of a Python loop of 4 band tables x 4 self-joins x 4 snapshots.
+    # Per config the join output is identical (config is a join key),
+    # so the distinct candidate set per config is unchanged.
+    entries = ", ".join(
+        f"'b{b}r{r}', {i}, md5(concat_ws('|', "
+        + ", ".join(f"CAST(h{i * r + j} AS STRING)" for j in range(r))
+        + "))"
+        for b, r in _LSH_CONFIGS
+        for i in range(b)
+    )
+    n_entries = sum(b for b, _ in _LSH_CONFIGS)
+    lb = mh.select(
+        "doc_id",
+        F.expr(
+            f"stack({n_entries}, {entries}) AS (config, band_idx, band_key)"
+        ),
+    )
+    cand = (
+        lb.alias("x")
+        .join(
+            lb.alias("y"),
+            F.expr(
+                "x.config = y.config AND x.band_idx = y.band_idx"
+                " AND x.band_key = y.band_key AND x.doc_id < y.doc_id"
+            ),
         )
-        lb = mh.select(
-            "doc_id",
-            F.expr(f"stack({b}, {band_cols}) AS (band_idx, band_key)"),
+        .select(
+            F.col("x.config").alias("config"),
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
         )
-        cands[(b, r)] = (
-            lb.alias("x")
-            .join(
-                lb.alias("y"),
-                F.expr(
-                    "x.band_idx = y.band_idx AND x.band_key = y.band_key"
-                    " AND x.doc_id < y.doc_id"
-                ),
-            )
-            .select(
-                F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
-            )
-            .distinct()
-            .transform(snapshot, eager=False)
-        )
-    allc = None
-    for c in cands.values():
-        allc = c if allc is None else allc.unionAll(c)
-    allc = allc.distinct().transform(snapshot, eager=False)
+        .distinct()
+        .transform(snapshot, eager=False)
+    )
+    allc = cand.select("d1", "d2").distinct().transform(
+        snapshot, eager=False
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     inter = (
         allc.alias("c")
@@ -2239,32 +2248,38 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("is_true"),
         )
-        .transform(snapshot, eager=False)
     )
-    out = None
-    for b, r in _LSH_CONFIGS:
-        row = (
-            cands[(b, r)]
-            .join(v, ["d1", "d2"])
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum("is_true").cast("long").alias("n_true"),
-                F.expr(
-                    "CAST(sum(is_true) * 1000000"
-                    " DIV greatest(count(*), 1) AS BIGINT)"
-                ).alias("precision_ppm"),
-            )
-            .select(
-                F.lit(f"b{b}r{r}").alias("config"),
-                F.lit(b).cast("long").alias("bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                "n_candidates",
-                "n_true",
-                "precision_ppm",
-            )
+    # one grouped rollup over all configs replaces the 4 per-config
+    # join+agg pipelines; the verdicts in v are shared exactly as
+    # before.  A config with ZERO candidates emits no group, but the
+    # oracle's per-config scalar aggregates emit one row per config
+    # unconditionally (count=0, sums NULL) — preserve the row set by
+    # left-joining from the 4-row config literal (bounded at any
+    # scale) and coalescing only the count.
+    res = (
+        cand.join(v, ["d1", "d2"])
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nc"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.expr(
+                "CAST(sum(is_true) * 1000000"
+                " DIV greatest(count(*), 1) AS BIGINT)"
+            ).alias("precision_ppm"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
+    cfg = spark.createDataFrame(
+        [(f"b{b}r{r}", b, r) for b, r in _LSH_CONFIGS],
+        "config string, bands long, rows_per_band long",
+    )
+    return cfg.join(res, "config", "left").select(
+        "config",
+        "bands",
+        "rows_per_band",
+        F.coalesce("_nc", F.lit(0).cast("long")).alias("n_candidates"),
+        "n_true",
+        "precision_ppm",
+    )
 
 
 # --- token savings from exact dedup, by source ------------------------------

@@ -58,8 +58,19 @@ def pagerank_int(edges: DataFrame, n_iter: int = 8) -> DataFrame:
 
     p = base.select("v", "deg", F.col("s0").alias("s"))
     for k in range(n_iter):
+        # r08 (guide §3.1 + the repo's static-misestimate rule): without
+        # a hint the planner BROADCASTS the edge relation into every
+        # iteration's join (witnessed in plans/r08/pagerank_copurchase
+        # _before.txt: one BroadcastExchange of the |E|-grain snapshot
+        # per iteration — a per-iteration driver collect of the largest
+        # relation in the query, a guaranteed maxResultSize death at
+        # scale, and it throws away the src pre-partitioning paid for
+        # above).  shuffle_hash on the RANK side makes it the build
+        # side (|V| rows, bounded per partition); the edge side streams
+        # in place — its LogicalRDD keeps hash(src) partitioning, so no
+        # per-iteration edge exchange either.
         inc = (
-            p.join(edges, p["v"] == edges["src"])
+            p.hint("shuffle_hash").join(edges, p["v"] == edges["src"])
             .select(
                 F.col("dst").alias("iv"),
                 F.expr("CAST(s DIV deg AS BIGINT)").alias("share"),
@@ -67,8 +78,13 @@ def pagerank_int(edges: DataFrame, n_iter: int = 8) -> DataFrame:
             .groupBy("iv")
             .agg(F.sum("share").alias("t"))
         )
+        # inc is |V|-grain (corpus-scaling) — same rule: hash join it,
+        # never broadcast; BuildRight on the aggregated side is bounded
+        # by the groupBy's partitioning.
         p = (
-            base.join(inc, base["v"] == inc["iv"], "left")
+            base.join(
+                inc.hint("shuffle_hash"), base["v"] == inc["iv"], "left"
+            )
             .select(
                 "v",
                 "deg",

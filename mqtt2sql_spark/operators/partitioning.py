@@ -30,8 +30,18 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
     plan already yields at least that many partitions.
 
     ``cols`` selects hash partitioning on those columns (callers that
-    feed a keyed operation), otherwise round-robin.  The partition-count
-    probe is driver-side plan inspection — no job is run.
+    feed a keyed operation), otherwise round-robin.
+
+    CONTRACT (r07 ADVICE): apply fan_out ONLY to a scan-shaped
+    DataFrame — ``load_table(...)`` output plus narrow projections /
+    filters.  For such exchange-free plans the ``.rdd`` probe is pure
+    driver-side split planning (no job); on a DataFrame with upstream
+    shuffles, AQE would materialize the query stages to answer it
+    (i.e. run jobs at plan-construction time).  All call sites in
+    plans/ sit directly on the scan.  The probe does instantiate the
+    physical plan (file-split enumeration) once per call site; on a
+    huge catalog prefer deriving the split count from catalog stats if
+    that ever shows up in driver profiles.
     """
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

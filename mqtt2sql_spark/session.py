@@ -51,6 +51,11 @@ def get_spark(
         # task memory bounded on any cluster and drops both sorts from
         # the ~30 registry joins whose build side is modest.  Override
         # per deployment via SPARK_GRAFT_SHJ_THRESHOLD (bytes).
+        # COUPLING (r07 ADVICE): the AQE rule only fires while this
+        # threshold >= spark.sql.adaptive.advisoryPartitionSizeInBytes
+        # (default 64 MB here) — a deployment that raises the advisory
+        # size must raise SPARK_GRAFT_SHJ_THRESHOLD with it or the
+        # SMJ->SHJ conversion silently turns off.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),

@@ -118,7 +118,19 @@ def connected_components(
     base = vertices.select(
         F.col(vertex), F.col(vertex).cast("long").alias("lu")
     )
-    return base.join(e, base["lu"] == e["u"], "left").select(
-        F.col(vertex),
-        F.coalesce("v", F.col("lu")).alias("component"),
+    # e is the bounded star forest (<= |V| rows, one per non-root
+    # vertex) — hash-join it as the build side, never sort the
+    # vertex-grain stream.  Snapshot the mapping so multi-branch
+    # consumers (size histograms, canonical-doc picks) reuse one
+    # materialization instead of re-running the join per branch
+    # (witnessed: plans/r08/dedup_components_after showed the
+    # vertices-join duplicated across both aggregate branches before
+    # this snapshot).
+    return (
+        base.join(e.hint("shuffle_hash"), base["lu"] == e["u"], "left")
+        .select(
+            F.col(vertex),
+            F.coalesce("v", F.col("lu")).alias("component"),
+        )
+        .transform(snapshot, eager=False)
     )

@@ -887,6 +887,33 @@ SEM_TAU_NUM2 = 16  # tau^2 = 16/25  (tau = 0.8)
 SEM_TAU_DEN2 = 25
 
 
+def _arrow_pair_dot_fp():
+    """Quantized pair dot floor(u*v*Q) summed in int64, as an
+    Arrow-vectorized pandas_udf (guide §4.2).  The zip_with/aggregate
+    fold is INTERPRETED per element per pair — the r08 A/B (quiet
+    window, tight spreads) measured the numpy batch dot at 1.75x the
+    fold (4.46 s -> 2.55 s at sf0.1 for semantic_dedup_keep).
+    Bit-identical to the fold and the oracle's long-format sum:
+    (u*v)*Q in float64 is the same left-associated IEEE product,
+    floor() then exact int64 (per-element |u*v*Q| <= 1e9, 64-dim dot
+    sums < 2^36 << 2^53)."""
+
+    @F.pandas_udf("long")
+    def _pair_dot_fp(ea, eb):
+        import numpy as np
+        import pandas as pd
+
+        if len(ea) == 0:
+            return pd.Series([], dtype="int64")
+        a = np.stack(ea.to_numpy())
+        b = np.stack(eb.to_numpy())
+        return pd.Series(
+            np.floor(a * b * float(_Q_DIST)).astype(np.int64).sum(axis=1)
+        )
+
+    return _pair_dot_fp
+
+
 @register(
     "semantic_dedup_keep",
     oracle=f"""
@@ -945,8 +972,9 @@ SEM_TAU_DEN2 = 25
     "integer arithmetic: cos ≥ τ rewritten as 25·dot² ≥ 16·|a|²·|b|² "
     "over floor-quantized BIGINT sums in DECIMAL(38,0) — no float "
     "summation anywhere, so the keep set is bit-stable across engines "
-    "and partitionings.  Spark: the pair join keys on (cluster, dim) "
-    "long format feeding one partial-agg shuffle; keep = anti-evidence "
+    "and partitionings.  Spark: array-form pair join confined to "
+    "cells, per-pair dot via an Arrow-vectorized numpy batch (same "
+    "IEEE ops as the oracle's long-format sum); keep = anti-evidence "
     "left join against the dup-pair set.",
 )
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,10 +989,10 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array form: one row per vector.  The pair join then shuffles
     # cluster-size^2 ROWS instead of cluster-size^2 x dim (the previous
     # long-format join moved 16M rows at sf0.1; this moves 250k —
-    # measured 10.3 s -> 5.8 s end to end).  The per-pair dot is an
-    # interpreted zip_with/aggregate fold, affordable at pair-count
-    # volume; per-element floor(u*v*Q) BEFORE the sum keeps the exact
-    # integer contract (identical to the oracle's long-format sum).
+    # measured 10.3 s -> 5.8 s end to end).  Per-element floor(u*v*Q)
+    # BEFORE the sum keeps the exact integer contract (identical to the
+    # oracle's long-format sum); the self-norm stays a one-per-vector
+    # fold, the pair-grain dot is Arrow-vectorized (see below).
     qfp = F.expr(
         f"aggregate(transform(e, v -> CAST(floor(v * v * {_Q_DIST}) "
         "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
@@ -990,18 +1018,24 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("n2_fp").alias("nb_fp"),
     )
-    dot = F.expr(
-        f"aggregate(zip_with(ea, eb, (u, v) -> CAST(floor(u * v * "
-        f"{_Q_DIST}) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
+
+    # shuffle_hash: corpus-grain build side (CLAUDE.md static-broadcast
+    # rule) — stats through the snapshot scan must never elect a
+    # broadcast of the vector relation
+    _pair_dot_fp = _arrow_pair_dot_fp()
     dec = "decimal(38,0)"
     dups = (
         x.join(
-            y,
+            y.hint("shuffle_hash"),
             (F.col("cluster") == F.col("yc"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_b", dot.alias("dot_fp"), "na_fp", "nb_fp")
+        .select(
+            "doc_b",
+            _pair_dot_fp("ea", "eb").alias("dot_fp"),
+            "na_fp",
+            "nb_fp",
+        )
         .filter(
             (F.col("dot_fp") >= 0)
             & (
@@ -1608,18 +1642,26 @@ def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("n2_fp").alias("nb_fp"),
     )
-    dot = F.expr(
-        f"aggregate(zip_with(ea, eb, (u, v) -> CAST(floor(u * v * "
-        f"{_Q_DIST}) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
+    # same Arrow-vectorized pair dot as semantic_dedup_keep (guide §4.2);
+    # shuffle_hash: the build side is corpus-grain (CLAUDE.md static-
+    # broadcast rule — the planner's estimate through the snapshot scan
+    # picked a BroadcastHashJoin of the whole vector relation, a driver
+    # collect at 100 TB that AQE cannot demote)
+    _pair_dot_fp = _arrow_pair_dot_fp()
     dec = "decimal(38,0)"
     sim = (
         x.join(
-            y,
+            y.hint("shuffle_hash"),
             (F.col("cell") == F.col("yc"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", dot.alias("dot_fp"), "na_fp", "nb_fp")
+        .select(
+            "doc_a",
+            "doc_b",
+            _pair_dot_fp("ea", "eb").alias("dot_fp"),
+            "na_fp",
+            "nb_fp",
+        )
         .filter(
             (F.col("dot_fp") >= 0)
             & (
@@ -1632,9 +1674,15 @@ def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # one pass over sim: the union-all of (doc_a, doc_b) as separate
+    # branches re-executed the WHOLE quadratic pair join per branch
+    # (plans/r08/density_core_points_before.txt nodes 12/21 — the same
+    # plan-branch recomputation class as blocking_quality_eval);
+    # exploding both endpoints keeps it one chain
     degs = (
-        sim.select(F.col("doc_a").alias("vec_id"))
-        .union(sim.select("doc_b"))
+        sim.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("vec_id")
+        )
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_neighbors"))
     )

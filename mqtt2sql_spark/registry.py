@@ -54,49 +54,53 @@ _PRIORITY: tuple[str, ...] = (
     "tz_render",
     "hex_roundtrip",
     "flip_history_flag",
-    "customer_value_migration",
-    "time_decay_attribution",
-    "exposure_conversion_lift",
-    "cohort_ltv_curves",
-    "next_order_backtest",
-    "single_source_risk",
-    "repeat_revenue_share",
-    "revenue_bridge_yoy",
-    "hockey_stick_ratio",
-    "degree_assortativity_copurchase",
-    "backlog_age_histogram",
-    "suspected_duplicate_orders",
-    "order_count_dispersion",
-    "trade_flow_matrix",
-    "fiscal_445_revenue",
-    "return_rate_wilson_rank",
-    "frequent_triples_topk",
-    "t_closeness_audit",
-    "part_price_spread",
-    "revenue_reconciliation_sources",
-    "dom_order_profile",
-    "priority_inversion_audit",
-    "value_drift_ks_by_type",
-    "price_ending_profile",
-    "tables_row_audit",
-    "z_chart_weekly_revenue",
-    "discount_cost_by_year",
-    "negative_balance_by_nation",
-    "abc_parts_classification",
-    "l_diversity_audit",
-    "simpson_reversal_screen",
-    "fuzzy_part_name_pairs_lev",
-    "demand_variability_xyz",
-    "copurchase_hitrate_at_k",
-    "part_adoption_latency_histogram",
-    "diff_in_diff_conversion",
-    "safety_stock_by_brand",
+    "generalization_ladder_kanon",
+    "median_of_medians_error",
+    "diversified_top_parts",
+    "part_substitution_candidates",
+    "order_value_percentile_trend",
+    "brand_return_pchart",
+    "spearman_activity_value",
+    "kendall_tau_nation_ranks",
+    "order_total_reconciliation",
+    "shapley_channel_attribution",
+    "recsys_catalog_coverage",
+    "eoq_by_brand",
+    "abc_xyz_policy_matrix",
+    "order_value_anova_dow",
+    "supplier_share_shift",
+    "revenue_cvar_daily",
+    "lines_per_order_histogram",
+    "supplier_latency_trend_census",
+    "negative_leadtime_audit",
+    "part_name_token_revenue",
+    "monthly_revenue_day_concentration",
+    "cube_region_segment",
+    "brand_continuity_rate",
+    "cadence_acceleration_census",
+    "median_jackknife_spread",
+    "part_supplier_redundancy",
+    "part_geographic_reach",
+    "return_rate_by_part_age",
+    "dose_response_conversion",
+    "laspeyres_paasche_index",
+    "first_touch_retention",
+    "price_stickiness_census",
+    "discount_return_association",
+    "supplier_load_latency_corr",
+    "lsh_band_sensitivity",
+    "dup_cluster_size_histogram",
+    "ks_statistic_click_purchase",
 )
 # window note: _PRIORITY is sized to exactly 50 (the driver gate's window):
-# core 13 + 37 never-witnessed (zero reds at r06, so the whole tail burns
-# witness debt, oldest-registered first; 334 never-witnessed queue after).
-# Regenerate each round with `python tools/rotation_plan.py 50` after the
-# new CORRECTNESS_r*.json lands.
+# core 13 + 36 never-witnessed (zero reds at r07; oldest-registered first,
+# with the two never-witnessed r08 rewrites lsh_band_sensitivity /
+# dup_cluster_size_histogram pulled forward) + 1 re-witness
+# (ks_statistic_click_purchase, whose argmax arithmetic was widened to
+# DECIMAL(38,0) this round — the r07 verdict asked for a driver witness
+# of the widened plan).  297 never-witnessed queue after.  Regenerate
+# each round with `python tools/rotation_plan.py 50` after the new
+# CORRECTNESS_r*.json lands.
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -740,10 +740,48 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- quantized k-means (cross-engine-exact Lloyd iterations) ---------------
 
-KM_K = 8          # clusters
+KM_K = 8          # base cluster count (fixture scales)
 KM_ITERS = 2      # unrolled Lloyd iterations
 _Q_VAL = 1_000_000       # per-dim value quantization (1e-6 units)
 _Q_DIST = 1_000_000_000  # per-dim squared-distance quantization
+
+# Scale-adaptive cluster count (the _IVF_STAIRS recipe, guide §2):
+# the SemDeDup contract is that the CELL COUNT GROWS WITH THE CORPUS
+# (Abbas et al. 2023 use ~11k clusters at LAION scale) — a fixed K
+# makes every cell-confined pair comparison O(N²/K) i.e. quadratic,
+# and the Lloyd distance join O(N·K) stays linear only because K is
+# frozen.  K ~ sqrt(N) balances both at ~N^1.5.  Fixture scales
+# (20..2000 vectors) all fall in the base band, so results are
+# unchanged at every oracle-gated scale factor; both engines derive
+# the SAME K from the same corpus count (Python stairs here, the
+# identical CASE as a DuckDB scalar subquery below).  Beyond ~1e8
+# vectors K caps at 8192 (centroid broadcast stays K·dim = 512k rows,
+# a few MB); past that a trained hierarchical quantizer should
+# replace flat k-means, same caveat as _IVF_STAIRS.
+_KM_STAIRS: tuple[tuple[int, int], ...] = (
+    (10**8, 8192),
+    (10**7, 2048),
+    (10**6, 512),
+    (10**5, 128),
+    (10**4, 32),
+)
+
+
+def km_clusters(n: int) -> int:
+    """Cluster count for an n-vector corpus (see _KM_STAIRS)."""
+    for lo, k in _KM_STAIRS:
+        if n >= lo:
+            return k
+    return KM_K
+
+
+# the identical stairs as a DuckDB scalar subquery, so both engines
+# derive the same cluster count from the same corpus count
+_DUCK_KM_K = (
+    "(SELECT CASE "
+    + " ".join(f"WHEN count(*) >= {lo} THEN {k}" for lo, k in _KM_STAIRS)
+    + f" ELSE {KM_K} END FROM embeddings)"
+)
 
 
 def _km_duck_iter(prev_assign: str, idx: int) -> str:
@@ -783,7 +821,7 @@ def _km_duck_iter(prev_assign: str, idx: int) -> str:
                CAST(embedding[i] AS DOUBLE) AS val
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     ),
-    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+    a0 AS (SELECT vec_id, CAST(vec_id % {_DUCK_KM_K} AS BIGINT) AS cluster
            FROM embeddings),
     {_km_duck_iter("a0", 1)},
     {_km_duck_iter("a1", 2)}
@@ -793,7 +831,9 @@ def _km_duck_iter(prev_assign: str, idx: int) -> str:
                 AS INTEGER) AS moved
     FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
     """,
-    doc=f"K-means cluster assignment ({KM_K} clusters, {KM_ITERS} unrolled "
+    doc=f"K-means cluster assignment (scale-adaptive cluster count, "
+    f"{KM_K} at fixture scales growing ~sqrt(N) via _KM_STAIRS — the "
+    f"same count-derived stairs on both engines, {KM_ITERS} unrolled "
     "Lloyd iterations) with bit-identical results on every engine and "
     "partitioning — the property distributed clustering normally "
     "sacrifices.  Floating-point summation order is the enemy twice "
@@ -812,12 +852,14 @@ def _km_duck_iter(prev_assign: str, idx: int) -> str:
     "convergence signal a pipeline monitors.",
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
     emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
     assign = emb.select(
-        "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
+        "vec_id",
+        (F.col("vec_id") % km_clusters(n_vec)).cast("long").alias("cluster"),
     )
     prev = None
     for _ in range(KM_ITERS):
@@ -922,7 +964,7 @@ def _arrow_pair_dot_fp():
                CAST(embedding[i] AS DOUBLE) AS val
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     ),
-    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+    a0 AS (SELECT vec_id, CAST(vec_id % {_DUCK_KM_K} AS BIGINT) AS cluster
            FROM embeddings),
     {_km_duck_iter("a0", 1)},
     {_km_duck_iter("a1", 2)},
@@ -1564,7 +1606,7 @@ DB_MIN_PTS = 3  # neighbors (excluding self) required for a core point
     "density_core_points",
     oracle=f"""
     , e AS (
-        SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cell,
+        SELECT vec_id, CAST(vec_id % {_DUCK_KM_K} AS BIGINT) AS cell,
                CAST(embedding AS DOUBLE[]) AS e
         FROM embeddings
     ),
@@ -1618,6 +1660,9 @@ DB_MIN_PTS = 3  # neighbors (excluding self) required for a core point
     "one union-aggregate.  All-integer surface.",
 )
 def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus count: single metadata-only action (parquet footer), the
+    # same cost class as the eager snapshots — see _KM_STAIRS
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
     emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     qfp = F.expr(
         f"aggregate(transform(e, v -> CAST(floor(v * v * {_Q_DIST}) "
@@ -1625,7 +1670,7 @@ def density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.select(
         "vec_id",
-        F.expr(f"CAST(vec_id % {KM_K} AS BIGINT)").alias("cell"),
+        (F.col("vec_id") % km_clusters(n_vec)).cast("long").alias("cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     ).select("vec_id", "cell", "e", qfp.alias("n2_fp")).transform(snapshot, 
         eager=False
@@ -2650,7 +2695,7 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(embedding[i] AS DOUBLE) AS val
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     ),
-    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+    a0 AS (SELECT vec_id, CAST(vec_id % {_DUCK_KM_K} AS BIGINT) AS cluster
            FROM embeddings),
     {_km_duck_iter("a0", 1)},
     {_km_duck_iter("a1", 2)},
@@ -2694,12 +2739,14 @@ def link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_silhouette_by_cluster(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
     emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
     assign = emb.select(
-        "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
+        "vec_id",
+        (F.col("vec_id") % km_clusters(n_vec)).cast("long").alias("cluster"),
     )
     d = None
     w = W.partitionBy("vec_id").orderBy("dist_fp", "cluster")
@@ -4080,7 +4127,7 @@ def dim_fstat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(embedding[i] AS DOUBLE) AS val
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     ),
-    a0 AS (SELECT vec_id, CAST(vec_id % {KM_K} AS BIGINT) AS cluster
+    a0 AS (SELECT vec_id, CAST(vec_id % {_DUCK_KM_K} AS BIGINT) AS cluster
            FROM embeddings),
     {_km_duck_iter("a0", 1)},
     {_km_duck_iter("a1", 2)},
@@ -4134,6 +4181,7 @@ def dim_fstat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_calinski_harabasz(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
     emb = load_table(spark, sf_dir, "embeddings").transform(fan_out, spark, "vec_id")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "fval")
@@ -4141,7 +4189,8 @@ def kmeans_calinski_harabasz(
         "vec_id", "dim", F.col("fval").cast("double").alias("val")
     ).transform(snapshot, eager=True)  # read 2x per Lloyd iteration
     assign = emb.select(
-        "vec_id", (F.col("vec_id") % KM_K).cast("long").alias("cluster")
+        "vec_id",
+        (F.col("vec_id") % km_clusters(n_vec)).cast("long").alias("cluster"),
     )
     w = W.partitionBy("vec_id").orderBy("dist_fp", "cluster")
     for _ in range(KM_ITERS):

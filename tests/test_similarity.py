@@ -406,3 +406,38 @@ def test_ivf_stairs_python_sql_agree_and_bound_k():
         # K stays in a broadcastable band up to 1e9 vectors
         k = n // ivf_cell_mod(n)
         assert k <= 20000, (n, k)
+
+
+def test_km_stairs_python_sql_agree_and_bound_k():
+    """The scale-adaptive k-means cluster count must be the SAME
+    function of the corpus count in Python (Spark builders) and SQL
+    (DuckDB oracles), keep the centroid relation broadcastable
+    (K*dim rows), and keep the cell-confined pair work sub-quadratic
+    (cell size ~ sqrt(N) up to the cap)."""
+    import duckdb
+
+    from mqtt2sql_spark.plans.similarity import (
+        _DUCK_KM_K,
+        _KM_STAIRS,
+        KM_K,
+        km_clusters,
+    )
+
+    con = duckdb.connect()
+    probe_ns = [1, 20, 200, 2000, 9999, 10**4, 10**5 - 1, 10**5,
+                10**6, 10**7, 10**8, 5 * 10**8, 10**9]
+    for lo, _k in _KM_STAIRS:
+        probe_ns += [lo - 1, lo, lo + 1]
+    for n in sorted(set(probe_ns)):
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT * FROM range({n})")
+        sql_k = con.execute(f"SELECT {_DUCK_KM_K}").fetchone()[0]
+        assert sql_k == km_clusters(n), (n, sql_k, km_clusters(n))
+        # fixture band unchanged (results identical at oracle-gated SFs)
+        if n <= 2000:
+            assert sql_k == KM_K
+        # centroid relation stays broadcastable: K*64 dims <= ~512k rows
+        assert sql_k * 64 <= 1 << 20, (n, sql_k)
+        # cell size grows sub-linearly until the cap band
+        if 10**4 <= n <= 10**8:
+            assert n // sql_k <= 32 * int(n ** 0.5), (n, sql_k)

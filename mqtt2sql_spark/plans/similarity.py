@@ -3928,8 +3928,9 @@ def ann_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
     ),
     q AS (
-        SELECT CAST(sum(4 * m.m * e_in - d_c * d_c) AS BIGINT) AS num,
-               CAST(max(4 * m.m * m.m) AS BIGINT) AS den
+        SELECT CAST(sum(4 * CAST(m.m AS HUGEINT) * e_in
+                        - CAST(d_c AS HUGEINT) * d_c) AS HUGEINT) AS num,
+               CAST(max(4 * CAST(m.m AS HUGEINT) * m.m) AS HUGEINT) AS den
         FROM brand CROSS JOIN m
     )
     SELECT (SELECT m FROM m) AS n_edges,
@@ -4005,11 +4006,19 @@ def copurchase_brand_modularity(
             .alias("d_c"),
         )
     )
+    # r08 (at-scale correctness): num * 1e6 overflows int64 at the 100x
+    # replica (stress-sweep witness, under ANSI) — num/den computed in
+    # DECIMAL(38,0), mirrored by HUGEINT casts in the oracle; the
+    # compared surface stays BIGINT (truncating integral division
+    # matches: both engines truncate toward zero on integral types)
     q = brand.crossJoin(F.broadcast(m)).agg(
         F.sum(
-            F.expr("4 * m * e_in - d_c * d_c")
-        ).cast("long").alias("num"),
-        F.max(F.expr("4 * m * m")).cast("long").alias("den"),
+            F.expr(
+                "4 * CAST(m AS DECIMAL(38,0)) * e_in"
+                " - CAST(d_c AS DECIMAL(38,0)) * d_c"
+            )
+        ).alias("num"),
+        F.max(F.expr("4 * CAST(m AS DECIMAL(38,0)) * m")).alias("den"),
     )
     return q.crossJoin(F.broadcast(m)).select(
         F.col("m").alias("n_edges"),

@@ -24,30 +24,34 @@ pin class and must not scale.  Non-key attributes (brand, dates,
 prices) are untouched, so bounded-domain aggregates (brand/date grain)
 stay bounded-domain with 100x rows per group — exactly the shape the
 kept-pin policy assumes."""
-import shutil, duckdb, os, string
+import shutil, duckdb, os, string, sys
 src = "/root/testdata/sf0.1"
-dst = "/tmp/scale100"
+# optional: replica count and destination (default 100x at /tmp/scale100;
+# a 10x build at /tmp/scale10 is the ratio-test replica for separating
+# heavy-linear from super-linear operators, where 100x times out any cap)
+REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale100"
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"""
 COPY (
   SELECT event_id + r * 10000000 AS event_id, ts,
          user_id + r * 1000000 AS user_id, event_type, value, props
-  FROM read_parquet('{src}/events.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/events.parquet'), range({REPL}) t(r)
 ) TO '{dst}/events.parquet' (FORMAT parquet)
 """)
 # per-replica letter map: r=0 identity; r>0 translate two frequent
 # letters to distinct targets so shingle sets diverge across replicas
 cases = " ".join(
     f"WHEN r = {r} THEN translate(text, 'ea', '{string.ascii_lowercase[r % 26]}{string.ascii_lowercase[(r * 7 + 3) % 26]}')"
-    for r in range(1, 100)
+    for r in range(1, REPL)
 )
 con.execute(f"""
 COPY (
   SELECT doc_id + r * 10000000 AS doc_id,
          CASE WHEN r = 0 THEN text {cases} END AS text,
          lang, source, n_chars
-  FROM read_parquet('{src}/documents.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/documents.parquet'), range({REPL}) t(r)
 ) TO '{dst}/documents.parquet' (FORMAT parquet)
 """)
 con.execute(f"""
@@ -55,7 +59,7 @@ COPY (
   SELECT vec_id + r * 10000000 AS vec_id,
          list_transform(embedding, x -> x + r * 0.0003) AS embedding,
          label
-  FROM read_parquet('{src}/embeddings.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/embeddings.parquet'), range({REPL}) t(r)
 ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
 """)
 # TPC-H chain: key offsets = next power of 10 above the sf0.1 max
@@ -65,21 +69,21 @@ con.execute(f"""
 COPY (
   SELECT c_custkey + r * {OFF_C} AS c_custkey,
          c_name, c_nationkey, c_acctbal, c_mktsegment
-  FROM read_parquet('{src}/customer.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/customer.parquet'), range({REPL}) t(r)
 ) TO '{dst}/customer.parquet' (FORMAT parquet)
 """)
 con.execute(f"""
 COPY (
   SELECT s_suppkey + r * {OFF_S} AS s_suppkey,
          s_name, s_nationkey, s_acctbal
-  FROM read_parquet('{src}/supplier.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/supplier.parquet'), range({REPL}) t(r)
 ) TO '{dst}/supplier.parquet' (FORMAT parquet)
 """)
 con.execute(f"""
 COPY (
   SELECT p_partkey + r * {OFF_P} AS p_partkey,
          p_name, p_brand, p_type, p_size, p_retailprice
-  FROM read_parquet('{src}/part.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/part.parquet'), range({REPL}) t(r)
 ) TO '{dst}/part.parquet' (FORMAT parquet)
 """)
 con.execute(f"""
@@ -87,7 +91,7 @@ COPY (
   SELECT o_orderkey + r * {OFF_O} AS o_orderkey,
          o_custkey + r * {OFF_C} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-  FROM read_parquet('{src}/orders.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/orders.parquet'), range({REPL}) t(r)
 ) TO '{dst}/orders.parquet' (FORMAT parquet)
 """)
 con.execute(f"""
@@ -97,7 +101,7 @@ COPY (
          l_suppkey + r * {OFF_S} AS l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
-  FROM read_parquet('{src}/lineitem.parquet'), range(100) t(r)
+  FROM read_parquet('{src}/lineitem.parquet'), range({REPL}) t(r)
 ) TO '{dst}/lineitem.parquet' (FORMAT parquet)
 """)
 for t in ("region", "nation"):
